@@ -1,0 +1,398 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Conventions._
+
+/** Relational operator catalog over the TPC-H-ish testdata.
+  *
+  * Covers SURVEY.md §2's projection/filter/explode/join/aggregate/sort
+  * inventory (O1–O18) re-expressed over the driver's star schema, plus the
+  * §2.13 engine-surface additions (semi/anti/broadcast joins, rollup,
+  * INTERSECT/EXCEPT, window functions). Every query is declarative DataFrame
+  * API so Catalyst handles pushdown, join selection and partial aggregation;
+  * broadcast hints are placed where one side is a small dimension.
+  */
+object Relational extends QueryModule {
+
+  /** O10/O12/O13 group-by aggregation (TPC-H Q1 shape). Partial (map-side)
+    * aggregation + 2-col group key shuffles only the aggregate state; at
+    * 100 TB this is a single shuffle of ~|groups| rows per partition.
+    */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${davgSql("l_discount", 4)} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** O1-style projection + pushed filter. `.explain` must show PushedFilters
+    * on l_quantity and a 4-column ReadSchema — the scan reads nothing else.
+    */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 50)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem WHERE l_quantity >= 50
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** 3-way join + aggregation (TPC-H Q3 shape). customer is small → Catalyst
+    * broadcasts it; orders⋈lineitem shuffles on orderkey once and the
+    * group-by reuses that partitioning (no second shuffle).
+    */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY l_orderkey, order_date
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** Left-semi join (EXISTS) — the Spark form of O2's watched-set predicate
+    * and P8's prefilter-then-exact strategy (Catalyst fuses both).
+    */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS) — the rollback-delete predicate shape (O3)
+    * as an explicit operator.
+    */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Explicit broadcast-hash join against two tiny dims (supplier, nation) —
+    * no shuffle of the fact side at any scale.
+    */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice"), 2).as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q06Sql =
+    s"""SELECT n_name, ${dsumSql("l_extendedprice")} AS volume,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** 5-way star join through region (TPC-H Q5 shape): all dims broadcast,
+    * single fact shuffle for the final group-by.
+    */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q07Sql =
+    s"""SELECT n_name,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** O14 latest-per-key: the "current balance from snapshots" window. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  o_totalprice
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** O17 serving-layer sort/limit — `OrderByDescending(Height).Take(10)`
+    * (README step 9), tie-broken to uniqueness. Spark plans TakeOrderedAndProject:
+    * per-partition top-k then driver merge, no global sort at scale.
+    */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  private val q09Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** O11 dropDuplicates + O15's order-dedupe-take window, as one query:
+    * distinct (mktsegment, orderstatus) combinations.
+    */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderstatus"))
+      .dropDuplicates()
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+  }
+
+  private val q10Sql =
+    """SELECT DISTINCT c_mktsegment, o_orderstatus
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
+  /** §2.11 union + O11 dedupe — the `local ++ db` state-merge shape. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val hi = o.filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    hi.union(urgent).dropDuplicates("o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q11Sql =
+    """SELECT DISTINCT o_orderkey FROM (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+      |  UNION ALL
+      |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** §2.13 INTERSECT / EXCEPT as explicit set operators. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 150000).select(col("o_orderkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val c = o.filter(col("o_orderpriority") === "5-LOW").select(col("o_orderkey"))
+    a.intersect(b).except(c).orderBy(col("o_orderkey"))
+  }
+
+  private val q12Sql =
+    """(SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+      | INTERSECT
+      | SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      |EXCEPT
+      |SELECT o_orderkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** §2.13 ROLLUP (partial/final aggregation split is Catalyst's). NULL
+    * group keys are replaced so both engines sort totals identically.
+    */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private val q13Sql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** O13/O18 min/max/max_by per group. */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("max_price_orderkey"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q14Sql =
+    """SELECT o_orderstatus, MAX(o_totalprice) AS max_price,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_orderkey) FILTER (WHERE o_totalprice = max_tp) AS max_price_orderkey,
+      |  COUNT(*) AS n
+      |FROM (SELECT *, MAX(o_totalprice) OVER (PARTITION BY o_orderstatus) AS max_tp
+      |      FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Non-equi (range/interval) join: lineitems shipped within 30 days of
+    * their order's date — equi key + range predicate, the §2.13 "interval
+    * join" row. The equi key keeps it a hash join, not a nested loop.
+    */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= date_add(o("o_orderdate"), 30))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q15Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_fast_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Correlated scalar-subquery shape (orders above their customer's mean),
+    * decorrelated by Catalyst into a join against the aggregate.
+    */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val means = o.groupBy(col("o_custkey").as("mk"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("mean_price"))
+    o.join(means, o("o_custkey") === means("mk"))
+      .filter(col("o_totalprice") > col("mean_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q16Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o JOIN (
+      |  SELECT o_custkey AS mk,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean_price
+      |  FROM orders GROUP BY o_custkey) m ON o.o_custkey = m.mk
+      |WHERE o_totalprice > mean_price * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Running / analytic window with an explicit frame (§2.13): per-supplier
+    * cumulative shipped quantity in date order.
+    */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+      .filter(col("l_suppkey") <= 3)
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q17Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
+    CatalogEntry("q02_filter_project", q02, Some(q02Sql)),
+    CatalogEntry("q03_join_topk_revenue", q03, Some(q03Sql)),
+    CatalogEntry("q04_semi_join", q04, Some(q04Sql)),
+    CatalogEntry("q05_anti_join", q05, Some(q05Sql)),
+    CatalogEntry("q06_broadcast_join", q06, Some(q06Sql)),
+    CatalogEntry("q07_star_join", q07, Some(q07Sql)),
+    CatalogEntry("q08_latest_per_key", q08, Some(q08Sql)),
+    CatalogEntry("q09_sort_limit", q09, Some(q09Sql)),
+    CatalogEntry("q10_distinct", q10, Some(q10Sql)),
+    CatalogEntry("q11_union_dedup", q11, Some(q11Sql)),
+    CatalogEntry("q12_intersect_except", q12, Some(q12Sql)),
+    CatalogEntry("q13_rollup", q13, Some(q13Sql)),
+    CatalogEntry("q14_minmax_argmax", q14, Some(q14Sql)),
+    CatalogEntry("q15_range_join", q15, Some(q15Sql)),
+    CatalogEntry("q16_decorrelated_subquery", q16, Some(q16Sql)),
+    CatalogEntry("q17_running_window", q17, Some(q17Sql)),
+  )
+}
