@@ -12,6 +12,10 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     Relational,
+    TextAnalysis,
+    Dedup,
+    Similarity,
+    Events,
   )
 
   private lazy val catalog: Seq[CatalogEntry] = modules.flatMap(_.entries)

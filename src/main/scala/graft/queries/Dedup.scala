@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (documents table).
+  *
+  * Scale design (the point of each query, beyond its small-SF correctness):
+  *  - exact dedup is one hash-groupBy: the shuffle carries (md5, doc_id)
+  *    pairs only, never the text.
+  *  - MinHash signatures/bands are per-row higher-order expressions — a
+  *    narrow map stage. Only (band_key, doc_id) pairs shuffle for the
+  *    candidate join; text never moves.
+  *  - n-gram Jaccard runs only within blocking buckets (lang × length
+  *    decile), never all-pairs.
+  *  - SimHash is explode → 64 map-side partial sums → 16-char hex digest,
+  *    one shuffle of 64 ints per doc.
+  *  - embedding near-dup blocks on `label` (a coarse cluster id — the IVF
+  *    pattern), so the pair join is per-bucket, not cross.
+  */
+object Dedup extends QueryModule {
+
+  /** Word 3-gram shingle set (distinct) — shared by q31/q32. */
+  private def shingles(text: Column): Column = {
+    val ws = regexp_extract_all(text, lit("\\S+"), lit(0))
+    array_distinct(
+      when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2), i =>
+          concat_ws(" ",
+            element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(regexp_extract_all(text, '\S+')) >= 3
+      |  THEN list_transform(range(1, len(regexp_extract_all(text, '\S+')) - 1),
+      |    i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+      |         regexp_extract_all(text, '\S+')[i+1] || ' ' ||
+      |         regexp_extract_all(text, '\S+')[i+2])
+      |  ELSE [] END)""".stripMargin.replace("\n", " ")
+
+  /** Exact dedup: md5-groupBy, keeper = min doc_id, duplicate groups only. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("text_md5"))
+
+  private val q30Sql =
+    """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+      |ORDER BY text_md5""".stripMargin
+
+  /** n-gram Jaccard near-dup: blocked self-join (lang, length-bucket),
+    * Jaccard over distinct shingle sets, top-50 pairs.
+    */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("long").as("len_bkt"),
+        shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = doc.select(col("doc_id").as("doc_a"), col("lang"),
+      col("len_bkt"), col("sh").as("sh_a"))
+    val b = doc.select(col("doc_id").as("doc_b"), col("lang"),
+      col("len_bkt"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    a.join(b, Seq("lang", "len_bkt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val q31Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bkt,
+       |    $shinglesSql AS sh
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM docs a JOIN docs b
+       |  ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  private val H = 16 // MinHash signature length
+  private val Bands = 4 // LSH bands of 4 rows each
+
+  /** MinHash + LSH banding: 16-hash signature (min of seeded md5 over the
+    * shingle set), 4 bands × 4 rows, candidate pairs = docs sharing a band
+    * bucket, ranked by #shared bands. The signature is a per-row expression;
+    * only (band_key, doc_id) shuffles.
+    */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = array((0 until H).map(h =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$h|"), x))))): _*)
+    val banded = doc
+      .withColumn("bands", array((0 until Bands).map(b =>
+        md5(concat(lit(s"$b|"),
+          concat_ws(",", slice(sig, b * 4 + 1, 4))))): _*))
+      .select(col("doc_id"), explode(col("bands")).as("band_key"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band_key"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band_key"))
+    l.join(r, "band_key")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("n_shared_bands").desc, col("doc_a"), col("doc_b"))
+  }
+
+  private val q32Sql = {
+    val sigSql = (0 until H).map(h =>
+      s"list_min(list_transform(sh, x -> md5('$h|' || x)))").mkString("[", ", ", "]")
+    val bandsSql = (0 until Bands).map(b =>
+      s"md5('$b|' || array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ','))")
+      .mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, $sigSql AS sig FROM docs WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared_bands
+       |FROM banded a JOIN banded b
+       |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |ORDER BY n_shared_bands DESC, doc_a, doc_b""".stripMargin
+  }
+
+  /** Hex digit value 0-15 — ascii-arithmetic so it stays inside lambda
+    * expressions in both engines.
+    */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  private def hexValSql(c: String): String =
+    s"(CASE WHEN ascii($c) <= 57 THEN ascii($c) - 48 ELSE ascii($c) - 87 END)"
+
+  /** 64-bit SimHash over word tokens (multiset): per word take md5's first
+    * 16 hex digits (64 bits); each bit contributes ±1; digest bit = sign of
+    * the sum. Emitted as 16 hex chars. Explode → 64 partial sums (map-side
+    * combine) → digest: one narrow shuffle of 64 ints per doc.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val withDigits = (0 until 16).foldLeft(words) { (df, j) =>
+      df.withColumn(s"v$j", hexVal(substring(col("h"), j + 1, 1)))
+    }
+    val sumCols = for (j <- 0 until 16; b <- 0 until 4) yield
+      sum(shiftright(col(s"v$j"), b).bitwiseAND(1) * 2 - 1)
+        .as(s"s_${j}_$b")
+    val sums = withDigits.groupBy(col("doc_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+    val digitCols = (0 until 16).map { j =>
+      (0 until 4).map(b =>
+        when(col(s"s_${j}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+    }
+    val hexDigits = digitCols.map(dc =>
+      lit("0123456789abcdef").substr(dc + 1, lit(1)))
+    sums.select(col("doc_id"),
+        concat(hexDigits: _*).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q33Sql = {
+    val sumsSql = (for (j <- 0 until 16; b <- 0 until 4) yield
+      s"SUM(((${hexValSql(s"substring(md5(w), ${j + 1}, 1)")} >> $b) & 1) * 2 - 1) AS s_${j}_$b")
+      .mkString(",\n    ")
+    val digits = (0 until 16).map { j =>
+      val v = (0 until 4)
+        .map(b => s"(CASE WHEN s_${j}_$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"substring('0123456789abcdef', 1 + ($v), 1)"
+    }.mkString(" || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+       |  FROM documents),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sumsSql
+       |  FROM words GROUP BY doc_id)
+       |SELECT doc_id, $digits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding cosine near-dup: blocked on `label` (coarse cluster id),
+    * ordered fold for the dot product, rounded to 4 decimals, top-100 pairs.
+    */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  private val q34Sql = {
+    def dotSql(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cosine
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 100""".stripMargin
+  }
+
+  override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
+    CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
+    CatalogEntry("q32_minhash_lsh", q32, Some(q32Sql)),
+    CatalogEntry("q33_simhash", q33, Some(q33Sql)),
+    CatalogEntry("q34_embedding_neardup", q34, Some(q34Sql)),
+  )
+}

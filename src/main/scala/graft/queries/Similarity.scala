@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * q35 is the exact baseline: brute-force cosine top-k per query — a
+  * broadcast of Q query vectors against N candidates, one narrow pass, one
+  * per-query top-k (TakeOrdered-shaped, no global sort).
+  *
+  * q36 is the scale path: random-hyperplane (cosine) LSH. Each vector's
+  * bucket is a P-bit sign pattern of dot products with P deterministic
+  * pseudo-random hyperplanes, computed as a pure per-row expression (planes
+  * derived from md5(p,d) — no plane table to join, nothing to broadcast).
+  * Search then touches only the query's bucket: at 100 TB the candidate
+  * join is bucket-equality (hash-partitioned), probing ~N/2^P vectors
+  * instead of N.
+  */
+object Similarity extends QueryModule {
+
+  private val K = 10 // neighbors per query
+  private val NQ = 5 // queries = vec_id < NQ
+  private val P = 8 // hyperplanes = bucket bits
+
+  /** Ordered-fold dot product of two float-array columns, in double. */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  /** Brute-force cosine top-k for NQ query vectors. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q35Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 4) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * first 4 hex digits of md5("p,d") scaled to [-1, 1). Same arithmetic
+    * in both engines; ascii-based hex-digit decoding keeps it lambda-safe.
+    */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  private def planeW(p: Int, dCol: Column): Column = {
+    val h = md5(concat(lit(s"$p,"), dCol.cast("string")))
+    val v = hexVal(h.substr(lit(1), lit(1))) * 4096 +
+      hexVal(h.substr(lit(2), lit(1))) * 256 +
+      hexVal(h.substr(lit(3), lit(1))) * 16 +
+      hexVal(h.substr(lit(4), lit(1)))
+    v.cast("double") / 32768.0 - 1.0
+  }
+
+  private def planeWSql(p: Int, d: String): String = {
+    def hv(i: Int) =
+      s"(CASE WHEN ascii(substring(md5('$p,' || CAST($d AS VARCHAR)), $i, 1)) <= 57 " +
+        s"THEN ascii(substring(md5('$p,' || CAST($d AS VARCHAR)), $i, 1)) - 48 " +
+        s"ELSE ascii(substring(md5('$p,' || CAST($d AS VARCHAR)), $i, 1)) - 87 END)"
+    s"(CAST(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)} AS DOUBLE) / 32768.0 - 1.0)"
+  }
+
+  /** P-bit sign bucket of a vector — a pure per-row expression. */
+  private def bucket(emb: Column): Column =
+    concat((0 until P).map { p =>
+      val s = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, di) => x.cast("double") * planeW(p, di)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  private def bucketSql(emb: String): String =
+    (0 until P).map { p =>
+      val s = s"list_sum(list_transform(range(1, len($emb) + 1), " +
+        s"i -> CAST($emb[i] AS DOUBLE) * ${planeWSql(p, "i - 1")}))"
+      s"(CASE WHEN $s >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** LSH-bucketed ANN: per-query top-5 within the query's sign bucket. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+      .withColumn("bkt", bucket(col("embedding")))
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bkt"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("bkt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(cand, "bkt")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("bkt"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q36Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |    ${bucketSql("embedding")} AS bkt
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bkt,
+       |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 4) AS cosine
+       |  FROM e q JOIN e c ON q.bkt = c.bkt AND q.vec_id < $NQ
+       |    AND q.vec_id <> c.vec_id)
+       |SELECT query_id, cand_id, bkt, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
+    CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
+  )
+}

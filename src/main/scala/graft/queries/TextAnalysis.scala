@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over `documents`.
+  *
+  * Everything here is pure column expressions (whole-stage codegen, no UDFs),
+  * embarrassingly parallel per document — the shape that scales to 100 TB:
+  * a single narrow map stage with no shuffle except the final demo ORDER BY
+  * (which real pipelines drop) or a top-k aggregation.
+  *
+  * Reference anchor: the reference's only text work is hex casing
+  * (`LovelaceBalanceByAddressReducer.cs:50-51`); these operators are the
+  * north-star additions mandated by BASELINE.json / SURVEY.md §7.1.7.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Matches of `rx` in `c` — shared shape between Spark and the oracle. */
+  private def rxCount(c: Column, rx: String): Column =
+    size(regexp_extract_all(c, lit(rx), lit(0)))
+
+  private def rxCountSql(expr: String, rx: String): String =
+    s"len(regexp_extract_all($expr, '$rx'))"
+
+  /** Whitespace tokens + BPE-ish regex tokens + char count per doc. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        rxCount(col("text"), "\\S+").as("n_ws_tokens"),
+        rxCount(col("text"), "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q20Sql =
+    s"""SELECT doc_id, LENGTH(text) AS n_chars_m,
+       |  ${rxCountSql("text", "\\S+")} AS n_ws_tokens,
+       |  ${rxCountSql("text", "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")} AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length — integer counts combined in one fixed-shape double expression
+    * (identical IEEE evaluation order in both engines).
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val words = rxCount(col("text"), "[A-Za-z]+")
+    val punct = rxCount(col("text"), "[^\\w\\s]")
+    val stop = rxCount(col("text"),
+      "\\b(the|a|an|of|and|to|in|is|it|that)\\b")
+    doc.select(
+        col("doc_id"), length(col("text")).as("len"),
+        words.as("n_words"), punct.as("n_punct"), stop.as("n_stop"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / greatest(col("len"), lit(1)))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / greatest(col("n_words"), lit(1)))
+      .withColumn("quality_ok",
+        col("len") >= 100 && col("punct_ratio") < lit(0.1) &&
+          col("stop_ratio") > lit(0.01))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q21Sql =
+    s"""SELECT doc_id, LENGTH(text) AS len,
+       |  ${rxCountSql("text", "[A-Za-z]+")} AS n_words,
+       |  ${rxCountSql("text", "[^\\w\\s]")} AS n_punct,
+       |  ${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS n_stop,
+       |  CAST(${rxCountSql("text", "[^\\w\\s]")} AS DOUBLE)
+       |    / GREATEST(LENGTH(text), 1) AS punct_ratio,
+       |  CAST(${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS DOUBLE)
+       |    / GREATEST(${rxCountSql("text", "[A-Za-z]+")}, 1) AS stop_ratio,
+       |  LENGTH(text) >= 100
+       |    AND CAST(${rxCountSql("text", "[^\\w\\s]")} AS DOUBLE)
+       |      / GREATEST(LENGTH(text), 1) < 0.1
+       |    AND CAST(${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS DOUBLE)
+       |      / GREATEST(${rxCountSql("text", "[A-Za-z]+")}, 1) > 0.01 AS quality_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by stopword-profile hit counts, argmax with a fixed
+    * priority chain (en > de > fr > es > zh on ties) so both engines pick
+    * identically. An n-gram-profile classifier at 100 TB is this same shape:
+    * K regexp/ngram counters + one CASE, fully codegen'd, no shuffle.
+    */
+  private val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|was|that|with)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|dans|que)\\b",
+    "es" -> "\\b(el|los|las|y|es|una|para|como)\\b",
+    "zh" -> "(的|是|在|了|我|有|和|不)")
+
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val scored = langProfiles.foldLeft(doc) { case (df, (l, rx)) =>
+      df.withColumn(s"s_$l", rxCount(col("text"), rx))
+    }
+    val langs = langProfiles.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit("und")) {
+      case ((l, i), els) =>
+        val isMax = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .foldLeft(col(s"s_$l") > 0)(_ && _)
+        when(isMax, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("lang_pred", pred)
+      .select(col("doc_id"), col("lang").as("lang_true"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q22Sql = {
+    val scores = langProfiles
+      .map { case (l, rx) => s"${rxCountSql("text", rx)} AS s_$l" }
+      .mkString(",\n  ")
+    val langs = langProfiles.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val conds = (s"s_$l > 0" +: langs.drop(i + 1).map(o => s"s_$l >= s_$o"))
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang AS lang_true,
+       |  CASE $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang, $scores FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: whole-doc md5 plus a rolling-shingle
+    * fingerprint — min of md5 over all 8-char shingles (winnowing with one
+    * global window; also the 1-hash MinHash primitive reused in Dedup).
+    * Pure higher-order functions: `transform` over shingle positions.
+    */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("doc_md5"),
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          i => md5(col("text").substr(i, lit(8))))).as("shingle_fp"))
+      .orderBy(col("doc_id"))
+
+  private val q23Sql =
+    """SELECT doc_id, md5(text) AS doc_md5,
+      |  list_min(list_transform(
+      |    range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+      |    i -> md5(substring(text, i, 8)))) AS shingle_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Top-k character trigrams corpus-wide: explode → count → top-k.
+    * At 100 TB: partial aggregation makes the shuffle carry only per-
+    * partition (trigram, count) pairs; top-k is TakeOrderedAndProject.
+    */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+        i => col("text").substr(i, lit(3)))).as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(20)
+
+  private val q24Sql =
+    """SELECT trigram, COUNT(*) AS n FROM (
+      |  SELECT UNNEST(list_transform(
+      |    range(1, GREATEST(LENGTH(text) - 2, 1) + 1),
+      |    i -> substring(text, i, 3))) AS trigram
+      |  FROM documents)
+      |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin
+
+  override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
+    CatalogEntry("q21_quality_score", q21, Some(q21Sql)),
+    CatalogEntry("q22_language_id", q22, Some(q22Sql)),
+    CatalogEntry("q23_fingerprint", q23, Some(q23Sql)),
+    CatalogEntry("q24_trigram_topk", q24, Some(q24Sql)),
+  )
+}
