@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** A table a reducer owns: schema plus the slot column used for
+  * retraction (every output table is slot-keyed — reference
+  * `IReducerModel.cs:8-12`: "the one required column is Slot").
+  */
+final case class TableDef(name: String, schema: StructType,
+    slotCol: String = "slot")
+
+/** Per-batch context handed to reducers.
+  *
+  * `table` reads committed state; `parentOutput` exposes a parent
+  * reducer's same-batch (uncommitted) output — the Spark-lineage analogue
+  * of the reference's `.Local` views (SURVEY.md O9:
+  * `DependentTransactionReducer.cs:28-32`). Dataflow dependency inside one
+  * batch is free here: the child's plan simply consumes the parent's
+  * DataFrame.
+  */
+final class BatchContext(
+    val spark: SparkSession,
+    store: StateStore,
+    defs: Map[String, TableDef],
+    var outputs: Map[String, Map[String, DataFrame]]) {
+
+  def table(name: String): DataFrame = store.read(name, defs(name).schema)
+
+  def parentOutput(reducer: String, table: String): DataFrame =
+    outputs(reducer)(table)
+
+  /** Committed state plus the named reducer's same-batch appends — the
+    * `local ++ db` union of the reference (`WatchedAddressBalanceReducer
+    * .cs:74-78`).
+    */
+  def tableWithBatch(reducer: String, name: String): DataFrame =
+    outputs.get(reducer).flatMap(_.get(name)) match {
+      case Some(local) => table(name).unionByName(local)
+      case None => table(name)
+    }
+}
+
+/** The engine's user-extension surface — the moral equivalent of the
+  * reference's `IReducer.RollForwardAsync`/`RollBackwardAsync`
+  * (`Reducers/IReducer.cs:26,36`), re-shaped for Spark: a reducer maps the
+  * batch's block DataFrame to per-table append DataFrames. Retraction is
+  * declarative (`DELETE WHERE slotCol >= s` per TableDef) instead of
+  * hand-written per reducer.
+  */
+trait ChainReducer {
+  def name: String
+
+  /** Single optional dependency — the reference's `[DependsOn]` constraint
+    * (one parent per reducer, `DependsOnAttribute.cs:8`; cycle/missing
+    * validation ported in GraphRunner).
+    */
+  def dependsOn: Option[String] = None
+
+  def tables: Seq[TableDef]
+
+  /** blocks: one row per block with the §1.2 nested schema. Returns
+    * table -> rows to append (empty DataFrames are fine — empty-batch
+    * commit deferral is the runner's job).
+    */
+  def rollForward(blocks: DataFrame, ctx: BatchContext): Map[String, DataFrame]
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.core._
+import graft.operators._
+import graft.sources.ChainGen
+import graft.streaming.{ChainIngest, EventStreams}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming coverage (SURVEY.md §2.8 + the S-layer):
+  *  - watermarked windowed aggregation drops late data once the watermark
+  *    passes (the engine-surface analogue of MaxRollbackSlots bounding
+  *    how far back corrections may reach);
+  *  - file-source block ingestion through foreachBatch → GraphRunner
+  *    reproduces the batch engine's state, with Spark's checkpoint dir
+  *    providing restart-safe offsets (T3's chain cursor).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("watermark drops late rows after it advances (append mode)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = EventStreams.windowedCounts(
+      mem.toDF().toDF("ts", "event_type"),
+      watermark = "10 minutes", windowLen = "10 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("wm_counts").outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      mem.addData((t(0), "a"), (t(5), "a"))
+      q.processAllAvailable()
+      // watermark now 10:05 - 10m = 09:55; window [10:00,10:10) open
+      assert(sp.table("wm_counts").count() == 0)
+      mem.addData((t(25), "a")) // advances watermark to 10:15, closes window
+      q.processAllAvailable()
+      mem.addData((t(1), "late")) // before watermark -> dropped
+      mem.addData((t(45), "a")) // advances watermark, closes [10:20,10:30)
+      q.processAllAvailable()
+      val rows = sp.table("wm_counts")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "a", 2L)))
+      assert(!rows.exists(_._2 == "late"), s"late row leaked: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming block ingestion converges with the batch engine (foreachBatch)") {
+    val sp = spark
+    import sp.implicits._
+    val blocks = ChainGen.generate(20, seed = 42L)
+    val oracle = ChainGen.balanceOracle(blocks)
+    val blocksDir = tmpDir("stream-blocks")
+    val cpDir = tmpDir("stream-cp")
+    // two single-file drops → two ordered micro-batches (files are picked
+    // up in modification order; one file per drop keeps slot order across
+    // batches, as the chain protocol guarantees per connection)
+    sp.createDataset(blocks.take(12)).repartition(1)
+      .write.mode("append").parquet(blocksDir)
+    Thread.sleep(1100)
+    sp.createDataset(blocks.drop(12)).repartition(1)
+      .write.mode("append").parquet(blocksDir)
+    val reducers = Seq(
+      new BlockSummaryReducer, new TxIndexReducer,
+      new WalletUtxoReducer(ChainGen.Watched),
+      new BalanceSnapshotReducer(ChainGen.Watched))
+    val store = new StateStore(tmpDir("stream-store"), spark)
+    val runner = new GraphRunner(spark, store, reducers, batchSize = 500)
+    val q = ChainIngest.start(spark, blocksDir, cpDir, runner,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val snaps = store.read("balance_snapshots", reducers(3).tables.head.schema)
+      .collect().groupBy(_.getLong(3))
+      .map { case (slot, rs) => slot -> rs.map(r => r.getString(1) -> r.getLong(4)).toMap }
+    assert(snaps.size == oracle.size)
+    oracle.foreach { case (slot, bal) => assert(snaps(slot) == bal, s"slot $slot") }
+  }
+}
