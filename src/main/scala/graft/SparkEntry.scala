@@ -16,6 +16,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     Events,
+    Media,
   )
 
   private lazy val catalog: Seq[CatalogEntry] = modules.flatMap(_.entries)
