@@ -26,12 +26,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
+      System.err.println(s"[bench] $name ...")
       try {
         exec(name) // warmup: codegen + JIT for this plan shape
         val t0 = System.nanoTime()
         exec(name)
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name $dt%.2fs")
+        name -> dt
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0
+      } finally {
+        // keep per-query timings independent: drop cached relations and
+        // let the JVM compact between plans (35 distinct codegen'd plans
+        // otherwise accumulate enough garbage to triple late timings)
+        spark.catalog.clearCache()
+        System.gc()
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

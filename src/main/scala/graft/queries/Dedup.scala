@@ -21,16 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** Word 3-gram shingle set (distinct) — shared by q31/q32. */
-  private def shingles(text: Column): Column = {
-    val ws = regexp_extract_all(text, lit("\\S+"), lit(0))
+  /** Word 3-gram shingle set (distinct) over a MATERIALIZED word-array
+    * column — shared by q31/q32. `ws` must be a plain attribute (computed
+    * below an exchange), not the regexp expression itself: lambda bodies
+    * are interpreted without common-subexpression elimination, so an
+    * inlined regexp_extract_all would re-scan the text once per
+    * element_at — measured as the difference between minutes and seconds
+    * at sf0.1.
+    */
+  private def shinglesFromWords(ws: Column): Column =
     array_distinct(
       when(size(ws) >= 3,
         transform(sequence(lit(1), size(ws) - 2), i =>
           concat_ws(" ",
             element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
         .otherwise(array().cast("array<string>")))
-  }
+
+  private val wordsCol: Column =
+    regexp_extract_all(col("text"), lit("\\S+"), lit(0))
 
   private val shinglesSql =
     """list_distinct(CASE WHEN len(regexp_extract_all(text, '\S+')) >= 3
@@ -55,25 +63,40 @@ object Dedup extends QueryModule {
       |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
       |ORDER BY text_md5""".stripMargin
 
-  /** n-gram Jaccard near-dup: blocked self-join (lang, length-bucket),
-    * Jaccard over distinct shingle sets, top-50 pairs.
+  /** n-gram Jaccard near-dup via an INVERTED INDEX: explode shingles,
+    * join docs on a shared shingle (within the (lang, length-bucket)
+    * block), count shared shingles per pair, Jaccard from set sizes.
+    *
+    * This shape — not a pairwise array_intersect — is what survives
+    * 100 TB: work is proportional to Σ(shingle-bucket size²), the
+    * per-pair cost is one codegen'd count, and zero-overlap pairs are
+    * never materialized. (A blocked all-pairs formulation was measured
+    * >180 s at sf0.1 vs seconds for this plan: per-pair lambda
+    * evaluation is CodegenFallback and the pair count grows
+    * quadratically regardless of overlap.)
     */
   private def q31(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("len_bkt"),
-        shingles(col("text")).as("sh"))
+        wordsCol.as("ws"))
+      .repartition(32) // barrier: materialize ws, spread the single file
+      .select(col("doc_id"), col("lang"), col("len_bkt"),
+        shinglesFromWords(col("ws")).as("sh"))
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("lang"), col("len_bkt"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val a = doc.select(col("doc_id").as("doc_a"), col("lang"),
-      col("len_bkt"), col("sh").as("sh_a"))
+      col("len_bkt"), col("sz").as("sz_a"), col("s"))
     val b = doc.select(col("doc_id").as("doc_b"), col("lang"),
-      col("len_bkt"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("lang", "len_bkt"))
+      col("len_bkt"), col("sz").as("sz_b"), col("s"))
+    a.join(b, Seq("lang", "len_bkt", "s"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
   }
@@ -89,6 +112,7 @@ object Dedup extends QueryModule {
        |FROM docs a JOIN docs b
        |  ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |  AND len(list_intersect(a.sh, b.sh)) > 0
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
   private val H = 16 // MinHash signature length
@@ -100,16 +124,23 @@ object Dedup extends QueryModule {
     * only (band_key, doc_id) shuffles.
     */
   private def q32(s: SparkSession, d: String): DataFrame = {
-    val doc = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = array((0 until H).map(h =>
-      array_min(transform(col("sh"), x => md5(concat(lit(s"$h|"), x))))): _*)
-    val banded = doc
-      .withColumn("bands", array((0 until Bands).map(b =>
-        md5(concat(lit(s"$b|"),
-          concat_ws(",", slice(sig, b * 4 + 1, 4))))): _*))
-      .select(col("doc_id"), explode(col("bands")).as("band_key"))
+    // Exploded signature computation: 16 codegen'd min(md5) aggregates
+    // over (doc, shingle) rows — map-side partial mins, one narrow
+    // shuffle of 16 hashes per doc. (A transform-lambda formulation
+    // re-evaluated the signature per band reference and ran >180 s at
+    // sf0.1; aggregates keep the whole stage in generated code.)
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .repartition(32) // barrier: materialize ws, spread the single file
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("s"))
+    val minCols = (0 until H).map(h =>
+      min(md5(concat(lit(s"$h|"), col("s")))).as(s"m$h"))
+    val sigs = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      md5(concat(lit(s"$b|"),
+        concat_ws(",", (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))))
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
     val l = banded.select(col("doc_id").as("doc_a"), col("band_key"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band_key"))
     l.join(r, "band_key")

@@ -376,6 +376,50 @@ object Relational extends QueryModule {
       |FROM lineitem WHERE l_suppkey <= 3
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** LEFT OUTER join preserving zero-order customers + double grouping
+    * (TPC-H Q13 shape) — the outer-join row of §2.13.
+    */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q18Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Conditional aggregation over a broadcast part join (TPC-H Q14
+    * shape): CASE + LIKE + ratio of exact sums — one fact-side pass.
+    */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0))
+          .cast("decimal(18,4)")).cast("double") /
+        sum(rev.cast("decimal(18,4)")).cast("double")).as("promo_revenue_pct"))
+  }
+
+  private val q19Sql =
+    """SELECT 100.0 *
+      |  CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(18,4))) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
     CatalogEntry("q02_filter_project", q02, Some(q02Sql)),
@@ -394,5 +438,7 @@ object Relational extends QueryModule {
     CatalogEntry("q15_range_join", q15, Some(q15Sql)),
     CatalogEntry("q16_decorrelated_subquery", q16, Some(q16Sql)),
     CatalogEntry("q17_running_window", q17, Some(q17Sql)),
+    CatalogEntry("q18_left_outer_dist", q18, Some(q18Sql)),
+    CatalogEntry("q19_promo_ratio", q19, Some(q19Sql)),
   )
 }
