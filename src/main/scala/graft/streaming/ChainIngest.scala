@@ -42,7 +42,15 @@ object ChainIngest {
         // blocks per micro-batch are few thousand rows of metadata; the
         // heavy lifting (explodes, joins, aggregation) happens inside the
         // runner's distributed plan, not on this driver-side seq.
+        // Replay trimming: on restart (fresh stream checkpoint, or an
+        // uncommitted last micro-batch re-delivered) drop blocks at or
+        // before the store's own checkpoint — the same trim the reference
+        // performs via the protocol's reconnect rollback (§3.3,
+        // WorkerCrashRecoveryTest.cs:21-37). At-least-once delivery +
+        // this trim + the atomic manifest = effectively-once.
+        val cut = runner.latestCheckpointSlot
         val blocks = df.as[Block].collect().sortBy(_.slot).toSeq
+          .filter(_.slot > cut)
         runner.flush(blocks)
         ()
       }

@@ -77,5 +77,15 @@ class StreamingSpec extends SparkSpec {
       .map { case (slot, rs) => slot -> rs.map(r => r.getString(1) -> r.getLong(4)).toMap }
     assert(snaps.size == oracle.size)
     oracle.foreach { case (slot, bal) => assert(snaps(slot) == bal, s"slot $slot") }
+
+    // --- restart with a FRESH stream checkpoint (worst-case replay:
+    // every file re-delivered) — the store-checkpoint trim must make the
+    // replay a no-op (reference WorkerCrashRecoveryTest semantics) ---
+    val q2 = ChainIngest.start(spark, blocksDir, tmpDir("stream-cp2"), runner,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val after = store.read("blocks", reducers.head.tables.head.schema)
+    assert(after.count() == blocks.size, "replayed blocks must be trimmed")
+    assert(after.select("hash").distinct().count() == blocks.size)
   }
 }
