@@ -17,6 +17,7 @@ object SparkEntry {
     Similarity,
     Events,
     Media,
+    Chain,
   )
 
   private lazy val catalog: Seq[CatalogEntry] = modules.flatMap(_.entries)

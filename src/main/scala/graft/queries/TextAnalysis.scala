@@ -129,16 +129,19 @@ object TextAnalysis extends QueryModule {
   /** Document fingerprinting: whole-doc md5 plus a rolling-shingle
     * fingerprint — min of md5 over all 8-char shingles (winnowing with one
     * global window; also the 1-hash MinHash primitive reused in Dedup).
-    * Pure higher-order functions: `transform` over shingle positions.
+    * Exploded positions + a codegen'd min aggregate (md5 inside a
+    * transform lambda is interpreted per element — see Dedup q32).
     */
   private def q23(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        md5(col("text")).as("doc_md5"),
-        array_min(transform(
-          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-          i => md5(col("text").substr(i, lit(8))))).as("shingle_fp"))
+      .repartition(32)
+      .select(col("doc_id"), md5(col("text")).as("doc_md5"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - 7, lit(1)))).as("i"))
+      .select(col("doc_id"), col("doc_md5"),
+        md5(col("text").substr(col("i"), lit(8))).as("h"))
+      .groupBy(col("doc_id"), col("doc_md5"))
+      .agg(min(col("h")).as("shingle_fp"))
       .orderBy(col("doc_id"))
 
   private val q23Sql =
