@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
   *    unreferenced; the next commit with the same batchId overwrites the
   *    same segment paths (ids are allocated from the manifest).
   */
-final class StateStore(root: String, spark: SparkSession) {
+final class StateStore(root: String, spark: SparkSession,
+    maxSegments: Int = 8) {
 
   final case class Segment(id: Long, minSlot: Long, maxSlot: Long)
 
@@ -133,6 +134,26 @@ final class StateStore(root: String, spark: SparkSession) {
       } finally cached.unpersist()
     }
     if (!wroteAny) return false
+    // Compaction: a table's segment list would otherwise grow by one per
+    // commit, making every state read an ever-wider union (measured as
+    // per-batch cost growth in ChainPerf). Fold the OLDEST segments into
+    // one, keeping the newest few separate so retraction of a shallow
+    // reorg still drops whole recent segments instead of rewriting the
+    // merged bulk. The merged segment enters the same manifest swap, so
+    // compaction is atomic with the commit and replay-safe.
+    val keepRecent = math.max(2, maxSegments / 2)
+    tables = tables.map { case (table, segs) =>
+      if (segs.size <= maxSegments) table -> segs
+      else {
+        val (old, recent) = segs.splitAt(segs.size - keepRecent)
+        val merged = spark.read
+          .parquet(old.map(s => segPath(table, s.id)): _*)
+        val id = nextId; nextId += 1
+        merged.write.mode("overwrite").parquet(segPath(table, id))
+        table -> (Segment(id, old.map(_.minSlot).min, old.map(_.maxSlot).max)
+          +: recent)
+      }
+    }
     writeManifest(Manifest(batchId, nextId, tables, m.checkpoints ++ checkpoints))
     true
   }
