@@ -173,7 +173,33 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)
       |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin
 
+  /** §2.9 scalar-function row: hex encode/decode with explicit casing
+    * (case is load-bearing in the reference — uppercase mismatch means
+    * spend matching never hits, `LovelaceBalanceByAddressReducer
+    * .cs:50-51`), composite concat_ws keys, roundtrip unhex, arithmetic.
+    */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(":", col("source"), col("doc_id")).as("ckey"),
+        lower(hex(concat_ws(":", col("source"), col("doc_id")))).as("hex_lower"),
+        upper(hex(concat_ws(":", col("source"), col("doc_id")))).as("hex_upper"),
+        unhex(lower(hex(concat_ws(":", col("source"), col("doc_id")))))
+          .cast("string").as("roundtrip"),
+        (col("n_chars") * 2 - 1).as("arith"))
+      .orderBy(col("doc_id"))
+
+  private val q25Sql =
+    """SELECT doc_id,
+      |  concat_ws(':', source, doc_id) AS ckey,
+      |  lower(hex(concat_ws(':', source, doc_id))) AS hex_lower,
+      |  upper(hex(concat_ws(':', source, doc_id))) AS hex_upper,
+      |  decode(unhex(lower(hex(concat_ws(':', source, doc_id))))) AS roundtrip,
+      |  n_chars * 2 - 1 AS arith
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
     CatalogEntry("q21_quality_score", q21, Some(q21Sql)),
     CatalogEntry("q22_language_id", q22, Some(q22Sql)),
