@@ -63,37 +63,54 @@ object Dedup extends QueryModule {
       |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
       |ORDER BY text_md5""".stripMargin
 
-  /** n-gram Jaccard near-dup via an INVERTED INDEX: explode shingles,
-    * join docs on a shared shingle (within the (lang, length-bucket)
-    * block), count shared shingles per pair, Jaccard from set sizes.
+  /** Max shingles a document may share a posting list with: shingles seen
+    * in more than DfCap documents are stop-shingles — they carry no
+    * near-dup signal (any two random docs share them) but each one alone
+    * creates O(df²) join pairs. The cap bounds the inverted-index join at
+    * Σ(min(df, DfCap)²) regardless of corpus size — the difference
+    * between 899 s and seconds at sf0.1, and between feasible and not at
+    * 100 TB. Jaccard is computed over the rare-shingle sets (standard
+    * stop-feature filtering; the oracle twin applies the identical
+    * definition).
+    */
+  private val DfCap = 50
+
+  /** n-gram Jaccard near-dup via a frequency-capped INVERTED INDEX:
+    * explode shingles, drop shingles with document frequency > DfCap,
+    * join docs on a shared rare shingle (within the (lang, length-bucket)
+    * block), count shared shingles per pair, Jaccard from rare-set sizes.
     *
     * This shape — not a pairwise array_intersect — is what survives
-    * 100 TB: work is proportional to Σ(shingle-bucket size²), the
+    * 100 TB: work is proportional to Σ(capped-bucket size²), the
     * per-pair cost is one codegen'd count, and zero-overlap pairs are
-    * never materialized. (A blocked all-pairs formulation was measured
-    * >180 s at sf0.1 vs seconds for this plan: per-pair lambda
-    * evaluation is CodegenFallback and the pair count grows
-    * quadratically regardless of overlap.)
+    * never materialized. Every shuffle carries (ids, shingle) pairs
+    * only; text never moves.
     */
   private def q31(s: SparkSession, d: String): DataFrame = {
-    val doc = Tables.documents(s, d)
+    val ex = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("len_bkt"),
         wordsCol.as("ws"))
       .repartition(32) // barrier: materialize ws, spread the single file
       .select(col("doc_id"), col("lang"), col("len_bkt"),
-        shinglesFromWords(col("ws")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("lang"), col("len_bkt"),
-        size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-    val a = doc.select(col("doc_id").as("doc_a"), col("lang"),
-      col("len_bkt"), col("sz").as("sz_a"), col("s"))
-    val b = doc.select(col("doc_id").as("doc_b"), col("lang"),
-      col("len_bkt"), col("sz").as("sz_b"), col("s"))
-    a.join(b, Seq("lang", "len_bkt", "s"))
+        explode(shinglesFromWords(col("ws"))).as("s"))
+    // shingle lists are distinct per doc, so count(*) = document frequency
+    val rareShingles = ex.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select(col("s"))
+    val rare = ex.join(rareShingles, "s")
+    val sz = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = rare
+      .select(col("doc_id").as("doc_a"), col("lang"), col("len_bkt"), col("s"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("lang"),
+        col("len_bkt"), col("s")), Seq("lang", "len_bkt", "s"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
@@ -105,36 +122,73 @@ object Dedup extends QueryModule {
     s"""WITH docs AS (
        |  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bkt,
        |    $shinglesSql AS sh
-       |  FROM documents)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |FROM docs a JOIN docs b
-       |  ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
-       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-       |  AND len(list_intersect(a.sh, b.sh)) > 0
+       |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id, lang, len_bkt, unnest(sh) AS s FROM docs),
+       |rare AS (
+       |  SELECT ex.* FROM ex
+       |  JOIN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $DfCap) r
+       |    USING (s)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM rare a JOIN rare b
+       |    ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.s = b.s
+       |      AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM pairs
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
   private val H = 16 // MinHash signature length
   private val Bands = 4 // LSH bands of 4 rows each
 
-  /** MinHash + LSH banding: 16-hash signature (min of seeded md5 over the
-    * shingle set), 4 bands × 4 rows, candidate pairs = docs sharing a band
-    * bucket, ranked by #shared bands. The signature is a per-row expression;
-    * only (band_key, doc_id) shuffles.
+  /** Deterministic 48-bit seeds for the MinHash family (golden-ratio
+    * multiplicative sequence, masked to 48 bits so xor results stay
+    * within DuckDB's non-overflowing BIGINT range). Embedded as literals
+    * in both engines' plans.
+    */
+  private val Seeds: Seq[Long] =
+    (1 to H).map(k => (0x9E3779B97F4A7C15L * k) & 0xFFFFFFFFFFFFL)
+
+  /** First 12 hex digits of a lowercase digest as a 48-bit long —
+    * a codegen'd polynomial over ascii values, no string parsing UDF.
+    */
+  private def hex12ToLong(h: Column): Column =
+    (0 until 12).map(j =>
+      hexVal(substring(h, j + 1, 1)).cast("long") * lit(1L << (4 * (11 - j))))
+      .reduce(_ + _)
+
+  private def hex12ToLongSql(expr: String): String =
+    (0 until 12).map(j =>
+      s"CAST(${hexValSql(s"substring($expr, ${j + 1}, 1)")} AS BIGINT) * ${1L << (4 * (11 - j))}")
+      .mkString("(", " + ", ")")
+
+  /** MinHash + LSH banding: 16-hash signature, 4 bands × 4 rows, candidate
+    * pairs = docs sharing a band bucket, ranked by #shared bands.
+    *
+    * Signature stage: ONE md5 per shingle occurrence (materialized as its
+    * own projection — CollapseProject keeps non-cheap exprs referenced
+    * more than once from being inlined), folded to a 48-bit int, then 16
+    * xor-seeded `min` aggregates. xor by a constant is a (weak but valid)
+    * permutation of the key space, and the base values are already
+    * uniform md5 bits — statistically adequate for banding, and 16×
+    * cheaper than 16 seeded md5s (the round-1 formulation: 139.8 s at
+    * sf0.1; this one is map-side partial mins over one digest).
+    * Only (band_key, doc_id) pairs shuffle; text never moves.
     */
   private def q32(s: SparkSession, d: String): DataFrame = {
-    // Exploded signature computation: 16 codegen'd min(md5) aggregates
-    // over (doc, shingle) rows — map-side partial mins, one narrow
-    // shuffle of 16 hashes per doc. (A transform-lambda formulation
-    // re-evaluated the signature per band reference and ran >180 s at
-    // sf0.1; aggregates keep the whole stage in generated code.)
     val ex = Tables.documents(s, d)
       .select(col("doc_id"), wordsCol.as("ws"))
       .repartition(32) // barrier: materialize ws, spread the single file
       .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("s"))
-    val minCols = (0 until H).map(h =>
-      min(md5(concat(lit(s"$h|"), col("s")))).as(s"m$h"))
+      .select(col("doc_id"), md5(col("s")).as("dg"))
+      .select(col("doc_id"), hex12ToLong(col("dg")).as("h"))
+    val minCols = (0 until H).map(k =>
+      min(col("h").bitwiseXOR(lit(Seeds(k)))).as(s"m$k"))
     val sigs = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until Bands).map(b =>
       md5(concat(lit(s"$b|"),
@@ -151,15 +205,18 @@ object Dedup extends QueryModule {
   }
 
   private val q32Sql = {
-    val sigSql = (0 until H).map(h =>
-      s"list_min(list_transform(sh, x -> md5('$h|' || x)))").mkString("[", ", ", "]")
+    val sigSql = (0 until H).map(k =>
+      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
     val bandsSql = (0 until Bands).map(b =>
-      s"md5('$b|' || array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ','))")
+      s"md5('$b|' || " +
+        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
       .mkString("[", ", ", "]")
     s"""WITH docs AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
-       |sigs AS (
-       |  SELECT doc_id, $sigSql AS sig FROM docs WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
        |banded AS (
        |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -99,7 +99,8 @@ object Events extends QueryModule {
 
   private val q43Sql =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
       |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -126,10 +126,19 @@ object TextAnalysis extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Document fingerprinting: whole-doc md5 plus a rolling-shingle
-    * fingerprint — min of md5 over all 8-char shingles (winnowing with one
-    * global window; also the 1-hash MinHash primitive reused in Dedup).
-    * Exploded positions + a codegen'd min aggregate (md5 inside a
+  /** Winnowing stride: hash one 8-char window per 16 character positions
+    * instead of every offset. Standard winnowing samples windows — hashing
+    * every offset (the round-1 formulation) is linear but with a md5-per-
+    * character constant (48 s at sf0.1 for 5k docs); the stride divides
+    * the digest count by 16 while keeping the fingerprint content-defined
+    * and deterministic in both engines.
+    */
+  private val FpStride = 16
+
+  /** Document fingerprinting: whole-doc md5 plus a strided-shingle
+    * fingerprint — min of md5 over 8-char windows sampled every FpStride
+    * positions (winnowing; also the 1-hash MinHash primitive reused in
+    * Dedup). Exploded positions + a codegen'd min aggregate (md5 inside a
     * transform lambda is interpreted per element — see Dedup q32).
     */
   private def q23(s: SparkSession, d: String): DataFrame =
@@ -137,7 +146,8 @@ object TextAnalysis extends QueryModule {
       .repartition(32)
       .select(col("doc_id"), md5(col("text")).as("doc_md5"), col("text"),
         explode(sequence(lit(1),
-          greatest(length(col("text")) - 7, lit(1)))).as("i"))
+          greatest(length(col("text")) - 7, lit(1)),
+          lit(FpStride))).as("i"))
       .select(col("doc_id"), col("doc_md5"),
         md5(col("text").substr(col("i"), lit(8))).as("h"))
       .groupBy(col("doc_id"), col("doc_md5"))
@@ -145,11 +155,11 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
 
   private val q23Sql =
-    """SELECT doc_id, md5(text) AS doc_md5,
-      |  list_min(list_transform(
-      |    range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
-      |    i -> md5(substring(text, i, 8)))) AS shingle_fp
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, md5(text) AS doc_md5,
+       |  list_min(list_transform(
+       |    range(1, GREATEST(LENGTH(text) - 7, 1) + 1, $FpStride),
+       |    i -> md5(substring(text, i, 8)))) AS shingle_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Top-k character trigrams corpus-wide: explode → count → top-k.
     * At 100 TB: partial aggregation makes the shuffle carry only per-
