@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, min}
 import scala.collection.mutable
 
 /** Dependency-graph batch runner — the Spark re-expression of the
@@ -17,15 +18,45 @@ import scala.collection.mutable
   *  - data parallelism comes from Spark partitioning inside each stage
   *    (the reference is deliberately sequential, P11 — its bottleneck is
   *    fsync, ours is the cluster).
+  *  - the batch never materializes on the driver: `flush` takes the
+  *    micro-batch DataFrame; checkpoint windows are derived from a top-k
+  *    aggregation (the ≤10 newest distinct-slot points), not from
+  *    collected blocks.
   */
+/** Start-point reconciliation diagnostics (T9, reference
+  * `CardanoIndexWorker.StartPoints.cs:98-180`).
+  */
+sealed trait StartDiag
+final case class AdjustedStart(dependent: String, parent: String,
+    to: Point) extends StartDiag
+final case class DependentAhead(dependent: String, parent: String,
+    dependentSlot: Long, parentSlot: Long) extends StartDiag
+final case class BothInitial(dependent: String, parent: String)
+    extends StartDiag
+
 final class GraphRunner(
     val spark: SparkSession,
-    val store: StateStore,
+    val store: Store,
     reducers: Seq[ChainReducer],
     batchSize: Int = 500,
-    maxRollbackSlots: Long = 10000L) {
+    maxRollbackSlots: Long = 10000L,
+    telemetry: Option[graft.streaming.Telemetry] = None,
+    configuredStarts: Map[String, Point] = Map.empty,
+    maxDelayMs: Long = 1000L,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   require(reducers.nonEmpty, "no reducers registered")
+  require(reducers.map(_.name).distinct.size == reducers.size,
+    s"duplicate reducer names: ${reducers.map(_.name)
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", ")}")
+  locally {
+    val allTables = reducers.flatMap(r => r.tables.map(t => t.name -> r.name))
+    val dups = allTables.groupBy(_._1).collect {
+      case (t, owners) if owners.size > 1 =>
+        s"$t (declared by ${owners.map(_._2).mkString(", ")})"
+    }
+    require(dups.isEmpty, s"duplicate table names: ${dups.mkString("; ")}")
+  }
 
   private val byName = reducers.map(r => r.name -> r).toMap
 
@@ -35,13 +66,13 @@ final class GraphRunner(
     r.dependsOn.foreach { d =>
       require(byName.contains(d), s"reducer ${r.name} depends on missing $d")
       require(d != r.name, s"reducer ${r.name} depends on itself")
-      require(byName(d).dependsOn != Some(r.name),
-        s"dependency cycle between ${r.name} and $d")
     }
   }
 
   /** BFS order from roots — valid topologically because each node has at
-    * most one parent (reference P10, `DependencyGraph.cs:75-96`).
+    * most one parent (reference P10, `DependencyGraph.cs:75-96`). Nodes
+    * unreachable from any root form a dependency cycle (each has one
+    * parent, so an unreached component must contain a back edge).
     */
   val topoOrder: Seq[ChainReducer] = {
     val children = reducers.groupBy(_.dependsOn)
@@ -54,7 +85,9 @@ final class GraphRunner(
       queue.enqueueAll(
         children.getOrElse(Some(r.name), Seq.empty).sortBy(_.name))
     }
-    require(order.size == reducers.size, "disconnected dependency graph")
+    require(order.size == reducers.size,
+      s"dependency cycle among reducers: ${
+        reducers.map(_.name).diff(order.map(_.name).toSeq).mkString(", ")}")
     order.toSeq
   }
 
@@ -69,21 +102,53 @@ final class GraphRunner(
     */
   private var pendingPoints: Map[String, Seq[Point]] = Map.empty
 
-  def latestCheckpointSlot: Long =
-    store.manifest.checkpoints.values
-      .flatMap(CheckpointWindow.latest).map(_.slot)
-      .minOption.getOrElse(-1L)
+  /** Effective per-reducer start points (T9): configured value (reference
+    * per-reducer `StartSlot`/`StartHash` config, `StartPoints.cs:201-215`),
+    * possibly adjusted for fresh dependents at reconciliation. Blocks at
+    * or before a reducer's start are not delivered to it.
+    */
+  private var startPoints: Map[String, Point] =
+    reducers.map(r =>
+      r.name -> configuredStarts.getOrElse(r.name, Point("origin", -1L))).toMap
+
+  def startPoint(reducer: String): Point = startPoints(reducer)
+
+  /** Safe resume slot: the MINIMUM over every REGISTERED reducer's
+    * effective floor — its latest checkpoint, or (when it has none) its
+    * start point. A reducer with neither counts as -1, forcing a full
+    * replay rather than being silently skipped (reference T9/T10,
+    * `StartPoints.cs:217-269`).
+    */
+  def latestCheckpointSlot: Long = {
+    val cps = store.checkpoints
+    reducers.map { r =>
+      CheckpointWindow.latest(cps.getOrElse(r.name, Seq.empty))
+        .map(_.slot).getOrElse(startPoints(r.name).slot)
+    }.min
+  }
+
+  /** The most-advanced reducer checkpoint (the engine's notion of tip). */
+  def maxCheckpointSlot: Long =
+    store.checkpoints.values
+      .flatMap(CheckpointWindow.latest).map(_.slot).maxOption.getOrElse(-1L)
 
   /** Process an event sequence: accumulate roll-forwards, flush on batch
-    * size (T1 trigger a), on rollback (T5: commit open batch first — the
-    * pre-fork blocks are valid), and on drain (T1 trigger c).
+    * size (T1 trigger a), on open-batch age ≥ maxDelayMs (trigger b — the
+    * reference's `MaxDelayMs=1000` bound on commit latency while a slow
+    * source trickles events, `ReducerGraphProcessor.cs:166-173`), on
+    * rollback (T5: commit open batch first — the pre-fork blocks are
+    * valid), and on drain (T1 trigger c).
     */
-  def processEvents(events: Iterable[BlockEvent]): Unit = {
+  def processEvents(events: IterableOnce[BlockEvent]): Unit = {
     val open = mutable.ArrayBuffer[Block]()
-    events.foreach {
+    var openedAt = 0L
+    events.iterator.foreach {
       case RollForward(b) =>
+        if (open.isEmpty) openedAt = clock()
         open += b
-        if (open.size >= batchSize) { flush(open.toSeq); open.clear() }
+        if (open.size >= batchSize || clock() - openedAt >= maxDelayMs) {
+          flush(open.toSeq); open.clear()
+        }
       case RollBack(point, mode) =>
         flush(open.toSeq); open.clear()
         applyRollback(point, mode)
@@ -91,34 +156,92 @@ final class GraphRunner(
     flush(open.toSeq)
   }
 
-  /** One micro-batch: run reducers in topo order, commit all appends +
-    * all checkpoints atomically (T3), defer empty commits (T4).
+  /** Driver-side convenience flush (generator/tool feeds): the checkpoint
+    * window math runs on the local seq; the data path is identical.
     */
   def flush(blocks: Seq[Block]): Unit = {
     if (blocks.isEmpty) return
-    val batchId = store.manifest.batchId + 1
     import spark.implicits._
-    val blocksDf = blocks.toDS().toDF().cache()
+    // A driver-fed batch is small by construction (≤ batchSize blocks of
+    // metadata): a handful of partitions keeps every derived append a
+    // handful of parquet files instead of defaultParallelism tiny ones —
+    // state reads then open O(segments) files, not O(segments × cores).
+    val df = blocks.toDS().toDF()
+      .coalesce(math.min(4, math.max(1, blocks.size / 128 + 1))).cache()
     try {
-      val ctx = new BatchContext(spark, store, tableDefs, Map.empty)
-      val appends = mutable.LinkedHashMap[String, (DataFrame, String)]()
-      topoOrder.foreach { r =>
-        val out = r.rollForward(blocksDf, ctx)
-        ctx.outputs = ctx.outputs.updated(r.name, out)
-        out.foreach { case (t, df) => appends(t) = (df, slotCols(t)) }
+      val top = CheckpointWindow.normalize(
+        blocks.map(b => Point(b.hash, b.slot)))
+      flushImpl(df, top, blocks.iterator.map(_.slot).min)
+    } finally df.unpersist()
+  }
+
+  /** One micro-batch from a DataFrame (the streaming path): derive the
+    * checkpoint window with a top-k job (≤10 rows to the driver) and a
+    * min-slot aggregate — the blocks themselves never leave the cluster
+    * (reference contract `ReducerGraphProcessor.cs:137-174`, minus the
+    * driver-side block loop).
+    */
+  def flush(blocksDf: DataFrame): Unit = {
+    val cached = blocksDf.cache()
+    try {
+      val top = cached.select(col("hash"), col("slot"))
+        .orderBy(col("slot").desc)
+        .limit(CheckpointWindow.DefaultMaxCount)
+        .collect()
+        .map(r => Point(r.getString(0), r.getLong(1))).toSeq
+      if (top.nonEmpty) {
+        val lo = cached.agg(min(col("slot"))).head().getLong(0)
+        flushImpl(cached, CheckpointWindow.normalize(top), lo)
       }
-      // checkpoint window advances through every block of the batch
-      val m = store.manifest
-      val newCps = topoOrder.map { r =>
-        val prior = pendingPoints.getOrElse(r.name,
-          m.checkpoints.getOrElse(r.name, Seq.empty))
-        r.name -> blocks.foldLeft(prior)((w, b) =>
-          CheckpointWindow.addRollForward(w, Point(b.hash, b.slot)))
-      }.toMap
-      val wrote = store.commit(batchId, appends.toMap, newCps)
-      if (wrote) pendingPoints = Map.empty
-      else pendingPoints = newCps // deferred or replayed: carry forward
-    } finally blocksDf.unpersist()
+    } finally cached.unpersist()
+  }
+
+  /** Run reducers in topo order, commit all appends + all checkpoints
+    * atomically (T3), defer empty commits (T4). `top` = the batch's
+    * newest distinct-slot points (newest first); `minSlot` = the batch's
+    * lowest slot (prior checkpoint points at or past it are superseded —
+    * the set-level equivalent of folding `addRollForward` per block).
+    */
+  private def flushImpl(blocksDf: DataFrame, top: Seq[Point],
+      minSlot: Long): Unit = {
+    val batchId = store.batchId + 1
+    val ctx = new BatchContext(spark, store, tableDefs, Map.empty)
+    val appends = mutable.LinkedHashMap[String, (DataFrame, String)]()
+    topoOrder.foreach { r =>
+      // T9: blocks at or before the reducer's start point are not
+      // delivered to it (a late-starting reducer indexes from its start,
+      // not genesis — reference `StartPoints.cs:201-215`).
+      val startSlot = startPoints(r.name).slot
+      val in = if (startSlot >= 0) blocksDf.filter(col("slot") > startSlot)
+               else blocksDf
+      val out = r.rollForward(in, ctx)
+      ctx.outputs = ctx.outputs.updated(r.name, out)
+      out.foreach { case (t, df) => appends(t) = (df, slotCols(t)) }
+    }
+    val stored = store.checkpoints
+    val newCps = topoOrder.map { r =>
+      val prior = pendingPoints.getOrElse(r.name,
+        stored.getOrElse(r.name, Seq.empty))
+      r.name -> CheckpointWindow.normalize(
+        top ++ prior.filter(_.slot < minSlot))
+    }.toMap
+    // Rows whose retraction can never be requested (rollback depth guard,
+    // T6) may be dropped at compaction: frontier = new tip − guard.
+    val frontier = top.head.slot - maxRollbackSlots
+    val compactors = tableDefs.collect {
+      case (t, d) if d.compactWith.isDefined =>
+        t -> ((df: DataFrame) =>
+          d.compactWith.get(df, (n: String) => ctx.table(n), frontier))
+    }
+    val tableOwner: Map[String, String] =
+      reducers.flatMap(r => r.tables.map(t => t.name -> r.name)).toMap
+    val onSegment: (String, Double) => Unit = (table, sec) =>
+      telemetry.foreach(t =>
+        t.record(tableOwner.getOrElse(table, table), sec, top.head.slot))
+    val wrote = store.commit(batchId, appends.toMap, newCps, compactors,
+      onSegment)
+    if (wrote) pendingPoints = Map.empty
+    else pendingPoints = newCps // deferred or replayed: carry forward
   }
 
   /** Retraction (T5/T6): normalize Exclusive ⇒ delete >= slot+1
@@ -126,36 +249,103 @@ final class GraphRunner(
     * (`CardanoIndexWorker.cs:229-247`), roll every reducer back, commit
     * immediately (never deferred).
     */
-  def applyRollback(point: Point, mode: RollbackMode): Unit = {
+  def applyRollback(point: Point, mode: RollbackMode): Unit =
+    applyRollback(point, mode, guarded = true)
+
+  /** Operator-initiated rewind (T11, `CardanoIndexWorker.cs:181-202`):
+    * bypasses the depth guard — a deliberate maintenance decision, like
+    * the reference's config-driven rollback mode.
+    */
+  def forceRollback(point: Point, mode: RollbackMode): Unit =
+    applyRollback(point, mode, guarded = false)
+
+  private def applyRollback(point: Point, mode: RollbackMode,
+      guarded: Boolean): Unit = {
     val delSlot = mode match {
       case Inclusive => point.slot
       case Exclusive => point.slot + 1
     }
-    val current = store.manifest.checkpoints.values
-      .flatMap(CheckpointWindow.latest).map(_.slot).maxOption.getOrElse(-1L)
-    require(current < 0 || current - delSlot < maxRollbackSlots,
-      s"rollback to $delSlot exceeds MaxRollbackSlots=$maxRollbackSlots " +
-        s"behind current $current")
-    val m = store.manifest
+    val current = maxCheckpointSlot
+    if (guarded)
+      require(current < 0 || current - delSlot < maxRollbackSlots,
+        s"rollback to $delSlot exceeds MaxRollbackSlots=$maxRollbackSlots " +
+          s"behind current $current")
+    val stored = store.checkpoints
     val newCps = reducers.map { r =>
       val prior = pendingPoints.getOrElse(r.name,
-        m.checkpoints.getOrElse(r.name, Seq.empty))
+        stored.getOrElse(r.name, Seq.empty))
       r.name -> CheckpointWindow.applyRollback(prior, delSlot)
     }.toMap
     store.rollback(delSlot, slotCols, newCps)
     pendingPoints = Map.empty
   }
 
-  /** Startup reconciliation (T9/T10 + §3.3): the safe resume point is the
-    * MINIMUM of every reducer's latest checkpoint (so no dependent misses
-    * blocks), and resuming begins with a rollback to it — mirroring the
-    * protocol's initial RollBackward, which trims any rows orphaned by a
-    * crash after their checkpoint (`WorkerCrashRecoveryTest.cs:21-37`).
+  /** T9 start-point adjustment (`StartPoints.cs:98-180`), in topological
+    * order so chains adjust through their parents:
+    *  - a FRESH dependent (no checkpoint) of a parent that has synced
+    *    adopts the parent's latest point as its start (it does not replay
+    *    history the parent has already passed — reference Case 1);
+    *  - a dependent whose own progress is AHEAD of its parent's is
+    *    reported (reference Case 2's inconsistent state; the subsequent
+    *    min-over-graph rollback self-heals it by trimming the extra rows);
+    *  - parent and dependent both fresh: nothing to do (bootstrap case).
     */
-  def resume(events: Iterable[BlockEvent]): Unit = {
+  def adjustStartPoints(): Seq[StartDiag] = {
+    val cps = store.checkpoints
+    val diags = mutable.ArrayBuffer[StartDiag]()
+    topoOrder.foreach { r =>
+      r.dependsOn.foreach { parent =>
+        val parentLatest =
+          CheckpointWindow.latest(cps.getOrElse(parent, Seq.empty))
+            .orElse(Some(startPoints(parent)).filter(_.slot >= 0))
+        val myWindow = cps.getOrElse(r.name, Seq.empty)
+        val myLatest = CheckpointWindow.latest(myWindow)
+        parentLatest match {
+          case None =>
+            if (myLatest.isDefined)
+              diags += DependentAhead(r.name, parent, myLatest.get.slot, -1L)
+            else diags += BothInitial(r.name, parent)
+          case Some(pl) =>
+            if (myWindow.isEmpty && startPoints(r.name).slot < pl.slot) {
+              startPoints = startPoints.updated(r.name, pl)
+              diags += AdjustedStart(r.name, parent, pl)
+            } else if (myLatest.exists(_.slot > pl.slot))
+              diags += DependentAhead(r.name, parent, myLatest.get.slot, pl.slot)
+        }
+      }
+    }
+    diags.foreach(d => System.err.println(s"[graft] start-point: $d"))
+    diags.toSeq
+  }
+
+  /** Startup reconciliation (T9/T10 + §3.3): adjust fresh-dependent start
+    * points, then roll back to the safe slot — the MINIMUM of every
+    * registered reducer's effective floor (so no reducer misses blocks) —
+    * mirroring the protocol's initial RollBackward, which trims any rows
+    * orphaned by a crash after their checkpoint
+    * (`WorkerCrashRecoveryTest.cs:21-37`).
+    *
+    * A registered ROOT with no checkpoint in a non-empty store forces a
+    * rebuild from genesis (unguarded rollback to 0 + full replay) so the
+    * new reducer cannot silently miss history; a fresh DEPENDENT instead
+    * adopts its parent's position (reference T9 semantics).
+    */
+  def reconcileStartup(): Seq[StartDiag] = {
+    val diags = adjustStartPoints()
     val safe = latestCheckpointSlot
-    if (safe >= 0) applyRollback(Point("resume", safe), Exclusive)
-    processEvents(events.filter {
+    val tip = maxCheckpointSlot
+    if (tip >= 0) {
+      if (safe >= 0) applyRollback(Point("resume", safe), Exclusive,
+        guarded = false)
+      else applyRollback(Point("rebuild", 0L), Inclusive, guarded = false)
+    }
+    diags
+  }
+
+  def resume(events: IterableOnce[BlockEvent]): Unit = {
+    reconcileStartup()
+    val safe = latestCheckpointSlot
+    processEvents(events.iterator.filter {
       case RollForward(b) => b.slot > safe
       case _ => true
     })

@@ -6,9 +6,19 @@ import org.apache.spark.sql.types.StructType
 /** A table a reducer owns: schema plus the slot column used for
   * retraction (every output table is slot-keyed — reference
   * `IReducerModel.cs:8-12`: "the one required column is Slot").
+  *
+  * `compactWith(merged, readTable, frontierSlot)`: optional filter applied
+  * to the bulk segment when the store compacts this table — drop rows that
+  * can no longer affect any result given that rollbacks never reach behind
+  * `frontierSlot` (= current tip − MaxRollbackSlots, the reference's T6
+  * guard). This is how per-batch state reads stay proportional to the LIVE
+  * set instead of chain length — the segment-log analogue of the
+  * reference's `HasIndex(SpentSlot)` sargability (P9,
+  * `TestDbContext.cs:36-37`).
   */
 final case class TableDef(name: String, schema: StructType,
-    slotCol: String = "slot")
+    slotCol: String = "slot",
+    compactWith: Option[(DataFrame, String => DataFrame, Long) => DataFrame] = None)
 
 /** Per-batch context handed to reducers.
   *
@@ -21,11 +31,18 @@ final case class TableDef(name: String, schema: StructType,
   */
 final class BatchContext(
     val spark: SparkSession,
-    store: StateStore,
+    store: Store,
     defs: Map[String, TableDef],
     var outputs: Map[String, Map[String, DataFrame]]) {
 
   def table(name: String): DataFrame = store.read(name, defs(name).schema)
+
+  /** Only the newest committed segment of a table — the bounded prior-
+    * state read for tables whose latest segment is self-contained (every
+    * key re-written every batch). See StateStore.readLatestSegment.
+    */
+  def latestSegment(name: String): DataFrame =
+    store.readLatestSegment(name, defs(name).schema)
 
   def parentOutput(reducer: String, table: String): DataFrame =
     outputs(reducer)(table)

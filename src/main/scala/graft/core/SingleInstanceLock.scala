@@ -19,17 +19,35 @@ final class SingleInstanceLock(root: String) extends AutoCloseable {
   private var channel: FileChannel = _
   private var lock: FileLock = _
 
-  /** Try to acquire; false if another live instance holds the lock. */
+  /** Try to acquire; false if another live instance holds the lock.
+    * Safe to call repeatedly (poll loop — the reference's
+    * `WaitForAcquisitionAsync` polls the advisory lock the same way).
+    */
   def tryAcquire(): Boolean = {
+    if (isHeld) return true
     Files.createDirectories(Paths.get(root))
-    channel = FileChannel.open(path,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    if (channel == null || !channel.isOpen)
+      channel = FileChannel.open(path,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
       lock = channel.tryLock()
       lock != null
     } catch {
       case _: OverlappingFileLockException => false // same-JVM holder
     }
+  }
+
+  /** Poll until acquired or `timeoutMs` elapses (reference T13:
+    * `CardanoIndexWorker.cs:81-84` awaits acquisition before processing).
+    */
+  def waitAcquire(timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = tryAcquire()
+    while (!ok && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ok = tryAcquire()
+    }
+    ok
   }
 
   def isHeld: Boolean = lock != null && lock.isValid

@@ -2,7 +2,7 @@ package graft.core
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.Properties
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions.{col, max, min}
 import org.apache.spark.sql.types.StructType
 import scala.jdk.CollectionConverters._
@@ -18,6 +18,9 @@ import scala.jdk.CollectionConverters._
   *    carrying min/max-slot stats in the manifest — the analogue of the
   *    reference's `HasIndex(SpentSlot)`/slot indexes (P9) and of
   *    Delta-style file stats. Appends never rewrite existing data.
+  *  - segment stats are collected with `Dataset.observe` DURING the
+  *    parquet write — one job per append, not a stats pass plus a write
+  *    pass over a cached copy.
   *  - retraction (`DELETE WHERE slot >= s`, reference T5/O3) drops whole
   *    segments whose minSlot >= s and rewrites only segments straddling
   *    s — work proportional to the reorg depth, not the table size.
@@ -25,14 +28,22 @@ import scala.jdk.CollectionConverters._
   *    .cs:115-127`) never exists as a row update here: spends are
   *    slot-keyed *events* in their own table, so rolling back a spend is
   *    the same segment-pruned delete. No row is ever updated in place.
+  *  - compaction folds the oldest segments into one per table once the
+  *    list exceeds `maxSegments`; a table may install a `compactWith`
+  *    filter (TableDef) that drops rows which can no longer matter —
+  *    e.g. UTxOs whose spend is beyond the rollback horizon — so state
+  *    READS stay proportional to the live set, not chain length (the
+  *    sargability the reference gets from `HasIndex(SpentSlot)`, P9).
   *  - idempotent replay (T3): a commit whose batchId is not newer than
   *    the manifest's is a no-op, so at-least-once delivery is safe.
   *  - crash mid-commit: segment files may be orphaned but are
-  *    unreferenced; the next commit with the same batchId overwrites the
-  *    same segment paths (ids are allocated from the manifest).
+  *    unreferenced; superseded segments (compacted away, dropped or
+  *    rewritten by rollback) are best-effort deleted AFTER the manifest
+  *    swap — readers resolve paths only via the current manifest, so the
+  *    deletion is safe and disk use stays proportional to live data.
   */
-final class StateStore(root: String, spark: SparkSession,
-    maxSegments: Int = 8) {
+final class StateStore(val root: String, spark: SparkSession,
+    maxSegments: Int = 8) extends Store {
 
   final case class Segment(id: Long, minSlot: Long, maxSlot: Long)
 
@@ -45,6 +56,10 @@ final class StateStore(root: String, spark: SparkSession,
   private val manifestPath = Paths.get(root, "manifest.properties")
 
   Files.createDirectories(Paths.get(root, "tables"))
+
+  def batchId: Long = manifest.batchId
+
+  def checkpoints: Map[String, Seq[Point]] = manifest.checkpoints
 
   def manifest: Manifest = {
     if (!Files.exists(manifestPath)) return Manifest(-1L, 0L, Map.empty, Map.empty)
@@ -103,6 +118,60 @@ final class StateStore(root: String, spark: SparkSession,
       spark.read.schema(schema).parquet(segs.map(s => segPath(table, s.id)): _*)
   }
 
+  /** Only the newest segment (by maxSlot) of a table — the bounded read
+    * for state whose latest segment is self-contained (e.g. a snapshot
+    * table that writes every key every batch: its newest segment holds
+    * the current value of every key). O(last batch), not O(history).
+    */
+  def readLatestSegment(table: String, schema: StructType): DataFrame = {
+    val segs = manifest.tables.getOrElse(table, Seq.empty)
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(segPath(table, segs.maxBy(_.maxSlot).id))
+  }
+
+  /** Write `df` as segment `id`, collecting min/max-slot stats during the
+    * write itself (one Spark job). None (and no files kept) if empty.
+    */
+  private def writeSegment(df: DataFrame, table: String, id: Long,
+      slotCol: String): Option[Segment] = {
+    val obs = Observation()
+    df.observe(obs, min(col(slotCol)).as("lo"), max(col(slotCol)).as("hi"))
+      .write.mode("overwrite").parquet(segPath(table, id))
+    val stats = obs.get
+    stats.get("lo").filter(_ != null) match {
+      case Some(lo) =>
+        Some(Segment(id, lo.asInstanceOf[Long], stats("hi").asInstanceOf[Long]))
+      case None =>
+        deleteDir(segPath(table, id)) // empty append: keep nothing
+        None
+    }
+  }
+
+  private def deleteDir(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** Best-effort removal of segment files referenced by the previous
+    * manifest but not the new one (safe: readers resolve via the current
+    * manifest only). Keeps disk ∝ live data across compaction/rollback.
+    */
+  private def gcRemoved(oldTables: Map[String, Seq[Segment]],
+      newTables: Map[String, Seq[Segment]]): Unit =
+    oldTables.foreach { case (table, segs) =>
+      val keep = newTables.getOrElse(table, Seq.empty).map(_.id).toSet
+      segs.filterNot(s => keep(s.id)).foreach { s =>
+        try deleteDir(segPath(table, s.id)) catch { case _: Exception => () }
+      }
+    }
+
   /** Atomically commit appends + checkpoints as batch `batchId`.
     * Returns false without touching the manifest when
     *  - `batchId` is not newer than the manifest's (idempotent-replay
@@ -110,51 +179,81 @@ final class StateStore(root: String, spark: SparkSession,
     *  - every append is empty (empty-commit deferral, reference T4:
     *    `EfBlockUnitOfWork.cs:101-112` — the caller carries the
     *    checkpoints forward to the next data-bearing commit).
+    *
+    * `compactors`: per-table row filters applied when this commit
+    * triggers compaction of that table (see class doc).
     */
   def commit(batchId: Long, appends: Map[String, (DataFrame, String)],
-      checkpoints: Map[String, Seq[Point]]): Boolean = {
+      checkpoints: Map[String, Seq[Point]],
+      compactors: Map[String, DataFrame => DataFrame],
+      onSegment: (String, Double) => Unit): Boolean = {
     val m = manifest
     if (batchId <= m.batchId) return false
-    var nextId = m.nextSegId
     var tables = m.tables
-    var wroteAny = false
-    appends.foreach { case (table, (df, slotCol)) =>
-      val cached = df.cache()
-      try {
-        val stats = cached.agg(
-          min(col(slotCol)).as("lo"), max(col(slotCol)).as("hi")).head()
-        if (!stats.isNullAt(0)) { // non-empty append
-          val id = nextId; nextId += 1
-          cached.write.mode("overwrite").parquet(segPath(table, id))
-          tables = tables.updated(table,
-            tables.getOrElse(table, Seq.empty) :+
-              Segment(id, stats.getLong(0), stats.getLong(1)))
-          wroteAny = true
+    // Append segments are independent — write them as CONCURRENT Spark
+    // jobs (ids pre-allocated; gaps from empty appends are fine). On
+    // local[32] this turns per-commit wall time from Σ(write) into
+    // max(write); on a cluster it simply keeps the executors busy across
+    // the per-table commit jobs.
+    val appendSeq = appends.toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val written = Await.result(Future.sequence(
+      appendSeq.zipWithIndex.map { case ((table, (df, slotCol)), i) =>
+        Future {
+          val t0 = System.nanoTime()
+          val seg = writeSegment(df, table, m.nextSegId + i, slotCol)
+          (table, seg, (System.nanoTime() - t0) / 1e9)
         }
-      } finally cached.unpersist()
+      }), Duration.Inf)
+    var nextId = m.nextSegId + appendSeq.size
+    var wroteAny = false
+    written.foreach { case (table, segOpt, sec) =>
+      segOpt.foreach { seg =>
+        tables = tables.updated(table,
+          tables.getOrElse(table, Seq.empty) :+ seg)
+        wroteAny = true
+      }
+      onSegment(table, sec)
     }
     if (!wroteAny) return false
     // Compaction: a table's segment list would otherwise grow by one per
     // commit, making every state read an ever-wider union (measured as
     // per-batch cost growth in ChainPerf). Fold the OLDEST segments into
-    // one, keeping the newest few separate so retraction of a shallow
-    // reorg still drops whole recent segments instead of rewriting the
-    // merged bulk. The merged segment enters the same manifest swap, so
+    // one — applying the table's compactWith filter, if any, so rows
+    // beyond the rollback horizon that can no longer matter are dropped —
+    // keeping the newest few separate so retraction of a shallow reorg
+    // still drops whole recent segments instead of rewriting the merged
+    // bulk. The merged segment enters the same manifest swap, so
     // compaction is atomic with the commit and replay-safe.
     val keepRecent = math.max(2, maxSegments / 2)
-    tables = tables.map { case (table, segs) =>
-      if (segs.size <= maxSegments) table -> segs
-      else {
-        val (old, recent) = segs.splitAt(segs.size - keepRecent)
-        val merged = spark.read
-          .parquet(old.map(s => segPath(table, s.id)): _*)
-        val id = nextId; nextId += 1
-        merged.write.mode("overwrite").parquet(segPath(table, id))
-        table -> (Segment(id, old.map(_.minSlot).min, old.map(_.maxSlot).max)
-          +: recent)
+    val toCompact = tables.toSeq.flatMap { case (table, segs) =>
+      appends.get(table).map(_._2) match {
+        case Some(slotCol) if segs.size > maxSegments =>
+          Some((table, segs, slotCol))
+        case _ => None
       }
     }
+    // compaction merges are independent per table — same concurrency
+    val compacted = Await.result(Future.sequence(
+      toCompact.zipWithIndex.map { case ((table, segs, slotCol), i) =>
+        Future {
+          val (old, recent) = segs.splitAt(segs.size - keepRecent)
+          val merged0 = spark.read
+            .parquet(old.map(s => segPath(table, s.id)): _*)
+          val merged = compactors.get(table).fold(merged0)(f => f(merged0))
+          val seg = writeSegment(merged, table, nextId + i, slotCol)
+          table -> (seg.toSeq ++ recent)
+        }
+      }), Duration.Inf).toMap
+    nextId += toCompact.size
+    tables = tables.map { case (table, segs) =>
+      table -> compacted.getOrElse(table, segs)
+    }
     writeManifest(Manifest(batchId, nextId, tables, m.checkpoints ++ checkpoints))
+    gcRemoved(m.tables, tables)
     true
   }
 
@@ -173,21 +272,15 @@ final class StateStore(root: String, spark: SparkSession,
       val rewritten = straddling.flatMap { s =>
         val df = spark.read.parquet(segPath(table, s.id))
           .filter(col(slotCol) < delSlot)
-          .cache()
-        try {
-          val stats = df.agg(
-            min(col(slotCol)).as("lo"), max(col(slotCol)).as("hi")).head()
-          if (stats.isNullAt(0)) None // segment fully retracted
-          else {
-            val id = nextId; nextId += 1
-            df.write.mode("overwrite").parquet(segPath(table, id))
-            Some(Segment(id, stats.getLong(0), stats.getLong(1)))
-          }
-        } finally df.unpersist()
+        writeSegment(df, table, nextId, slotCol).map { seg =>
+          nextId += 1
+          seg
+        }
       }
       table -> (kept ++ rewritten)
     }
     writeManifest(Manifest(m.batchId + 1, nextId, tables,
       m.checkpoints ++ checkpoints))
+    gcRemoved(m.tables, tables)
   }
 }

@@ -66,13 +66,26 @@ final class TxIndexReducer extends ChainReducer {
 final class WalletUtxoReducer(watched: Map[String, String]) extends ChainReducer {
   val name = "wallet_utxo"
   val tables = Seq(
+    // compactWith: when the store folds old utxo_created segments, drop
+    // pairs whose spend is FINAL (spentSlot at or before the rollback
+    // frontier — the depth guard T6 proves no retraction can resurrect
+    // them). The table then holds live UTxOs + the churn of the rollback
+    // window, so per-batch spend matching reads O(live set), not
+    // O(chain history) — the reference's `HasIndex(SpentSlot)` made
+    // incremental (P9). unspentView is unchanged by construction.
     TableDef("utxo_created", StructType(Seq(
       StructField("txHash", StringType),
       StructField("txIndex", IntegerType),
       StructField("slot", LongType),
       StructField("address", StringType),
       StructField("addressName", StringType),
-      StructField("amount", LongType)))),
+      StructField("amount", LongType))),
+      compactWith = Some((merged, readTable, frontier) =>
+        merged.join(
+          readTable("utxo_spent")
+            .filter(col("spentSlot") <= frontier)
+            .select(col("txHash"), col("txIndex")),
+          Seq("txHash", "txIndex"), "left_anti"))),
     TableDef("utxo_spent", StructType(Seq(
       StructField("txHash", StringType),
       StructField("txIndex", IntegerType),
@@ -159,8 +172,12 @@ final class BalanceSnapshotReducer(watched: Map[String, String]) extends ChainRe
     val deltas = plus.unionByName(minus)
       .groupBy(col("addressName"), col("slot"))
       .agg(sum(col("delta")).as("delta"))
-    // prior balance per address = latest committed snapshot (O14 read)
-    val prior = ctx.table("balance_snapshots")
+    // Prior balance per address = latest committed snapshot (O14 read).
+    // Every batch writes a snapshot for EVERY watched address at every
+    // block (the grid below), so the newest committed segment alone
+    // contains the latest balance of every address — the prior read is
+    // O(previous batch), not O(snapshot history).
+    val prior = ctx.latestSegment("balance_snapshots")
       .groupBy(col("addressName"))
       .agg(max_by(col("balance"), col("slot")).as("prior"))
     val grid = blocks.select(col("slot")).distinct()

@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.core._
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Binary block ingestion (SURVEY.md S6) — the analogue of the
+  * reference's `ArgusUtil.DeserializeBlockWithEra`
+  * (`Utils/ArgusUtil.cs:38-71`): peel an optional tag-24-style envelope,
+  * decode `[era, block]`, and make a DEFENSIVE COPY of everything taken
+  * from the input buffer — downstream consumers hold blocks long after
+  * the network/source buffer is reused (contract pinned by the
+  * reference's `BufferOwnershipTest.cs:25` and by BlockCodecSpec here).
+  *
+  * The wire format is this project's own deterministic envelope (no CBOR
+  * library exists offline); the *shape* mirrors the reference: optional
+  * 2-byte tag `0xD8 0x18` + length, then era byte, then the block body
+  * with length-prefixed strings and counted sequences.
+  */
+object BlockCodec {
+
+  val TagByte0: Byte = 0xD8.toByte
+  val TagByte1: Byte = 0x18.toByte
+
+  // ---- encode (test/generator side) ----
+
+  def encode(block: Block, era: Int = 6, wrapped: Boolean = false): Array[Byte] = {
+    val body = encodeBody(block, era)
+    if (!wrapped) body
+    else {
+      val bb = ByteBuffer.allocate(2 + 4 + body.length)
+      bb.put(TagByte0).put(TagByte1).putInt(body.length).put(body)
+      bb.array()
+    }
+  }
+
+  private def putStr(bb: ByteBuffer, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    bb.putShort(b.length.toShort).put(b)
+  }
+
+  private def strLen(s: String): Int =
+    2 + s.getBytes(StandardCharsets.UTF_8).length
+
+  private def encodeBody(b: Block, era: Int): Array[Byte] = {
+    val size = 1 + strLen(b.hash) + 8 + 8 + 4 +
+      b.transactions.map(t => strLen(t.txHash) + 4 +
+        t.inputs.map(i => strLen(i.txId) + 4).sum + 4 +
+        t.outputs.map(o => strLen(o.address) + 8).sum).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.put(era.toByte)
+    putStr(bb, b.hash)
+    bb.putLong(b.height).putLong(b.slot)
+    bb.putInt(b.transactions.size)
+    b.transactions.foreach { t =>
+      putStr(bb, t.txHash)
+      bb.putInt(t.inputs.size)
+      t.inputs.foreach { i => putStr(bb, i.txId); bb.putInt(i.index) }
+      bb.putInt(t.outputs.size)
+      t.outputs.foreach { o => putStr(bb, o.address); bb.putLong(o.lovelace) }
+    }
+    bb.array()
+  }
+
+  // ---- decode (ingestion side) ----
+
+  /** `None` on malformed input (the reference returns null and the
+    * caller skips — `MockChainSyncProvider.DiscoverAllBlocks`).
+    * All strings are decoded via `new String(copy)` — bytes never alias
+    * the caller's buffer (the S6 defensive-copy contract).
+    */
+  def decode(bytes: Array[Byte]): Option[(Int, Block)] =
+    try {
+      val bb = ByteBuffer.wrap(bytes)
+      // optional tag-24-style wrap
+      if (bytes.length >= 6 && bytes(0) == TagByte0 && bytes(1) == TagByte1) {
+        bb.position(2)
+        val len = bb.getInt
+        if (len != bb.remaining()) return None
+      }
+      val era = bb.get().toInt & 0xFF
+      val hash = getStr(bb)
+      val height = bb.getLong
+      val slot = bb.getLong
+      val nTx = bb.getInt
+      if (nTx < 0 || nTx > 1000000) return None
+      val txs = (0 until nTx).map { _ =>
+        val txHash = getStr(bb)
+        val nIn = bb.getInt
+        val ins = (0 until nIn).map(_ => TxInput(getStr(bb), bb.getInt))
+        val nOut = bb.getInt
+        val outs = (0 until nOut).map(_ => TxOutput(getStr(bb), bb.getLong))
+        Tx(txHash, ins, outs)
+      }
+      if (bb.hasRemaining) None
+      else Some((era, Block(hash, height, slot, txs)))
+    } catch { case _: Exception => None }
+
+  private def getStr(bb: ByteBuffer): String = {
+    val len = bb.getShort.toInt
+    require(len >= 0 && len <= bb.remaining())
+    val copy = new Array[Byte](len) // defensive copy — never alias input
+    bb.get(copy)
+    new String(copy, StandardCharsets.UTF_8)
+  }
+
+  /** Distributed ingestion: a DataFrame with a `raw: binary` column →
+    * typed blocks. `mapPartitions` is the right tool here (per-row
+    * imperative parsing, SURVEY §7.4) — the one place the engine drops
+    * below DataFrame ops. Malformed payloads are skipped, as in the
+    * reference's corpus loader.
+    */
+  def decodeBlocks(raw: DataFrame, column: String = "raw"): Dataset[Block] = {
+    implicit val enc = Encoders.product[Block]
+    raw.select(column).as(Encoders.BINARY)
+      .mapPartitions(_.flatMap(bytes => decode(bytes).map(_._2)))
+  }
+}

@@ -25,8 +25,12 @@ object ChainGen {
   val Watched: Map[String, String] =
     Map("addr00" -> "alice", "addr01" -> "bob", "addr02" -> "carol")
 
+  /** `tag` disambiguates tx/block hashes across independent `generate`
+    * calls (e.g. an alternative fork suffix in a reorg test) — without
+    * it two chains would mint identical (txHash, txIndex) pairs.
+    */
   def generate(nBlocks: Int, seed: Long = 42L,
-      startSlot: Long = 1000L): Seq[Block] = {
+      startSlot: Long = 1000L, tag: String = ""): Seq[Block] = {
     val rnd = new Random(seed)
     // live pool of unspent outputs: (txHash, index, address, lovelace)
     val live = mutable.ArrayBuffer[(String, Int, String, Long)]()
@@ -35,10 +39,10 @@ object ChainGen {
     (0 until nBlocks).map { bi =>
       slot += 1 + rnd.nextInt(3)
       height += 1
-      val hash = f"blk$bi%06d-$slot"
+      val hash = f"blk$tag$bi%06d-$slot"
       val nTx = rnd.nextInt(4) // 0..3
       val txs = (0 until nTx).map { ti =>
-        val txHash = f"tx$bi%06d-$ti"
+        val txHash = f"tx$tag$bi%06d-$ti"
         // spend up to 2 live outputs with probability
         val nSpend = if (live.nonEmpty) rnd.nextInt(3).min(live.size) else 0
         val spends = (0 until nSpend).flatMap { _ =>

@@ -3,8 +3,9 @@ package graft.streaming
 import graft.core._
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming ingestion of block events (SURVEY.md §0's source
   * layer): a file-based block stream driven through `foreachBatch` into
@@ -26,35 +27,73 @@ object ChainIngest {
   /** Stream blocks from parquet files appearing under `blocksDir` into the
     * runner. `Trigger.AvailableNow` = catch-up-then-stop (the reference's
     * drain-at-tip, T1 trigger c); `ProcessingTime` = follow-the-tip.
+    *
+    * Acquires the store's single-writer lock before processing (reference
+    * T13: the worker awaits lock acquisition before any chain pull,
+    * `CardanoIndexWorker.cs:81-84`) and releases it when the query
+    * terminates. Blocks never materialize on the driver: the micro-batch
+    * DataFrame flows straight into the runner, which derives checkpoint
+    * windows from a ≤10-row top-k aggregate.
     */
   def start(spark: SparkSession, blocksDir: String, checkpointDir: String,
       runner: GraphRunner, trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    import spark.implicits._
+      maxFilesPerTrigger: Option[Int] = None,
+      lockWaitMs: Long = 15000L,
+      telemetry: Option[Telemetry] = None): StreamingQuery = {
+    val lock = new SingleInstanceLock(runner.store.root)
+    if (!lock.waitAcquire(lockWaitMs)) {
+      lock.close()
+      throw new IllegalStateException(
+        s"another indexer instance holds ${runner.store.root} (T13)")
+    }
+    // T9/T10 startup reconciliation: adjust fresh-dependent start points
+    // and trim to the graph-safe slot before any batch flows.
+    try runner.reconcileStartup()
+    catch { case e: Throwable => lock.close(); throw e }
     val reader = spark.readStream.schema(blockSchema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(blocksDir)
-    src.writeStream
-      .trigger(trigger)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // blocks per micro-batch are few thousand rows of metadata; the
-        // heavy lifting (explodes, joins, aggregation) happens inside the
-        // runner's distributed plan, not on this driver-side seq.
-        // Replay trimming: on restart (fresh stream checkpoint, or an
-        // uncommitted last micro-batch re-delivered) drop blocks at or
-        // before the store's own checkpoint — the same trim the reference
-        // performs via the protocol's reconnect rollback (§3.3,
-        // WorkerCrashRecoveryTest.cs:21-37). At-least-once delivery +
-        // this trim + the atomic manifest = effectively-once.
-        val cut = runner.latestCheckpointSlot
-        val blocks = df.as[Block].collect().sortBy(_.slot).toSeq
-          .filter(_.slot > cut)
-        runner.flush(blocks)
-        ()
-      }
-      .start()
+    val query =
+      try {
+        src.writeStream
+          .trigger(trigger)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            // Replay trimming: on restart (fresh stream checkpoint, or an
+            // uncommitted last micro-batch re-delivered) drop blocks at or
+            // before the store's own checkpoint — the same trim the
+            // reference performs via the protocol's reconnect rollback
+            // (§3.3, WorkerCrashRecoveryTest.cs:21-37). At-least-once
+            // delivery + this trim + the atomic manifest = effectively-once.
+            val cut = runner.latestCheckpointSlot
+            runner.flush(df.filter(col("slot") > cut).toDF())
+            ()
+          }
+          .start()
+      } catch { case e: Throwable => lock.close(); throw e }
+    // The listener is both the lock's release point and the §2.12
+    // observability feed (per-micro-batch rows/duration into the
+    // progress table).
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == query.id) telemetry.foreach { t =>
+          t.streamBatches.synchronized {
+            t.streamBatches += ((e.progress.batchId, e.progress.numInputRows,
+              e.progress.durationMs.asScala.values.map(_.toDouble).sum / 1e3))
+          }
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          lock.close()
+          spark.streams.removeListener(this)
+        }
+    })
+    query
   }
 }
 

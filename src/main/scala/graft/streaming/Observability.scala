@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Observability (SURVEY.md §2.12) — the reference's dashboard/telemetry
+  * surface re-expressed as a queryable progress table:
+  *  - progress %% per reducer with the reference's formula
+  *    `(current − start) / (tip − start)`, dependents inheriting the
+  *    root's progress recursively (`CardanoIndexWorker.Dashboard
+  *    .cs:318-355`);
+  *  - per-reducer processing-time means over a sliding buffer
+  *    (`CardanoIndexWorker.Telemetry.cs:9-110`);
+  *  - the effective tip = max slot processed by any reducer, merged with
+  *    the provider tip when known (`Telemetry.cs:14-17`).
+  */
+final case class ReducerProgress(
+    reducer: String,
+    startSlot: Long,
+    currentSlot: Long,
+    tipSlot: Long,
+    progressPct: Double,
+    batches: Long,
+    meanBatchSec: Double)
+
+final class Telemetry(
+    reducerDependency: Map[String, Option[String]],
+    startSlots: Map[String, Long] = Map.empty,
+    bufferSize: Int = 32) {
+
+  private val timings = mutable.Map[String, mutable.Queue[Double]]()
+  private val batchCounts = mutable.Map[String, Long]().withDefaultValue(0L)
+  private val latestSlots = mutable.Map[String, Long]()
+  private var effectiveTip: Long = -1L
+
+  /** Streaming-side batch log fed by the query listener. */
+  val streamBatches: mutable.ArrayBuffer[(Long, Long, Double)] =
+    mutable.ArrayBuffer.empty // (batchId, numInputRows, procSec)
+
+  /** Record one reducer's batch work (reference `RecordTelemetry`). */
+  def record(reducer: String, elapsedSec: Double, slot: Long): Unit =
+    synchronized {
+      val q = timings.getOrElseUpdate(reducer, mutable.Queue.empty)
+      q.enqueue(elapsedSec)
+      while (q.size > bufferSize) q.dequeue()
+      batchCounts(reducer) = batchCounts(reducer) + 1
+      latestSlots(reducer) = math.max(latestSlots.getOrElse(reducer, -1L), slot)
+      effectiveTip = math.max(effectiveTip, slot)
+    }
+
+  def observeTip(tipSlot: Long): Unit =
+    synchronized { effectiveTip = math.max(effectiveTip, tipSlot) }
+
+  /** Port of `CalculateReducerProgress` (Dashboard.cs:318-355):
+    * dependents inherit the root's progress recursively; roots report
+    * `(current − start) / (tip − start)`, clamped to 99.99 unless
+    * actually at tip.
+    */
+  def progressPct(reducer: String): Double = synchronized {
+    reducerDependency.getOrElse(reducer, None) match {
+      case Some(parent) if reducerDependency.contains(parent) =>
+        progressPct(parent)
+      case _ =>
+        val start = startSlots.getOrElse(reducer, -1L)
+        val current = latestSlots.getOrElse(reducer, start)
+        if (effectiveTip <= start) 100.0
+        else if (current >= effectiveTip) 100.0
+        else {
+          val total = (effectiveTip - start).toDouble
+          val synced = math.max(0L, current - start).toDouble
+          math.min(synced / total * 100.0, 99.99)
+        }
+    }
+  }
+
+  def snapshot: Seq[ReducerProgress] = synchronized {
+    reducerDependency.keys.toSeq.sorted.map { r =>
+      val ts = timings.getOrElse(r, mutable.Queue.empty)
+      ReducerProgress(
+        reducer = r,
+        startSlot = startSlots.getOrElse(r, -1L),
+        currentSlot = latestSlots.getOrElse(r, -1L),
+        tipSlot = effectiveTip,
+        progressPct = progressPct(r),
+        batches = batchCounts(r),
+        meanBatchSec = if (ts.isEmpty) 0.0 else ts.sum / ts.size)
+    }
+  }
+
+  /** The progress table (queryable like any other engine table). */
+  def progressDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshot.toDF()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.core._
+import graft.sources.{BlockCodec, ChainGen}
+
+/** S6 binary decode contract: roundtrip over the seeded corpus, tag-24
+  * style envelope handling, malformed-input skip, and the defensive-copy
+  * contract (a reused source buffer must not corrupt decoded blocks) —
+  * the reference's `BufferOwnershipTest.cs:25` in shape.
+  */
+class BlockCodecSpec extends SparkSpec {
+
+  test("encode/decode roundtrip, bare and tag-wrapped, preserves every field") {
+    val blocks = ChainGen.generate(30, seed = 21L)
+    blocks.foreach { b =>
+      assert(BlockCodec.decode(BlockCodec.encode(b, era = 6)).contains((6, b)))
+      assert(BlockCodec.decode(
+        BlockCodec.encode(b, era = 3, wrapped = true)).contains((3, b)))
+    }
+  }
+
+  test("malformed payloads decode to None (loader skips, as in the reference corpus loader)") {
+    assert(BlockCodec.decode(Array[Byte]()).isEmpty)
+    assert(BlockCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    val good = BlockCodec.encode(ChainGen.generate(1, seed = 1L).head)
+    assert(BlockCodec.decode(good.dropRight(1)).isEmpty, "truncated")
+    assert(BlockCodec.decode(good :+ 0.toByte).isEmpty, "trailing garbage")
+  }
+
+  test("defensive copy: reusing the source buffer does not corrupt the decoded block (S6)") {
+    val b = ChainGen.generate(1, seed = 2L).head
+    val buf = BlockCodec.encode(b, era = 6)
+    val decoded = BlockCodec.decode(buf).get._2
+    java.util.Arrays.fill(buf, 0.toByte) // source buffer reused
+    assert(decoded == b, "decoded block must not alias the input buffer")
+  }
+
+  test("distributed decode: binary column -> typed blocks via mapPartitions, engine-consumable") {
+    val sp = spark
+    import sp.implicits._
+    val blocks = ChainGen.generate(20, seed = 13L)
+    val raw = blocks.map(b => BlockCodec.encode(b, era = 6,
+        wrapped = b.slot % 2 == 0)) :+ Array[Byte](9, 9) // one bad payload
+    val df = sp.createDataset(raw).toDF("raw")
+    val decoded = BlockCodec.decodeBlocks(df)
+    assert(decoded.count() == blocks.size, "bad payload skipped")
+    // decoded stream drives the engine exactly like any other source
+    val store = new StateStore(tmpDir("codec-store"), spark)
+    val runner = new GraphRunner(spark, store, Seq(
+      new graft.operators.BlockSummaryReducer), batchSize = 100)
+    runner.flush(decoded.toDF())
+    assert(store.read("blocks",
+      new graft.operators.BlockSummaryReducer().tables.head.schema).count()
+      == blocks.size)
+  }
+}

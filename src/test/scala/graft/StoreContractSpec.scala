@@ -1,0 +1,101 @@
+package graft
+
+import graft.core._
+import graft.operators._
+import graft.sources.ChainGen
+
+/** The storage-seam contract (reference `IBlockUnitOfWork.cs:21-56`,
+  * proven there with EF/Postgres and Mongo backends): the SAME engine
+  * semantics — atomic data+checkpoint commit, idempotent replay,
+  * empty-commit deferral, retraction with checkpoint rewind, crash
+  * resume — must hold for every `Store`. Runs the suite against the
+  * parquet segment log (`StateStore`) and embedded Derby (`JdbcStore`).
+  */
+class StoreContractSpec extends SparkSpec {
+
+  private def backends: Seq[(String, String => Store)] = Seq(
+    "segment-log" -> (root => new StateStore(root, spark)),
+    "jdbc-derby" -> (root => new JdbcStore(root, spark)))
+
+  private def reducers = Seq(
+    new BlockSummaryReducer,
+    new TxIndexReducer,
+    new WalletUtxoReducer(ChainGen.Watched),
+    new BalanceSnapshotReducer(ChainGen.Watched))
+
+  private def snapshotState(store: Store): Map[Long, Map[String, Long]] =
+    store.read("balance_snapshots", reducers(3).tables.head.schema)
+      .collect().groupBy(_.getLong(3)).map { case (slot, rows) =>
+        slot -> rows.map(r => r.getString(1) -> r.getLong(4)).toMap
+      }
+
+  backends.foreach { case (label, mkStore) =>
+
+    test(s"[$label] forward replay matches oracle; rollback rewinds; replay converges") {
+      val blocks = ChainGen.generate(25, seed = 42L)
+      val oracle = ChainGen.balanceOracle(blocks)
+      val store = mkStore(tmpDir(s"contract-$label"))
+      val runner = new GraphRunner(spark, store, reducers, batchSize = 6)
+      runner.processEvents(blocks.map(RollForward.apply))
+      val got = snapshotState(store)
+      assert(got.size == oracle.size)
+      oracle.foreach { case (slot, bal) =>
+        assert(got(slot) == bal, s"slot $slot: got ${got.get(slot)}")
+      }
+      // retraction + checkpoint rewind, atomically
+      val cut = blocks(14)
+      runner.applyRollback(Point(cut.hash, cut.slot), Exclusive)
+      assert(snapshotState(store).size == 15)
+      assert(store.checkpoints.values
+        .forall(w => CheckpointWindow.latest(w).forall(_.slot <= cut.slot)))
+      // replay converges
+      runner.processEvents(blocks.drop(15).map(RollForward.apply))
+      assert(snapshotState(store) ==
+        oracle.map { case (s, b) => s -> b }.toMap)
+    }
+
+    test(s"[$label] idempotent replay: stale batchId is a no-op (T3)") {
+      val blocks = ChainGen.generate(8, seed = 5L)
+      val store = mkStore(tmpDir(s"idem-$label"))
+      val runner = new GraphRunner(spark, store, reducers, batchSize = 100)
+      runner.processEvents(blocks.map(RollForward.apply))
+      val before = store.batchId
+      val nRows = store.read("blocks", reducers.head.tables.head.schema).count()
+      // direct stale commit must change nothing
+      val sp = spark
+      import sp.implicits._
+      val dup = sp.createDataset(blocks).toDF()
+        .select("hash", "height", "slot")
+      val wrote = store.commit(before,
+        Map("blocks" -> (dup, "slot")), store.checkpoints)
+      assert(!wrote)
+      assert(store.batchId == before)
+      assert(store.read("blocks", reducers.head.tables.head.schema).count()
+        == nRows)
+    }
+
+    test(s"[$label] empty-commit deferral + crash resume (T4/T9/T10)") {
+      val blocks = ChainGen.generate(10, seed = 3L)
+      val root = tmpDir(s"resume-$label")
+      val store = mkStore(root)
+      // watched address that never appears → every commit empty → deferred
+      val r1 = Seq(new WalletUtxoReducer(Map("addrff" -> "nobody")))
+      new GraphRunner(spark, store, r1, batchSize = 3)
+        .processEvents(blocks.take(6).map(RollForward.apply))
+      assert(store.batchId == -1L, "empty batches must not commit")
+      assert(store.checkpoints.isEmpty)
+
+      // crash-resume on a real run: process a prefix, then resume the
+      // full chain on a fresh runner — rows must converge without dupes
+      val store2 = mkStore(tmpDir(s"resume2-$label"))
+      new GraphRunner(spark, store2, reducers, batchSize = 4)
+        .processEvents(blocks.take(7).map(RollForward.apply))
+      val runner3 = new GraphRunner(spark, store2, reducers, batchSize = 4)
+      runner3.resume(blocks.map(RollForward.apply))
+      assert(store2.read("blocks", reducers.head.tables.head.schema).count()
+        == blocks.size)
+      assert(store2.read("blocks", reducers.head.tables.head.schema)
+        .select("hash").distinct().count() == blocks.size)
+    }
+  }
+}
