@@ -94,12 +94,18 @@ object Dedup extends QueryModule {
       .repartition(32) // barrier: materialize ws, spread the single file
       .select(col("doc_id"), col("lang"), col("len_bkt"),
         explode(shinglesFromWords(col("ws"))).as("s"))
-    // shingle lists are distinct per doc, so count(*) = document frequency
+    // shingle lists are distinct per doc, so count(*) = document frequency.
+    // `rare` feeds FOUR join legs (pair sides + two size lookups) and `ex`
+    // two more — cache both or the scan→regexp→explode subtree re-executes
+    // per leg (static plans don't dedupe it; AQE exchange reuse is not
+    // guaranteed across the aliased sides). MEMORY_AND_DISK spills at
+    // scale; on a large cluster this would be a checkpointed temp table.
+    ex.cache()
     val rareShingles = ex.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select(col("s"))
-    val rare = ex.join(rareShingles, "s")
+    val rare = ex.join(rareShingles, "s").cache()
     val sz = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = rare
       .select(col("doc_id").as("doc_a"), col("lang"), col("len_bkt"), col("s"))
