@@ -159,8 +159,94 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private val NCent = 8 // IVF lists
+  private val NProbe = 2 // probed lists per query
+  private val CentBase = 100L // centroid seed vectors: vec_id 100..107
+
+  /** IVF-style ANN (q37): the other standard scale path besides sign-LSH.
+    * Coarse quantizer = NCent deterministic seed vectors (vec_id
+    * 100..107 — a k-means iteration would refine them, but seeded
+    * determinism is what the cross-engine oracle needs); every vector is
+    * ASSIGNED to its nearest centroid (one broadcast of an 8-row
+    * centroid table, N×K map-side cosines, argmax by window); a query
+    * probes its NProbe closest lists and brute-forces only those.
+    *
+    * At 100 TB: centroids are a broadcast model, the assignment is a
+    * narrow pass, the inverted lists are hash-partitioned by centroid id,
+    * and a probe touches ~NProbe/NCent of the data — the FAISS IVF shape
+    * on DataFrames.
+    */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d)).cache()
+    val cent = e.filter(col("vec_id") >= CentBase &&
+        col("vec_id") < CentBase + NCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val scoredCent = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        round(dot(col("embedding"), col("cent_emb")) /
+          (col("nrm") * col("cent_nrm")), 4).as("ccos"))
+      .withColumn("crank", row_number().over(aw))
+    // inverted lists: every vector in exactly its nearest list
+    val assign = scoredCent.filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    // queries probe their NProbe nearest lists
+    val probes = scoredCent
+      .filter(col("vec_id") < NQ && col("crank") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(probes).join(assign
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"), col("cid")), "cid")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("cid"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q37Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id >= $CentBase AND vec_id < ${CentBase + NCent}),
+       |scored_cent AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+       |    round(${dotSql("e.embedding", "cent.cent_emb")} /
+       |      (e.nrm * cent.cent_nrm), 4) AS ccos,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${dotSql("e.embedding", "cent.cent_emb")} /
+       |        (e.nrm * cent.cent_nrm), 4) DESC, cent.cid) AS crank
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM scored_cent WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cid
+       |  FROM scored_cent WHERE vec_id < $NQ AND crank <= $NProbe),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id, a.cid,
+       |    round(${dotSql("p.q_emb", "a.embedding")} / (p.q_nrm * a.nrm), 4)
+       |      AS cosine
+       |  FROM probes p JOIN assign a ON p.cid = a.cid
+       |    AND p.query_id <> a.vec_id)
+       |SELECT query_id, cand_id, cid, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM pairs)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
+    CatalogEntry("q37_ann_ivf", q37, Some(q37Sql)),
   )
 }

@@ -208,6 +208,95 @@ object TextAnalysis extends QueryModule {
       |  n_chars * 2 - 1 AS arith
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII-ish redaction / text cleaning — the standard pre-training
+    * scrub: emails → <EMAIL>, URLs → <URL>, digit runs → <NUM>, applied
+    * in a fixed order (emails before digit runs — addresses contain
+    * digits). Pure codegen'd regexp_replace chain, no shuffle; emitted
+    * as counts + md5 of the cleaned text (not the text itself) so the
+    * artifact stays small. DuckDB needs the 'g' flag for replace-all
+    * parity with Spark.
+    */
+  private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRx = "https?://[^\\s]+"
+  private val NumRx = "[0-9]+"
+
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRx, "<EMAIL>"),
+        UrlRx, "<URL>"),
+      NumRx, "<NUM>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        rxCount(col("text"), EmailRx).as("n_emails"),
+        rxCount(col("text"), UrlRx).as("n_urls"),
+        rxCount(col("text"), NumRx).as("n_num_runs"),
+        md5(cleaned).as("clean_md5"),
+        length(cleaned).as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q26Sql = {
+    val cleaned =
+      s"""regexp_replace(regexp_replace(regexp_replace(text,
+         | '$EmailRx', '<EMAIL>', 'g'),
+         | '$UrlRx', '<URL>', 'g'),
+         | '$NumRx', '<NUM>', 'g')""".stripMargin.replace("\n", "")
+    s"""SELECT doc_id,
+       |  ${rxCountSql("text", EmailRx)} AS n_emails,
+       |  ${rxCountSql("text", UrlRx)} AS n_urls,
+       |  ${rxCountSql("text", NumRx)} AS n_num_runs,
+       |  md5($cleaned) AS clean_md5,
+       |  LENGTH($cleaned) AS clean_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** TF-IDF-style salient terms: top-3 terms per document scored by
+    * tf × (N − df) — the integer-arithmetic idf variant (monotone in tf,
+    * anti-monotone in df) so both engines agree EXACTLY with no
+    * transcendental-function parity risk. The plan is the 100 TB TF-IDF
+    * shape: one explode, a (doc, term) partial-agg, a small df table
+    * joined back, TakeOrdered per doc.
+    */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // tiny scalar; at scale a broadcast agg
+    val terms = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("w"))
+    val tf = terms.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, w)
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(df, "w")
+      .select(col("doc_id"), col("w"),
+        (col("tf") * (lit(nDocs) - col("df"))).as("score"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val q27Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, w, CAST(tf * (n.n - df.df) AS BIGINT) AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN n)
+      |SELECT doc_id, rank, w, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, w) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -215,5 +304,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q22_language_id", q22, Some(q22Sql)),
     CatalogEntry("q23_fingerprint", q23, Some(q23Sql)),
     CatalogEntry("q24_trigram_topk", q24, Some(q24Sql)),
+    CatalogEntry("q26_text_clean", q26, Some(q26Sql)),
+    CatalogEntry("q27_tfidf_terms", q27, Some(q27Sql)),
   )
 }
