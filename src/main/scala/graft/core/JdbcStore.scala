@@ -141,6 +141,27 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     }
   }
 
+  /** Secondary indexes on `_batch` (visibility filter) and the slot
+    * column (rollback deletes) — the reference's P9 sargability
+    * (`TestDbContext.cs:36-37` `HasIndex(SpentSlot)`). Created lazily
+    * after the table exists; best-effort (Derby errors if present).
+    */
+  private val indexed = mutable.Set[String]()
+  private def ensureIndexes(table: String, slotCol: String): Unit =
+    if (!indexed.contains(table)) {
+      withConn { c =>
+        Seq("_batch" -> s"ix_${table}_batch", slotCol -> s"ix_${table}_slot")
+          .foreach { case (column, ix) =>
+            val st = c.createStatement()
+            try st.executeUpdate(
+              s"CREATE INDEX ${q(ix)} ON ${q(table)} (${q(column)})")
+            catch { case _: Exception => () }
+            finally st.close()
+          }
+      }
+      indexed += table
+    }
+
   def commit(batchId: Long, appends: Map[String, (DataFrame, String)],
       checkpoints: Map[String, Seq[Point]],
       compactors: Map[String, DataFrame => DataFrame],
@@ -164,6 +185,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         .observe(obs, min(col(slotCol)).as("lo"), max(col(slotCol)).as("hi"))
         .write.mode("append").jdbc(url, q(table), props)
       if (obs.get.get("lo").exists(_ != null)) wroteAny = true
+      ensureIndexes(table, slotCol)
       onSegment(table, (System.nanoTime() - t0) / 1e9)
     }
     if (!wroteAny) return false

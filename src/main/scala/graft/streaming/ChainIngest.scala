@@ -110,4 +110,18 @@ object EventStreams {
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup — the streaming twin of batch q30: duplicates
+    * (by content key) are dropped while their key is inside the
+    * watermark window, and the dedup STATE IS BOUNDED by that window —
+    * the property that makes streaming dedup feasible at 100 TB/day (an
+    * unbounded `dropDuplicates` would accrete state forever). The
+    * watermark is the `MaxRollbackSlots` analogue: a bound on how far
+    * back corrections/duplicates may reach.
+    */
+  def dedupedEvents(events: DataFrame, keyCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
 }

@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
 /** Chain-engine throughput: sustained block-events/s through the full
   * reducer graph (the BASELINE.md translation of the reference's
   * ~1,013 blk/s batch-commit sync rate and ≥3,000 envelopes/s gate).
-  * Usage: ChainPerf [nBlocks] [maxRollbackSlots] [batchSize...]
+  * Usage: ChainPerf [nBlocks] [maxRollbackSlots] [batchSize...] [jdbc]
+  * ("jdbc" anywhere in args switches the store backend to embedded Derby —
+  * the closest analogue to the reference's Postgres-backed 1,013 blk/s)
   *
   * maxRollbackSlots defaults to 300 (vs the engine default 10,000): the
   * synthetic chain advances ~2 slots/block, so a realistic rollback
@@ -18,9 +20,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ChainPerf {
   def main(args: Array[String]): Unit = {
-    val nBlocks = if (args.nonEmpty) args(0).toInt else 4000
-    val maxRb = if (args.length > 1) args(1).toLong else 300L
-    val batchSizes = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+    val useJdbc = args.contains("jdbc")
+    val a = args.filterNot(_ == "jdbc")
+    val nBlocks = if (a.nonEmpty) a(0).toInt else 4000
+    val maxRb = if (a.length > 1) a(1).toLong else 300L
+    val batchSizes = if (a.length > 2) a.drop(2).map(_.toInt).toSeq
       else Seq(500, 2000)
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,8 +45,9 @@ object ChainPerf {
       w.processEvents(events.take(200))
     }
     batchSizes.foreach { bs =>
-      val store = new StateStore(
-        java.nio.file.Files.createTempDirectory(s"perf$bs").toString, spark)
+      val root = java.nio.file.Files.createTempDirectory(s"perf$bs").toString
+      val store: Store =
+        if (useJdbc) new JdbcStore(root, spark) else new StateStore(root, spark)
       val rs = reducers
       val tel = new graft.streaming.Telemetry(
         rs.map(r => r.name -> r.dependsOn).toMap)
@@ -58,8 +63,9 @@ object ChainPerf {
       val t2 = System.nanoTime()
       val dt = (t2 - t0) / 1e9
       val ratio = (t2 - t1).toDouble / math.max(1, t1 - t0)
+      val backend = if (useJdbc) "jdbc" else "segments"
       println(f"[chainperf] blocks=$nBlocks batchSize=$bs maxRb=$maxRb " +
-        f"wall=$dt%.1fs rate=${nBlocks / dt}%.0f blk/s " +
+        f"backend=$backend wall=$dt%.1fs rate=${nBlocks / dt}%.0f blk/s " +
         f"half2/half1=$ratio%.2f")
       tel.snapshot.foreach(p =>
         println(f"[chainperf]   ${p.reducer}%-20s meanWrite=${p.meanBatchSec}%.3fs over ${p.batches} batches"))

@@ -48,6 +48,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark; state is bounded by it") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val deduped = EventStreams.dedupedEvents(
+      mem.toDF().toDF("ts", "k"), keyCol = "k", watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_events").outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      mem.addData((t(0), "a"), (t(1), "a"), (t(2), "b")) // dup "a" inside window
+      q.processAllAvailable()
+      mem.addData((t(3), "a")) // still within watermark -> dropped
+      q.processAllAvailable()
+      mem.addData((t(30), "z")) // advances watermark past 10:13, evicts "a"
+      q.processAllAvailable()
+      mem.addData((t(31), "a")) // same key AFTER eviction -> re-emitted
+      q.processAllAvailable()
+      val ks = sp.table("dedup_events").select("k")
+        .collect().map(_.getString(0)).toSeq
+      assert(ks.count(_ == "a") == 2,
+        s"one 'a' per watermark window, got $ks")
+      assert(ks.count(_ == "b") == 1)
+    } finally q.stop()
+  }
+
   test("streaming block ingestion converges with the batch engine (foreachBatch)") {
     val sp = spark
     import sp.implicits._
