@@ -180,6 +180,27 @@ class BoundedStateSpec extends SparkSpec {
     assert(tdup.getMessage.contains("duplicate table names"))
   }
 
+  test("superseded segments are deleted after the manifest swap (disk stays ∝ live data)") {
+    val blocks = ChainGen.generate(40, seed = 4L)
+    val root = tmpDir("gc")
+    val store = new StateStore(root, spark, maxSegments = 3)
+    val runner = new GraphRunner(spark, store, reducers, batchSize = 4,
+      maxRollbackSlots = 30)
+    runner.processEvents(blocks.map(RollForward.apply))
+    // a rollback leaves dropped + rewritten-straddler segments behind too
+    val cut = blocks(35)
+    runner.applyRollback(Point(cut.hash, cut.slot), Exclusive)
+    // on-disk segment dirs must exactly match the manifest's references
+    val m = store.manifest
+    m.tables.foreach { case (table, segs) =>
+      val dir = java.nio.file.Paths.get(root, "tables", table)
+      val onDisk = java.nio.file.Files.list(dir).toList.size
+      assert(onDisk == segs.size,
+        s"$table: $onDisk dirs on disk vs ${segs.size} in manifest " +
+          "(superseded segments must be GC'd)")
+    }
+  }
+
   test("age trigger flushes a trickling open batch (T1 trigger b)") {
     val blocks = ChainGen.generate(6, seed = 6L)
     val store = new StateStore(tmpDir("age"), spark)
