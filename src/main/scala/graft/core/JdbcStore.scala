@@ -30,6 +30,13 @@ import scala.collection.mutable
   * needed; at 100 TB the segment-log `StateStore` is the scale path and
   * this backend is the serving/ops-database path, mirroring how the
   * reference pairs Postgres with its design's scale notes.
+  *
+  * SINGLE WRITER REQUIRED (like the reference's Postgres backend behind
+  * its advisory lock, T13): the commit-marker primary key stops a racing
+  * writer from double-committing a batch id, but the loser's already-
+  * appended data rows would share the winner's (now visible) `_batch`
+  * tag. `ChainIngest.start`/`Rewind` acquire the store lock; direct
+  * GraphRunner embedders must do the same.
   */
 final class JdbcStore(val root: String, spark: SparkSession) extends Store {
 

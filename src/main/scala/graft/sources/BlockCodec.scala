@@ -37,6 +37,8 @@ object BlockCodec {
 
   private def putStr(bb: ByteBuffer, s: String): Unit = {
     val b = s.getBytes(StandardCharsets.UTF_8)
+    require(b.length <= Short.MaxValue,
+      s"string field exceeds ${Short.MaxValue} bytes") // hashes/addresses only
     bb.putShort(b.length.toShort).put(b)
   }
 
