@@ -63,7 +63,8 @@ final class Telemetry(
       case _ =>
         val start = startSlots.getOrElse(reducer, -1L)
         val current = latestSlots.getOrElse(reducer, start)
-        if (effectiveTip <= start) 100.0
+        if (effectiveTip < 0) 0.0 // no tip observed yet (fresh store)
+        else if (effectiveTip <= start) 100.0
         else if (current >= effectiveTip) 100.0
         else {
           val total = (effectiveTip - start).toDouble
