@@ -118,4 +118,17 @@ object BlockCodec {
     raw.select(column).as(Encoders.BINARY)
       .mapPartitions(_.flatMap(bytes => decode(bytes).map(_._2)))
   }
+
+  /** JSON-lines ingestion — the schema-on-read twin of the binary
+    * envelope, entirely in Catalyst (`from_json` against the canonical
+    * block StructType; codegen'd, no mapPartitions). Malformed lines
+    * parse to null and are skipped, same contract as `decodeBlocks`.
+    */
+  def decodeJsonBlocks(raw: DataFrame, column: String = "json"): Dataset[Block] = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    implicit val enc = Encoders.product[Block]
+    raw.select(from_json(col(column), enc.schema).as("b"))
+      .filter(col("b").isNotNull && col("b.hash").isNotNull)
+      .select("b.*").as[Block]
+  }
 }

@@ -35,6 +35,17 @@ class BlockCodecSpec extends SparkSpec {
     assert(decoded == b, "decoded block must not alias the input buffer")
   }
 
+  test("JSON-lines ingestion roundtrips through from_json; malformed lines skipped") {
+    val sp = spark
+    import sp.implicits._
+    val blocks = ChainGen.generate(15, seed = 17L)
+    val json = sp.createDataset(blocks).toJSON.collect().toSeq :+
+      "{not json" :+ """{"other":"shape"}"""
+    val decoded = graft.sources.BlockCodec.decodeJsonBlocks(
+      sp.createDataset(json).toDF("json"))
+    assert(decoded.collect().toSeq.sortBy(_.slot) == blocks.sortBy(_.slot))
+  }
+
   test("distributed decode: binary column -> typed blocks via mapPartitions, engine-consumable") {
     val sp = spark
     import sp.implicits._
