@@ -80,12 +80,9 @@ object ChainIngest {
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == query.id) telemetry.foreach { t =>
-          t.streamBatches.synchronized {
-            t.streamBatches += ((e.progress.batchId, e.progress.numInputRows,
-              e.progress.durationMs.asScala.values.map(_.toDouble).sum / 1e3))
-          }
-        }
+        if (e.progress.id == query.id) telemetry.foreach(
+          _.recordStreamBatch(e.progress.batchId, e.progress.numInputRows,
+            e.progress.durationMs.asScala.values.map(_.toDouble).sum / 1e3))
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == query.id) {

@@ -33,9 +33,19 @@ final class Telemetry(
   private val latestSlots = mutable.Map[String, Long]()
   private var effectiveTip: Long = -1L
 
-  /** Streaming-side batch log fed by the query listener. */
+  /** Streaming-side batch log fed by the query listener — BOUNDED (last
+    * `bufferSize * 32` entries) so a long-running stream cannot grow
+    * driver memory without limit.
+    */
   val streamBatches: mutable.ArrayBuffer[(Long, Long, Double)] =
     mutable.ArrayBuffer.empty // (batchId, numInputRows, procSec)
+
+  def recordStreamBatch(batchId: Long, rows: Long, procSec: Double): Unit =
+    streamBatches.synchronized {
+      streamBatches += ((batchId, rows, procSec))
+      if (streamBatches.size > bufferSize * 32)
+        streamBatches.remove(0, streamBatches.size - bufferSize * 32)
+    }
 
   /** Record one reducer's batch work (reference `RecordTelemetry`). */
   def record(reducer: String, elapsedSec: Double, slot: Long): Unit =
