@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
 object ChainPerf {
   def main(args: Array[String]): Unit = {
     val useJdbc = args.contains("jdbc")
-    val a = args.filterNot(_ == "jdbc")
+    val light = args.contains("light") // framework floor: header reducer only
+    val a = args.filterNot(x => x == "jdbc" || x == "light")
     val nBlocks = if (a.nonEmpty) a(0).toInt else 4000
     val maxRb = if (a.length > 1) a(1).toLong else 300L
     val batchSizes = if (a.length > 2) a.drop(2).map(_.toInt).toSeq
@@ -33,7 +34,9 @@ object ChainPerf {
     spark.sparkContext.setLogLevel("ERROR")
     val blocks = ChainGen.generate(nBlocks)
     val events = blocks.map(RollForward.apply)
-    def reducers: Seq[ChainReducer] = Seq(
+    def reducers: Seq[ChainReducer] =
+      if (light) Seq(new BlockSummaryReducer)
+      else Seq(
       new BlockSummaryReducer, new TxIndexReducer,
       new WalletUtxoReducer(ChainGen.Watched),
       new BalanceSnapshotReducer(ChainGen.Watched))
@@ -63,7 +66,8 @@ object ChainPerf {
       val t2 = System.nanoTime()
       val dt = (t2 - t0) / 1e9
       val ratio = (t2 - t1).toDouble / math.max(1, t1 - t0)
-      val backend = if (useJdbc) "jdbc" else "segments"
+      val backend = (if (useJdbc) "jdbc" else "segments") +
+        (if (light) "-light" else "")
       println(f"[chainperf] blocks=$nBlocks batchSize=$bs maxRb=$maxRb " +
         f"backend=$backend wall=$dt%.1fs rate=${nBlocks / dt}%.0f blk/s " +
         f"half2/half1=$ratio%.2f")
