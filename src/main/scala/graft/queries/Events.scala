@@ -116,11 +116,63 @@ object Events extends QueryModule {
        |  ${davgSql("value", 4)} AS avg_value
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** Ordered-funnel analytics (q45): per user, the first view, the first
+    * click strictly AFTER that view, and the first purchase strictly
+    * after that click — the classic sequence-detection shape, expressed
+    * as three staged min-aggregations with join-backs (each stage is one
+    * partial-agg shuffle on user_id; no window over the full event
+    * history, so it scales as three narrow aggs at 100 TB).
+    */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        (lit(1) + when(col("c_ts").isNotNull, 1).otherwise(0) +
+          when(col("p_ts").isNotNull, 1).otherwise(0)).as("funnel_stage"),
+        date_format(col("v_ts"), fmt).as("first_view"),
+        date_format(col("c_ts"), fmt).as("first_click"),
+        date_format(col("p_ts"), fmt).as("first_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q45Sql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+      |SELECT v.user_id,
+      |  1 + (CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END)
+      |    + (CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END) AS funnel_stage,
+      |  strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS first_view,
+      |  strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS first_click,
+      |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q40_tumbling_window", q40, Some(q40Sql)),
     CatalogEntry("q41_sliding_window", q41, Some(q41Sql)),
     CatalogEntry("q42_session_window", q42, Some(q42Sql)),
     CatalogEntry("q43_json_extract", q43, Some(q43Sql)),
     CatalogEntry("q44_daily_rollup", q44, Some(q44Sql)),
+    CatalogEntry("q45_funnel", q45, Some(q45Sql)),
   )
 }

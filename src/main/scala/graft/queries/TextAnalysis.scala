@@ -297,6 +297,29 @@ object TextAnalysis extends QueryModule {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** CUBE over the corpus dimensions (q13 covers ROLLUP; this completes
+    * §2.13d's grouping-sets surface): all 2^2 grouping combinations of
+    * (lang, source) with exact counts/sums — at 100 TB a single shuffle
+    * with partial aggregation per grouping set, all Catalyst-native.
+    */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("source"), lit("ALL")).as("source_g"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("lang_g"), col("source_g"))
+
+  private val q28Sql =
+    """SELECT COALESCE(lang, 'ALL') AS lang_g,
+      |  COALESCE(source, 'ALL') AS source_g,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE(lang, source)
+      |ORDER BY lang_g, source_g""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -306,5 +329,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q24_trigram_topk", q24, Some(q24Sql)),
     CatalogEntry("q26_text_clean", q26, Some(q26Sql)),
     CatalogEntry("q27_tfidf_terms", q27, Some(q27Sql)),
+    CatalogEntry("q28_doc_cube", q28, Some(q28Sql)),
   )
 }
