@@ -22,6 +22,12 @@ import scala.collection.mutable
   *    micro-batch DataFrame; checkpoint windows are derived from a top-k
   *    aggregation (the ≤10 newest distinct-slot points), not from
   *    collected blocks.
+  *  - one runner = one event feed = one safe intersection (the min over
+  *    its registered graph). The reference runs each ROOT's subgraph on
+  *    its own chain consumer with a per-root safe point
+  *    (`StartPoints.cs:217-269`); the equivalent here is one GraphRunner
+  *    (+ store) per root — independent roots sharing a runner are
+  *    correct but trimmed to the laggard on resume.
   */
 /** Start-point reconciliation diagnostics (T9, reference
   * `CardanoIndexWorker.StartPoints.cs:98-180`).
