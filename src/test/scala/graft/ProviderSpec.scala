@@ -113,6 +113,47 @@ class ProviderSpec extends SparkSpec {
       == chain.size, "no duplicated blocks after reconnect")
   }
 
+  test("per-root runners: independent roots resume at their OWN safe points (O18/T10)") {
+    val chain = ChainGen.generate(24, seed = 6L)
+    // root A (header summary) synced to block 24; root B (utxo family)
+    // synced only to block 10 — each on its own runner+store, the
+    // reference's one-processor-per-root model
+    val rootA = tmpDir("perroot-a")
+    val rootB = tmpDir("perroot-b")
+    ProviderSync.run(
+      new GraphRunner(spark, new StateStore(rootA, spark),
+        Seq(new BlockSummaryReducer), batchSize = 6),
+      new MockChainProvider(chain))
+    ProviderSync.run(
+      new GraphRunner(spark, new StateStore(rootB, spark),
+        Seq(new WalletUtxoReducer(ChainGen.Watched)), batchSize = 6),
+      new MockChainProvider(chain.take(10)))
+
+    // reconnect both against the full chain: A trims+noops at its tip,
+    // B catches up from ITS safe point (not A's) — no cross-root coupling
+    val storeA = new StateStore(rootA, spark)
+    val runnerA = new GraphRunner(spark, storeA,
+      Seq(new BlockSummaryReducer), batchSize = 6)
+    val storeB = new StateStore(rootB, spark)
+    val runnerB = new GraphRunner(spark, storeB,
+      Seq(new WalletUtxoReducer(ChainGen.Watched)), batchSize = 6)
+    assert(runnerA.latestCheckpointSlot == chain.last.slot)
+    assert(runnerB.latestCheckpointSlot == chain(9).slot)
+    ProviderSync.run(runnerA, new MockChainProvider(chain))
+    ProviderSync.run(runnerB, new MockChainProvider(chain))
+    assert(storeA.read("blocks",
+      new BlockSummaryReducer().tables.head.schema).count() == chain.size)
+    val utxoDefs = new WalletUtxoReducer(ChainGen.Watched).tables
+    val unspent = WalletUtxoReducer.unspentView(
+        storeB.read("utxo_created", utxoDefs(0).schema),
+        storeB.read("utxo_spent", utxoDefs(1).schema))
+      .groupBy(org.apache.spark.sql.functions.col("addressName"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("amount")).as("bal"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unspent == ChainGen.balanceOracle(chain).last._2.filter(_._2 > 0))
+  }
+
   test("file provider drives the engine through the same seam") {
     val sp = spark
     import sp.implicits._
