@@ -20,14 +20,22 @@ class ReorgFuzzSpec extends SparkSpec {
     new WalletUtxoReducer(ChainGen.Watched),
     new BalanceSnapshotReducer(ChainGen.Watched))
 
-  private def snapshotState(store: StateStore): Map[Long, Map[String, Long]] =
+  private def snapshotState(store: Store): Map[Long, Map[String, Long]] =
     store.read("balance_snapshots", reducers(3).tables.head.schema)
       .collect().groupBy(_.getLong(3)).map { case (slot, rows) =>
         slot -> rows.map(r => r.getString(1) -> r.getLong(4)).toMap
       }
 
-  Seq(1, 7, 23).foreach { seed =>
-    test(s"random extend/rollback interleavings converge with the oracle (seed=$seed)") {
+  private def backends: Seq[(String, String => Store)] = Seq(
+    "segments" -> (root => new StateStore(root, spark, maxSegments = 4)),
+    "jdbc" -> (root => new JdbcStore(root, spark)))
+
+  // segment-log backend fuzzed on all seeds; Derby on one (runtime bound)
+  private val plan = Seq((1, "segments"), (7, "segments"), (23, "segments"),
+    (7, "jdbc"))
+
+  plan.foreach { case (seed, backend) =>
+    test(s"random extend/rollback interleavings converge with the oracle (seed=$seed, $backend)") {
       val rnd = new Random(seed)
       var canonical = ChainGen.generate(8, seed, tag = "s0")
       val events = scala.collection.mutable.ArrayBuffer[BlockEvent](
@@ -50,8 +58,7 @@ class ReorgFuzzSpec extends SparkSpec {
         }
       }
       val batchSize = Seq(3, 7, 20)(rnd.nextInt(3))
-      val store = new StateStore(tmpDir(s"fuzz$seed"), spark,
-        maxSegments = 4)
+      val store = backends.toMap.apply(backend)(tmpDir(s"fuzz$seed-$backend"))
       val runner = new GraphRunner(spark, store, reducers,
         batchSize = batchSize, maxRollbackSlots = 500)
       runner.processEvents(events)
