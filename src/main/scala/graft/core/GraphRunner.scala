@@ -241,11 +241,19 @@ final class GraphRunner(
     }
     val tableOwner: Map[String, String] =
       reducers.flatMap(r => r.tables.map(t => t.name -> r.name)).toMap
+    // segment-write times aggregate PER REDUCER per batch (a reducer may
+    // own several tables; telemetry counts one batch, summing its writes)
+    val segTimes = mutable.Map[String, Double]()
     val onSegment: (String, Double) => Unit = (table, sec) =>
-      telemetry.foreach(t =>
-        t.record(tableOwner.getOrElse(table, table), sec, top.head.slot))
+      segTimes.synchronized {
+        val owner = tableOwner.getOrElse(table, table)
+        segTimes(owner) = segTimes.getOrElse(owner, 0.0) + sec
+      }
     val wrote = store.commit(batchId, appends.toMap, newCps, compactors,
       onSegment)
+    telemetry.foreach(t => segTimes.foreach { case (r, sec) =>
+      t.record(r, sec, top.head.slot)
+    })
     if (wrote) pendingPoints = Map.empty
     else pendingPoints = newCps // deferred or replayed: carry forward
   }

@@ -63,8 +63,36 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           s"""CREATE TABLE ${q("graft_checkpoints")}
              | (reducer VARCHAR(128), hash VARCHAR(256), slot BIGINT)"""
             .stripMargin.replace("\n", " "))
+      if (!existing.contains("graft_tables"))
+        // per-table retraction column, persisted at first write: a later
+        // rollback from a subset-registered runner must know every
+        // table's slot column (same role as StateStore manifest slotCols)
+        st.executeUpdate(
+          s"""CREATE TABLE ${q("graft_tables")}
+             | (tbl VARCHAR(128) PRIMARY KEY, slot_col VARCHAR(128))"""
+            .stripMargin.replace("\n", " "))
     } finally st.close()
   }
+
+  private def storedSlotCols: Map[String, String] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT tbl, slot_col FROM ${q("graft_tables")}")
+      val acc = mutable.Map[String, String]()
+      while (rs.next()) acc += rs.getString(1) -> rs.getString(2)
+      acc.toMap
+    } finally st.close()
+  }
+
+  private def registerSlotCol(table: String, slotCol: String): Unit =
+    withConn { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"INSERT INTO ${q("graft_tables")} VALUES ('$table', '$slotCol')")
+      catch { case _: Exception => () } // already registered
+      finally st.close()
+    }
 
   private def listTables(c: Connection): Set[String] = {
     val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
@@ -193,15 +221,24 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         .write.mode("append").jdbc(url, q(table), props)
       if (obs.get.get("lo").exists(_ != null)) wroteAny = true
       ensureIndexes(table, slotCol)
+      registerSlotCol(table, slotCol)
       onSegment(table, (System.nanoTime() - t0) / 1e9)
     }
     if (!wroteAny) return false
-    // the atomic point: checkpoints + commit marker in one transaction
+    // The atomic point: checkpoints + commit marker in one transaction.
+    // MERGE semantics (like StateStore's `stored ++ checkpoints`): only
+    // the committing runner's reducers are replaced — checkpoints of
+    // reducers not registered with this runner survive untouched.
     withConn { c =>
       c.setAutoCommit(false)
       val st = c.createStatement()
       try {
-        st.executeUpdate(s"DELETE FROM ${q("graft_checkpoints")}")
+        val del = c.prepareStatement(
+          s"DELETE FROM ${q("graft_checkpoints")} WHERE reducer = ?")
+        checkpoints.keys.foreach { r =>
+          del.setString(1, r); del.executeUpdate()
+        }
+        del.close()
         val ps = c.prepareStatement(
           s"INSERT INTO ${q("graft_checkpoints")} VALUES (?, ?, ?)")
         checkpoints.foreach { case (r, pts) =>
@@ -227,12 +264,25 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       c.setAutoCommit(false)
       val st = c.createStatement()
       try {
+        val stored = storedSlotCols
         userTables(c).foreach { t =>
-          val slotCol = slotCols.getOrElse(t, "slot")
+          // stored registry wins (a subset-registered runner doesn't
+          // know other tables' retraction columns)
+          val slotCol = stored.getOrElse(t, slotCols.getOrElse(t, "slot"))
           st.executeUpdate(
             s"DELETE FROM ${q(t)} WHERE ${q(slotCol)} >= $delSlot")
         }
-        st.executeUpdate(s"DELETE FROM ${q("graft_checkpoints")}")
+        // Every stored checkpoint rewinds (points at/after delSlot die —
+        // tables of unregistered reducers were trimmed too); then the
+        // registered reducers' windows are replaced wholesale.
+        st.executeUpdate(
+          s"DELETE FROM ${q("graft_checkpoints")} WHERE slot >= $delSlot")
+        val del = c.prepareStatement(
+          s"DELETE FROM ${q("graft_checkpoints")} WHERE reducer = ?")
+        checkpoints.keys.foreach { r =>
+          del.setString(1, r); del.executeUpdate()
+        }
+        del.close()
         val ps = c.prepareStatement(
           s"INSERT INTO ${q("graft_checkpoints")} VALUES (?, ?, ?)")
         checkpoints.foreach { case (r, pts) =>

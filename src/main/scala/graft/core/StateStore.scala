@@ -38,9 +38,12 @@ import scala.jdk.CollectionConverters._
   *    the manifest's is a no-op, so at-least-once delivery is safe.
   *  - crash mid-commit: segment files may be orphaned but are
   *    unreferenced; superseded segments (compacted away, dropped or
-  *    rewritten by rollback) are best-effort deleted AFTER the manifest
-  *    swap — readers resolve paths only via the current manifest, so the
-  *    deletion is safe and disk use stays proportional to live data.
+  *    rewritten by rollback) are garbage-collected in TWO PHASES —
+  *    recorded as `pendingGc` in the manifest that supersedes them,
+  *    physically deleted at the next swap — so a concurrent reader in
+  *    another process that resolved the previous manifest gets a full
+  *    commit interval to finish its scan, and disk stays proportional
+  *    to live data plus one superseded generation.
   */
 final class StateStore(val root: String, spark: SparkSession,
     maxSegments: Int = 8) extends Store {
@@ -51,7 +54,9 @@ final class StateStore(val root: String, spark: SparkSession,
       batchId: Long,
       nextSegId: Long,
       tables: Map[String, Seq[Segment]],
-      checkpoints: Map[String, Seq[Point]])
+      checkpoints: Map[String, Seq[Point]],
+      pendingGc: Seq[String] = Seq.empty,
+      slotCols: Map[String, String] = Map.empty)
 
   private val manifestPath = Paths.get(root, "manifest.properties")
 
@@ -62,7 +67,8 @@ final class StateStore(val root: String, spark: SparkSession,
   def checkpoints: Map[String, Seq[Point]] = manifest.checkpoints
 
   def manifest: Manifest = {
-    if (!Files.exists(manifestPath)) return Manifest(-1L, 0L, Map.empty, Map.empty)
+    if (!Files.exists(manifestPath))
+      return Manifest(-1L, 0L, Map.empty, Map.empty)
     val p = new Properties()
     val in = Files.newInputStream(manifestPath)
     try p.load(in) finally in.close()
@@ -83,8 +89,14 @@ final class StateStore(val root: String, spark: SparkSession,
       }
       name -> pts
     }.toMap
+    val pendingGc = p.getProperty("pendingGc", "")
+      .split(",").filter(_.nonEmpty).toSeq
+    val slotCols = keys.filter(_.startsWith("slotcol.")).map { k =>
+      k.stripPrefix("slotcol.") -> p.getProperty(k)
+    }.toMap
     Manifest(p.getProperty("batchId", "-1").toLong,
-      p.getProperty("nextSegId", "0").toLong, tables, cps)
+      p.getProperty("nextSegId", "0").toLong, tables, cps, pendingGc,
+      slotCols)
   }
 
   private def writeManifest(m: Manifest): Unit = {
@@ -99,6 +111,9 @@ final class StateStore(val root: String, spark: SparkSession,
       p.setProperty(s"checkpoint.$r",
         pts.map(pt => s"${pt.hash}:${pt.slot}").mkString(","))
     }
+    if (m.pendingGc.nonEmpty)
+      p.setProperty("pendingGc", m.pendingGc.mkString(","))
+    m.slotCols.foreach { case (t, c) => p.setProperty(s"slotcol.$t", c) }
     val tmp = Paths.get(root, s"manifest.tmp")
     val out = Files.newOutputStream(tmp)
     try p.store(out, null) finally out.close()
@@ -159,17 +174,24 @@ final class StateStore(val root: String, spark: SparkSession,
     }
   }
 
-  /** Best-effort removal of segment files referenced by the previous
-    * manifest but not the new one (safe: readers resolve via the current
-    * manifest only). Keeps disk ∝ live data across compaction/rollback.
+  /** TWO-PHASE segment GC: segments superseded by a manifest swap are
+    * only RECORDED as `pendingGc` in that manifest; they are physically
+    * deleted at the START of the NEXT swap — by which point they have
+    * been unreferenced for a full commit interval, so a concurrent
+    * reader (another process's Dashboard/serving query) that resolved
+    * the previous manifest can finish its scan. Disk stays ∝ live data
+    * plus one generation of superseded segments.
     */
-  private def gcRemoved(oldTables: Map[String, Seq[Segment]],
-      newTables: Map[String, Seq[Segment]]): Unit =
-    oldTables.foreach { case (table, segs) =>
+  private def supersededPaths(oldTables: Map[String, Seq[Segment]],
+      newTables: Map[String, Seq[Segment]]): Seq[String] =
+    oldTables.toSeq.flatMap { case (table, segs) =>
       val keep = newTables.getOrElse(table, Seq.empty).map(_.id).toSet
-      segs.filterNot(s => keep(s.id)).foreach { s =>
-        try deleteDir(segPath(table, s.id)) catch { case _: Exception => () }
-      }
+      segs.filterNot(s => keep(s.id)).map(s => segPath(table, s.id))
+    }
+
+  private def reapPending(paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      try deleteDir(p) catch { case _: Exception => () }
     }
 
   /** Atomically commit appends + checkpoints as batch `batchId`.
@@ -252,8 +274,16 @@ final class StateStore(val root: String, spark: SparkSession,
     tables = tables.map { case (table, segs) =>
       table -> compacted.getOrElse(table, segs)
     }
-    writeManifest(Manifest(batchId, nextId, tables, m.checkpoints ++ checkpoints))
-    gcRemoved(m.tables, tables)
+    // phase 2 of the previous swap's GC (unreferenced since then), then
+    // record this swap's superseded segments for the next one
+    reapPending(m.pendingGc)
+    // slot columns are STORE metadata (persisted at first write): a later
+    // rollback — possibly issued by a runner registering only a subset of
+    // reducers — must know every table's retraction column.
+    val slotCols = m.slotCols ++ appends.map { case (t, (_, c)) => t -> c }
+    writeManifest(Manifest(batchId, nextId, tables,
+      m.checkpoints ++ checkpoints, supersededPaths(m.tables, tables),
+      slotCols))
     true
   }
 
@@ -266,7 +296,10 @@ final class StateStore(val root: String, spark: SparkSession,
     val m = manifest
     var nextId = m.nextSegId
     val tables = m.tables.map { case (table, segs) =>
-      val slotCol = slotCols.getOrElse(table, "slot")
+      // stored metadata wins: the caller may register only a subset of
+      // reducers and not know other tables' retraction columns
+      val slotCol = m.slotCols.getOrElse(table,
+        slotCols.getOrElse(table, "slot"))
       val kept = segs.filter(_.maxSlot < delSlot)
       val straddling = segs.filter(s => s.minSlot < delSlot && s.maxSlot >= delSlot)
       val rewritten = straddling.flatMap { s =>
@@ -279,8 +312,16 @@ final class StateStore(val root: String, spark: SparkSession,
       }
       table -> (kept ++ rewritten)
     }
+    // Stored checkpoints of reducers NOT registered with the rolling-back
+    // runner must rewind too: their tables were just trimmed, and a
+    // stale-high checkpoint would let a later resume skip replaying the
+    // deleted range for them.
+    val rewound = m.checkpoints.map { case (r, w) =>
+      r -> checkpoints.getOrElse(r, CheckpointWindow.applyRollback(w, delSlot))
+    }
+    reapPending(m.pendingGc)
     writeManifest(Manifest(m.batchId + 1, nextId, tables,
-      m.checkpoints ++ checkpoints))
-    gcRemoved(m.tables, tables)
+      rewound ++ (checkpoints -- m.checkpoints.keys),
+      supersededPaths(m.tables, tables), m.slotCols))
   }
 }

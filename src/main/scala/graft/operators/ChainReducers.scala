@@ -9,6 +9,18 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §2: O1/O2, O5-O11, O14).
   */
 
+/** The default 4-reducer graph (header → tx explode, watched-UTxO →
+  * balance snapshots) — ONE factory shared by every tool/entrypoint so
+  * the registered set cannot silently diverge between them.
+  */
+object ReducerGraphs {
+  def default(watched: Map[String, String]): Seq[ChainReducer] = Seq(
+    new BlockSummaryReducer,
+    new TxIndexReducer,
+    new WalletUtxoReducer(watched),
+    new BalanceSnapshotReducer(watched))
+}
+
 /** Header projection (O1): block → one summary row.
   * Reference `BlockTestReducer.cs:24-36`.
   */

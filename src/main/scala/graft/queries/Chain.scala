@@ -18,10 +18,7 @@ object Chain extends QueryModule {
 
   private def q60(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("q60chain").toString
-    val reducers = Seq(
-      new BlockSummaryReducer, new TxIndexReducer,
-      new WalletUtxoReducer(ChainGen.Watched),
-      new BalanceSnapshotReducer(ChainGen.Watched))
+    val reducers = ReducerGraphs.default(ChainGen.Watched)
     val store = new StateStore(root, s)
     val runner = new GraphRunner(s, store, reducers, batchSize = 5)
     val blocks = ChainGen.generate(15, seed = 42L)

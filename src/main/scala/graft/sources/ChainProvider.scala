@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.core._
 import org.apache.spark.sql.{Encoders, SparkSession}
-import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** The chain-provider seam (SURVEY.md S1/S2/S4) — the reference's entire
   * source layer is one interface, `ICardanoChainProvider`
@@ -115,11 +115,30 @@ final class FileChainProvider(spark: SparkSession, blocksDir: String)
   }
 
   def startChainSync(candidates: Seq[Point]): Iterator[BlockEvent] = {
-    val cut = candidates.map(_.slot).maxOption.getOrElse(-1L)
-    Iterator.single[BlockEvent](
-      RollBack(Point(candidates.sortBy(-_.slot).headOption
-        .map(_.hash).getOrElse("origin"), cut), Exclusive)) ++
-      sorted.filter(_.slot > cut).toLocalIterator().asScala
+    // The trait's negotiation contract holds here too: candidates are
+    // validated (hash at slot) against the file corpus, rolled-back
+    // points are skipped newest-first, and all-gone fails hard — a
+    // checkpoint from a fork whose blocks were replaced in the corpus
+    // must trigger a deeper intersection, not silent divergence. Only
+    // the candidate slots' rows are collected (≤ window size).
+    val agreed: Option[Point] =
+      if (candidates.isEmpty) None
+      else {
+        val slots = candidates.map(_.slot).toSet
+        val onChain = sorted.filter(b => slots.contains(b.slot))
+          .collect().map(b => b.slot -> b.hash).toMap
+        val found = candidates.sortBy(-_.slot)
+          .find(p => onChain.get(p.slot).contains(p.hash))
+        if (found.isEmpty)
+          throw new IllegalStateException(
+            s"Failed to find any valid intersection point. All " +
+              s"${candidates.size} saved intersection(s) have been rolled " +
+              "back.")
+        found
+      }
+    val intersection = agreed.getOrElse(Point("origin", -1L))
+    Iterator.single[BlockEvent](RollBack(intersection, Exclusive)) ++
+      sorted.filter(_.slot > intersection.slot).toLocalIterator().asScala
         .map(RollForward.apply)
   }
 
@@ -128,13 +147,6 @@ final class FileChainProvider(spark: SparkSession, blocksDir: String)
     sorted.select("hash", "slot").as[(String, Long)]
       .orderBy(org.apache.spark.sql.functions.col("slot").desc)
       .limit(1).collect().headOption.map { case (h, s) => Point(h, s) }
-  }
-
-  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
   }
 }
 

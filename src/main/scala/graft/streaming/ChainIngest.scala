@@ -75,7 +75,7 @@ object ChainIngest {
     // The listener is both the lock's release point and the §2.12
     // observability feed (per-micro-batch rows/duration into the
     // progress table).
-    spark.streams.addListener(new StreamingQueryListener {
+    val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
@@ -89,7 +89,16 @@ object ChainIngest {
           lock.close()
           spark.streams.removeListener(this)
         }
-    })
+    }
+    spark.streams.addListener(listener)
+    // Registration races the query: a run that terminated (or failed)
+    // before addListener would never see its termination event and leak
+    // the lock forever. lock.close() is idempotent, so closing here as
+    // well as in a late-but-delivered event is safe.
+    if (!query.isActive) {
+      lock.close()
+      spark.streams.removeListener(listener)
+    }
     query
   }
 }

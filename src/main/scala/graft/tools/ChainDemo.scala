@@ -18,10 +18,7 @@ object ChainDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files.createTempDirectory("chaindemo").toString
-    val reducers = Seq(
-      new BlockSummaryReducer, new TxIndexReducer,
-      new WalletUtxoReducer(ChainGen.Watched),
-      new BalanceSnapshotReducer(ChainGen.Watched))
+    val reducers = ReducerGraphs.default(ChainGen.Watched)
     val store = new StateStore(root, spark)
     val runner = new GraphRunner(spark, store, reducers, batchSize = 10)
     val blocks = ChainGen.generate(40)

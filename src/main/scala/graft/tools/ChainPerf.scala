@@ -36,10 +36,7 @@ object ChainPerf {
     val events = blocks.map(RollForward.apply)
     def reducers: Seq[ChainReducer] =
       if (light) Seq(new BlockSummaryReducer)
-      else Seq(
-      new BlockSummaryReducer, new TxIndexReducer,
-      new WalletUtxoReducer(ChainGen.Watched),
-      new BalanceSnapshotReducer(ChainGen.Watched))
+      else ReducerGraphs.default(ChainGen.Watched)
     // warmup: JIT + codegen on a small prefix
     locally {
       val w = new GraphRunner(spark,

@@ -40,10 +40,7 @@ object Dashboard {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val store = new StateStore(root, spark)
-    val reducers: Seq[ChainReducer] = Seq(
-      new BlockSummaryReducer, new TxIndexReducer,
-      new WalletUtxoReducer(ChainGen.Watched),
-      new BalanceSnapshotReducer(ChainGen.Watched))
+    val reducers: Seq[ChainReducer] = ReducerGraphs.default(ChainGen.Watched)
     val tel = new Telemetry(reducers.map(r => r.name -> r.dependsOn).toMap)
     def refresh(): Unit = {
       val cps = store.checkpoints

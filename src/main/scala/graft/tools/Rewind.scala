@@ -32,10 +32,8 @@ object Rewind {
       if (args.length > 3 && args(3).equalsIgnoreCase("jdbc"))
         new JdbcStore(root, spark)
       else new StateStore(root, spark)
-    val runner = new GraphRunner(spark, store, Seq(
-      new BlockSummaryReducer, new TxIndexReducer,
-      new WalletUtxoReducer(ChainGen.Watched),
-      new BalanceSnapshotReducer(ChainGen.Watched)))
+    val runner = new GraphRunner(spark, store,
+      ReducerGraphs.default(ChainGen.Watched))
     val lock = new SingleInstanceLock(store.root)
     require(lock.waitAcquire(15000L), s"another instance holds ${store.root}")
     try {

@@ -26,10 +26,7 @@ object SmokeMonitor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val store = new StateStore(root, spark)
-    val reducers: Seq[ChainReducer] = Seq(
-      new BlockSummaryReducer, new TxIndexReducer,
-      new WalletUtxoReducer(ChainGen.Watched),
-      new BalanceSnapshotReducer(ChainGen.Watched))
+    val reducers: Seq[ChainReducer] = ReducerGraphs.default(ChainGen.Watched)
     val blocksSchema = reducers.head.tables.head.schema
     val deadline = System.currentTimeMillis() + timeoutSec * 1000L
     var ok = false

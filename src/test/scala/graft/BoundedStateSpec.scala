@@ -180,7 +180,7 @@ class BoundedStateSpec extends SparkSpec {
     assert(tdup.getMessage.contains("duplicate table names"))
   }
 
-  test("superseded segments are deleted after the manifest swap (disk stays ∝ live data)") {
+  test("two-phase segment GC: disk = manifest refs + one pending generation") {
     val blocks = ChainGen.generate(40, seed = 4L)
     val root = tmpDir("gc")
     val store = new StateStore(root, spark, maxSegments = 3)
@@ -190,14 +190,28 @@ class BoundedStateSpec extends SparkSpec {
     // a rollback leaves dropped + rewritten-straddler segments behind too
     val cut = blocks(35)
     runner.applyRollback(Point(cut.hash, cut.slot), Exclusive)
-    // on-disk segment dirs must exactly match the manifest's references
+
+    def onDiskCounts: Map[String, Int] =
+      store.manifest.tables.keys.map { table =>
+        val dir = java.nio.file.Paths.get(root, "tables", table)
+        table -> java.nio.file.Files.list(dir).toList.size
+      }.toMap
+    // phase 1: superseded dirs still on disk, all recorded in pendingGc
     val m = store.manifest
     m.tables.foreach { case (table, segs) =>
-      val dir = java.nio.file.Paths.get(root, "tables", table)
-      val onDisk = java.nio.file.Files.list(dir).toList.size
-      assert(onDisk == segs.size,
-        s"$table: $onDisk dirs on disk vs ${segs.size} in manifest " +
-          "(superseded segments must be GC'd)")
+      val pendingForTable = m.pendingGc.count(_.contains(s"/$table/"))
+      assert(onDiskCounts(table) == segs.size + pendingForTable,
+        s"$table: disk=${onDiskCounts(table)} manifest=${segs.size} " +
+          s"pending=$pendingForTable")
+    }
+    // phase 2: the next swap reaps the previous generation
+    runner.processEvents(blocks.drop(36).map(RollForward.apply))
+    val m2 = store.manifest
+    m2.tables.foreach { case (table, segs) =>
+      val pendingForTable = m2.pendingGc.count(_.contains(s"/$table/"))
+      assert(onDiskCounts(table) == segs.size + pendingForTable,
+        s"$table after reap: disk=${onDiskCounts(table)} " +
+          s"manifest=${segs.size} pending=$pendingForTable")
     }
   }
 

@@ -74,6 +74,47 @@ class StoreContractSpec extends SparkSpec {
         == nRows)
     }
 
+    test(s"[$label] subset-registered runner: commit preserves others' checkpoints; rollback rewinds all") {
+      val blocks = ChainGen.generate(12, seed = 9L)
+      val store = mkStore(tmpDir(s"subset-$label"))
+      // full graph syncs everything
+      new GraphRunner(spark, store, reducers, batchSize = 4)
+        .processEvents(blocks.map(RollForward.apply))
+      val before = store.checkpoints
+      assert(before.size == reducers.size)
+
+      // a runner registering ONLY block_summary commits new blocks:
+      // the other reducers' checkpoints must survive untouched
+      val more = ChainGen.generate(3, seed = 91L,
+        startSlot = blocks.last.slot, tag = "more")
+      val light = new GraphRunner(spark, store,
+        Seq(new BlockSummaryReducer), batchSize = 4)
+      light.processEvents(more.map(RollForward.apply))
+      val after = store.checkpoints
+      assert(CheckpointWindow.latest(after("wallet_utxo"))
+        == CheckpointWindow.latest(before("wallet_utxo")),
+        "unregistered reducer's checkpoint must survive a subset commit")
+      assert(CheckpointWindow.latest(after("block_summary")).get.slot
+        == more.last.slot)
+
+      // a rollback issued by the subset runner trims EVERY table (using
+      // the store's persisted slot columns, e.g. utxo_spent.spentSlot)
+      // and rewinds EVERY stored checkpoint — a stale-high checkpoint
+      // for an unregistered reducer would skip replaying deleted data
+      val cut = blocks(5)
+      light.applyRollback(Point(cut.hash, cut.slot), Exclusive)
+      val rolled = store.checkpoints
+      reducers.foreach { r =>
+        assert(CheckpointWindow.latest(rolled(r.name))
+          .forall(_.slot <= cut.slot),
+          s"${r.name} checkpoint must rewind with the data")
+      }
+      val utxoDefs = reducers(2).tables
+      assert(store.read("utxo_spent", utxoDefs(1).schema)
+        .filter(org.apache.spark.sql.functions.col("spentSlot") > cut.slot)
+        .count() == 0, "non-default slot column must be honored")
+    }
+
     test(s"[$label] empty-commit deferral + crash resume (T4/T9/T10)") {
       val blocks = ChainGen.generate(10, seed = 3L)
       val root = tmpDir(s"resume-$label")
