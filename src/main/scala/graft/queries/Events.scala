@@ -167,6 +167,59 @@ object Events extends QueryModule {
       |LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** As-of join (q46, §2.13's named missing join shape): for each purchase,
+    * the same user's most recent view at-or-before it (the "latest quote
+    * before the trade" pattern). NOT a join at all in the plan: both sides
+    * union into one stream and a carry-forward window (`last(..., ignoreNulls)`
+    * over rows-unbounded-preceding) propagates the newest view to each
+    * purchase row — ONE shuffle on user_id, work linear in |events|, no
+    * per-key candidate blowup, and at 100 TB it range-partitions like any
+    * window. Tie at equal ts: the view sorts first (is_view DESC) so an
+    * equal-timestamp view is visible, matching ASOF's inclusive bound;
+    * equal-ts views tie-break by event_id (largest wins — last in frame).
+    */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "view", 1).otherwise(0).as("is_view"))
+      .withColumn("v_ts",
+        last(when(col("is_view") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("v_value",
+        last(when(col("is_view") === 1, col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("purchase_ts"),
+        date_format(col("v_ts"), fmt).as("asof_view_ts"),
+        round(col("v_value"), 4).as("asof_view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q46Sql =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, value, event_type,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN is_view = 1 THEN ts END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, is_view DESC, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS v_ts,
+      |    last_value(CASE WHEN is_view = 1 THEN value END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, is_view DESC, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS v_value
+      |  FROM u)
+      |SELECT event_id AS purchase_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS asof_view_ts,
+      |  round(v_value, 4) AS asof_view_value
+      |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q40_tumbling_window", q40, Some(q40Sql)),
     CatalogEntry("q41_sliding_window", q41, Some(q41Sql)),
@@ -174,5 +227,6 @@ object Events extends QueryModule {
     CatalogEntry("q43_json_extract", q43, Some(q43Sql)),
     CatalogEntry("q44_daily_rollup", q44, Some(q44Sql)),
     CatalogEntry("q45_funnel", q45, Some(q45Sql)),
+    CatalogEntry("q46_asof_join", q46, Some(q46Sql)),
   )
 }

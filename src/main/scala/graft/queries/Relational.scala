@@ -420,6 +420,33 @@ object Relational extends QueryModule {
       |    AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  /** Exact interpolated percentiles per group (§2.5 aggregation breadth —
+    * the distribution-stats shape a training-data pipeline reports per
+    * corpus slice). Spark's `percentile` is the exact linear-interpolation
+    * aggregate (same definition as DuckDB `quantile_cont`): a partial-agg
+    * shuffle of per-group value buffers. At 100 TB the exact form is the
+    * oracle-checkable baseline; `percentile_approx` (KLL-sketch-style,
+    * mergeable fixed-size state) is the drop-in scale path when buffers
+    * would exceed memory — same call site, no plan change.
+    */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val q29Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
     CatalogEntry("q02_filter_project", q02, Some(q02Sql)),
@@ -440,5 +467,6 @@ object Relational extends QueryModule {
     CatalogEntry("q17_running_window", q17, Some(q17Sql)),
     CatalogEntry("q18_left_outer_dist", q18, Some(q18Sql)),
     CatalogEntry("q19_promo_ratio", q19, Some(q19Sql)),
+    CatalogEntry("q29_percentiles", q29, Some(q29Sql)),
   )
 }
