@@ -433,10 +433,15 @@ object Relational extends QueryModule {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+        // one array-percentile agg = ONE value buffer per group for all
+        // three price cut-points (vs three separate buffered aggs)
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+      .select(col("l_returnflag"),
+        round(col("ps")(0), 4).as("p25_price"),
+        round(col("ps")(1), 4).as("p50_price"),
+        round(col("ps")(2), 4).as("p75_price"),
+        col("median_qty"))
       .orderBy(col("l_returnflag"))
 
   private val q29Sql =
