@@ -108,6 +108,15 @@ object ChainIngest {
   * be cross-checked; the watermark bounds state exactly as the
   * reference's `MaxRollbackSlots` bounds how far back corrections reach.
   */
+/** Input/state/output rows of [[EventStreams.funnelStages]]. Timestamps in
+  * state are event-time MICROS (the events table's native precision after
+  * Spark's ns→µs parquet truncation); -1 = stage not reached.
+  */
+case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String)
+case class FunnelState(vTs: Long, cTs: Long, pTs: Long)
+case class StageChange(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
 object EventStreams {
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
       windowLen: String = "1 hour"): DataFrame =
@@ -130,4 +139,50 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Streaming funnel-stage tracking via `flatMapGroupsWithState` — the
+    * custom-state twin of batch q45 and the engine's arbitrary-stateful
+    * operator surface (SURVEY.md §2.10: where declarative windows can't
+    * express the semantics, per-key state + a fold does). State per user
+    * is THREE longs (first view / qualifying click / qualifying purchase,
+    * in event-time micros) regardless of event volume, and a stage
+    * transition row is emitted exactly once when it happens — at 100 TB/
+    * day the state store holds |users| × 24 bytes, not the event history.
+    *
+    * Events inside one micro-batch chunk are folded in (ts, stage-rank)
+    * order so an equal-timestamp view is seen before the click that needs
+    * it, matching q45's strict `>` stage ordering; across micro-batches
+    * the stream is assumed event-time ordered (enforce upstream with a
+    * watermark + sort, as `ChainIngest` does for blocks via slot order).
+    */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[StageChange] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, chunk, state) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[StageChange]
+          chunk.toSeq
+            .sortBy(e => (micros(e.ts), rank.getOrElse(e.event_type, 3)))
+            .foreach { e =>
+              val t = micros(e.ts)
+              e.event_type match {
+                case "view" if st.vTs < 0 =>
+                  st = st.copy(vTs = t); out += StageChange(uid, 1, e.ts)
+                case "click" if st.vTs >= 0 && st.cTs < 0 && t > st.vTs =>
+                  st = st.copy(cTs = t); out += StageChange(uid, 2, e.ts)
+                case "purchase" if st.cTs >= 0 && st.pTs < 0 && t > st.cTs =>
+                  st = st.copy(pTs = t); out += StageChange(uid, 3, e.ts)
+                case _ => ()
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -115,4 +115,53 @@ class StreamingSpec extends SparkSpec {
     assert(after.count() == blocks.size, "replayed blocks must be trimmed")
     assert(after.select("hash").distinct().count() == blocks.size)
   }
+
+  test("flatMapGroupsWithState funnel converges with batch q45 across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // real events, delivered event-time-ordered in three chunks so per-user
+    // state must survive micro-batch boundaries
+    val all = graft.Tables.events(sp, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.FunnelEvent]
+      .collect().sortBy(e => micros(e.ts))
+    val mem = MemoryStream[graft.streaming.FunnelEvent]
+    val q = EventStreams.funnelStages(mem.toDS()).writeStream
+      .format("memory").queryName("funnel_stages")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      val got = sp.table("funnel_stages")
+        .select(col("user_id"), col("stage"),
+          date_format(col("ts"), fmt).as("t"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) =>
+          u -> rs.map(r => r.getInt(1) -> r.getString(2)).toMap
+        }
+      val want = SparkEntry.queries("q45_funnel")(sp, dir).collect()
+        .map { r =>
+          r.getLong(0) -> (r.getInt(1),
+            Map(1 -> r.getString(2), 2 -> r.getString(3),
+              3 -> r.getString(4)).filter(_._2 != null))
+        }.toMap
+      assert(got.keySet == want.keySet,
+        "streaming must emit stages for exactly the users batch q45 reports")
+      want.foreach { case (u, (stage, times)) =>
+        assert(got(u).size == stage, s"user $u: ${got(u)} vs stage $stage")
+        assert(got(u) == times, s"user $u: ${got(u)} vs $times")
+      }
+      // each transition emitted exactly once: no user exceeds 3 rows
+      assert(got.values.forall(_.size <= 3))
+    } finally q.stop()
+  }
 }
