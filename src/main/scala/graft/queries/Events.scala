@@ -188,10 +188,14 @@ object Events extends QueryModule {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("value"),
         when(col("event_type") === "view", 1).otherwise(0).as("is_view"))
-      .withColumn("v_ts",
-        last(when(col("is_view") === 1, col("ts")), ignoreNulls = true).over(w))
-      .withColumn("v_value",
-        last(when(col("is_view") === 1, col("value")), ignoreNulls = true).over(w))
+      // both carry-forwards in ONE select so Catalyst plans a single
+      // Window node (sequential withColumn interposes a Project that
+      // blocks CollapseWindow → two per-partition passes)
+      .select(col("*"),
+        last(when(col("is_view") === 1, col("ts")), ignoreNulls = true)
+          .over(w).as("v_ts"),
+        last(when(col("is_view") === 1, col("value")), ignoreNulls = true)
+          .over(w).as("v_value"))
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         date_format(col("ts"), fmt).as("purchase_ts"),
