@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the float-embedding dot product.
+  *
+  * The catalog's ANN family (q34–q37) needs `Σ xᵢ·yᵢ` over two
+  * `array<float>` columns in double precision. The declarative spelling —
+  * `aggregate(zip_with(x, y, _*_), 0.0, _+_)` — is semantically right but
+  * executes as interpreted `CodegenFallback` lambdas: per element it
+  * allocates closure frames and boxes every float, and higher-order
+  * lambdas get no common-subexpression elimination. A brute-force pass at
+  * 100 TB would spend most of its cycles in that interpreter.
+  *
+  * `FloatDot` is the same ordered left-to-right fold (bit-identical
+  * result: each float is widened to double, products accumulate in
+  * sequence) emitted as a tight primitive loop inside whole-stage codegen
+  * — no allocation, no boxing, JIT-vectorizable. This is the preferred
+  * extension tier from SURVEY §2.13: a scalar `Expression` with
+  * `doGenCode`, not a UDF.
+  *
+  * Null semantics match the lambda formulation: null array → null; a
+  * length mismatch folds over the common prefix (the corpus is
+  * fixed-width, and the DuckDB oracle twin iterates `range(len(x))` the
+  * same way).
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val a = x.asInstanceOf[ArrayData]
+    val b = y.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL surfaces for the graft native expressions. */
+object VectorFunctions {
+
+  /** Ordered-fold dot product of two `array<float>` columns, in double. */
+  def floatDot(x: Column, y: Column): Column =
+    GraftSqlBridge.column(FloatDot(GraftSqlBridge.expression(x),
+      GraftSqlBridge.expression(y)))
+
+  private val info = new ExpressionInfo(
+    classOf[FloatDot].getCanonicalName, null, "float_dot",
+    "float_dot(x, y) - ordered-fold dot product of two float arrays in double precision.",
+    "")
+
+  private def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"float_dot expects 2 arguments, got ${children.length}")
+    FloatDot(children.head, children(1))
+  }
+
+  /** Imperative registration for an already-built session (tests, tools). */
+  def register(spark: SparkSession): Unit =
+    GraftSqlBridge.registerFunction(spark, "float_dot", info, builder _)
+}
+
+/** `SparkSessionExtensions` hook: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * makes `float_dot` available to pure-SQL users cluster-wide.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("float_dot"),
+        new ExpressionInfo(classOf[FloatDot].getCanonicalName, null, "float_dot",
+          "float_dot(x, y) - ordered-fold dot product of two float arrays in double precision.",
+          ""),
+        (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+}

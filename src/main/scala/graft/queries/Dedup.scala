@@ -297,8 +297,7 @@ object Dedup extends QueryModule {
     */
   private def q34(s: SparkSession, d: String): DataFrame = {
     val dot = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorFunctions.floatDot(x, y) // native codegen'd fold
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))

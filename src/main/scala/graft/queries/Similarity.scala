@@ -25,10 +25,13 @@ object Similarity extends QueryModule {
   private val NQ = 5 // queries = vec_id < NQ
   private val P = 8 // hyperplanes = bucket bits
 
-  /** Ordered-fold dot product of two float-array columns, in double. */
+  /** Ordered-fold dot product of two float-array columns, in double —
+    * the native codegen'd expression (see [[graft.functions.FloatDot]]);
+    * bit-identical to the `aggregate(zip_with(...))` spelling it replaced,
+    * minus the interpreted-lambda overhead.
+    */
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.floatDot(x, y)
 
   private def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
