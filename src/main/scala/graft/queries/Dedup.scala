@@ -87,25 +87,28 @@ object Dedup extends QueryModule {
     * only; text never moves.
     */
   private def q31(s: SparkSession, d: String): DataFrame = {
-    val ex = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("len_bkt"),
         wordsCol.as("ws"))
-      .repartition(32) // barrier: materialize ws, spread the single file
-      .select(col("doc_id"), col("lang"), col("len_bkt"),
-        explode(shinglesFromWords(col("ws"))).as("s"))
     // shingle lists are distinct per doc, so count(*) = document frequency.
     // `rare` feeds FOUR join legs (pair sides + two size lookups) and `ex`
-    // two more — cache both or the scan→regexp→explode subtree re-executes
-    // per leg (static plans don't dedupe it; AQE exchange reuse is not
-    // guaranteed across the aliased sides). MEMORY_AND_DISK spills at
-    // scale; on a large cluster this would be a checkpointed temp table.
-    ex.cache()
+    // two more — materialize both as store-backed temp tables or the
+    // scan→regexp→explode subtree re-executes per leg (static plans don't
+    // dedupe it; AQE exchange reuse is not guaranteed across the aliased
+    // sides). The repartition barrier before the shingle lambda is still
+    // load-bearing: without it the words regexp would inline into the
+    // lambda and re-evaluate per element (no CSE in HOFs).
+    val ex = Scratch.materialize(
+      base.repartition(Scratch.par(base))
+        .select(col("doc_id"), col("lang"), col("len_bkt"),
+          explode(shinglesFromWords(col("ws"))).as("s")),
+      "q31_ex")
     val rareShingles = ex.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select(col("s"))
-    val rare = ex.join(rareShingles, "s").cache()
+    val rare = Scratch.materialize(ex.join(rareShingles, "s"), "q31_rare")
     val sz = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = rare
       .select(col("doc_id").as("doc_a"), col("lang"), col("len_bkt"), col("s"))
@@ -187,9 +190,10 @@ object Dedup extends QueryModule {
     * Only (band_key, doc_id) pairs shuffle; text never moves.
     */
   private def q32(s: SparkSession, d: String): DataFrame = {
-    val ex = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), wordsCol.as("ws"))
-      .repartition(32) // barrier: materialize ws, spread the single file
+    val ex = base
+      .repartition(Scratch.par(base)) // barrier: materialize ws
       .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("s"))
       .select(col("doc_id"), md5(col("s")).as("dg"))
       .select(col("doc_id"), hex12ToLong(col("dg")).as("h"))

@@ -37,7 +37,7 @@ object Similarity extends QueryModule {
     s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
   private def withNorm(e: DataFrame): DataFrame =
-    e.repartition(32) // spread the single-file scan before per-row exprs
+    e.repartition(Scratch.par(e)) // spread the scan before per-row exprs
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
 
@@ -180,7 +180,9 @@ object Similarity extends QueryModule {
     * on DataFrames.
     */
   private def q37(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d)).cache()
+    // e feeds the centroid scan AND the full assignment pass — a store-
+    // backed temp table, not an executor cache (see Scratch.materialize)
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
     val cent = e.filter(col("vec_id") >= CentBase &&
         col("vec_id") < CentBase + NCent)
       .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),

@@ -143,7 +143,7 @@ object TextAnalysis extends QueryModule {
     */
   private def q23(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .repartition(32)
+      .transform(df => df.repartition(Scratch.par(df)))
       .select(col("doc_id"), md5(col("text")).as("doc_md5"), col("text"),
         explode(sequence(lit(1),
           greatest(length(col("text")) - 7, lit(1)),
@@ -261,7 +261,9 @@ object TextAnalysis extends QueryModule {
   private def q27(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count() // tiny scalar; at scale a broadcast agg
+    // corpus size N flows through the plan as a broadcast 1-row aggregate
+    // (no driver-side count() action / extra job per invocation)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val terms = docs
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
@@ -273,8 +275,9 @@ object TextAnalysis extends QueryModule {
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w"))
     tf.join(df, "w")
+      .crossJoin(nDocs)
       .select(col("doc_id"), col("w"),
-        (col("tf") * (lit(nDocs) - col("df"))).as("score"))
+        (col("tf") * (col("n_docs") - col("df"))).as("score"))
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("w"), col("score"))
