@@ -4,16 +4,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query warm timings.
   *
-  * Each query is executed twice: the first run pays whole-stage-codegen
+  * Each query runs once unmeasured — paying whole-stage-codegen
   * compilation + JIT for that plan shape (one-time costs that vanish at
-  * cluster scale where a plan runs for minutes), the second is measured.
-  * Execution uses the `noop` sink so the full plan — projections included —
-  * materializes, unlike `count()` which lets Catalyst prune every column.
+  * cluster scale where a plan runs for minutes) — then
+  * `SPARK_GRAFT_REPS` (default 3) measured times; the reported figure is
+  * the MEDIAN, so a single GC pause or scheduler hiccup can't masquerade
+  * as a round-over-round regression. Execution uses the `noop` sink so
+  * the full plan — projections included — materializes, unlike `count()`
+  * which lets Catalyst prune every column.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,10 +33,14 @@ object Bench {
       System.err.println(s"[bench] $name ...")
       try {
         exec(name) // warmup: codegen + JIT for this plan shape
-        val t0 = System.nanoTime()
-        exec(name)
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name $dt%.2fs")
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          exec(name)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val dt = times(times.size / 2)
+        System.err.println(f"[bench] $name median $dt%.2fs of " +
+          times.map(t => f"$t%.2f").mkString("[", ",", "]"))
         name -> dt
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

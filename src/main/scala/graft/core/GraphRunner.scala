@@ -97,6 +97,17 @@ final class GraphRunner(
     order.toSeq
   }
 
+  /** `topoOrder` grouped by dependency depth: members of one level are
+    * mutually independent (single-parent graph, O9 visibility is parent→
+    * child only), so a batch may materialize their outputs concurrently.
+    */
+  private val levels: Seq[Seq[ChainReducer]] = {
+    val depth = mutable.Map[String, Int]()
+    topoOrder.foreach(r =>
+      depth(r.name) = r.dependsOn.map(depth(_) + 1).getOrElse(0))
+    topoOrder.groupBy(r => depth(r.name)).toSeq.sortBy(_._1).map(_._2.toSeq)
+  }
+
   private val tableDefs: Map[String, TableDef] =
     reducers.flatMap(_.tables).map(t => t.name -> t).toMap
   private val slotCols: Map[String, String] =
@@ -213,17 +224,55 @@ final class GraphRunner(
     val batchId = store.batchId + 1
     val ctx = new BatchContext(spark, store, tableDefs, Map.empty)
     val appends = mutable.LinkedHashMap[String, (DataFrame, String)]()
-    topoOrder.foreach { r =>
-      // T9: blocks at or before the reducer's start point are not
-      // delivered to it (a late-starting reducer indexes from its start,
-      // not genesis — reference `StartPoints.cs:201-215`).
-      val startSlot = startPoints(r.name).slot
-      val in = if (startSlot >= 0) blocksDf.filter(col("slot") > startSlot)
-               else blocksDf
-      val out = r.rollForward(in, ctx)
-      ctx.outputs = ctx.outputs.updated(r.name, out)
-      out.foreach { case (t, df) => appends(t) = (df, slotCols(t)) }
-    }
+    // Each reducer's outputs are materialized ONCE — a dependent's plan
+    // (parentOutput/tableWithBatch) would otherwise re-execute the whole
+    // parent subtree per reference (balance embeds the UTxO plan 3×).
+    // Driver-committing stores get local relations (and their commit
+    // collect becomes a free LocalTableScan); distributed stores get an
+    // executor cache, released after the commit. Reducers at the same
+    // dependency depth are independent, so their outputs materialize as
+    // CONCURRENT Spark actions (the reference runs its reducers'
+    // RollForwardAsync concurrently per batch too).
+    val toUnpersist = mutable.ArrayBuffer[DataFrame]()
+    try {
+      levels.foreach { level =>
+        val built = level.map { r =>
+          // T9: blocks at or before the reducer's start point are not
+          // delivered to it (a late-starting reducer indexes from its
+          // start, not genesis — reference `StartPoints.cs:201-215`).
+          val startSlot = startPoints(r.name).slot
+          val in = if (startSlot >= 0) blocksDf.filter(col("slot") > startSlot)
+                   else blocksDf
+          r.name -> r.rollForward(in, ctx)
+        }
+        val shapedByReducer: Seq[(String, Map[String, DataFrame])] =
+          if (store.preferLocalOutputs) {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            import scala.concurrent.duration.Duration
+            Await.result(Future.sequence(built.map { case (name, out) =>
+              Future(name -> out.map { case (t, df) =>
+                t -> spark.createDataFrame(
+                  java.util.Arrays.asList(df.collect(): _*), df.schema)
+              })
+            }), Duration.Inf)
+          } else built.map { case (name, out) =>
+            name -> out.map { case (t, df) =>
+              val c = df.cache(); toUnpersist += c; t -> c
+            }
+          }
+        shapedByReducer.foreach { case (name, out) =>
+          ctx.outputs = ctx.outputs.updated(name, out)
+          out.foreach { case (t, df) => appends(t) = (df, slotCols(t)) }
+        }
+      }
+      flushCommit(blocksDf, batchId, appends, top, minSlot, ctx)
+    } finally toUnpersist.foreach(_.unpersist(false))
+  }
+
+  private def flushCommit(blocksDf: DataFrame, batchId: Long,
+      appends: mutable.LinkedHashMap[String, (DataFrame, String)],
+      top: Seq[Point], minSlot: Long, ctx: BatchContext): Unit = {
     val stored = store.checkpoints
     val newCps = topoOrder.map { r =>
       val prior = pendingPoints.getOrElse(r.name,

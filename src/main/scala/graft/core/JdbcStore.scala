@@ -1,9 +1,9 @@
 package graft.core
 
-import java.sql.{Connection, DriverManager}
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, max, min}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import scala.collection.mutable
 
 /** Transactional JDBC backend (embedded Derby) behind the `Store` seam —
@@ -38,17 +38,56 @@ import scala.collection.mutable
   * tag. `ChainIngest.start`/`Rewind` acquire the store lock; direct
   * GraphRunner embedders must do the same.
   */
+object JdbcStore {
+  // Engine-wide Derby tuning, set before the first connection boots the
+  // embedded engine: 4k-page cache x 4000 = ~16 MB (default 1000 pages
+  // starves the index lookups the visibility filter and rollback rely on).
+  private lazy val tuneDerby: Unit = {
+    if (System.getProperty("derby.storage.pageCacheSize") == null)
+      System.setProperty("derby.storage.pageCacheSize", "4000")
+  }
+}
+
 final class JdbcStore(val root: String, spark: SparkSession) extends Store {
+  JdbcStore.tuneDerby
 
   private val url = s"jdbc:derby:$root/derby;create=true"
   private val props = new java.util.Properties()
+  // Executor-side write shape: statement batches of 5000 (default 1000)
+  // and a bounded number of writer connections. Embedded Derby serializes
+  // page writes anyway, so 32 one-row-commit tasks are pure overhead —
+  // a handful of fat partitions each commit once. Against a server-grade
+  // backend (the reference's Postgres) raise graft.jdbc.writeParts.
+  private val writeParts: Int =
+    spark.conf.getOption("graft.jdbc.writeParts").map(_.toInt)
+      .getOrElse(math.min(4, math.max(1,
+        spark.sparkContext.defaultParallelism)))
+  private val writeProps = new java.util.Properties()
+  writeProps.setProperty("batchsize", "5000")
+  writeProps.setProperty("numPartitions", writeParts.toString)
 
-  private def withConn[A](f: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
-    try f(c) finally c.close()
+  /** One persistent driver-side connection for all metadata/txn work —
+    * commit markers, checkpoints, cleanup — instead of a fresh embedded
+    * boot-handshake per statement. Single-writer (T13) makes this safe;
+    * executor write tasks still open their own connections.
+    */
+  private lazy val conn: Connection = DriverManager.getConnection(url)
+  private def withConn[A](f: Connection => A): A = synchronized {
+    val saved = conn.getAutoCommit
+    try f(conn) finally conn.setAutoCommit(saved)
   }
 
-  private def q(ident: String): String = "\"" + ident + "\""
+  /** Quote an SQL identifier, validating it first: table/column names
+    * reach this class only from `TableDef`s, but one hostile name
+    * (embedded quote, control char) must fail loudly rather than be
+    * spliced into DDL/DML text.
+    */
+  private def q(ident: String): String = {
+    require(ident.nonEmpty && ident.length <= 128 &&
+      ident.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      s"invalid SQL identifier: '$ident'")
+    "\"" + ident + "\""
+  }
 
   // bootstrap the framework tables
   withConn { c =>
@@ -85,13 +124,17 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     } finally st.close()
   }
 
+  private val registeredCols = mutable.Map[String, String]()
   private def registerSlotCol(table: String, slotCol: String): Unit =
-    withConn { c =>
-      val st = c.createStatement()
-      try st.executeUpdate(
-        s"INSERT INTO ${q("graft_tables")} VALUES ('$table', '$slotCol')")
-      catch { case _: Exception => () } // already registered
-      finally st.close()
+    if (!registeredCols.contains(table)) {
+      withConn { c =>
+        val ps = c.prepareStatement(
+          s"INSERT INTO ${q("graft_tables")} VALUES (?, ?)")
+        try { ps.setString(1, table); ps.setString(2, slotCol); ps.executeUpdate() }
+        catch { case _: Exception => () } // already registered
+        finally ps.close()
+      }
+      registeredCols += table -> slotCol
     }
 
   private def listTables(c: Connection): Set[String] = {
@@ -105,6 +148,15 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
   private def userTables(c: Connection): Set[String] =
     listTables(c).filterNot(t =>
       t.startsWith("graft_") || t.startsWith("SYS"))
+
+  // positive-only existence cache (tables are never dropped)
+  private val knownTables = mutable.Set[String]()
+  private def tableExists(t: String): Boolean =
+    knownTables.contains(t) || {
+      val e = withConn(c => listTables(c).contains(t))
+      if (e) knownTables += t
+      e
+    }
 
   def batchId: Long = withConn { c =>
     val st = c.createStatement()
@@ -134,47 +186,101 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  private def getParam(rs: java.sql.ResultSet, idx: Int,
+      dt: DataType): Any = {
+    val v: Any = dt match {
+      case StringType => rs.getString(idx)
+      case LongType => rs.getLong(idx)
+      case IntegerType => rs.getInt(idx)
+      case DoubleType => rs.getDouble(idx)
+      case FloatType => rs.getFloat(idx)
+      case BooleanType => rs.getBoolean(idx)
+      case BinaryType => rs.getBytes(idx)
+      case TimestampType => rs.getTimestamp(idx)
+      case DateType => rs.getDate(idx)
+      case ShortType => rs.getShort(idx)
+      case ByteType => rs.getShort(idx).toByte
+      case _: DecimalType => rs.getBigDecimal(idx)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported JDBC read type $other")
+    }
+    if (rs.wasNull()) null else v
+  }
+
+  /** Driver-side read: one ResultSet → a LOCAL relation. The serving-DB
+    * state a reducer re-reads each batch is bounded (latest segment /
+    * live set), so skipping the per-read Spark JDBC job + schema probe
+    * is pure win — and a local relation is broadcast-join fodder for
+    * Catalyst. Tables too big for this belong on the segment store or
+    * behind `graft.jdbc.driverCommit=false` (executor-parallel scans).
+    */
+  private def driverRead(table: String, schema: StructType,
+      where: String): DataFrame = {
+    val cols = schema.fields.map(f => q(f.name)).mkString(", ")
+    val rows = withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT $cols FROM ${q(table)} WHERE $where")
+        val buf = new java.util.ArrayList[Row]()
+        while (rs.next()) buf.add(Row.fromSeq(
+          schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            getParam(rs, i + 1, f.dataType)
+          }))
+        buf
+      } finally st.close()
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def latestBatchOf(table: String, committed: Long): Long =
+    withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MAX(${q("_batch")}) FROM ${q(table)} " +
+            s"WHERE ${q("_batch")} <= $committed")
+        rs.next()
+        val v = rs.getLong(1)
+        if (rs.wasNull()) -1L else v
+      } finally st.close()
+    }
+
   private def readCommitted(table: String, schema: StructType,
-      extraPredicate: Option[String]): DataFrame = {
-    val exists = withConn(c => listTables(c).contains(table))
-    if (!exists) emptyDf(schema)
+      latestOnly: Boolean): DataFrame = {
+    if (!tableExists(table)) emptyDf(schema)
     else {
       val committed = batchId
-      // Spark-side predicate: backtick-quoted identifiers (double quotes
-      // are string literals in Spark SQL); pushed down to Derby by the
-      // JDBC source.
-      val pred = (s"`_batch` <= $committed" +: extraPredicate.toSeq)
-        .mkString(" AND ")
-      val df = spark.read.jdbc(url, q(table), props)
-        .filter(pred)
-      df.select(schema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
+      if (driverCommit) {
+        val where =
+          if (latestOnly) {
+            val latest = latestBatchOf(table, committed)
+            if (latest < 0) return emptyDf(schema)
+            s"${q("_batch")} = $latest"
+          } else s"${q("_batch")} <= $committed"
+        driverRead(table, schema, where)
+      } else {
+        // Spark-side predicate: backtick-quoted identifiers (double
+        // quotes are string literals in Spark SQL); pushed down to
+        // Derby by the JDBC source.
+        val pred =
+          if (latestOnly) {
+            val latest = latestBatchOf(table, committed)
+            if (latest < 0) return emptyDf(schema)
+            s"`_batch` = $latest"
+          } else s"`_batch` <= $committed"
+        spark.read.jdbc(url, q(table), props).filter(pred)
+          .select(schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
     }
   }
 
   def read(table: String, schema: StructType): DataFrame =
-    readCommitted(table, schema, None)
+    readCommitted(table, schema, latestOnly = false)
 
-  def readLatestSegment(table: String, schema: StructType): DataFrame = {
-    val exists = withConn(c => listTables(c).contains(table))
-    if (!exists) emptyDf(schema)
-    else {
-      val committed = batchId
-      val latest = withConn { c =>
-        val st = c.createStatement()
-        try {
-          val rs = st.executeQuery(
-            s"SELECT MAX(${q("_batch")}) FROM ${q(table)} " +
-              s"WHERE ${q("_batch")} <= $committed")
-          rs.next()
-          val v = rs.getLong(1)
-          if (rs.wasNull()) -1L else v
-        } finally st.close()
-      }
-      if (latest < 0) emptyDf(schema)
-      else readCommitted(table, schema, Some(s"`_batch` = $latest"))
-    }
-  }
+  def readLatestSegment(table: String, schema: StructType): DataFrame =
+    readCommitted(table, schema, latestOnly = true)
 
   /** Secondary indexes on `_batch` (visibility filter) and the slot
     * column (rollback deletes) — the reference's P9 sargability
@@ -197,13 +303,166 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       indexed += table
     }
 
+  // ---- driver-batched commit (default): the reference's unit-of-work
+  // shape (`EfBlockUnitOfWork.cs:94-121`) — every table's rows, the
+  // checkpoint rewrite, and the commit marker in ONE database
+  // transaction (one log fsync per batch, truly atomic, no orphan
+  // phase). Plan execution (collect) happens before the txn opens; a
+  // micro-batch's rows are bounded by the trigger size, so the driver
+  // hop is the deployment shape here exactly as it is in the reference.
+  // For appends too large for the driver, `graft.jdbc.driverCommit=
+  // false` switches to executor-parallel Spark JDBC writes gated by the
+  // marker (the two-phase protocol in the header comment).
+
+  private val driverCommit: Boolean =
+    spark.conf.getOption("graft.jdbc.driverCommit").forall(_.toBoolean)
+
+  override def preferLocalOutputs: Boolean = driverCommit
+
+  // Derby DDL/JDBC type mapping (mirrors Spark's Derby dialect so the
+  // two commit modes produce interchangeable tables)
+  private def sqlType(dt: DataType): String = dt match {
+    case StringType => "CLOB"
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BLOB"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case ShortType | ByteType => "SMALLINT"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported JDBC column type $other")
+  }
+
+  private def setParam(ps: PreparedStatement, idx: Int, dt: DataType,
+      v: Any): Unit =
+    if (v == null) ps.setNull(idx, Types.NULL)
+    else dt match {
+      case StringType => ps.setString(idx, v.asInstanceOf[String])
+      case LongType => ps.setLong(idx, v.asInstanceOf[Long])
+      case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])
+      case DoubleType => ps.setDouble(idx, v.asInstanceOf[Double])
+      case FloatType => ps.setFloat(idx, v.asInstanceOf[Float])
+      case BooleanType => ps.setBoolean(idx, v.asInstanceOf[Boolean])
+      case BinaryType => ps.setBytes(idx, v.asInstanceOf[Array[Byte]])
+      case TimestampType => ps.setTimestamp(idx, v.asInstanceOf[java.sql.Timestamp])
+      case DateType => ps.setDate(idx, v.asInstanceOf[java.sql.Date])
+      case ShortType => ps.setShort(idx, v.asInstanceOf[Short])
+      case ByteType => ps.setShort(idx, v.asInstanceOf[Byte].toShort)
+      case _: DecimalType =>
+        ps.setBigDecimal(idx, v.asInstanceOf[java.math.BigDecimal])
+      case other =>
+        throw new IllegalArgumentException(s"unsupported JDBC param type $other")
+    }
+
+  private def ensureTable(c: Connection, table: String,
+      schema: StructType): Unit =
+    if (!tableExists(table)) {
+      val cols = (schema.fields.map(f =>
+        s"${q(f.name)} ${sqlType(f.dataType)}") :+ s"${q("_batch")} BIGINT")
+        .mkString(", ")
+      val st = c.createStatement()
+      try st.executeUpdate(s"CREATE TABLE ${q(table)} ($cols)")
+      finally st.close()
+      knownTables += table
+    }
+
+  /** Replace the committing runner's checkpoint windows within an open
+    * transaction. MERGE semantics (like StateStore's `stored ++
+    * checkpoints`): reducers not registered with this runner survive.
+    */
+  private def writeCheckpoints(c: Connection,
+      checkpoints: Map[String, Seq[Point]]): Unit = {
+    val del = c.prepareStatement(
+      s"DELETE FROM ${q("graft_checkpoints")} WHERE reducer = ?")
+    checkpoints.keys.foreach { r => del.setString(1, r); del.executeUpdate() }
+    del.close()
+    val ps = c.prepareStatement(
+      s"INSERT INTO ${q("graft_checkpoints")} VALUES (?, ?, ?)")
+    checkpoints.foreach { case (r, pts) =>
+      pts.foreach { p =>
+        ps.setString(1, r); ps.setString(2, p.hash); ps.setLong(3, p.slot)
+        ps.addBatch()
+      }
+    }
+    ps.executeBatch(); ps.close()
+  }
+
   def commit(batchId: Long, appends: Map[String, (DataFrame, String)],
       checkpoints: Map[String, Seq[Point]],
       compactors: Map[String, DataFrame => DataFrame],
       onSegment: (String, Double) => Unit): Boolean = {
     val committed = this.batchId
     if (batchId <= committed) return false
-    // retried-batch cleanup: orphan rows from a crashed attempt
+    if (driverCommit) {
+      // Spark actions run BEFORE the txn opens (reads see only
+      // committed state; nothing below touches the plan). The per-table
+      // plans are independent — run them as CONCURRENT Spark actions so
+      // scheduler latency overlaps instead of summing (the reference
+      // runs its reducers' RollForwardAsync concurrently too).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val collected = Await.result(
+        Future.sequence(appends.toSeq.map { case (table, (df, slotCol)) =>
+          Future {
+            val t0 = System.nanoTime()
+            (table, slotCol, df.schema, df.collect(), t0)
+          }
+        }), Duration.Inf)
+      if (collected.forall(_._4.isEmpty)) return false
+      withConn { c =>
+        c.setAutoCommit(false)
+        try {
+          // retried-batch cleanup joins the same txn: orphans can only
+          // exist from a crashed EXECUTOR-mode attempt at this id
+          userTables(c).foreach { t =>
+            val st = c.createStatement()
+            try st.executeUpdate(
+              s"DELETE FROM ${q(t)} WHERE ${q("_batch")} >= $batchId")
+            finally st.close()
+          }
+          collected.foreach { case (table, _, schema, rows, t0) =>
+            ensureTable(c, table, schema)
+            if (rows.nonEmpty) {
+              val names = schema.fields.map(f => q(f.name)) :+ q("_batch")
+              val ps = c.prepareStatement(
+                s"INSERT INTO ${q(table)} (${names.mkString(", ")}) VALUES (${
+                  names.map(_ => "?").mkString(", ")})")
+              var pending = 0
+              rows.foreach { row =>
+                schema.fields.zipWithIndex.foreach { case (f, i) =>
+                  setParam(ps, i + 1, f.dataType, row.get(i))
+                }
+                ps.setLong(schema.fields.length + 1, batchId)
+                ps.addBatch(); pending += 1
+                if (pending >= 5000) { ps.executeBatch(); pending = 0 }
+              }
+              if (pending > 0) ps.executeBatch()
+              ps.close()
+            }
+            onSegment(table, (System.nanoTime() - t0) / 1e9)
+          }
+          writeCheckpoints(c, checkpoints)
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")
+          finally st.close()
+          c.commit() // the atomic point — data + state + marker together
+        } catch { case e: Throwable => c.rollback(); throw e }
+      }
+      collected.foreach { case (table, slotCol, _, rows, _) =>
+        if (rows.nonEmpty) {
+          ensureIndexes(table, slotCol); registerSlotCol(table, slotCol)
+        }
+      }
+      return true
+    }
+    // executor-parallel mode: data rows land outside the txn, invisible
+    // until the marker (two-phase; see class header)
     withConn { c =>
       userTables(c).foreach { t =>
         val st = c.createStatement()
@@ -218,36 +477,18 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       val obs = Observation()
       df.withColumn("_batch", lit(batchId))
         .observe(obs, min(col(slotCol)).as("lo"), max(col(slotCol)).as("hi"))
-        .write.mode("append").jdbc(url, q(table), props)
+        .write.mode("append").jdbc(url, q(table), writeProps)
       if (obs.get.get("lo").exists(_ != null)) wroteAny = true
       ensureIndexes(table, slotCol)
       registerSlotCol(table, slotCol)
       onSegment(table, (System.nanoTime() - t0) / 1e9)
     }
     if (!wroteAny) return false
-    // The atomic point: checkpoints + commit marker in one transaction.
-    // MERGE semantics (like StateStore's `stored ++ checkpoints`): only
-    // the committing runner's reducers are replaced — checkpoints of
-    // reducers not registered with this runner survive untouched.
     withConn { c =>
       c.setAutoCommit(false)
       val st = c.createStatement()
       try {
-        val del = c.prepareStatement(
-          s"DELETE FROM ${q("graft_checkpoints")} WHERE reducer = ?")
-        checkpoints.keys.foreach { r =>
-          del.setString(1, r); del.executeUpdate()
-        }
-        del.close()
-        val ps = c.prepareStatement(
-          s"INSERT INTO ${q("graft_checkpoints")} VALUES (?, ?, ?)")
-        checkpoints.foreach { case (r, pts) =>
-          pts.foreach { p =>
-            ps.setString(1, r); ps.setString(2, p.hash); ps.setLong(3, p.slot)
-            ps.executeUpdate()
-          }
-        }
-        ps.close()
+        writeCheckpoints(c, checkpoints)
         st.executeUpdate(
           s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")
         c.commit()
@@ -277,21 +518,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         // registered reducers' windows are replaced wholesale.
         st.executeUpdate(
           s"DELETE FROM ${q("graft_checkpoints")} WHERE slot >= $delSlot")
-        val del = c.prepareStatement(
-          s"DELETE FROM ${q("graft_checkpoints")} WHERE reducer = ?")
-        checkpoints.keys.foreach { r =>
-          del.setString(1, r); del.executeUpdate()
-        }
-        del.close()
-        val ps = c.prepareStatement(
-          s"INSERT INTO ${q("graft_checkpoints")} VALUES (?, ?, ?)")
-        checkpoints.foreach { case (r, pts) =>
-          pts.foreach { p =>
-            ps.setString(1, r); ps.setString(2, p.hash); ps.setLong(3, p.slot)
-            ps.executeUpdate()
-          }
-        }
-        ps.close()
+        writeCheckpoints(c, checkpoints)
         st.executeUpdate(s"INSERT INTO ${q("graft_commits")} VALUES ($next)")
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }

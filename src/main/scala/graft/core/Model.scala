@@ -28,12 +28,39 @@ final case class Tx(
     inputs: Seq[TxInput],
     outputs: Seq[TxOutput])
 
-/** One block — the §1.2 input schema (era elided; constant in testing). */
+/** Chain eras — mirror of the reference's enumeration
+  * (`Data/Models/Enums/Era.cs:6-24`): a wire era byte outside this range
+  * is malformed input and the codec rejects the block.
+  */
+object Era {
+  val Unknown = 0
+  val Byron = 1
+  val Shelley = 2
+  val Allegra = 3
+  val Mary = 4
+  val Alonzo = 5
+  val Babbage = 6
+  val Conway = 7
+  val Max: Int = Conway
+  def isKnown(era: Int): Boolean = era >= Unknown && era <= Max
+  def name(era: Int): String = era match {
+    case Byron => "byron"; case Shelley => "shelley"
+    case Allegra => "allegra"; case Mary => "mary"
+    case Alonzo => "alonzo"; case Babbage => "babbage"
+    case Conway => "conway"; case _ => "unknown"
+  }
+}
+
+/** One block — the §1.2 input schema. `era` rides the wire envelope
+  * (`ArgusUtil.cs:38-71` peels `[era, block]`) and is a first-class
+  * column here; generated chains default to Babbage.
+  */
 final case class Block(
     hash: String,
     height: Long,
     slot: Long,
-    transactions: Seq[Tx])
+    transactions: Seq[Tx],
+    era: Int = Era.Babbage)
 
 /** Rollback semantics: whether the rollback point itself is destroyed.
   * Reference `RollbackType.cs:6-12`; normalization Exclusive ⇒ delete

@@ -21,6 +21,15 @@ trait Store {
   /** Filesystem root identifying this store (single-writer lock scope). */
   def root: String
 
+  /** True when the backend commits batches driver-side (bounded rows per
+    * micro-batch): the runner then materializes each reducer's outputs
+    * as LOCAL relations — one Spark action per reducer instead of one
+    * per downstream reference, and the commit's own collect becomes a
+    * free LocalTableScan. False (default): outputs are cached on
+    * executors instead, same dedup of parent plans, fully distributed.
+    */
+  def preferLocalOutputs: Boolean = false
+
   /** Highest committed batch id (-1 when empty). */
   def batchId: Long
 

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, processed by a batched per-partition pipeline.
   *
-  * The Spark-side plumbing here is real — schema, partition sizing,
-  * batched iteration shape — while the actual media decoding is STUBBED
-  * (this container has no image/audio codecs): `decodeStub` derives
-  * deterministic pseudo-features from the bytes. Swapping in a real
-  * decoder (JNI/ffmpeg/javacv) changes only the body of `decodeStub`;
-  * nothing about the distributed plan.
+  * The Spark-side plumbing — schema, partition sizing, batched
+  * iteration shape — is real for every mime. Decoding is real for
+  * BMP and WAV (pure-JVM header+payload parsers, no external codec);
+  * for formats that need a native codec this container doesn't have
+  * (jpeg/mp3/mp4...), `decodeStub` derives deterministic pseudo-
+  * features from the bytes. Swapping in a full decoder changes only
+  * the `decodeAny` dispatch; nothing about the distributed plan.
   *
   * At 100 TB: payloads never shuffle (features are extracted in the scan
   * stage); `repartitionBySize` bounds partition payload bytes so executor
@@ -23,17 +24,22 @@ object Multimodal {
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
 
-  /** Stub decode output — deterministic fake features standing in for
-    * decode/resize/frame-sample results.
+  /** Decode output. For BMP/WAV payloads the dimension fields are REAL
+    * (pure-JVM header parsers below); for other mimes they are None and
+    * `frame_sample` falls back to the deterministic stub.
     */
   final case class MediaFeatures(
       doc_id: Long,
       mime: String,
       n_bytes: Long,
       sha256: String,
-      // stand-in for a decoded feature vector (e.g. thumbnail histogram):
-      // 8 evenly-spaced byte samples, normalized to [0,1]
-      frame_sample: Array[Double])
+      // decoded feature vector (pixel/sample bands for BMP/WAV; for
+      // stubbed mimes, 8 evenly-spaced byte samples), normalized to [0,1]
+      frame_sample: Array[Double],
+      width: Option[Int] = None,
+      height: Option[Int] = None,
+      sample_rate: Option[Int] = None,
+      duration_ms: Option[Double] = None)
 
   /** Attach a binary payload + metadata struct to `documents` (the text
     * bytes stand in for an image/audio blob).
@@ -44,18 +50,100 @@ object Multimodal {
       lit("text/plain").as("mime"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB: deterministic fake decode. A real implementation would parse
-    * the container format here; everything around it is production-shaped.
+  private def sha256Hex(payload: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(payload).map("%02x".format(_)).mkString
+
+  /** STUB: deterministic fake decode for mimes with no offline codec
+    * (jpeg/png/mp4...). Swapping in a real decoder (JNI/ffmpeg/javacv)
+    * changes only this body; the distributed plan is untouched.
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
-    val md = MessageDigest.getInstance("SHA-256")
-    val sha = md.digest(r.payload).map("%02x".format(_)).mkString
     val n = r.payload.length
     val sample = (0 until 8).map { i =>
       if (n == 0) 0.0
       else (r.payload(math.min(n - 1, i * math.max(1, n / 8))) & 0xff) / 255.0
     }.toArray
-    MediaFeatures(r.doc_id, r.mime, n.toLong, sha, sample)
+    MediaFeatures(r.doc_id, r.mime, n.toLong, sha256Hex(r.payload), sample)
+  }
+
+  // ---- real pure-JVM decoders (no external codec needed) ----
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** REAL decode: BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) — actual
+    * width/height plus 8 evenly-spaced pixel-byte bands as the feature
+    * vector. None on malformed input (caller falls back to the stub).
+    */
+  private def decodeBmp(r: MediaRow): Option[MediaFeatures] = {
+    val b = r.payload
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val pixelOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40 || pixelOff < 54 || pixelOff > b.length) return None
+    val width = le32(b, 18)
+    val height = math.abs(le32(b, 22)) // negative = top-down row order
+    if (width <= 0 || height <= 0) return None
+    val nPix = b.length - pixelOff
+    val sample = (0 until 8).map { i =>
+      if (nPix <= 0) 0.0
+      else (b(pixelOff + math.min(nPix - 1,
+        i * math.max(1, nPix / 8))) & 0xff) / 255.0
+    }.toArray
+    Some(MediaFeatures(r.doc_id, r.mime, b.length.toLong, sha256Hex(b),
+      sample, width = Some(width), height = Some(height)))
+  }
+
+  /** REAL decode: WAV (RIFF/WAVE, `fmt ` + `data` chunks) — actual
+    * sample rate and duration; features are 8 evenly-spaced decoded
+    * samples (16-bit aware), normalized to [0,1].
+    */
+  private def decodeWav(r: MediaRow): Option[MediaFeatures] = {
+    val b = r.payload
+    def tag(off: Int): String =
+      if (off + 4 > b.length) "" else new String(b.slice(off, off + 4), "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var sampleRate, byteRate, bits = 0
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(off); val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (id == "fmt " && size >= 16) {
+        sampleRate = le32(b, off + 12); byteRate = le32(b, off + 16)
+        bits = le16(b, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || byteRate <= 0 || dataOff < 0) return None
+    val durationMs = dataLen * 1000.0 / byteRate
+    val nSamples = if (bits == 16) dataLen / 2 else dataLen
+    val sample = (0 until 8).map { i =>
+      if (nSamples <= 0) 0.0
+      else {
+        val s = math.min(nSamples - 1, i * math.max(1, nSamples / 8))
+        if (bits == 16) { // signed LE sample -> [0,1]
+          val v = le16(b, dataOff + s * 2).toShort
+          (v / 32768.0 + 1.0) / 2.0
+        } else (b(dataOff + s) & 0xff) / 255.0
+      }
+    }.toArray
+    Some(MediaFeatures(r.doc_id, r.mime, b.length.toLong, sha256Hex(b),
+      sample, sample_rate = Some(sampleRate), duration_ms = Some(durationMs)))
+  }
+
+  /** Mime dispatch: real parser where one exists, stub otherwise; a
+    * malformed real-format payload degrades to the stub rather than
+    * failing the partition (corpus-loader skip semantics).
+    */
+  private def decodeAny(r: MediaRow): MediaFeatures = r.mime match {
+    case "image/bmp" => decodeBmp(r).getOrElse(decodeStub(r))
+    case "audio/wav" | "audio/x-wav" => decodeWav(r).getOrElse(decodeStub(r))
+    case _ => decodeStub(r)
   }
 
   /** Batched per-partition feature extraction — the Scala analogue of a
@@ -66,7 +154,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init lives here (decoder handles, model weights...)
-      it.map(decodeStub)
+      it.map(decodeAny)
     }
   }
 

@@ -189,6 +189,37 @@ object Dedup extends QueryModule {
     * sf0.1; this one is map-side partial mins over one digest).
     * Only (band_key, doc_id) pairs shuffle; text never moves.
     */
+  /** The q32 signature stage as a STATELESS per-row map — (band_key,
+    * doc_id) entries from a `(doc_id, text)` relation, batch or
+    * streaming. Replaces q32's explode→groupBy(doc_id) min-aggregation
+    * with single-pass array expressions (the per-doc shingle set already
+    * lives in one row), so a streaming source needs NO stateful shuffle
+    * to compute signatures — state enters only at the band index
+    * (`graft.streaming.StreamingDedup`). Band keys are bit-identical to
+    * q32's: same shingles, same 48-bit fold, same xor-seeded mins, same
+    * band digest.
+    *
+    * Each intermediate array is its own projection: `transform` bodies
+    * are interpreted without CSE, and CollapseProject's cheap-expr check
+    * is what keeps the md5 array from being inlined 16× into the
+    * per-seed mins.
+    */
+  def bandEntries(docs: DataFrame): DataFrame = {
+    val ws = wordsCol
+    val mCols = (0 until H).map(k =>
+      array_min(transform(col("hs"), h => h.bitwiseXOR(lit(Seeds(k)))))
+        .as(s"m$k"))
+    val bandCols = (0 until Bands).map(b =>
+      md5(concat(lit(s"$b|"),
+        concat_ws(",", (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))))
+    docs
+      .select(col("doc_id"), transform(shinglesFromWords(ws), s => md5(s)).as("dgs"))
+      .select(col("doc_id"), transform(col("dgs"), dg => hex12ToLong(dg)).as("hs"))
+      .filter(size(col("hs")) > 0) // <3-word docs have no signature (as q32)
+      .select(col("doc_id") +: mCols: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+  }
+
   private def q32(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), wordsCol.as("ws"))

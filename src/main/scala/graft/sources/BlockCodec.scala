@@ -25,8 +25,11 @@ object BlockCodec {
 
   // ---- encode (test/generator side) ----
 
-  def encode(block: Block, era: Int = 6, wrapped: Boolean = false): Array[Byte] = {
-    val body = encodeBody(block, era)
+  /** `era = -1` (default) encodes `block.era`; an explicit value lets
+    * tests forge out-of-range wire bytes.
+    */
+  def encode(block: Block, era: Int = -1, wrapped: Boolean = false): Array[Byte] = {
+    val body = encodeBody(block, if (era < 0) block.era else era)
     if (!wrapped) body
     else {
       val bb = ByteBuffer.allocate(2 + 4 + body.length)
@@ -82,6 +85,9 @@ object BlockCodec {
         if (len != bb.remaining()) return None
       }
       val era = bb.get().toInt & 0xFF
+      // era validation (`Era.cs:6-24`): a byte past Conway is not a
+      // future era we can process — treat as malformed and skip
+      if (!Era.isKnown(era)) return None
       val hash = getStr(bb)
       val height = bb.getLong
       val slot = bb.getLong
@@ -96,7 +102,7 @@ object BlockCodec {
         Tx(txHash, ins, outs)
       }
       if (bb.hasRemaining) None
-      else Some((era, Block(hash, height, slot, txs)))
+      else Some((era, Block(hash, height, slot, txs, era)))
     } catch { case _: Exception => None }
 
   private def getStr(bb: ByteBuffer): String = {
@@ -125,10 +131,16 @@ object BlockCodec {
     * parse to null and are skipped, same contract as `decodeBlocks`.
     */
   def decodeJsonBlocks(raw: DataFrame, column: String = "json"): Dataset[Block] = {
-    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.functions.{coalesce, col, from_json, lit}
     implicit val enc = Encoders.product[Block]
     raw.select(from_json(col(column), enc.schema).as("b"))
       .filter(col("b").isNotNull && col("b.hash").isNotNull)
-      .select("b.*").as[Block]
+      .select(col("b.hash"), col("b.height"), col("b.slot"),
+        col("b.transactions"),
+        // era optional in JSON (pre-era producers) → Babbage; present
+        // but out-of-range → malformed, dropped like the binary twin
+        coalesce(col("b.era"), lit(Era.Babbage)).as("era"))
+      .filter(col("era").between(Era.Unknown, Era.Max))
+      .as[Block]
   }
 }

@@ -27,8 +27,10 @@ object ChainPerf {
     val maxRb = if (a.length > 1) a(1).toLong else 300L
     val batchSizes = if (a.length > 2) a.drop(2).map(_.toInt).toSeq
       else Seq(500, 2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,32 +46,43 @@ object ChainPerf {
         reducers, batchSize = 100)
       w.processEvents(events.take(200))
     }
+    // median-of-N (default 3): ChainPerf run-to-run spread spans ~2×, so
+    // single-shot numbers are not comparable round-over-round
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     batchSizes.foreach { bs =>
-      val root = java.nio.file.Files.createTempDirectory(s"perf$bs").toString
-      val store: Store =
-        if (useJdbc) new JdbcStore(root, spark) else new StateStore(root, spark)
-      val rs = reducers
-      val tel = new graft.streaming.Telemetry(
-        rs.map(r => r.name -> r.dependsOn).toMap)
-      val runner = new GraphRunner(spark, store, rs, batchSize = bs,
-        maxRollbackSlots = maxRb, telemetry = Some(tel))
-      // halves: per-batch flatness check — secondHalf/firstHalf ≈ 1 means
-      // state reads are bounded (VERDICT r1 "What's wrong #3")
-      val half = events.size / 2
-      val t0 = System.nanoTime()
-      runner.processEvents(events.take(half))
-      val t1 = System.nanoTime()
-      runner.processEvents(events.drop(half))
-      val t2 = System.nanoTime()
-      val dt = (t2 - t0) / 1e9
-      val ratio = (t2 - t1).toDouble / math.max(1, t1 - t0)
       val backend = (if (useJdbc) "jdbc" else "segments") +
         (if (light) "-light" else "")
+      val runs = (1 to reps).map { rep =>
+        val root = java.nio.file.Files.createTempDirectory(s"perf$bs").toString
+        val store: Store =
+          if (useJdbc) new JdbcStore(root, spark) else new StateStore(root, spark)
+        val rs = reducers
+        val tel = new graft.streaming.Telemetry(
+          rs.map(r => r.name -> r.dependsOn).toMap)
+        val runner = new GraphRunner(spark, store, rs, batchSize = bs,
+          maxRollbackSlots = maxRb, telemetry = Some(tel))
+        // halves: per-batch flatness check — secondHalf/firstHalf ≈ 1 means
+        // state reads are bounded (VERDICT r1 "What's wrong #3")
+        val half = events.size / 2
+        val t0 = System.nanoTime()
+        runner.processEvents(events.take(half))
+        val t1 = System.nanoTime()
+        runner.processEvents(events.drop(half))
+        val t2 = System.nanoTime()
+        val dt = (t2 - t0) / 1e9
+        val ratio = (t2 - t1).toDouble / math.max(1, t1 - t0)
+        println(f"[chainperf]  rep$rep batchSize=$bs backend=$backend " +
+          f"wall=$dt%.1fs rate=${nBlocks / dt}%.0f blk/s half2/half1=$ratio%.2f")
+        tel.snapshot.foreach(p =>
+          println(f"[chainperf]   ${p.reducer}%-20s meanWrite=${p.meanBatchSec}%.3fs over ${p.batches} batches"))
+        (dt, ratio)
+      }
+      val dts = runs.map(_._1).sorted
+      val ratios = runs.map(_._2).sorted
+      val (dt, ratio) = (dts(dts.size / 2), ratios(ratios.size / 2))
       println(f"[chainperf] blocks=$nBlocks batchSize=$bs maxRb=$maxRb " +
-        f"backend=$backend wall=$dt%.1fs rate=${nBlocks / dt}%.0f blk/s " +
-        f"half2/half1=$ratio%.2f")
-      tel.snapshot.foreach(p =>
-        println(f"[chainperf]   ${p.reducer}%-20s meanWrite=${p.meanBatchSec}%.3fs over ${p.batches} batches"))
+        f"backend=$backend MEDIAN-of-$reps wall=$dt%.1fs " +
+        f"rate=${nBlocks / dt}%.0f blk/s half2/half1=$ratio%.2f")
     }
     spark.stop()
   }

@@ -10,13 +10,23 @@ import graft.sources.{BlockCodec, ChainGen}
   */
 class BlockCodecSpec extends SparkSpec {
 
-  test("encode/decode roundtrip, bare and tag-wrapped, preserves every field") {
+  test("encode/decode roundtrip, bare and tag-wrapped, preserves every field incl. era") {
     val blocks = ChainGen.generate(30, seed = 21L)
     blocks.foreach { b =>
-      assert(BlockCodec.decode(BlockCodec.encode(b, era = 6)).contains((6, b)))
+      assert(BlockCodec.decode(BlockCodec.encode(b)).contains((b.era, b)))
+      val allegra = b.copy(era = Era.Allegra)
       assert(BlockCodec.decode(
-        BlockCodec.encode(b, era = 3, wrapped = true)).contains((3, b)))
+        BlockCodec.encode(allegra, wrapped = true)).contains((Era.Allegra, allegra)))
     }
+  }
+
+  test("era validation: wire byte past Conway is malformed and rejected (Era.cs:6-24)") {
+    val b = ChainGen.generate(1, seed = 5L).head
+    assert(BlockCodec.decode(BlockCodec.encode(b, era = Era.Max)).isDefined)
+    assert(BlockCodec.decode(BlockCodec.encode(b, era = Era.Max + 1)).isEmpty)
+    assert(BlockCodec.decode(BlockCodec.encode(b, era = 200)).isEmpty)
+    assert(BlockCodec.decode(BlockCodec.encode(b, era = Era.Unknown))
+      .contains((Era.Unknown, b.copy(era = Era.Unknown))))
   }
 
   test("malformed payloads decode to None (loader skips, as in the reference corpus loader)") {
@@ -29,7 +39,7 @@ class BlockCodecSpec extends SparkSpec {
 
   test("defensive copy: reusing the source buffer does not corrupt the decoded block (S6)") {
     val b = ChainGen.generate(1, seed = 2L).head
-    val buf = BlockCodec.encode(b, era = 6)
+    val buf = BlockCodec.encode(b)
     val decoded = BlockCodec.decode(buf).get._2
     java.util.Arrays.fill(buf, 0.toByte) // source buffer reused
     assert(decoded == b, "decoded block must not alias the input buffer")
@@ -39,11 +49,16 @@ class BlockCodecSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     val blocks = ChainGen.generate(15, seed = 17L)
+    val eraLess = // pre-era producer: era defaults to Babbage
+      """{"hash":"aa","height":1,"slot":9999,"transactions":[]}"""
+    val badEra = // out-of-range era: dropped like the binary twin
+      """{"hash":"bb","height":2,"slot":9998,"transactions":[],"era":99}"""
     val json = sp.createDataset(blocks).toJSON.collect().toSeq :+
-      "{not json" :+ """{"other":"shape"}"""
+      "{not json" :+ """{"other":"shape"}""" :+ eraLess :+ badEra
     val decoded = graft.sources.BlockCodec.decodeJsonBlocks(
       sp.createDataset(json).toDF("json"))
-    assert(decoded.collect().toSeq.sortBy(_.slot) == blocks.sortBy(_.slot))
+    val expected = blocks :+ Block("aa", 1L, 9999L, Seq.empty, Era.Babbage)
+    assert(decoded.collect().toSeq.sortBy(_.slot) == expected.sortBy(_.slot))
   }
 
   test("distributed decode: binary column -> typed blocks via mapPartitions, engine-consumable") {

@@ -35,6 +35,55 @@ class MultimodalSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("real BMP decode: width/height parsed from actual header bytes") {
+    val sp = spark
+    import sp.implicits._
+    // hand-built 3x2 24bpp BMP: 14-byte file header + 40-byte info
+    // header + 2 rows of 3 BGR pixels padded to 12 bytes each
+    val rowBytes = 12
+    val pixels = Array.tabulate[Byte](2 * rowBytes)(i => (i * 7).toByte)
+    val bb = java.nio.ByteBuffer.allocate(54 + pixels.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixels.length)
+      .putInt(0).putInt(54) // reserved, pixel offset
+    bb.putInt(40).putInt(3).putInt(2) // dib size, width, height
+      .putShort(1).putShort(24).putInt(0).putInt(pixels.length)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(pixels)
+    val bmp = bb.array()
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/bmp", bmp),
+      Multimodal.MediaRow(2L, "image/bmp", Array[Byte](1, 2)), // malformed
+      Multimodal.MediaRow(3L, "application/octet-stream", bmp)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f(0).width.contains(3) && f(0).height.contains(2))
+    assert(f(0).frame_sample.length == 8 &&
+      f(0).frame_sample.forall(v => v >= 0.0 && v <= 1.0))
+    assert(f(1).width.isEmpty, "malformed bmp degrades to stub")
+    assert(f(2).width.isEmpty, "unknown mime takes the stub path")
+  }
+
+  test("real WAV decode: sample rate and duration parsed from actual chunks") {
+    val sp = spark
+    import sp.implicits._
+    // 8 kHz mono 16-bit, 4000 samples = exactly 500 ms
+    val nSamples = 4000
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + nSamples * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(nSamples * 2)
+    (0 until nSamples).foreach(i => bb.putShort((i % 256 - 128).toShort))
+    val wav = bb.array()
+    val media = Seq(Multimodal.MediaRow(1L, "audio/wav", wav)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.sample_rate.contains(8000))
+    assert(f.duration_ms.exists(d => math.abs(d - 500.0) < 1e-9))
+    assert(f.frame_sample.length == 8 &&
+      f.frame_sample.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("repartitionBySize bounds partition payload bytes") {
     val media = Multimodal.attachPayload(Tables.documents(spark, sf))
     val parts = Multimodal.repartitionBySize(media, targetBytes = 16 * 1024)

@@ -139,4 +139,20 @@ class StoreContractSpec extends SparkSpec {
         .select("hash").distinct().count() == blocks.size)
     }
   }
+
+  test("jdbc-derby: hostile SQL identifiers fail loudly instead of reaching DDL/DML") {
+    val sp = spark
+    import sp.implicits._
+    val store = new JdbcStore(tmpDir("hostile-jdbc"), spark)
+    val df = Seq((1L, "x")).toDF("slot", "v")
+    intercept[IllegalArgumentException] {
+      store.commit(0L,
+        Map("""t"; DROP TABLE "graft_commits"; --""" -> (df, "slot")),
+        Map.empty)
+    }
+    val hostileCol = Seq((1L, "x")).toDF("slot", """v" CASCADE --""")
+    intercept[IllegalArgumentException] {
+      store.commit(0L, Map("ok_table" -> (hostileCol, "slot")), Map.empty)
+    }
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.{BandEntry, StreamingDedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dup (the q32 twin): the incrementally-maintained band
+  * index must converge with the batch MinHash/LSH query on the same
+  * corpus — same candidate pairs, same shared-band counts — regardless
+  * of how the stream is chunked into micro-batches.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming band candidates converge with batch q32 on the same corpus") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    // batch truth: full q32 output (all pairs, not just the serving sort)
+    val batch = SparkEntry.queries("q32_minhash_lsh")(sp, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val docs = Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val mem = MemoryStream[(Long, String)]
+    val entries = StreamingDedup.bandEntries(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = StreamingDedup.candidates(entries).writeStream
+      .format("memory").queryName("band_candidates")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: pairs must span chunk boundaries via state
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // replay a chunk (at-least-once source): must emit nothing new
+      mem.addData(docs.take(docs.length / 3).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = sp.table("band_candidates")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streaming index diverged: ${streamed.size} vs batch ${batch.size} pairs")
+    } finally q.stop()
+  }
+
+  test("stop-bucket cap bounds state and emissions in a degenerate bucket") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[BandEntry]
+    val q = StreamingDedup.candidates(mem.toDS(), maxBucket = 3)
+      .writeStream.format("memory").queryName("capped_candidates")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L to 10L).map(d => BandEntry("bucket1", d)))
+      q.processAllAvailable()
+      // only the first 3 docs index: C(3,2) = 3 pairs, not C(10,2) = 45
+      assert(sp.table("capped_candidates").count() == 3)
+    } finally q.stop()
+  }
+}
