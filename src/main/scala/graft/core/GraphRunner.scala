@@ -179,17 +179,25 @@ final class GraphRunner(
   def flush(blocks: Seq[Block]): Unit = {
     if (blocks.isEmpty) return
     import spark.implicits._
-    // A driver-fed batch is small by construction (≤ batchSize blocks of
-    // metadata): a handful of partitions keeps every derived append a
-    // handful of parquet files instead of defaultParallelism tiny ones —
-    // state reads then open O(segments) files, not O(segments × cores).
-    val df = blocks.toDS().toDF()
-      .coalesce(math.min(4, math.max(1, blocks.size / 128 + 1))).cache()
-    try {
-      val top = CheckpointWindow.normalize(
-        blocks.map(b => Point(b.hash, b.slot)))
-      flushImpl(df, top, blocks.iterator.map(_.slot).min)
-    } finally df.unpersist()
+    val top = CheckpointWindow.normalize(
+      blocks.map(b => Point(b.hash, b.slot)))
+    val minSlot = blocks.iterator.map(_.slot).min
+    if (store.preferLocalOutputs) {
+      // Driver-committing store: keep the batch a LocalRelation — every
+      // reducer output is collected right back anyway, so a cache round
+      // trip through executors only adds a materialization job.
+      flushImpl(blocks.toDS().toDF(), top, minSlot)
+    } else {
+      // A driver-fed batch is small by construction (≤ batchSize blocks
+      // of metadata): a handful of partitions keeps every derived append
+      // a handful of parquet files instead of defaultParallelism tiny
+      // ones — state reads then open O(segments) files, not
+      // O(segments × cores).
+      val df = blocks.toDS().toDF()
+        .coalesce(math.min(4, math.max(1, blocks.size / 128 + 1))).cache()
+      try flushImpl(df, top, minSlot)
+      finally df.unpersist()
+    }
   }
 
   /** One micro-batch from a DataFrame (the streaming path): derive the

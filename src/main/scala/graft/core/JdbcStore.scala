@@ -145,9 +145,14 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     names.toSet
   }
 
-  private def userTables(c: Connection): Set[String] =
-    listTables(c).filterNot(t =>
-      t.startsWith("graft_") || t.startsWith("SYS"))
+  // User-table registry, seeded from the database at construction and
+  // extended as tables are created. Single-writer (T13) makes the cache
+  // sound: no other process creates tables while this store holds the
+  // root, and a metadata scan per commit is not free in Derby.
+  private val userTableCache: mutable.Set[String] =
+    mutable.Set(withConn(listTables).filterNot(t =>
+      t.startsWith("graft_") || t.startsWith("SYS")).toSeq: _*)
+  private def userTables(c: Connection): Set[String] = userTableCache.toSet
 
   // positive-only existence cache (tables are never dropped)
   private val knownTables = mutable.Set[String]()
@@ -368,6 +373,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       try st.executeUpdate(s"CREATE TABLE ${q(table)} ($cols)")
       finally st.close()
       knownTables += table
+      userTableCache += table
     }
 
   /** Replace the committing runner's checkpoint windows within an open
@@ -479,6 +485,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         .observe(obs, min(col(slotCol)).as("lo"), max(col(slotCol)).as("hi"))
         .write.mode("append").jdbc(url, q(table), writeProps)
       if (obs.get.get("lo").exists(_ != null)) wroteAny = true
+      userTableCache += table // created by the Spark JDBC writer if absent
       ensureIndexes(table, slotCol)
       registerSlotCol(table, slotCol)
       onSegment(table, (System.nanoTime() - t0) / 1e9)

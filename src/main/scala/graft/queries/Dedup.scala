@@ -362,11 +362,39 @@ object Dedup extends QueryModule {
        |ORDER BY cosine DESC, vec_a, vec_b LIMIT 100""".stripMargin
   }
 
+  /** The shared batch/streaming signature stage as its own oracle-gated
+    * entry: `bandEntries` feeds the streaming band index
+    * (`graft.streaming.StreamingDedup`), so its band keys are pinned
+    * against the DuckDB twin independently of the q32 pair join.
+    */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    bandEntries(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .orderBy(col("band_key"), col("doc_id"))
+
+  private val q38Sql = {
+    val sigSql = (0 until H).map(k =>
+      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
+    val bandsSql = (0 until Bands).map(b =>
+      s"md5('$b|' || " +
+        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs)
+       |SELECT doc_id, band_key FROM banded ORDER BY band_key, doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
     CatalogEntry("q32_minhash_lsh", q32, Some(q32Sql)),
     CatalogEntry("q33_simhash", q33, Some(q33Sql)),
     CatalogEntry("q34_embedding_neardup", q34, Some(q34Sql)),
+    CatalogEntry("q38_band_entries", q38, Some(q38Sql)),
   )
 }

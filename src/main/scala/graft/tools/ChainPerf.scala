@@ -39,11 +39,13 @@ object ChainPerf {
     def reducers: Seq[ChainReducer] =
       if (light) Seq(new BlockSummaryReducer)
       else ReducerGraphs.default(ChainGen.Watched)
-    // warmup: JIT + codegen on a small prefix
+    // warmup: JIT + codegen on a small prefix, against the SAME backend
+    // (the two store modes produce different plan shapes)
     locally {
-      val w = new GraphRunner(spark,
-        new StateStore(java.nio.file.Files.createTempDirectory("perfw").toString, spark),
-        reducers, batchSize = 100)
+      val wroot = java.nio.file.Files.createTempDirectory("perfw").toString
+      val wstore: Store =
+        if (useJdbc) new JdbcStore(wroot, spark) else new StateStore(wroot, spark)
+      val w = new GraphRunner(spark, wstore, reducers, batchSize = 100)
       w.processEvents(events.take(200))
     }
     // median-of-N (default 3): ChainPerf run-to-run spread spans ~2×, so
