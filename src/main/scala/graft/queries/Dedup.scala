@@ -204,20 +204,56 @@ object Dedup extends QueryModule {
     * is what keeps the md5 array from being inlined 16× into the
     * per-seed mins.
     */
+  /** One document's band keys, bit-identical to the q32 expression
+    * chain: distinct word-3-gram shingles → md5 → first-12-hex-digit
+    * 48-bit fold → 16 xor-seeded mins → 4 band digests over the
+    * decimal-joined mins. Plain JVM code rather than array-lambda
+    * expressions because `transform`/`array_min` are interpreted
+    * (CodegenFallback) — measured 9.4 s vs ~1 s at sf0.1 for the same
+    * math; this is the one other place (after binary/media decode)
+    * where dropping below Catalyst expressions is the right call.
+    */
+  private def bandKeysOf(md: java.security.MessageDigest,
+      text: String): Seq[String] = {
+    val words = WordRe.findAllIn(text).toArray
+    if (words.length < 3) return Seq.empty
+    val shingles = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + 2 < words.length) {
+      shingles += (words(i) + " " + words(i + 1) + " " + words(i + 2)); i += 1
+    }
+    val mins = Array.fill(H)(Long.MaxValue)
+    shingles.foreach { s =>
+      val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 12 hex digits = first 6 bytes, big-endian (hex12ToLong)
+      var h = 0L
+      var j = 0
+      while (j < 6) { h = (h << 8) | (dg(j) & 0xffL); j += 1 }
+      var k = 0
+      while (k < H) {
+        val v = h ^ Seeds(k); if (v < mins(k)) mins(k) = v; k += 1
+      }
+    }
+    (0 until Bands).map { b =>
+      val key = s"$b|" + (0 until 4).map(i => mins(b * 4 + i)).mkString(",")
+      md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+  }
+
+  private val WordRe = "\\S+".r // same token class as wordsCol
+
   def bandEntries(docs: DataFrame): DataFrame = {
-    val ws = wordsCol
-    val mCols = (0 until H).map(k =>
-      array_min(transform(col("hs"), h => h.bitwiseXOR(lit(Seeds(k)))))
-        .as(s"m$k"))
-    val bandCols = (0 until Bands).map(b =>
-      md5(concat(lit(s"$b|"),
-        concat_ws(",", (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))))
-    docs
-      .select(col("doc_id"), transform(shinglesFromWords(ws), s => md5(s)).as("dgs"))
-      .select(col("doc_id"), transform(col("dgs"), dg => hex12ToLong(dg)).as("hs"))
-      .filter(size(col("hs")) > 0) // <3-word docs have no signature (as q32)
-      .select(col("doc_id") +: mCols: _*)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          bandKeysOf(md, text).map(k => (id, k))
+        }
+      }
+      .toDF("doc_id", "band_key")
   }
 
   private def q32(s: SparkSession, d: String): DataFrame = {

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 object ChainDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -35,6 +35,7 @@ object Dashboard {
     val root = args(0)
     val watchSec = if (args.length > 1) args(1).toInt else 0
     val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", "local[8]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

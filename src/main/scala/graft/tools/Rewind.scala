@@ -24,6 +24,7 @@ object Rewind {
       if (args.length > 2 && args(2).equalsIgnoreCase("inclusive")) Inclusive
       else Exclusive
     val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", "local[8]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -21,6 +21,7 @@ object SmokeMonitor {
     val minBlocks = if (args.length > 1) args(1).toLong else 1L
     val timeoutSec = if (args.length > 2) args(2).toInt else 60
     val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", "local[8]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Plan-shape contracts for the catalog — the properties that make these
+  * queries survive a 100× scale-up, asserted structurally so a refactor
+  * that silently breaks pushdown/broadcast/narrowness fails CI, not the
+  * 100 TB run. (Complements the value-level oracle gate.)
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** AQE wraps the tree in AdaptiveSparkPlanExec, which hides the nodes
+    * from `collect` until runtime — the audit inspects the static shape,
+    * so build the plan with AQE off.
+    */
+  private def planOf(name: String): SparkPlan = {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.executedPlan
+    } finally spark.conf.set(key, saved)
+  }
+  private def planString(name: String): String = planOf(name).toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val s = planString("q02_filter_project")
+    assert(s.contains("PushedFilters: ["), s)
+    assert(!s.contains("PushedFilters: []"), s)
+  }
+
+  test("q06: dimension join is a broadcast, not a shuffle join") {
+    val s = planString("q06_broadcast_join")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q38: signature stage is narrow — no exchange below the final sort") {
+    // bandEntries must stay a per-row map chain: the only exchange
+    // allowed in the whole plan is the ORDER BY's range partitioning
+    val exchanges = planOf("q38_band_entries").collect { case e: Exchange => e }
+    assert(exchanges.size <= 1,
+      s"signature stage grew a shuffle:\n${planString("q38_band_entries")}")
+  }
+
+  test("q30: exact-dedup shuffle carries digests, not document text") {
+    val exchanges = planOf("q30_exact_dedup").collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q24: top-k is TakeOrdered, never a global sort materialization") {
+    val s = planString("q24_trigram_topk")
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+}
