@@ -376,6 +376,72 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       userTableCache += table
     }
 
+  private def insertRows(c: Connection, table: String, schema: StructType,
+      rows: Iterable[Row], batchOf: Row => Long): Unit = {
+    val names = schema.fields.map(f => q(f.name)) :+ q("_batch")
+    val ps = c.prepareStatement(
+      s"INSERT INTO ${q(table)} (${names.mkString(", ")}) VALUES (${
+        names.map(_ => "?").mkString(", ")})")
+    var pending = 0
+    rows.foreach { row =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        setParam(ps, i + 1, f.dataType, row.get(i))
+      }
+      ps.setLong(schema.fields.length + 1, batchOf(row))
+      ps.addBatch(); pending += 1
+      if (pending >= 5000) { ps.executeBatch(); pending = 0 }
+    }
+    if (pending > 0) ps.executeBatch()
+    ps.close()
+  }
+
+  /** Live-set compaction for the DB backend — the Derby analogue of
+    * StateStore's segment-fold compaction: every `graft.jdbc.
+    * compactEvery` commits (default 8), each table with a registered
+    * compactor is rewritten to only the rows its `compactWith` filter
+    * keeps (e.g. utxo_created drops pairs whose spend is final behind
+    * the rollback frontier). Runs INSIDE the commit transaction, so it
+    * is atomic with the batch and replay-safe; rows keep their original
+    * `_batch` tag so visibility and idempotent-replay cleanup are
+    * untouched. Without this the spend-matching read grows O(chain) —
+    * the reference leans on `HasIndex(SpentSlot)` sargability (P9), but
+    * an index does not shrink the scan the way the live set does.
+    */
+  private val compactEvery: Long =
+    spark.conf.getOption("graft.jdbc.compactEvery").map(_.toLong)
+      .getOrElse(8L)
+
+  private def compactTables(c: Connection, batchId: Long,
+      schemas: Map[String, StructType],
+      compactors: Map[String, DataFrame => DataFrame]): Unit =
+    compactors.foreach { case (table, fn) =>
+      schemas.get(table).filter(_ => tableExists(table)).foreach { schema =>
+        val withBatch = schema.add("_batch", LongType)
+        val cols = withBatch.fields.map(f => q(f.name)).mkString(", ")
+        val rows = {
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery(s"SELECT $cols FROM ${q(table)}")
+            val buf = new java.util.ArrayList[Row]()
+            while (rs.next()) buf.add(Row.fromSeq(
+              withBatch.fields.toSeq.zipWithIndex.map { case (f, i) =>
+                getParam(rs, i + 1, f.dataType)
+              }))
+            buf
+          } finally st.close()
+        }
+        val survivors =
+          fn(spark.createDataFrame(rows, withBatch)).collect()
+        if (survivors.length < rows.size()) {
+          val st = c.createStatement()
+          try st.executeUpdate(s"DELETE FROM ${q(table)}")
+          finally st.close()
+          insertRows(c, table, schema, survivors,
+            row => row.getLong(schema.fields.length))
+        }
+      }
+    }
+
   /** Replace the committing runner's checkpoint windows within an open
     * transaction. MERGE semantics (like StateStore's `stored ++
     * checkpoints`): reducers not registered with this runner survive.
@@ -433,25 +499,12 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           }
           collected.foreach { case (table, _, schema, rows, t0) =>
             ensureTable(c, table, schema)
-            if (rows.nonEmpty) {
-              val names = schema.fields.map(f => q(f.name)) :+ q("_batch")
-              val ps = c.prepareStatement(
-                s"INSERT INTO ${q(table)} (${names.mkString(", ")}) VALUES (${
-                  names.map(_ => "?").mkString(", ")})")
-              var pending = 0
-              rows.foreach { row =>
-                schema.fields.zipWithIndex.foreach { case (f, i) =>
-                  setParam(ps, i + 1, f.dataType, row.get(i))
-                }
-                ps.setLong(schema.fields.length + 1, batchId)
-                ps.addBatch(); pending += 1
-                if (pending >= 5000) { ps.executeBatch(); pending = 0 }
-              }
-              if (pending > 0) ps.executeBatch()
-              ps.close()
-            }
+            if (rows.nonEmpty) insertRows(c, table, schema, rows, _ => batchId)
             onSegment(table, (System.nanoTime() - t0) / 1e9)
           }
+          if (compactEvery > 0 && batchId % compactEvery == 0)
+            compactTables(c, batchId,
+              collected.map(x => x._1 -> x._3).toMap, compactors)
           writeCheckpoints(c, checkpoints)
           val st = c.createStatement()
           try st.executeUpdate(

@@ -46,4 +46,43 @@ class CompactionSpec extends SparkSpec {
     runner.processEvents(blocks.drop(10).map(RollForward.apply))
     oracle.foreach { case (slot, bal) => assert(snaps()(slot) == bal) }
   }
+
+  test("jdbc backend: live-set compaction bounds utxo_created; state and rollback survive") {
+    val blocks = ChainGen.generate(60, seed = 7L)
+    val oracle = ChainGen.balanceOracle(blocks)
+    // compact every 2 commits; tight rollback horizon so the frontier
+    // advances and finalized spends become droppable
+    spark.conf.set("graft.jdbc.compactEvery", "2")
+    try {
+      val store = new JdbcStore(tmpDir("jdbc-compact"), spark)
+      val runner = new GraphRunner(spark, store, reducers, batchSize = 5,
+        maxRollbackSlots = 20L)
+      runner.processEvents(blocks.map(RollForward.apply))
+
+      val utxoDefs = reducers(1).tables
+      val kept = store.read("utxo_created", utxoDefs.head.schema).count()
+      val spentFinal = store.read("utxo_spent", utxoDefs(1).schema)
+        .filter(org.apache.spark.sql.functions.col("spentSlot") <=
+          blocks.last.slot - 20L).count()
+      assert(spentFinal > 0, "chain must actually finalize some spends")
+      val totalCreated = blocks.flatMap(_.transactions).flatMap(_.outputs)
+        .count(o => ChainGen.Watched.contains(o.address))
+      assert(kept < totalCreated,
+        s"compaction dropped nothing: kept=$kept of $totalCreated")
+
+      val snapSchema = reducers(2).tables.head.schema
+      def snaps() = store.read("balance_snapshots", snapSchema)
+        .collect().groupBy(_.getLong(3))
+        .map { case (slot, rs) =>
+          slot -> rs.map(r => r.getString(1) -> r.getLong(4)).toMap }
+      assert(snaps().size == oracle.size)
+      oracle.foreach { case (slot, bal) => assert(snaps()(slot) == bal) }
+
+      // shallow rollback (within the horizon) + replay converges
+      val cut = blocks(55)
+      runner.applyRollback(Point(cut.hash, cut.slot), Exclusive)
+      runner.processEvents(blocks.drop(56).map(RollForward.apply))
+      oracle.foreach { case (slot, bal) => assert(snaps()(slot) == bal) }
+    } finally spark.conf.unset("graft.jdbc.compactEvery")
+  }
 }
