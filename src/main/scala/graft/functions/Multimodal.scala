@@ -39,7 +39,11 @@ object Multimodal {
       width: Option[Int] = None,
       height: Option[Int] = None,
       sample_rate: Option[Int] = None,
-      duration_ms: Option[Double] = None)
+      duration_ms: Option[Double] = None,
+      // REAL resize output for 24bpp BMP: 4x4 nearest-neighbor grayscale
+      // thumbnail in [0,1], row-major top-down — the "decode → resize"
+      // stage of a media pipeline, on actually-decoded pixels
+      thumb16: Option[Array[Double]] = None)
 
   /** Attach a binary payload + metadata struct to `documents` (the text
     * bytes stand in for an image/audio blob).
@@ -86,16 +90,34 @@ object Multimodal {
     val dibSize = le32(b, 14)
     if (dibSize < 40 || pixelOff < 54 || pixelOff > b.length) return None
     val width = le32(b, 18)
-    val height = math.abs(le32(b, 22)) // negative = top-down row order
+    val rawHeight = le32(b, 22)
+    val height = math.abs(rawHeight) // negative = top-down row order
     if (width <= 0 || height <= 0) return None
+    val bpp = le16(b, 28)
     val nPix = b.length - pixelOff
     val sample = (0 until 8).map { i =>
       if (nPix <= 0) 0.0
       else (b(pixelOff + math.min(nPix - 1,
         i * math.max(1, nPix / 8))) & 0xff) / 255.0
     }.toArray
+    // resize: 4x4 nearest-neighbor grayscale over the real pixel array
+    // (24bpp only; rows are 4-byte aligned, bottom-up unless height<0)
+    val thumb: Option[Array[Double]] =
+      if (bpp != 24) None
+      else {
+        val rowSize = ((3 * width + 3) / 4) * 4
+        if (pixelOff + rowSize.toLong * height > b.length) None
+        else Some((for (ty <- 0 until 4; tx <- 0 until 4) yield {
+          val px = math.min(width - 1, tx * width / 4)
+          val py = math.min(height - 1, ty * height / 4)
+          val row = if (rawHeight < 0) py else height - 1 - py
+          val off = pixelOff + row * rowSize + px * 3
+          ((b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)) /
+            (3.0 * 255.0)
+        }).toArray)
+      }
     Some(MediaFeatures(r.doc_id, r.mime, b.length.toLong, sha256Hex(b),
-      sample, width = Some(width), height = Some(height)))
+      sample, width = Some(width), height = Some(height), thumb16 = thumb))
   }
 
   /** REAL decode: WAV (RIFF/WAVE, `fmt ` + `data` chunks) — actual

@@ -59,6 +59,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f(0).width.contains(3) && f(0).height.contains(2))
     assert(f(0).frame_sample.length == 8 &&
       f(0).frame_sample.forall(v => v >= 0.0 && v <= 1.0))
+    // real resize: 16 grayscale values from the actual pixel rows; the
+    // top-left thumb cell must equal the top row's first BGR triple mean
+    // (bottom-up layout: top row is the LAST stored row)
+    val t = f(0).thumb16.get
+    assert(t.length == 16 && t.forall(v => v >= 0.0 && v <= 1.0))
+    val topRow = rowBytes // second stored row = image top row
+    val expected = ((pixels(topRow) & 0xff) + (pixels(topRow + 1) & 0xff) +
+      (pixels(topRow + 2) & 0xff)) / (3.0 * 255.0)
+    assert(math.abs(t(0) - expected) < 1e-12, s"${t(0)} vs $expected")
     assert(f(1).width.isEmpty, "malformed bmp degrades to stub")
     assert(f(2).width.isEmpty, "unknown mime takes the stub path")
   }
