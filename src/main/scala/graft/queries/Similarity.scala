@@ -11,19 +11,19 @@ import org.apache.spark.sql.functions._
   * broadcast of Q query vectors against N candidates, one narrow pass, one
   * per-query top-k (TakeOrdered-shaped, no global sort).
   *
-  * q36 is the scale path: random-hyperplane (cosine) LSH. Each vector's
-  * bucket is a P-bit sign pattern of dot products with P deterministic
-  * pseudo-random hyperplanes, computed as a pure per-row expression (planes
-  * derived from md5(p,d) — no plane table to join, nothing to broadcast).
-  * Search then touches only the query's bucket: at 100 TB the candidate
-  * join is bucket-equality (hash-partitioned), probing ~N/2^P vectors
-  * instead of N.
+  * q36 is the scale path: multi-table random-hyperplane (cosine) LSH.
+  * Each vector gets one bucket per table — a PT-bit sign pattern of dot
+  * products with deterministic pseudo-random hyperplanes, computed as a
+  * pure per-row expression (planes derived from md5(t:p,d) — no plane
+  * table to join, nothing to broadcast). Search touches only the query's
+  * L buckets: at 100 TB the candidate join is bucket-equality
+  * (hash-partitioned), probing ~L·N/2^PT vectors instead of N, with L
+  * and PT the measured recall/candidates dial (AnnRecallSpec).
   */
 object Similarity extends QueryModule {
 
   private val K = 10 // neighbors per query
   private val NQ = 5 // queries = vec_id < NQ
-  private val P = 8 // hyperplanes = bucket bits
 
   /** Ordered-fold dot product of two float-array columns, in double —
     * the native codegen'd expression (see [[graft.functions.FloatDot]]);
@@ -81,53 +81,68 @@ object Similarity extends QueryModule {
     */
   private val Dim = 64 // embedding width of the testdata corpus
 
-  /** The plane matrix is tiny (P×Dim doubles) and fully determined by the
-    * md5 formula, so it is computed ONCE on the driver and embedded as
-    * array literals — at 100 TB this is the "broadcast the model, stream
-    * the data" pattern, and per row it removes P×Dim interpreted md5
-    * evaluations (the measured difference between minutes and seconds).
-    * The DuckDB oracle derives the identical weights from the same
-    * formula in SQL (`planeWSql`).
+  private val L = 4 // LSH tables (each its own plane family)
+  private val PT = 4 // hyperplane bits per table
+
+  /** Plane matrices are tiny (L×PT×Dim doubles) and fully determined by
+    * the md5 formula, so they are computed ONCE on the driver and
+    * embedded as array literals — at 100 TB this is the "broadcast the
+    * model, stream the data" pattern, and per row it removes
+    * L×PT×Dim interpreted md5 evaluations (the measured difference
+    * between minutes and seconds). The DuckDB oracle derives the
+    * identical weights from the same formula in SQL (`planeWSql`).
     */
-  private lazy val planeMatrix: Array[Array[Double]] =
-    Array.tabulate(P, Dim) { (p, d) =>
+  private lazy val planeMatrix: Array[Array[Array[Double]]] =
+    Array.tabulate(L, PT, Dim) { (t, p, d) =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val h = md.digest(s"$p,$d".getBytes("UTF-8"))
+      val h = md.digest(s"$t:$p,$d".getBytes("UTF-8"))
       val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff) // first 4 hex digits
       v.toDouble / 32768.0 - 1.0
     }
 
-  private def planeWSql(p: Int, d: String): String = {
+  private def planeWSql(t: Int, p: Int, d: String): String = {
     def hv(i: Int) =
-      s"(CASE WHEN ascii(substring(md5('$p,' || CAST($d AS VARCHAR)), $i, 1)) <= 57 " +
-        s"THEN ascii(substring(md5('$p,' || CAST($d AS VARCHAR)), $i, 1)) - 48 " +
-        s"ELSE ascii(substring(md5('$p,' || CAST($d AS VARCHAR)), $i, 1)) - 87 END)"
+      s"(CASE WHEN ascii(substring(md5('$t:$p,' || CAST($d AS VARCHAR)), $i, 1)) <= 57 " +
+        s"THEN ascii(substring(md5('$t:$p,' || CAST($d AS VARCHAR)), $i, 1)) - 48 " +
+        s"ELSE ascii(substring(md5('$t:$p,' || CAST($d AS VARCHAR)), $i, 1)) - 87 END)"
     s"(CAST(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)} AS DOUBLE) / 32768.0 - 1.0)"
   }
 
-  /** P-bit sign bucket of a vector — a pure per-row expression against
-    * the literal plane matrix.
+  /** Table-t sign bucket of a vector (table id prefixed so one equi-join
+    * covers all tables) — a pure per-row expression against the literal
+    * plane matrix.
     */
-  private def bucket(emb: Column): Column =
-    concat((0 until P).map { p =>
+  private def bucket(t: Int, emb: Column): Column =
+    concat(lit(s"$t|") +: (0 until PT).map { p =>
       val s = aggregate(
-        zip_with(emb, typedLit(planeMatrix(p).toSeq),
+        zip_with(emb, typedLit(planeMatrix(t)(p).toSeq),
           (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  private def bucketSql(emb: String): String =
-    (0 until P).map { p =>
+  private def bucketSql(t: Int, emb: String): String =
+    (s"'$t|'" +: (0 until PT).map { p =>
       val s = s"list_sum(list_transform(range(1, len($emb) + 1), " +
-        s"i -> CAST($emb[i] AS DOUBLE) * ${planeWSql(p, "i - 1")}))"
+        s"i -> CAST($emb[i] AS DOUBLE) * ${planeWSql(t, p, "i - 1")}))"
       s"(CASE WHEN $s >= 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
+    }).mkString(" || ")
 
-  /** LSH-bucketed ANN: per-query top-5 within the query's sign bucket. */
+  /** Multi-table sign-LSH ANN: per-query top-5 over the union of the
+    * query's buckets across L independent tables.
+    *
+    * Why multi-table: this corpus's true top-5 cosines sit at 0.26-0.40
+    * (θ≈70°, per-plane agreement ≈0.6), so ONE 8-bit table finds a true
+    * neighbor with probability ~0.6⁸ ≈ 2% — AnnRecallSpec measured
+    * recall@5 = 0.00 for that configuration. L=4 tables × 4 bits lifts
+    * the per-neighbor hit rate to 1-(1-0.6⁴)⁴ ≈ 0.45 while still
+    * scanning only ~L/2^PT of the corpus per query — the standard
+    * recall/candidates trade of LSH, tuned from measurement, not hope.
+    */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-      .withColumn("bkt", bucket(col("embedding")))
+      .withColumn("bkt",
+        explode(array((0 until L).map(t => bucket(t, col("embedding"))): _*)))
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bkt"))
@@ -137,30 +152,36 @@ object Similarity extends QueryModule {
       .orderBy(col("cosine").desc, col("cand_id"))
     broadcast(q).join(cand, "bkt")
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("bkt"),
+      .select(col("query_id"), col("cand_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
           .as("cosine"))
+      .distinct() // a pair can collide in several tables; count it once
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val q36Sql =
+  private val q36Sql = {
+    val bucketUnion = (0 until L).map(t =>
+      s"SELECT vec_id, embedding, nrm, ${bucketSql(t, "embedding")} AS bkt FROM e")
+      .mkString("\n  UNION ALL\n  ")
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
-       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
-       |    ${bucketSql("embedding")} AS bkt
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
+       |bk AS (
+       |  $bucketUnion),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bkt,
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
        |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 4) AS cosine
-       |  FROM e q JOIN e c ON q.bkt = c.bkt AND q.vec_id < $NQ
+       |  FROM bk q JOIN bk c ON q.bkt = c.bkt AND q.vec_id < $NQ
        |    AND q.vec_id <> c.vec_id)
-       |SELECT query_id, cand_id, bkt, cosine, rank FROM (
+       |SELECT query_id, cand_id, cosine, rank FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, cand_id) AS rank
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private val NCent = 8 // IVF lists
   private val NProbe = 2 // probed lists per query
