@@ -59,4 +59,17 @@ class PlanAuditSpec extends SparkSpec {
     val s = planString("q24_trigram_topk")
     assert(s.contains("TakeOrderedAndProject"), s)
   }
+
+  test("q31: near-dup pair join is bucketed, never a cartesian product") {
+    val s = planString("q31_ngram_jaccard")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q37: centroid fan-out is a broadcast of the tiny side") {
+    // the crossJoin against the NCent-row centroid table must be a
+    // broadcast nested loop of THAT table, and the probe join a hash join
+    val s = planString("q37_ann_ivf")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
