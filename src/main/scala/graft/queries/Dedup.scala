@@ -425,6 +425,80 @@ object Dedup extends QueryModule {
        |SELECT doc_id, band_key FROM banded ORDER BY band_key, doc_id""".stripMargin
   }
 
+  /** Duplicate clustering (q39): connected components over the MinHash
+    * candidate graph — the step that turns pairwise near-dup signals
+    * into "keep one document per cluster". Iterative min-label
+    * propagation: every node starts as its own cluster id; each round
+    * every node takes the min of its own and its neighbors' labels;
+    * fixpoint = components labeled by their min doc_id. Rounds needed =
+    * graph diameter (near-dup clusters are tiny), each round is one
+    * hash join + partial-agg min — the standard Spark CC shape.
+    * Per-round `Scratch.materialize` cuts the iterative lineage (an
+    * unchecked loop of joins compounds the plan exponentially); the
+    * convergence probe is a bounded driver boolean per round.
+    */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = Scratch.materialize(
+      pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .distinct(), "q39_edges")
+    var labels = Scratch.materialize(
+      edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")), "q39_labels0")
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbr = edges.join(labels, edges("b") === labels("doc_id"))
+        .select(edges("a").as("doc_id"), col("cluster_id").as("nl"))
+        .groupBy("doc_id").agg(min(col("nl")).as("nbrMin"))
+      val next = Scratch.materialize(
+        labels.withColumnRenamed("cluster_id", "old")
+          .join(nbr, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("old"), coalesce(col("nbrMin"), col("old")))
+              .as("cluster_id")),
+        s"q39_labels${(iter + 1) % 2 + 1}") // ping-pong scratch names
+      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      iter += 1
+    }
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  private val q39Sql = {
+    val sigSql = (0 until H).map(k =>
+      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
+    val bandsSql = (0 until Bands).map(b =>
+      s"md5('$b|' || " +
+        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
+       |cluster AS (SELECT n AS doc_id, MIN(r) AS cluster_id
+       |            FROM reach GROUP BY n)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cluster ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -432,5 +506,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q33_simhash", q33, Some(q33Sql)),
     CatalogEntry("q34_embedding_neardup", q34, Some(q34Sql)),
     CatalogEntry("q38_band_entries", q38, Some(q38Sql)),
+    CatalogEntry("q39_dup_clusters", q39, Some(q39Sql)),
   )
 }
