@@ -323,6 +323,70 @@ object TextAnalysis extends QueryModule {
       |FROM documents GROUP BY CUBE(lang, source)
       |ORDER BY lang_g, source_g""".stripMargin
 
+  /** BM25 retrieval scoring (q47): rank documents against a fixed query
+    * — the relevance-filtering step of a curation pipeline. Same parity
+    * discipline as q27: integer idf variant (N − df) instead of the log
+    * formula (no transcendental cross-engine risk), k1=1.2 / b=0.75 as
+    * exact decimal literals, per-term contributions added in FIXED
+    * textual order via conditional pivots (a SUM over double rows would
+    * have nondeterministic summation order). The plan is the retrieval
+    * shape at scale: one explode, per-doc length partial-agg, a tiny
+    * per-term df table broadcast back, TakeOrdered(10).
+    */
+  private val BmQuery = Seq("hash", "join", "merge")
+
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("w"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tokens")))
+    val tf = words.filter(col("w").isin(BmQuery: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+    val scored = tf.join(df, "w").join(dl, "doc_id").crossJoin(corpus)
+      .select(col("doc_id"), col("w"),
+        ((col("n_docs") - col("df")) * col("tf") * lit(2.2) /
+          (col("tf") + lit(0.3) + lit(0.9) *
+            ((col("dl") * col("n_docs")).cast("double") /
+              col("tot_tokens").cast("double")))).as("s"))
+    val perTerm = scored.groupBy(col("doc_id"))
+      .pivot("w", BmQuery).agg(first(col("s")))
+    perTerm
+      .select(col("doc_id"),
+        round(BmQuery.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 4)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val q47Sql = {
+    val terms = BmQuery.map(t => s"'$t'").mkString(", ")
+    val fixedSum = BmQuery.map(t =>
+      s"COALESCE(MAX(CASE WHEN w = '$t' THEN s END), CAST(0 AS DOUBLE))")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+       |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM dl),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+       |       WHERE w IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, w,
+       |    (corpus.n_docs - df.df) * tf.tf * CAST(2.2 AS DOUBLE) /
+       |      (tf.tf + CAST(0.3 AS DOUBLE) + CAST(0.9 AS DOUBLE) *
+       |        (CAST(dl.dl * corpus.n_docs AS DOUBLE) /
+       |          CAST(corpus.tot_tokens AS DOUBLE))) AS s
+       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus)
+       |SELECT doc_id, round($fixedSum, 4) AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -333,5 +397,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q26_text_clean", q26, Some(q26Sql)),
     CatalogEntry("q27_tfidf_terms", q27, Some(q27Sql)),
     CatalogEntry("q28_doc_cube", q28, Some(q28Sql)),
+    CatalogEntry("q47_bm25", q47, Some(q47Sql)),
   )
 }
