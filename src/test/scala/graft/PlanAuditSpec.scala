@@ -72,4 +72,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("q46: both as-of carry-forwards stay fused in ONE Window node") {
+    val n = planOf("q46_asof_join").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+    assert(n == 1, s"as-of join grew to $n Window nodes (one sort+shuffle each)")
+  }
+
+  test("q47: per-term df and corpus stats reach the score join as broadcasts") {
+    val s = planString("q47_bm25")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
