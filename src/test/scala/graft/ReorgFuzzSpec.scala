@@ -28,7 +28,12 @@ class ReorgFuzzSpec extends SparkSpec {
 
   private def backends: Seq[(String, String => Store)] = Seq(
     "segments" -> (root => new StateStore(root, spark, maxSegments = 4)),
-    "jdbc" -> (root => new JdbcStore(root, spark)))
+    // compact aggressively so rollbacks land on compacted live sets
+    "jdbc" -> { root =>
+      spark.conf.set("graft.jdbc.compactEvery", "2")
+      try new JdbcStore(root, spark)
+      finally spark.conf.unset("graft.jdbc.compactEvery")
+    })
 
   // segment-log backend fuzzed on all seeds; Derby on one (runtime bound)
   private val plan = Seq((1, "segments"), (7, "segments"), (23, "segments"),
