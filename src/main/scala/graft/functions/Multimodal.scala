@@ -158,12 +158,47 @@ object Multimodal {
       sample, sample_rate = Some(sampleRate), duration_ms = Some(durationMs)))
   }
 
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** REAL decode: PNG dimensions from the IHDR chunk (big-endian at
+    * fixed offsets behind the 8-byte signature). Pixel data stays with
+    * the stub — IDAT inflate + scanline un-filtering needs more than a
+    * header parse — but width/height are the true ones.
+    */
+  private def decodePng(r: MediaRow): Option[MediaFeatures] = {
+    val b = r.payload
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    if (b.length < 24 || !b.take(8).sameElements(sig)) return None
+    if (new String(b.slice(12, 16), "US-ASCII") != "IHDR") return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0) return None
+    Some(decodeStub(r).copy(width = Some(w), height = Some(h)))
+  }
+
+  /** REAL decode: GIF logical-screen dimensions (little-endian uint16
+    * behind the GIF87a/GIF89a signature).
+    */
+  private def decodeGif(r: MediaRow): Option[MediaFeatures] = {
+    val b = r.payload
+    if (b.length < 10) return None
+    val sig = new String(b.take(6), "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0) return None
+    Some(decodeStub(r).copy(width = Some(w), height = Some(h)))
+  }
+
   /** Mime dispatch: real parser where one exists, stub otherwise; a
     * malformed real-format payload degrades to the stub rather than
     * failing the partition (corpus-loader skip semantics).
     */
   private def decodeAny(r: MediaRow): MediaFeatures = r.mime match {
     case "image/bmp" => decodeBmp(r).getOrElse(decodeStub(r))
+    case "image/png" => decodePng(r).getOrElse(decodeStub(r))
+    case "image/gif" => decodeGif(r).getOrElse(decodeStub(r))
     case "audio/wav" | "audio/x-wav" => decodeWav(r).getOrElse(decodeStub(r))
     case _ => decodeStub(r)
   }

@@ -72,6 +72,28 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).width.isEmpty, "unknown mime takes the stub path")
   }
 
+  test("real PNG and GIF dimensions parsed from actual headers") {
+    val sp = spark
+    import sp.implicits._
+    val png = java.nio.ByteBuffer.allocate(33)
+    png.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    png.putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+      .put(Array[Byte](8, 6, 0, 0, 0))
+    val gif = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gif.put("GIF89a".getBytes).putShort(320).putShort(200)
+      .put(Array[Byte](0, 0, 0))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", png.array()),
+      Multimodal.MediaRow(2L, "image/gif", gif.array()),
+      Multimodal.MediaRow(3L, "image/png", "nope".getBytes)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f(0).width.contains(640) && f(0).height.contains(480))
+    assert(f(1).width.contains(320) && f(1).height.contains(200))
+    assert(f(2).width.isEmpty, "bad signature degrades to stub")
+  }
+
   test("real WAV decode: sample rate and duration parsed from actual chunks") {
     val sp = spark
     import sp.implicits._
