@@ -499,6 +499,41 @@ object Dedup extends QueryModule {
        |FROM cluster ORDER BY cluster_id, doc_id""".stripMargin
   }
 
+  /** Deterministic stratified sampling (q48) — the "build a training
+    * mix with per-language quotas" step. Keep a document iff a salted
+    * md5 of its id, folded to 48 bits, lands under the stratum's
+    * per-mille rate. No RNG state, no shuffle: a broadcast rate table
+    * and a codegen'd narrow filter over the scan, so the same 1% mix
+    * falls out of a 100 TB run and its re-run — reproducibility is the
+    * property that makes a sample auditable.
+    */
+  private val SampleRates = Seq(
+    "en" -> 500L, "de" -> 250L, "fr" -> 250L, "es" -> 250L, "zh" -> 250L)
+
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val rates = broadcast(
+      s.createDataFrame(SampleRates).toDF("lang", "rate_pm"))
+    Tables.documents(s, d)
+      .join(rates, "lang") // unknown langs: rate 0 ⇒ dropped
+      .select(col("doc_id"), col("lang"), col("rate_pm"),
+        hex12ToLong(md5(concat(lit("smp|"), col("doc_id").cast("string"))))
+          .as("h"))
+      .filter(col("h") % 1000 < col("rate_pm"))
+      .select(col("doc_id"), col("lang"), col("rate_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q48Sql = {
+    val values = SampleRates
+      .map { case (l, r) => s"('$l', $r)" }.mkString(", ")
+    s"""WITH rates(lang, rate_pm) AS (VALUES $values)
+       |SELECT doc_id, d.lang, CAST(rate_pm AS BIGINT) AS rate_pm
+       |FROM documents d JOIN rates USING (lang)
+       |WHERE ${hex12ToLongSql("md5('smp|' || CAST(doc_id AS VARCHAR))")}
+       |  % 1000 < rate_pm
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -507,5 +542,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q34_embedding_neardup", q34, Some(q34Sql)),
     CatalogEntry("q38_band_entries", q38, Some(q38Sql)),
     CatalogEntry("q39_dup_clusters", q39, Some(q39Sql)),
+    CatalogEntry("q48_stratified_sample", q48, Some(q48Sql)),
   )
 }
