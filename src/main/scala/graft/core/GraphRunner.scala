@@ -291,10 +291,34 @@ final class GraphRunner(
     // Rows whose retraction can never be requested (rollback depth guard,
     // T6) may be dropped at compaction: frontier = new tip − guard.
     val frontier = top.head.slot - maxRollbackSlots
-    val compactors = tableDefs.collect {
+    // Bind each registered compaction to this commit's frontier: the
+    // declarative shapes carry a SQL form (DB backends run them as one
+    // in-txn DELETE) AND a DataFrame form (segment-store fold). Schemas
+    // come from the registry, so tables with no appends this batch still
+    // compact on compaction cycles.
+    val compactors: Map[String, BoundCompactor] = tableDefs.collect {
       case (t, d) if d.compactWith.isDefined =>
-        t -> ((df: DataFrame) =>
-          d.compactWith.get(df, (n: String) => ctx.table(n), frontier))
+        t -> (d.compactWith.get match {
+          case Compaction.DropMatched(against, keys, slotCol) =>
+            BoundCompactor(d.schema,
+              df => df.join(
+                ctx.table(against).filter(col(slotCol) <= frontier)
+                  .select(keys.map(col): _*),
+                keys, "left_anti"),
+              Some(SqlCompaction(against, keys, slotCol, frontier,
+                dropMatched = true)))
+          case Compaction.DropUnmatched(against, keys, slotCol) =>
+            BoundCompactor(d.schema,
+              df => df.filter(col(slotCol) > frontier).unionByName(
+                df.filter(col(slotCol) <= frontier).join(
+                  ctx.table(against).select(keys.map(col): _*),
+                  keys, "left_semi")),
+              Some(SqlCompaction(against, keys, slotCol, frontier,
+                dropMatched = false)))
+          case Compaction.Custom(fn) =>
+            BoundCompactor(d.schema,
+              df => fn(df, (n: String) => ctx.table(n), frontier), None)
+        })
     }
     val tableOwner: Map[String, String] =
       reducers.flatMap(r => r.tables.map(t => t.name -> r.name)).toMap

@@ -1,8 +1,8 @@
 package graft.core
 
 import java.sql.{Connection, DriverManager, PreparedStatement, Types}
-import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max, min}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 
@@ -324,10 +324,14 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
 
   override def preferLocalOutputs: Boolean = driverCommit
 
-  // Derby DDL/JDBC type mapping (mirrors Spark's Derby dialect so the
-  // two commit modes produce interchangeable tables)
+  // Derby DDL/JDBC type mapping. Strings are VARCHAR (Derby's max), NOT
+  // the CLOB Spark's Derby dialect picks: CLOB supports neither equality
+  // predicates nor indexes, which would bar the set-based in-database
+  // compaction DELETEs below (and the reference's own key columns are
+  // bounded hashes/addresses). Both commit modes create tables through
+  // `ensureTable`, so the mapping stays interchangeable.
   private def sqlType(dt: DataType): String = dt match {
-    case StringType => "CLOB"
+    case StringType => "VARCHAR(32672)"
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"
     case DoubleType => "DOUBLE"
@@ -342,9 +346,28 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       throw new IllegalArgumentException(s"unsupported JDBC column type $other")
   }
 
+  // setNull needs the REAL target type code: Derby rejects Types.NULL
+  // with SQLFeatureNotSupportedException ("data type 0 is not supported"),
+  // which would roll back any batch whose reducer output contains a null.
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case StringType => Types.VARCHAR
+    case LongType => Types.BIGINT
+    case IntegerType => Types.INTEGER
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.REAL
+    case BooleanType => Types.BOOLEAN
+    case BinaryType => Types.BLOB
+    case TimestampType => Types.TIMESTAMP
+    case DateType => Types.DATE
+    case ShortType | ByteType => Types.SMALLINT
+    case _: DecimalType => Types.DECIMAL
+    case other =>
+      throw new IllegalArgumentException(s"unsupported JDBC null type $other")
+  }
+
   private def setParam(ps: PreparedStatement, idx: Int, dt: DataType,
       v: Any): Unit =
-    if (v == null) ps.setNull(idx, Types.NULL)
+    if (v == null) ps.setNull(idx, jdbcTypeCode(dt))
     else dt match {
       case StringType => ps.setString(idx, v.asInstanceOf[String])
       case LongType => ps.setLong(idx, v.asInstanceOf[Long])
@@ -411,36 +434,97 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     spark.conf.getOption("graft.jdbc.compactEvery").map(_.toLong)
       .getOrElse(8L)
 
-  private def compactTables(c: Connection, batchId: Long,
-      schemas: Map[String, StructType],
-      compactors: Map[String, DataFrame => DataFrame]): Unit =
-    compactors.foreach { case (table, fn) =>
-      schemas.get(table).filter(_ => tableExists(table)).foreach { schema =>
-        val withBatch = schema.add("_batch", LongType)
-        val cols = withBatch.fields.map(f => q(f.name)).mkString(", ")
-        val rows = {
+  /** Rows the most recent compaction buffered on the driver: 0 whenever
+    * every compactor ran as in-database SQL (the declarative shapes).
+    * Specs assert this stays 0 for the UTxO compactors — the guard
+    * against reintroducing an O(live-set) driver allocation.
+    */
+  @volatile private[graft] var lastCompactionBufferedRows: Long = 0L
+
+  /** Best-effort index on the key columns a compaction DELETE probes —
+    * the analogue of the reference's `HasIndex(SpentSlot)` (P9) for the
+    * EXISTS lookup side. Derby warns (and only fails per-row at insert)
+    * if a key exceeds the index limit; failures here are non-fatal.
+    */
+  private val keyIndexed = mutable.Set[String]()
+  private def ensureKeyIndex(c: Connection, table: String,
+      keyCols: Seq[String]): Unit =
+    if (!keyIndexed.contains(table)) {
+      val st = c.createStatement()
+      try st.executeUpdate(s"CREATE INDEX ${q(s"ix_${table}_cmpkey")} " +
+        s"ON ${q(table)} (${keyCols.map(q).mkString(", ")})")
+      catch { case _: Exception => () }
+      finally st.close()
+      keyIndexed += table
+    }
+
+  /** Live-set compaction, run INSIDE the commit transaction (atomic with
+    * the batch, replay-safe; surviving rows keep their `_batch` tag so
+    * visibility and idempotent-replay cleanup are untouched).
+    *
+    * The declarative shapes (`DropMatched`/`DropUnmatched`) execute as
+    * ONE set-based DELETE each — the database does the anti/semi join,
+    * the driver buffers nothing, and on a server-grade backend the same
+    * statement is a hash anti-join. Only `Compaction.Custom` falls back
+    * to the driver-side rewrite (read → DataFrame filter → reinsert),
+    * which is O(table) driver memory and documented as such.
+    */
+  private def compactTables(c: Connection,
+      compactors: Map[String, BoundCompactor]): Unit = {
+    lastCompactionBufferedRows = 0L
+    compactors.foreach { case (table, comp) =>
+      if (tableExists(table)) comp.sql match {
+        case Some(sc) if tableExists(sc.againstTable) =>
+          ensureKeyIndex(c, sc.againstTable, sc.keyCols)
+          val probe = sc.keyCols
+            .map(k => s"a.${q(k)} = ${q(table)}.${q(k)}").mkString(" AND ")
+          val stmt =
+            if (sc.dropMatched)
+              s"DELETE FROM ${q(table)} WHERE EXISTS (SELECT 1 FROM " +
+                s"${q(sc.againstTable)} a WHERE $probe AND " +
+                s"a.${q(sc.slotCol)} <= ${sc.frontier})"
+            else
+              s"DELETE FROM ${q(table)} WHERE " +
+                s"${q(table)}.${q(sc.slotCol)} <= ${sc.frontier} AND " +
+                s"NOT EXISTS (SELECT 1 FROM ${q(sc.againstTable)} a " +
+                s"WHERE $probe)"
           val st = c.createStatement()
-          try {
-            val rs = st.executeQuery(s"SELECT $cols FROM ${q(table)}")
-            val buf = new java.util.ArrayList[Row]()
-            while (rs.next()) buf.add(Row.fromSeq(
-              withBatch.fields.toSeq.zipWithIndex.map { case (f, i) =>
-                getParam(rs, i + 1, f.dataType)
-              }))
-            buf
-          } finally st.close()
-        }
-        val survivors =
-          fn(spark.createDataFrame(rows, withBatch)).collect()
-        if (survivors.length < rows.size()) {
+          try st.executeUpdate(stmt) finally st.close()
+        case Some(sc) if !sc.dropMatched =>
+          // against-table absent: every final row is unmatched
           val st = c.createStatement()
-          try st.executeUpdate(s"DELETE FROM ${q(table)}")
+          try st.executeUpdate(s"DELETE FROM ${q(table)} WHERE " +
+            s"${q(table)}.${q(sc.slotCol)} <= ${sc.frontier}")
           finally st.close()
-          insertRows(c, table, schema, survivors,
-            row => row.getLong(schema.fields.length))
-        }
+        case Some(_) => () // DropMatched with no against-table: keep all
+        case None =>
+          val withBatch = comp.schema.add("_batch", LongType)
+          val cols = withBatch.fields.map(f => q(f.name)).mkString(", ")
+          val rows = {
+            val st = c.createStatement()
+            try {
+              val rs = st.executeQuery(s"SELECT $cols FROM ${q(table)}")
+              val buf = new java.util.ArrayList[Row]()
+              while (rs.next()) buf.add(Row.fromSeq(
+                withBatch.fields.toSeq.zipWithIndex.map { case (f, i) =>
+                  getParam(rs, i + 1, f.dataType)
+                }))
+              buf
+            } finally st.close()
+          }
+          lastCompactionBufferedRows += rows.size()
+          val survivors =
+            comp.run(spark.createDataFrame(rows, withBatch)).collect()
+          if (survivors.length < rows.size()) {
+            val st = c.createStatement()
+            try st.executeUpdate(s"DELETE FROM ${q(table)}")
+            finally st.close()
+            insertRows(c, table, comp.schema, survivors,
+              row => row.getLong(comp.schema.fields.length))
+          }
       }
     }
+  }
 
   /** Replace the committing runner's checkpoint windows within an open
     * transaction. MERGE semantics (like StateStore's `stored ++
@@ -465,7 +549,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
 
   def commit(batchId: Long, appends: Map[String, (DataFrame, String)],
       checkpoints: Map[String, Seq[Point]],
-      compactors: Map[String, DataFrame => DataFrame],
+      compactors: Map[String, BoundCompactor],
       onSegment: (String, Double) => Unit): Boolean = {
     val committed = this.batchId
     if (batchId <= committed) return false
@@ -503,8 +587,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
             onSegment(table, (System.nanoTime() - t0) / 1e9)
           }
           if (compactEvery > 0 && batchId % compactEvery == 0)
-            compactTables(c, batchId,
-              collected.map(x => x._1 -> x._3).toMap, compactors)
+            compactTables(c, compactors)
           writeCheckpoints(c, checkpoints)
           val st = c.createStatement()
           try st.executeUpdate(
@@ -530,24 +613,42 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         finally st.close()
       }
     }
-    var wroteAny = false
     appends.foreach { case (table, (df, slotCol)) =>
       val t0 = System.nanoTime()
-      val obs = Observation()
+      // pre-create through our own DDL (not the Spark JDBC writer's
+      // dialect) so both commit modes share the VARCHAR/index layout
+      withConn(c => ensureTable(c, table, df.schema))
       df.withColumn("_batch", lit(batchId))
-        .observe(obs, min(col(slotCol)).as("lo"), max(col(slotCol)).as("hi"))
         .write.mode("append").jdbc(url, q(table), writeProps)
-      if (obs.get.get("lo").exists(_ != null)) wroteAny = true
-      userTableCache += table // created by the Spark JDBC writer if absent
       ensureIndexes(table, slotCol)
       registerSlotCol(table, slotCol)
       onSegment(table, (System.nanoTime() - t0) / 1e9)
+    }
+    // Empty-commit deferral (T4) needs "did ANY table get a row?": one
+    // indexed existence probe per table against the _batch tag. (An
+    // `Observation` on the write plan does not fire for V1 JDBC writes
+    // on this Spark line — metrics silently stay null, which would
+    // defer EVERY commit.)
+    val wroteAny = appends.keys.exists { table =>
+      withConn { c =>
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT 1 FROM ${q(table)} WHERE " +
+            s"${q("_batch")} = $batchId FETCH FIRST 1 ROWS ONLY")
+          try rs.next() finally rs.close()
+        } finally st.close()
+      }
     }
     if (!wroteAny) return false
     withConn { c =>
       c.setAutoCommit(false)
       val st = c.createStatement()
       try {
+        // same cadence as driver-commit mode: the set-based compaction
+        // DELETEs join the marker transaction, so executor-parallel
+        // deployments get bounded live-set state too
+        if (compactEvery > 0 && batchId % compactEvery == 0)
+          compactTables(c, compactors)
         writeCheckpoints(c, checkpoints)
         st.executeUpdate(
           s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")

@@ -3,22 +3,48 @@ package graft.core
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** Declarative compaction for a table: which rows may be dropped once
+  * the rollback frontier (= current tip − MaxRollbackSlots, the
+  * reference's T6 guard) proves no retraction can ever resurrect them.
+  * This is how per-batch state reads stay proportional to the LIVE set
+  * instead of chain length — the segment-log analogue of the reference's
+  * `HasIndex(SpentSlot)` sargability (P9, `TestDbContext.cs:36-37`).
+  *
+  * The two declarative shapes are SQL-pushable: a DB backend runs them
+  * as one set-based `DELETE` inside the commit transaction (zero driver
+  * memory); the segment store runs them as anti/semi joins during the
+  * segment fold. `Custom` carries an arbitrary DataFrame filter and is
+  * only cheap on the segment store — DB backends must fall back to a
+  * driver-side rewrite for it.
+  */
+sealed trait Compaction
+object Compaction {
+  /** Drop rows matched on `keyCols` by a row of `againstTable` whose
+    * `againstSlotCol` is at or before the frontier (e.g. utxo_created
+    * pairs whose spend is final). */
+  final case class DropMatched(againstTable: String, keyCols: Seq[String],
+      againstSlotCol: String) extends Compaction
+  /** Drop rows whose own `slotCol` is at or before the frontier AND that
+    * match no row of `againstTable` on `keyCols` (e.g. final spend
+    * tombstones whose created pair is already gone). Rows inside the
+    * rollback window are always kept. */
+  final case class DropUnmatched(againstTable: String, keyCols: Seq[String],
+      selfSlotCol: String) extends Compaction
+  /** Arbitrary filter `(merged, readTable, frontierSlot) => kept`. */
+  final case class Custom(
+      fn: (DataFrame, String => DataFrame, Long) => DataFrame) extends Compaction
+}
+
 /** A table a reducer owns: schema plus the slot column used for
   * retraction (every output table is slot-keyed — reference
   * `IReducerModel.cs:8-12`: "the one required column is Slot").
   *
-  * `compactWith(merged, readTable, frontierSlot)`: optional filter applied
-  * to the bulk segment when the store compacts this table — drop rows that
-  * can no longer affect any result given that rollbacks never reach behind
-  * `frontierSlot` (= current tip − MaxRollbackSlots, the reference's T6
-  * guard). This is how per-batch state reads stay proportional to the LIVE
-  * set instead of chain length — the segment-log analogue of the
-  * reference's `HasIndex(SpentSlot)` sargability (P9,
-  * `TestDbContext.cs:36-37`).
+  * `compactWith`: optional [[Compaction]] applied when the store compacts
+  * this table.
   */
 final case class TableDef(name: String, schema: StructType,
     slotCol: String = "slot",
-    compactWith: Option[(DataFrame, String => DataFrame, Long) => DataFrame] = None)
+    compactWith: Option[Compaction] = None)
 
 /** Per-batch context handed to reducers.
   *

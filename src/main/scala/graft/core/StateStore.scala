@@ -207,7 +207,7 @@ final class StateStore(val root: String, spark: SparkSession,
     */
   def commit(batchId: Long, appends: Map[String, (DataFrame, String)],
       checkpoints: Map[String, Seq[Point]],
-      compactors: Map[String, DataFrame => DataFrame],
+      compactors: Map[String, BoundCompactor],
       onSegment: (String, Double) => Unit): Boolean = {
     val m = manifest
     if (batchId <= m.batchId) return false
@@ -265,7 +265,7 @@ final class StateStore(val root: String, spark: SparkSession,
           val (old, recent) = segs.splitAt(segs.size - keepRecent)
           val merged0 = spark.read
             .parquet(old.map(s => segPath(table, s.id)): _*)
-          val merged = compactors.get(table).fold(merged0)(f => f(merged0))
+          val merged = compactors.get(table).fold(merged0)(b => b.run(merged0))
           val seg = writeSegment(merged, table, nextId + i, slotCol)
           table -> (seg.toSeq ++ recent)
         }

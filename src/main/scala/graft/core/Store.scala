@@ -3,6 +3,26 @@ package graft.core
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.StructType
 
+/** A table's [[Compaction]] bound to one commit's rollback frontier,
+  * carrying BOTH execution forms so each backend picks its native one:
+  * `run` is the DataFrame filter (segment-store fold, or DB fallback for
+  * `Compaction.Custom`); `sql`, when present, is the declarative shape a
+  * DB backend executes as one set-based `DELETE` in the commit
+  * transaction — no driver-side buffering of the live set.
+  *
+  * `schema` comes from the table REGISTRY (not from the committing
+  * batch's appends), so a registered compactor runs on every compaction
+  * cycle even when its table received no rows that batch.
+  */
+final case class BoundCompactor(schema: StructType,
+    run: DataFrame => DataFrame, sql: Option[SqlCompaction])
+
+/** Declarative, SQL-pushable compaction: delete rows of the target table
+  * that `DropMatched`/`DropUnmatched` (see [[Compaction]]) prove dead at
+  * `frontier`. */
+final case class SqlCompaction(againstTable: String, keyCols: Seq[String],
+    slotCol: String, frontier: Long, dropMatched: Boolean)
+
 /** The storage seam — the reference's `IBlockUnitOfWork` contract
   * (`Reducers/IBlockUnitOfWork.cs:21-56`), proven there by two backends
   * (EF/Postgres `EfBlockUnitOfWork.cs:18-247`, Mongo
@@ -50,7 +70,7 @@ trait Store {
     */
   def commit(batchId: Long, appends: Map[String, (DataFrame, String)],
       checkpoints: Map[String, Seq[Point]],
-      compactors: Map[String, DataFrame => DataFrame] = Map.empty,
+      compactors: Map[String, BoundCompactor] = Map.empty,
       onSegment: (String, Double) => Unit = (_, _) => ()): Boolean
 
   /** Retraction: `DELETE WHERE slotCol >= delSlot` on every table plus

@@ -92,16 +92,19 @@ final class WalletUtxoReducer(watched: Map[String, String]) extends ChainReducer
       StructField("address", StringType),
       StructField("addressName", StringType),
       StructField("amount", LongType))),
-      compactWith = Some((merged, readTable, frontier) =>
-        merged.join(
-          readTable("utxo_spent")
-            .filter(col("spentSlot") <= frontier)
-            .select(col("txHash"), col("txIndex")),
-          Seq("txHash", "txIndex"), "left_anti"))),
+      compactWith = Some(Compaction.DropMatched(
+        "utxo_spent", Seq("txHash", "txIndex"), "spentSlot"))),
+    // The tombstone table compacts too: a FINAL spend (spentSlot at or
+    // before the frontier) whose created pair is already dropped serves
+    // no query — unspentView anti-joins it against nothing. Without this
+    // the spent log grows O(chain) on both backends; with it, both UTxO
+    // tables hold the live set + the rollback window's churn.
     TableDef("utxo_spent", StructType(Seq(
       StructField("txHash", StringType),
       StructField("txIndex", IntegerType),
-      StructField("spentSlot", LongType))), slotCol = "spentSlot"))
+      StructField("spentSlot", LongType))), slotCol = "spentSlot",
+      compactWith = Some(Compaction.DropUnmatched(
+        "utxo_created", Seq("txHash", "txIndex"), "spentSlot"))))
 
   private def watchedDf(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -15,7 +15,13 @@ class StoreContractSpec extends SparkSpec {
 
   private def backends: Seq[(String, String => Store)] = Seq(
     "segment-log" -> (root => new StateStore(root, spark)),
-    "jdbc-derby" -> (root => new JdbcStore(root, spark)))
+    "jdbc-derby" -> (root => new JdbcStore(root, spark)),
+    // executor-parallel commit mode: two-phase (rows gated by marker)
+    "jdbc-derby-exec" -> { root =>
+      spark.conf.set("graft.jdbc.driverCommit", "false")
+      try new JdbcStore(root, spark)
+      finally spark.conf.unset("graft.jdbc.driverCommit")
+    })
 
   private def reducers = Seq(
     new BlockSummaryReducer,
