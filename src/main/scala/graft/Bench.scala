@@ -28,7 +28,12 @@ object Bench {
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_ONLY=q31,q37 restricts to matching prefixes (local
+    // iteration); the driver runs the full catalog (env unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map { name =>
       System.err.println(s"[bench] $name ...")
       try {
@@ -37,14 +42,14 @@ object Bench {
           val t0 = System.nanoTime()
           exec(name)
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        val dt = times(times.size / 2)
+        }
+        val dt = times.sorted.apply(times.size / 2)
         System.err.println(f"[bench] $name median $dt%.2fs of " +
           times.map(t => f"$t%.2f").mkString("[", ",", "]"))
-        name -> dt
+        (name, dt, times)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+        (name, -1.0, Seq.empty[Double])
       } finally {
         // keep per-query timings independent: drop cached relations and
         // let the JVM compact between plans (35 distinct codegen'd plans
@@ -53,10 +58,16 @@ object Bench {
         System.gc()
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep times IN the artifact: a median alone can't distinguish a
+    // real regression from one noisy rep (round-3's q31 forensics needed
+    // tail-text archaeology to even ask the question)
+    val rs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

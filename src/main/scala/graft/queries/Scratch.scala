@@ -48,21 +48,33 @@ object Scratch {
     }
   }
 
-  /** Materialize a subtree that feeds several join legs: write it once to
-    * parquet and re-read. Unlike `.cache()` (executor-memory-resident,
-    * lost on executor churn, MEMORY_AND_DISK pressure at scale), the
-    * parquet copy is the checkpointed-temp-table shape a 100 TB plan
-    * needs — each leg gets an independent columnar scan with its own
-    * pushdown, and the subtree's lineage is cut so Spark never re-executes
-    * the expensive upstream per leg. Deterministic per-name path +
-    * overwrite keeps repeated invocations (bench warm/measured) from
-    * accumulating files; a JVM shutdown hook removes the scratch root.
+  /** Materialize a subtree that feeds several join legs, cutting its
+    * lineage so Spark never re-executes the expensive upstream per leg
+    * (static plans don't dedupe aliased subtrees; AQE exchange reuse is
+    * not guaranteed).
+    *
+    * Mode-aware:
+    *  - `graft.scratch.dir` SET (a durable shared filesystem — the
+    *    cluster deployment): write parquet once and re-read. Survives
+    *    executor churn; each leg gets an independent columnar scan with
+    *    its own pushdown. Deterministic per-name path + overwrite keeps
+    *    repeated invocations from accumulating files; a shutdown hook
+    *    removes the scratch root.
+    *  - UNSET (local / single-JVM bench): `localCheckpoint` — the
+    *    partitions pin in block-manager storage with no filesystem
+    *    round-trip (measured: the parquet write+re-read tripled q31's
+    *    local bench time). Executor loss would drop a checkpointed
+    *    partition, which is exactly why the durable path exists for
+    *    cluster runs.
     */
-  def materialize(df: DataFrame, name: String): DataFrame = {
-    val root = scratchRoot(df)
-    installCleanup(root)
-    val path = Paths.get(root, name).toString
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
-  }
+  def materialize(df: DataFrame, name: String): DataFrame =
+    df.sparkSession.conf.getOption("graft.scratch.dir") match {
+      case Some(_) =>
+        val root = scratchRoot(df)
+        installCleanup(root)
+        val path = Paths.get(root, name).toString
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
 }
