@@ -425,43 +425,60 @@ object Dedup extends QueryModule {
        |SELECT doc_id, band_key FROM banded ORDER BY band_key, doc_id""".stripMargin
   }
 
-  /** Duplicate clustering (q39): connected components over the MinHash
-    * candidate graph — the step that turns pairwise near-dup signals
-    * into "keep one document per cluster". Iterative min-label
-    * propagation: every node starts as its own cluster id; each round
-    * every node takes the min of its own and its neighbors' labels;
-    * fixpoint = components labeled by their min doc_id. Rounds needed =
-    * graph diameter (near-dup clusters are tiny), each round is one
-    * hash join + partial-agg min — the standard Spark CC shape.
+  /** Connected components over an undirected edge list `(a, b)`:
+    * min-label propagation PLUS pointer jumping — each round every node
+    * takes the min of its neighbors' labels (1 hop) and then chases its
+    * own label one level (`label(label(v))`), so the distance a minimum
+    * has travelled at least doubles per round and convergence is
+    * O(log diameter), not O(diameter). A chain of 2^20 nodes converges
+    * inside the 20-round cap; if the cap is somehow exhausted anyway the
+    * routine FAILS LOUDLY rather than emit silently-wrong labels.
     * Per-round `Scratch.materialize` cuts the iterative lineage (an
     * unchecked loop of joins compounds the plan exponentially); the
     * convergence probe is a bounded driver boolean per round.
     */
-  private def q39(s: SparkSession, d: String): DataFrame = {
-    val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+  private[graft] def connectedComponents(pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
     val edges = Scratch.materialize(
       pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-        .distinct(), "q39_edges")
+        .distinct(), "cc_edges")
     var labels = Scratch.materialize(
       edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")), "q39_labels0")
+        .withColumn("cluster_id", col("doc_id")), "cc_labels0")
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxRounds) {
       val nbr = edges.join(labels, edges("b") === labels("doc_id"))
         .select(edges("a").as("doc_id"), col("cluster_id").as("nl"))
         .groupBy("doc_id").agg(min(col("nl")).as("nbrMin"))
+      val prop = labels.withColumnRenamed("cluster_id", "old")
+        .join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nbrMin"), col("old"))).as("mid"))
+      // pointer jump: labels are always node ids, so label(label(v)) is
+      // resolvable against this same round's propagation result
+      val jump = prop.select(col("doc_id").as("jid"), col("mid").as("jl"))
       val next = Scratch.materialize(
-        labels.withColumnRenamed("cluster_id", "old")
-          .join(nbr, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("old"),
-            least(col("old"), coalesce(col("nbrMin"), col("old")))
+        prop.join(jump, prop("mid") === jump("jid"), "left")
+          .select(prop("doc_id"), col("old"),
+            least(col("mid"), coalesce(col("jl"), col("mid")))
               .as("cluster_id")),
-        s"q39_labels${(iter + 1) % 2 + 1}") // ping-pong scratch names
+        s"cc_labels${(iter + 1) % 2 + 1}") // ping-pong scratch names
       converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          "(component diameter > 2^rounds): raise maxRounds")
+    labels
+  }
+
+  /** Duplicate clustering (q39): see [[connectedComponents]]. */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
