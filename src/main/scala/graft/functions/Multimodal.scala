@@ -8,18 +8,28 @@ import org.apache.spark.sql.functions._
   * typed metadata struct, processed by a batched per-partition pipeline.
   *
   * The Spark-side plumbing — schema, partition sizing, batched
-  * iteration shape — is real for every mime. Decoding is real for
-  * BMP and WAV (pure-JVM header+payload parsers, no external codec);
-  * for formats that need a native codec this container doesn't have
-  * (jpeg/mp3/mp4...), `decodeStub` derives deterministic pseudo-
-  * features from the bytes. Swapping in a full decoder changes only
-  * the `decodeAny` dispatch; nothing about the distributed plan.
+  * iteration shape — is real for every mime. Decoding is REAL for all
+  * still-image formats and WAV: BMP/WAV/PNG are pure-JVM parsers (PNG
+  * does full IDAT inflate + scanline un-filtering), and jpeg/gif/tiff
+  * decode through the JDK's bundled ImageIO codecs (headless, no
+  * external libs). Only formats with no JVM codec at all (mp3/mp4
+  * audio+video streams) keep the deterministic `decodeStub`; swapping
+  * in a real decoder (e.g. ffmpeg JNI) changes only the `decodeAny`
+  * dispatch, nothing about the distributed plan.
   *
   * At 100 TB: payloads never shuffle (features are extracted in the scan
   * stage); `repartitionBySize` bounds partition payload bytes so executor
   * memory is sized by config, not by data skew.
   */
 object Multimodal {
+
+  // Executor-safe ImageIO: headless (no display server) and no on-disk
+  // stream cache (decode must not write executor-local temp files).
+  locally {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
@@ -101,17 +111,20 @@ object Multimodal {
         i * math.max(1, nPix / 8))) & 0xff) / 255.0
     }.toArray
     // resize: 4x4 nearest-neighbor grayscale over the real pixel array
-    // (24bpp only; rows are 4-byte aligned, bottom-up unless height<0)
+    // (24bpp only; rows are 4-byte aligned, bottom-up unless height<0).
+    // All row arithmetic in Long: a 54-byte header can CLAIM any width,
+    // and ((3*width+3)/4)*4 overflows Int near width ~715M, which made
+    // the bounds check pass on garbage and the pixel reads throw.
     val thumb: Option[Array[Double]] =
       if (bpp != 24) None
       else {
-        val rowSize = ((3 * width + 3) / 4) * 4
-        if (pixelOff + rowSize.toLong * height > b.length) None
+        val rowSize = ((3L * width + 3) / 4) * 4
+        if (pixelOff + rowSize * height > b.length) None
         else Some((for (ty <- 0 until 4; tx <- 0 until 4) yield {
           val px = math.min(width - 1, tx * width / 4)
           val py = math.min(height - 1, ty * height / 4)
           val row = if (rawHeight < 0) py else height - 1 - py
-          val off = pixelOff + row * rowSize + px * 3
+          val off = (pixelOff + row * rowSize + px * 3L).toInt
           ((b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)) /
             (3.0 * 255.0)
         }).toArray)
@@ -162,20 +175,160 @@ object Multimodal {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  /** REAL decode: PNG dimensions from the IHDR chunk (big-endian at
-    * fixed offsets behind the 8-byte signature). Pixel data stays with
-    * the stub — IDAT inflate + scanline un-filtering needs more than a
-    * header parse — but width/height are the true ones.
+  /** PNG Paeth predictor (RFC 2083 §6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Pixel-decode size cap: refuse to inflate claimed dimensions beyond
+    * this many raw bytes (a 33-byte header can claim a 2G-pixel image).
+    * Over-cap images degrade to header-only features.
+    */
+  private val MaxRawBytes = 64L * 1024 * 1024
+
+  /** REAL decode: PNG — full pixel decode in pure JVM: IDAT chunks
+    * inflate through `java.util.zip.Inflater`, scanlines un-filter per
+    * RFC 2083 (None/Sub/Up/Average/Paeth), yielding real pixels for a
+    * real `frame_sample` and 4×4 grayscale `thumb16`, exactly like BMP.
+    * Covers 8-bit-depth gray/RGB/gray+alpha/RGBA/palette, non-
+    * interlaced — the shapes virtually every training-corpus PNG uses;
+    * anything else (16-bit, Adam7) falls back to the ImageIO decoder,
+    * then to header-only dims.
     */
   private def decodePng(r: MediaRow): Option[MediaFeatures] = {
     val b = r.payload
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte)
-    if (b.length < 24 || !b.take(8).sameElements(sig)) return None
+    if (b.length < 33 || !b.take(8).sameElements(sig)) return None
     if (new String(b.slice(12, 16), "US-ASCII") != "IHDR") return None
     val w = be32(b, 16); val h = be32(b, 20)
     if (w <= 0 || h <= 0) return None
-    Some(decodeStub(r).copy(width = Some(w), height = Some(h)))
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => -1
+    }
+    def headerOnly = Some(
+      scala.util.Try(decodeImageIO(r)).toOption.flatten.getOrElse(
+        decodeStub(r).copy(width = Some(w), height = Some(h))))
+    val rawLen = w.toLong * h * math.max(channels, 1) + h
+    if (bitDepth != 8 || channels < 0 || interlace != 0 ||
+      rawLen > MaxRawBytes) return headerOnly
+    // chunk walk: concatenate IDAT, grab PLTE for palette images
+    val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
+    var off = 8
+    var end = false
+    while (!end && off + 8 <= b.length) {
+      val len = be32(b, off)
+      val typ = new String(b.slice(off + 4, off + 8), "US-ASCII")
+      if (len < 0 || off + 8 + len.toLong + 4 > b.length) return headerOnly
+      if (typ == "IDAT") idat.write(b, off + 8, len)
+      else if (typ == "PLTE") plte = b.slice(off + 8, off + 8 + len)
+      else if (typ == "IEND") end = true
+      off += 8 + len + 4 // data + CRC
+    }
+    if (idat.size() == 0) return headerOnly
+    if (colorType == 3 && (plte == null || plte.length < 3)) return headerOnly
+    // inflate the filtered scanline stream
+    val filtered = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var produced = 0
+    try {
+      while (produced < filtered.length && !inf.finished()) {
+        val n = inf.inflate(filtered, produced, filtered.length - produced)
+        if (n == 0 && inf.needsInput()) return headerOnly // truncated
+        produced += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return headerOnly
+    } finally inf.end()
+    if (produced < filtered.length) return headerOnly
+    // un-filter scanlines (each row: 1 filter byte + w*channels bytes)
+    val stride = w * channels
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val filter = filtered(rowOff) & 0xff
+      if (filter > 4) return headerOnly
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= channels) px(dst + x - channels) & 0xff else 0
+        val u = if (y > 0) px(dst - stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= channels)
+          px(dst - stride + x - channels) & 0xff else 0
+        val raw = filtered(rowOff + 1 + x) & 0xff
+        val rec = filter match {
+          case 0 => raw
+          case 1 => raw + a
+          case 2 => raw + u
+          case 3 => raw + ((a + u) / 2)
+          case 4 => raw + paeth(a, u, c)
+        }
+        px(dst + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    def gray(xi: Int, yi: Int): Double = {
+      val o = yi * stride + xi * channels
+      colorType match {
+        case 0 | 4 => (px(o) & 0xff) / 255.0
+        case 2 | 6 =>
+          ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) /
+            (3.0 * 255.0)
+        case 3 =>
+          val i = (px(o) & 0xff) * 3
+          if (i + 2 < plte.length)
+            ((plte(i) & 0xff) + (plte(i + 1) & 0xff) + (plte(i + 2) & 0xff)) /
+              (3.0 * 255.0)
+          else 0.0
+      }
+    }
+    val nPx = px.length
+    val sample = (0 until 8).map { i =>
+      (px(math.min(nPx - 1, i * math.max(1, nPx / 8))) & 0xff) / 255.0
+    }.toArray
+    val thumb = (for (ty <- 0 until 4; tx <- 0 until 4) yield
+      gray(math.min(w - 1, tx * w / 4), math.min(h - 1, ty * h / 4))).toArray
+    Some(MediaFeatures(r.doc_id, r.mime, b.length.toLong, sha256Hex(b),
+      sample, width = Some(w), height = Some(h), thumb16 = Some(thumb)))
+  }
+
+  /** REAL decode via the JDK's bundled ImageIO codecs (headless, cache
+    * off, zero external deps): jpeg/png/gif/bmp/tiff decode to actual
+    * pixels in a stock JVM. Primary path for jpeg/tiff; fallback for
+    * shapes the pure parsers skip (interlaced or 16-bit PNG, animated
+    * GIF frames beyond the first).
+    */
+  private def decodeImageIO(r: MediaRow): Option[MediaFeatures] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    def gray(x: Int, y: Int): Double = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) /
+        (3.0 * 255.0)
+    }
+    val n = w.toLong * h
+    val sample = (0 until 8).map { i =>
+      val idx = math.min(n - 1, i * math.max(1L, n / 8))
+      gray((idx % w).toInt, (idx / w).toInt)
+    }.toArray
+    val thumb = (for (ty <- 0 until 4; tx <- 0 until 4) yield
+      gray(math.min(w - 1, tx * w / 4), math.min(h - 1, ty * h / 4))).toArray
+    Some(MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+      sha256Hex(r.payload), sample, width = Some(w), height = Some(h),
+      thumb16 = Some(thumb)))
   }
 
   /** REAL decode: GIF logical-screen dimensions (little-endian uint16
@@ -191,16 +344,24 @@ object Multimodal {
     Some(decodeStub(r).copy(width = Some(w), height = Some(h)))
   }
 
-  /** Mime dispatch: real parser where one exists, stub otherwise; a
-    * malformed real-format payload degrades to the stub rather than
-    * failing the partition (corpus-loader skip semantics).
+  /** Mime dispatch: real decoder where one exists, stub otherwise. Every
+    * real decoder is exception-fenced: a malformed or adversarial
+    * payload (truncated stream, lying header) degrades to the stub
+    * rather than failing the whole partition (corpus-loader skip
+    * semantics) — one corrupt blob in a 100 TB corpus must cost one row,
+    * not a task retry storm.
     */
-  private def decodeAny(r: MediaRow): MediaFeatures = r.mime match {
-    case "image/bmp" => decodeBmp(r).getOrElse(decodeStub(r))
-    case "image/png" => decodePng(r).getOrElse(decodeStub(r))
-    case "image/gif" => decodeGif(r).getOrElse(decodeStub(r))
-    case "audio/wav" | "audio/x-wav" => decodeWav(r).getOrElse(decodeStub(r))
-    case _ => decodeStub(r)
+  private def decodeAny(r: MediaRow): MediaFeatures = {
+    def safe(f: MediaRow => Option[MediaFeatures]): Option[MediaFeatures] =
+      scala.util.Try(f(r)).toOption.flatten
+    (r.mime match {
+      case "image/bmp" => safe(decodeBmp).orElse(safe(decodeImageIO))
+      case "image/png" => safe(decodePng) // falls back to ImageIO inside
+      case "image/gif" => safe(decodeImageIO).orElse(safe(decodeGif))
+      case "image/jpeg" | "image/jpg" | "image/tiff" => safe(decodeImageIO)
+      case "audio/wav" | "audio/x-wav" => safe(decodeWav)
+      case _ => None
+    }).getOrElse(decodeStub(r))
   }
 
   /** Batched per-partition feature extraction — the Scala analogue of a

@@ -94,6 +94,88 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).width.isEmpty, "bad signature degrades to stub")
   }
 
+  test("real PNG pixel decode: inflate + un-filter yields the actual pixels") {
+    val sp = spark
+    import sp.implicits._
+    import java.awt.image.BufferedImage
+    // deterministic 8x6 RGB image, written as a real PNG by the JDK
+    val w = 8; val h = 6
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 31) % 256 << 16) | ((y * 41) % 256 << 8) |
+        ((x * y * 13) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(Multimodal.MediaRow(1L, "image/png", png)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width.contains(w) && f.height.contains(h))
+    // the PURE decoder samples the raw un-filtered channel-byte stream —
+    // distinguishable from the ImageIO fallback (which samples grayscale
+    // per pixel). Reconstruct that byte stream from the source image.
+    val px = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      px(o) = (rgb >> 16) & 0xff; px(o + 1) = (rgb >> 8) & 0xff
+      px(o + 2) = rgb & 0xff
+    }
+    val nPx = px.length
+    val expectedSample = (0 until 8).map { i =>
+      px(math.min(nPx - 1, i * math.max(1, nPx / 8))) / 255.0
+    }
+    assert(f.frame_sample.toSeq == expectedSample,
+      "frame_sample must come from the un-filtered pixel bytes " +
+        "(pure decoder, not the ImageIO fallback)")
+    // 4x4 nearest-neighbor grayscale over the REAL pixels
+    val t = f.thumb16.get
+    for (ty <- 0 until 4; tx <- 0 until 4) {
+      val rgb = img.getRGB(math.min(w - 1, tx * w / 4),
+        math.min(h - 1, ty * h / 4))
+      val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) /
+        (3.0 * 255.0)
+      assert(math.abs(t(ty * 4 + tx) - g) < 1e-12)
+    }
+    // corrupt stream: truncate mid-IDAT — degrades, never throws
+    val cut = Seq(Multimodal.MediaRow(2L, "image/png",
+      png.take(png.length / 2))).toDS()
+    val fc = Multimodal.extractFeatures(cut).collect().head
+    assert(fc.frame_sample.length == 8)
+  }
+
+  test("real JPEG decode through the JDK's bundled codec") {
+    val sp = spark
+    import sp.implicits._
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0xffffff else 0x000000) // left white, right black
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq(Multimodal.MediaRow(1L, "image/jpeg", bos.toByteArray)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width.contains(16) && f.height.contains(12))
+    val t = f.thumb16.get
+    // lossy codec: structure must survive — left half bright, right dark
+    assert(t(0) > 0.8 && t(1) > 0.8, s"left cells dark: ${t.toSeq}")
+    assert(t(2) < 0.2 && t(3) < 0.2, s"right cells bright: ${t.toSeq}")
+  }
+
+  test("adversarial BMP header (overflow-sized width) degrades instead of crashing") {
+    val sp = spark
+    import sp.implicits._
+    val bb = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(60).putInt(0).putInt(54)
+    bb.putInt(40).putInt(800000000).putInt(2) // width claims 800M
+      .putShort(1).putShort(24).putInt(0).putInt(6)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val media = Seq(Multimodal.MediaRow(1L, "image/bmp", bb.array())).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.thumb16.isEmpty, "lying header must not produce a thumb")
+    assert(f.frame_sample.length == 8)
+  }
+
   test("real WAV decode: sample rate and duration parsed from actual chunks") {
     val sp = spark
     import sp.implicits._
