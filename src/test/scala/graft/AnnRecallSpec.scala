@@ -34,13 +34,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.values.forall(_.size == 5))
     val lsh = recallAt5(top5("q36_ann_lsh"), exact)
     val ivf = recallAt5(top5("q37_ann_ivf"), exact)
-    info(f"recall@5: sign-LSH=$lsh%.2f ivf=$ivf%.2f")
-    // floors set from measured values minus slack (ivf 0.44, lsh 0.32 on
-    // this corpus; the original single-table 8-bit LSH measured 0.00,
-    // which is what forced the multi-table redesign). A refactor that
-    // degrades either index (wrong plane math, bad list assignment)
-    // lands far below these long before the hash gate notices.
+    // the scale claim of an LSH index is recall AND probed fraction
+    // together — either alone can be gamed (probe everything: recall 1)
+    val frac = graft.queries.Similarity.probedFraction(spark, sf)
+    info(f"recall@5: sign-LSH=$lsh%.2f (probing $frac%.2f of corpus) ivf=$ivf%.2f")
+    // floors set from measured values minus slack (ivf 0.44; multiprobe
+    // lsh measured 0.60 probing ~0.3 of the corpus — the pre-multiprobe
+    // exact-bucket config measured 0.32 at ~0.25, and the original
+    // single-table 8-bit LSH measured 0.00, which is what forced the
+    // redesigns). A refactor that degrades either index (wrong plane
+    // math, bad probe strings, bad list assignment) lands far below
+    // these long before the hash gate notices.
     assert(ivf >= 0.35, f"IVF recall@5 collapsed: $ivf%.2f")
-    assert(lsh >= 0.2, f"sign-LSH recall@5 collapsed: $lsh%.2f")
+    assert(lsh >= 0.45, f"sign-LSH recall@5 collapsed: $lsh%.2f")
+    assert(frac <= 0.5, f"LSH probes too much of the corpus: $frac%.2f")
   }
 }
