@@ -42,30 +42,50 @@ object StreamingDedup {
 
   /** The incrementally-maintained band index. Input may carry replayed
     * docs (at-least-once sources): a doc id already present in its
-    * bucket re-emits nothing.
+    * bucket re-emits nothing (membership via a hash set, not a linear
+    * scan of the bucket).
+    *
+    * `stateTtl`: optional processing-time TTL per bucket. On an
+    * unbounded stream, NoTimeout state pins every band bucket ever seen
+    * forever; with a TTL, a bucket idle that long is evicted, so state
+    * is bounded by the ACTIVE working set. The documented trade: a
+    * near-dup pair whose members arrive further apart than the TTL is
+    * not emitted — the dedup horizon is the TTL, which is exactly the
+    * contract batch re-dedup (q32 over the accumulated corpus) covers.
     */
   def candidates(entries: Dataset[BandEntry],
-      maxBucket: Int = DefaultMaxBucket): Dataset[BandCandidate] = {
+      maxBucket: Int = DefaultMaxBucket,
+      stateTtl: Option[java.time.Duration] = None): Dataset[BandCandidate] = {
     import entries.sparkSession.implicits._
+    val timeoutKind = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     entries.groupByKey(_.band_key)
       .flatMapGroupsWithState[Seq[Long], BandCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutKind) {
         (key, chunk, state) =>
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val fresh = chunk.map(_.doc_id).toSeq.distinct.sorted
-            .filterNot(seen.contains)
-          val out = Seq.newBuilder[BandCandidate]
-          var bucket = seen
-          fresh.foreach { d =>
-            if (bucket.size < maxBucket) {
-              bucket.foreach { a =>
-                out += BandCandidate(math.min(a, d), math.max(a, d), key)
-              }
-              bucket = bucket :+ d
-            } // else: stop-bucket, no near-dup signal left in it
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket: evict, emit nothing
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Seq.empty)
+            val seenSet = scala.collection.mutable.Set(seen: _*)
+            val fresh = chunk.map(_.doc_id).toSeq.distinct.sorted
+              .filterNot(seenSet.contains)
+            val out = Seq.newBuilder[BandCandidate]
+            var bucket = seen
+            fresh.foreach { d =>
+              if (bucket.size < maxBucket) {
+                bucket.foreach { a =>
+                  out += BandCandidate(math.min(a, d), math.max(a, d), key)
+                }
+                bucket = bucket :+ d
+                seenSet += d
+              } // else: stop-bucket, no near-dup signal left in it
+            }
+            state.update(bucket)
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            out.result().iterator
           }
-          state.update(bucket)
-          out.result().iterator
       }
   }
 }

@@ -63,4 +63,59 @@ class StreamingDedupSpec extends SparkSpec {
       assert(sp.table("capped_candidates").count() == 3)
     } finally q.stop()
   }
+
+  test("state TTL evicts idle buckets so an unbounded stream cannot pin state forever") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[BandEntry]
+    // NOTE: with ProcessingTimeTimeout the engine schedules batches
+    // continuously to fire timeouts (shouldRunAnotherBatch is always
+    // true), so processAllAvailable never quiesces — drive the test by
+    // polling the query's state-operator metrics instead, on a real
+    // trigger interval.
+    // TTL spans ~10 trigger intervals so each state transition (indexed
+    // -> evicted -> re-indexed) is observable in lastProgress between
+    // batches; eviction is POLLED FOR before the next add, which makes
+    // the no-cross-eviction-pair assertion deterministic
+    val q = StreamingDedup.candidates(mem.toDS(), maxBucket = 10,
+        stateTtl = Some(java.time.Duration.ofMillis(500)))
+      .writeStream.format("memory").queryName("ttl_candidates")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .start()
+    def stateRows: Long = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+    def poll(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      mem.addData(BandEntry("k", 1L))
+      poll("bucket k indexed")(stateRows == 1L)
+      // idle past the TTL: the timeout sweep must EVICT the bucket
+      poll("bucket k evicted by TTL")(stateRows == 0L)
+      // the bucket is gone: a new member pairs with nothing
+      mem.addData(BandEntry("k", 2L))
+      poll("bucket k re-created")(stateRows == 1L)
+      assert(sp.table("ttl_candidates").count() == 0,
+        "evicted bucket must not produce cross-eviction pairs")
+      // and the fresh bucket works forward within the TTL window: a
+      // prompt next member pairs with 2 (or, if the 50ms trigger
+      // already evicted {2}, the index stays consistently empty — the
+      // deterministic assertion is that NO pair crosses an eviction)
+      mem.addData(BandEntry("k", 3L))
+      poll("third entry processed")(
+        sp.table("ttl_candidates").count() == 1 || stateRows >= 1L)
+      val rows = sp.table("ttl_candidates").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.isEmpty || rows == Seq((2L, 3L)),
+        s"unexpected pairs: $rows")
+    } finally q.stop()
+  }
 }
