@@ -70,6 +70,12 @@ object BlockCodec {
 
   // ---- decode (ingestion side) ----
 
+  /** Blocks decoded with an era byte past the known enum — a per-JVM
+    * diagnostic (per-executor on a cluster): nonzero after a hard fork
+    * the codec doesn't know yet, while ingestion keeps flowing.
+    */
+  val unknownEraCount = new java.util.concurrent.atomic.LongAdder
+
   /** `None` on malformed input (the reference returns null and the
     * caller skips — `MockChainSyncProvider.DiscoverAllBlocks`).
     * All strings are decoded via `new String(copy)` — bytes never alias
@@ -85,9 +91,13 @@ object BlockCodec {
         if (len != bb.remaining()) return None
       }
       val era = bb.get().toInt & 0xFF
-      // era validation (`Era.cs:6-24`): a byte past Conway is not a
-      // future era we can process — treat as malformed and skip
-      if (!Era.isKnown(era)) return None
+      // era pass-through (`Era.cs:6-24`): the reference's `(Era)value`
+      // cast accepts ANY byte, so a post-Conway hard fork keeps
+      // indexing there — dropping unknown eras here would silently
+      // stall ingestion at the fork. Unknown eras decode normally
+      // (structural checks below still catch garbage) and are COUNTED
+      // so operators can see the fork in telemetry.
+      if (!Era.isKnown(era)) unknownEraCount.increment()
       val hash = getStr(bb)
       val height = bb.getLong
       val slot = bb.getLong
@@ -137,10 +147,9 @@ object BlockCodec {
       .filter(col("b").isNotNull && col("b.hash").isNotNull)
       .select(col("b.hash"), col("b.height"), col("b.slot"),
         col("b.transactions"),
-        // era optional in JSON (pre-era producers) → Babbage; present
-        // but out-of-range → malformed, dropped like the binary twin
+        // era optional in JSON (pre-era producers) → Babbage; unknown
+        // values pass through like the binary twin (fork-safe)
         coalesce(col("b.era"), lit(Era.Babbage)).as("era"))
-      .filter(col("era").between(Era.Unknown, Era.Max))
       .as[Block]
   }
 }

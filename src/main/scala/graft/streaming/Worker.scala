@@ -22,14 +22,95 @@ import scala.collection.mutable
 object Worker {
 
   /** One root graph: where its blocks appear, where its stream
-    * checkpoint lives, and the runner that owns its store.
+    * checkpoint lives, and the runner that owns its store. `telemetry`
+    * (one instance per root, also passed to the root's GraphRunner)
+    * feeds the per-root progress rows on [[Handle.progress]].
     */
   final case class Root(
       blocksDir: String,
       checkpointDir: String,
       runner: GraphRunner,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      telemetry: Option[Telemetry] = None)
+
+  /** A running worker. `await()` is the reference's WhenAll loop (wait
+    * for ALL roots — one root finishing must not tear down the others,
+    * `WorkerShutdownSemanticsTest.cs:56`); `requestStop()` is its
+    * graceful StopAsync (stop every root's query; `await` then returns
+    * cleanly rather than throwing); `progress` surfaces each root's
+    * reducer progress rows while the worker runs.
+    */
+  final class Handle private[Worker] (
+      queries: Seq[(Root, StreamingQuery)], pollMs: Long) {
+    @volatile private var stopping = false
+
+    /** Graceful shutdown: stop every root (drain the in-flight batch,
+      * release locks). Safe to call more than once / concurrently with
+      * `await`.
+      */
+    def requestStop(): Unit = {
+      stopping = true
+      stopAll(queries.map(_._2))
+    }
+
+    def isStopRequested: Boolean = stopping
+
+    /** True while any root's query is still active. */
+    def isActive: Boolean = queries.exists(_._2.isActive)
+
+    /** Per-root progress rows, keyed by the root's store root — live
+      * tip-distance observability under `ProcessingTime` triggers (the
+      * reference's dashboard surface, per root). Roots started without
+      * telemetry report empty.
+      */
+    def progress: Map[String, Seq[ReducerProgress]] =
+      queries.map { case (r, _) =>
+        r.runner.store.root -> r.telemetry.fold(Seq.empty[ReducerProgress])(_.snapshot)
+      }.toMap
+
+    /** Wait for EVERY root to terminate (WhenAll). Throws the first
+      * root FAILURE after stopping the others (fail-fast, no masked
+      * exit); returns normally when all roots finished cleanly —
+      * including via `requestStop()`.
+      */
+    def await(): Unit = {
+      val started = queries.map(_._2)
+      val pending = mutable.Set[java.util.UUID](started.map(_.id): _*)
+      while (pending.nonEmpty) {
+        started.filter(q => pending.contains(q.id) && !q.isActive).foreach { q =>
+          pending -= q.id
+          q.exception.foreach { e =>
+            stopAll(started) // fail fast: cancel the healthy roots
+            throw Option(e.cause).getOrElse(e)
+          }
+        }
+        if (pending.nonEmpty) Thread.sleep(pollMs)
+      }
+    }
+  }
+
+  /** Start every root and return a [[Handle]] (locks acquired before any
+    * block flows; a root that cannot start stops the already-started
+    * ones and throws).
+    */
+  def start(spark: SparkSession, roots: Seq[Root],
+      telemetry: Option[Telemetry] = None, pollMs: Long = 50L): Handle = {
+    require(roots.nonEmpty, "no roots to run")
+    require(roots.map(_.runner.store.root).distinct.size == roots.size,
+      "multi-root worker requires one distinct store per root (T13)")
+    val started = mutable.ArrayBuffer[(Root, StreamingQuery)]()
+    try
+      roots.foreach { r =>
+        started += r -> ChainIngest.start(spark, r.blocksDir, r.checkpointDir,
+          r.runner, r.trigger, r.maxFilesPerTrigger,
+          telemetry = r.telemetry.orElse(telemetry))
+      }
+    catch { // a root that cannot start (e.g. held lock) fails the worker
+      case e: Throwable => stopAll(started.map(_._2)); throw e
+    }
+    new Handle(started.toSeq, pollMs)
+  }
 
   /** Run every root to completion (with `AvailableNow`: drain-then-stop;
     * with `ProcessingTime`: until failure or external stop). Throws the
@@ -37,31 +118,8 @@ object Worker {
     * when every root's query terminated cleanly.
     */
   def run(spark: SparkSession, roots: Seq[Root],
-      telemetry: Option[Telemetry] = None, pollMs: Long = 50L): Unit = {
-    require(roots.nonEmpty, "no roots to run")
-    require(roots.map(_.runner.store.root).distinct.size == roots.size,
-      "multi-root worker requires one distinct store per root (T13)")
-    val started = mutable.ArrayBuffer[StreamingQuery]()
-    try
-      roots.foreach { r =>
-        started += ChainIngest.start(spark, r.blocksDir, r.checkpointDir,
-          r.runner, r.trigger, r.maxFilesPerTrigger, telemetry = telemetry)
-      }
-    catch { // a root that cannot start (e.g. held lock) fails the worker
-      case e: Throwable => stopAll(started); throw e
-    }
-    val pending = mutable.Set[java.util.UUID](started.map(_.id).toSeq: _*)
-    while (pending.nonEmpty) {
-      started.filter(q => pending.contains(q.id) && !q.isActive).foreach { q =>
-        pending -= q.id
-        q.exception.foreach { e =>
-          stopAll(started) // fail fast: cancel the healthy roots
-          throw Option(e.cause).getOrElse(e)
-        }
-      }
-      if (pending.nonEmpty) Thread.sleep(pollMs)
-    }
-  }
+      telemetry: Option[Telemetry] = None, pollMs: Long = 50L): Unit =
+    start(spark, roots, telemetry, pollMs).await()
 
   private def stopAll(qs: Iterable[StreamingQuery]): Unit =
     qs.foreach(q => try q.stop() catch { case _: Exception => () })

@@ -20,11 +20,18 @@ class BlockCodecSpec extends SparkSpec {
     }
   }
 
-  test("era validation: wire byte past Conway is malformed and rejected (Era.cs:6-24)") {
+  test("era pass-through: a byte past Conway keeps decoding (fork-safe, like the reference's enum cast) and is counted") {
     val b = ChainGen.generate(1, seed = 5L).head
     assert(BlockCodec.decode(BlockCodec.encode(b, era = Era.Max)).isDefined)
-    assert(BlockCodec.decode(BlockCodec.encode(b, era = Era.Max + 1)).isEmpty)
-    assert(BlockCodec.decode(BlockCodec.encode(b, era = 200)).isEmpty)
+    val before = BlockCodec.unknownEraCount.sum()
+    // a post-Conway hard-fork byte must NOT stall ingestion: the block
+    // decodes with its era preserved and the skip counter ticks
+    val next = Era.Max + 1
+    assert(BlockCodec.decode(BlockCodec.encode(b, era = next))
+      .contains((next, b.copy(era = next))))
+    assert(BlockCodec.decode(BlockCodec.encode(b, era = 200))
+      .contains((200, b.copy(era = 200))))
+    assert(BlockCodec.unknownEraCount.sum() == before + 2)
     assert(BlockCodec.decode(BlockCodec.encode(b, era = Era.Unknown))
       .contains((Era.Unknown, b.copy(era = Era.Unknown))))
   }
@@ -51,13 +58,14 @@ class BlockCodecSpec extends SparkSpec {
     val blocks = ChainGen.generate(15, seed = 17L)
     val eraLess = // pre-era producer: era defaults to Babbage
       """{"hash":"aa","height":1,"slot":9999,"transactions":[]}"""
-    val badEra = // out-of-range era: dropped like the binary twin
+    val futureEra = // post-Conway era: passes through like the binary twin
       """{"hash":"bb","height":2,"slot":9998,"transactions":[],"era":99}"""
     val json = sp.createDataset(blocks).toJSON.collect().toSeq :+
-      "{not json" :+ """{"other":"shape"}""" :+ eraLess :+ badEra
+      "{not json" :+ """{"other":"shape"}""" :+ eraLess :+ futureEra
     val decoded = graft.sources.BlockCodec.decodeJsonBlocks(
       sp.createDataset(json).toDF("json"))
-    val expected = blocks :+ Block("aa", 1L, 9999L, Seq.empty, Era.Babbage)
+    val expected = blocks :+ Block("bb", 2L, 9998L, Seq.empty, 99) :+
+      Block("aa", 1L, 9999L, Seq.empty, Era.Babbage)
     assert(decoded.collect().toSeq.sortBy(_.slot) == expected.sortBy(_.slot))
   }
 

@@ -60,6 +60,64 @@ class WorkerSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty, "healthy root must be stopped")
   }
 
+  test("WhenAll + graceful stop: one root finishing does not exit the worker; progress surfaces per root") {
+    import graft.streaming.Telemetry
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val b1 = ChainGen.generate(12, seed = 41L)
+    val b2 = ChainGen.generate(18, seed = 42L, tag = "r2")
+    val telA = new Telemetry(Map("block_summary" -> None))
+    val telB = new Telemetry(Map("block_summary" -> None))
+    def telRoot(tag: String, blocks: Seq[Block], tel: Telemetry,
+        trigger: Trigger): (Worker.Root, StateStore) = {
+      val blocksDir = tmpDir(s"wk-blocks-$tag")
+      dropBlocks(blocksDir, blocks)
+      val store = new StateStore(tmpDir(s"wk-store-$tag"), spark)
+      val runner = new GraphRunner(spark, store, Seq(new BlockSummaryReducer),
+        batchSize = 500, telemetry = Some(tel))
+      (Worker.Root(blocksDir, tmpDir(s"wk-cp-$tag"), runner, trigger,
+        telemetry = Some(tel)), store)
+    }
+    // root A drains and finishes; root B keeps running (ProcessingTime)
+    val (rA, sA) = telRoot("pa", b1, telA, Trigger.AvailableNow())
+    val (rB, sB) = telRoot("pb", b2, telB,
+      Trigger.ProcessingTime("100 milliseconds"))
+    val h = Worker.start(spark, Seq(rA, rB))
+    def poll(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      val worker = Future(h.await())
+      val schema = new BlockSummaryReducer().tables.head.schema
+      poll("both roots drained")(
+        sA.read("blocks", schema).count() == b1.size &&
+          sB.read("blocks", schema).count() == b2.size)
+      // root A (AvailableNow) terminates after draining; B must keep the
+      // worker alive — the reference's P0-2 WhenAll regression
+      poll("root A finished")(h.progress(sA.root)
+        .exists(p => p.reducer == "block_summary" && p.progressPct == 100.0))
+      Thread.sleep(500)
+      assert(!worker.isCompleted,
+        "worker exited after only ONE of two roots finished (WhenAny); " +
+          "it must wait for all roots (WhenAll)")
+      assert(h.isActive)
+      // per-root progress rows report real tip distance
+      val pb = h.progress(sB.root)
+      assert(pb.exists(p => p.reducer == "block_summary" &&
+        p.currentSlot == b2.last.slot && p.batches > 0))
+      // graceful stop: await() returns cleanly, nothing is left running
+      h.requestStop()
+      Await.result(worker, 60.seconds)
+      assert(!h.isActive)
+      assert(spark.streams.active.isEmpty)
+    } finally h.requestStop()
+  }
+
   test("distinct-store requirement is enforced up front") {
     val store = new StateStore(tmpDir("wk-shared"), spark)
     def mk = new GraphRunner(spark, store, Seq(new BlockSummaryReducer),
