@@ -32,6 +32,9 @@ object ChainPerf {
       .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // engine shuffle-width experiments (see GraphRunner.withEngineShuffle)
+      .config("graft.engine.shufflePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUF", "8"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val blocks = ChainGen.generate(nBlocks)
