@@ -73,6 +73,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q36: multiprobe candidate join broadcasts the probe side, never a cartesian") {
+    // queries explode to L*(1+PT) probe keys but stay NQ-bounded — that
+    // side must broadcast into a hash join on bkt; the corpus side must
+    // never cross-join
+    val s = planString("q36_ann_lsh")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q46: both as-of carry-forwards stay fused in ONE Window node") {
     val n = planOf("q46_asof_join").collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
