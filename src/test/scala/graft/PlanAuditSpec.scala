@@ -82,6 +82,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q49: bucketed co-located join has ZERO exchanges below the join") {
+    // both sides are bucketed by the join key at write time; the join
+    // must consume that partitioning — any Exchange under the join
+    // means the bucket layout was ignored and both facts reshuffle.
+    // (At sf0.001 Catalyst would broadcast the small side — ALSO
+    // shuffle-free but not the property under test; disable broadcast
+    // to force the co-located path a 100 TB fact⋈fact join takes.)
+    val bkey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(bkey)
+    spark.conf.set(bkey, "-1")
+    try {
+      val joins = planOf("q49_bucketed_join").collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, planString("q49_bucketed_join"))
+      joins.foreach { j =>
+        val below = j.collect { case e: Exchange => e }
+        assert(below.isEmpty,
+          s"bucketed join reshuffles its inputs:\n${planString("q49_bucketed_join")}")
+      }
+    } finally spark.conf.set(bkey, saved)
+  }
+
   test("q46: both as-of carry-forwards stay fused in ONE Window node") {
     val n = planOf("q46_asof_join").collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
