@@ -224,6 +224,52 @@ object Events extends QueryModule {
       |  round(v_value, 4) AS asof_view_value
       |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  /** Salted skew join (q52) — the "salt hot keys" scale technique as a
+    * first-class, oracle-checked catalog entry. An equi-join on a
+    * low-cardinality key (event_type: 5 values) sends EVERY row of a
+    * hot key to one reducer in a shuffle join; at 100 TB one straggler
+    * partition owns the job's wall-clock. The salted form spreads each
+    * key over R partitions: the fact side gets a deterministic salt
+    * `pmod(hash(event_id), R)`, the dimension side is replicated ×R,
+    * and the join runs on (key, salt) — so hash partitioning is over
+    * R× the key space. Every fact row matches exactly one replica, so
+    * the result is IDENTICAL to the unsalted join, which is what the
+    * DuckDB oracle (plain join, no salt) checks. The dimension carries
+    * a shuffle_hash hint: a 5-row table would otherwise broadcast,
+    * which is the right plan HERE but not the scenario under test —
+    * salting exists for the dim-too-big-to-broadcast regime.
+    * PlanAuditSpec asserts the exchanges actually partition on the
+    * salt.
+    */
+  private val SaltR = 8
+
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // deterministic dim derived from the key itself (mirrored in SQL):
+    // weight = len(event_type) / 10.0
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("double") / 10.0)
+    val dimSalted = dim
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltR - 1))))
+      .hint("shuffle_hash")
+    val factSalted = ev
+      .withColumn("salt", pmod(hash(col("event_id")), lit(SaltR)))
+    factSalted.join(dimSalted, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value") * col("weight"), 4).as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q52Sql =
+    s"""WITH dim AS (
+       |  SELECT event_type, CAST(len(event_type) AS DOUBLE) / 10.0 AS weight
+       |  FROM (SELECT DISTINCT event_type FROM events))
+       |SELECT e.event_type, COUNT(*) AS n,
+       |  ${dsumSql("e.value * d.weight", 4)} AS weighted_value
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q40_tumbling_window", q40, Some(q40Sql)),
     CatalogEntry("q41_sliding_window", q41, Some(q41Sql)),
@@ -232,5 +278,6 @@ object Events extends QueryModule {
     CatalogEntry("q44_daily_rollup", q44, Some(q44Sql)),
     CatalogEntry("q45_funnel", q45, Some(q45Sql)),
     CatalogEntry("q46_asof_join", q46, Some(q46Sql)),
+    CatalogEntry("q52_salted_skew_join", q52, Some(q52Sql)),
   )
 }

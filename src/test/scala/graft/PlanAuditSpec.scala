@@ -106,6 +106,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(bkey, saved)
   }
 
+  test("q52: salted join partitions on (key, salt), spreading each hot key R ways") {
+    val s = planString("q52_salted_skew_join")
+    // the join's exchanges must cluster on the salt too — partitioning
+    // on event_type alone is exactly the straggler the salt removes
+    assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"), s)
+    val saltPartitioned = "hashpartitioning\\([^)]*salt".r
+      .findFirstIn(s).isDefined
+    assert(saltPartitioned, s"no salt in join partitioning:\n$s")
+  }
+
   test("q46: both as-of carry-forwards stay fused in ONE Window node") {
     val n = planOf("q46_asof_join").collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
