@@ -551,6 +551,124 @@ object Dedup extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Distinct word n-gram set over a materialized word-array column —
+    * the general form of [[shinglesFromWords]] (q31/q32 use n=3; the
+    * decontamination gate below uses n=8 per the usual "no 8-gram of a
+    * benchmark may appear in training data" rule).
+    */
+  private def ngramsFromWords(ws: Column, n: Int): Column =
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+        .otherwise(array().cast("array<string>")))
+
+  private def ngramsSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len(ws) >= $n
+       |  THEN list_transform(range(1, len(ws) - ${n - 2}), i -> $parts)
+       |  ELSE [] END)""".stripMargin.replace("\n", " ")
+  }
+
+  private val DecontN = 8
+
+  /** Benchmark decontamination (q54): flag every training document that
+    * shares an exact word 8-gram with the held-out evaluation shard
+    * (here: doc_id ≡ 3 mod 10 — a stand-in for "the benchmark suite").
+    *
+    * The scale shape is the point: benchmark suites are megabytes while
+    * the corpus is 100 TB, so the eval shard's distinct-8-gram set is
+    * BROADCAST and the corpus side is one narrow explode → broadcast-hash
+    * semi-match → per-doc count. No shuffle of corpus text, no shuffle at
+    * all on the corpus side until the tiny per-doc count aggregation;
+    * per-doc shingle totals ride along through the explode instead of
+    * re-joining the (re-computed) shingle subtree.
+    */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), ngramsFromWords(wordsCol, DecontN).as("sh"))
+    val ev = docs.filter(col("doc_id") % 10 === 3)
+      .select(explode(col("sh")).as("s")).distinct()
+    val trx = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
+    trx.join(broadcast(ev), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 4)
+          .as("hit_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q54Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |        FROM documents)),
+       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % 10 = 3),
+       |trx AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+       |        FROM docs WHERE doc_id % 10 <> 3)
+       |SELECT doc_id, COUNT(*) AS n_hits,
+       |  CAST(n_shingles AS INTEGER) AS n_shingles,
+       |  round(CAST(COUNT(*) AS DOUBLE) / n_shingles, 4) AS hit_frac
+       |FROM trx JOIN ev USING (s)
+       |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
+
+  /** Deduplicated-corpus manifest (q55): the end-to-end output a real
+    * pipeline actually ships — every document tagged with its duplicate
+    * cluster and whether it is the cluster's canonical survivor
+    * (min doc_id). Chains the catalog's own stages: MinHash/LSH candidate
+    * pairs (q32) → connected components (q39's pointer-jumping CC) →
+    * left join back onto the corpus (docs outside any cluster are their
+    * own canonical singleton). Only (doc_id, label) pairs flow through
+    * the final join; a `keep = is_canonical` filter on this manifest IS
+    * the deduplicated 100 TB corpus.
+    */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("cluster_id", "label")
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q55Sql = {
+    val sigSql = (0 until H).map(k =>
+      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
+    val bandsSql = (0 until Bands).map(b =>
+      s"md5('$b|' || " +
+        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
+       |cluster AS (SELECT n AS doc_id, MIN(r) AS label
+       |            FROM reach GROUP BY n)
+       |SELECT d.doc_id, COALESCE(label, d.doc_id) AS cluster_id,
+       |  COALESCE(label, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN cluster c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -560,5 +678,7 @@ object Dedup extends QueryModule {
     CatalogEntry("q38_band_entries", q38, Some(q38Sql)),
     CatalogEntry("q39_dup_clusters", q39, Some(q39Sql)),
     CatalogEntry("q48_stratified_sample", q48, Some(q48Sql)),
+    CatalogEntry("q54_decontaminate", q54, Some(q54Sql)),
+    CatalogEntry("q55_dedup_survivors", q55, Some(q55Sql)),
   )
 }

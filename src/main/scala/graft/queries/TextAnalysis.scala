@@ -387,6 +387,72 @@ object TextAnalysis extends QueryModule {
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Repeated-content quality signals (q53) — the Gopher-style repetition
+    * filters of a curation pipeline: per-document duplicate-word fraction
+    * and most-frequent-bigram mass. Computed via explode → grouped counts
+    * (work ∝ corpus tokens, map-side partial aggregation, only
+    * (doc_id, gram, count) rows ever shuffle — never the text), NOT via
+    * per-row array lambdas: a frequency count inside a HOF is O(len²)
+    * per document, which a 150k-word document turns into 2×10¹⁰ ops.
+    * Fractions are one IEEE division of exact longs, so both engines
+    * agree bit-for-bit.
+    */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val ws = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(ws).as("w"))
+    val uni = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_uniq"))
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val bg = bigrams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    uni.join(bg, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_uniq"),
+        ((col("n_words") - col("n_uniq")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (col("top_bigram").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+      .withColumn("rep_ok",
+        col("dup_word_frac") <= lit(0.5) && col("top_bigram_frac") <= lit(0.1))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q53Sql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |uni AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |    COUNT(*) AS n_uniq
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |bgx AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+      |              FROM documents))),
+      |bg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    CAST(MAX(c) AS BIGINT) AS top_bigram
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bgx GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_words, n_uniq,
+      |  CAST(n_words - n_uniq AS DOUBLE) / n_words AS dup_word_frac,
+      |  CAST(top_bigram AS DOUBLE) / n_bigrams AS top_bigram_frac,
+      |  CAST(n_words - n_uniq AS DOUBLE) / n_words <= 0.5
+      |    AND CAST(top_bigram AS DOUBLE) / n_bigrams <= 0.1 AS rep_ok
+      |FROM uni JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -398,5 +464,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q27_tfidf_terms", q27, Some(q27Sql)),
     CatalogEntry("q28_doc_cube", q28, Some(q28Sql)),
     CatalogEntry("q47_bm25", q47, Some(q47Sql)),
+    CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
   )
 }
