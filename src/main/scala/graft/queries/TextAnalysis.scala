@@ -453,6 +453,36 @@ object TextAnalysis extends QueryModule {
       |    AND CAST(top_bigram AS DOUBLE) / n_bigrams <= 0.1 AS rep_ok
       |FROM uni JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Sketch-based corpus profile (q56): per-language vocabulary size and
+    * distinct-document count via HyperLogLog++ (`approx_count_distinct`)
+    * and median document length via the quantile sketch
+    * (`percentile_approx`). This is the 100 TB counting path: sketches
+    * are MERGEABLE, so both aggregates run as map-side partials of a few
+    * KB each and one tiny final merge — exact `COUNT(DISTINCT w)` over a
+    * 100 TB token stream would shuffle every distinct token instead.
+    *
+    * Rows-only catalog entry BY DESIGN: sketch outputs are
+    * implementation-defined (Spark's HLL++/KLL vs DuckDB's), so
+    * cross-engine hash parity is impossible; the correctness gate is
+    * SketchSpec, which pins each estimate's relative error against the
+    * exact aggregates computed on the same data.
+    */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = docs
+      .select(col("lang"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("w"), 0.02).as("approx_vocab"))
+    val perDoc = docs.groupBy(col("lang"))
+      .agg(approx_count_distinct(md5(col("text")), 0.02)
+          .as("approx_distinct_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000))
+          .as("p50_chars"),
+        count(lit(1)).as("n_docs"))
+    vocab.join(perDoc, "lang").orderBy(col("lang"))
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -465,5 +495,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q28_doc_cube", q28, Some(q28Sql)),
     CatalogEntry("q47_bm25", q47, Some(q47Sql)),
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
+    CatalogEntry("q56_sketch_profile", q56, None),
   )
 }

@@ -49,4 +49,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(lsh >= 0.45, f"sign-LSH recall@5 collapsed: $lsh%.2f")
     assert(frac <= 0.5, f"LSH probes too much of the corpus: $frac%.2f")
   }
+
+  test("q57 PQ-ADC with exact rerank reaches useful recall@5") {
+    val exact = top5("q35_topk_cosine")
+    val pq = recallAt5(top5("q57_ann_pq"), exact)
+    info(f"recall@5: pq-adc=$pq%.2f (ADC shortlist 64, 32x compression)")
+    // floor from measured value minus slack: the ADC shortlist of 50
+    // must surface most true neighbors for the exact rerank to keep —
+    // a broken codebook/code assignment collapses this to ~0.1
+    // (the hit rate of a random 50-of-500 shortlist) long before the
+    // hash gate notices.
+    assert(pq >= 0.55, f"PQ recall@5 collapsed: $pq%.2f")
+  }
 }
