@@ -128,4 +128,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("q54: eval-shard n-gram set broadcasts; corpus text never shuffles") {
+    // benchmark suites are MBs, the corpus is 100 TB: the decontamination
+    // join must broadcast the eval side, and no exchange may carry the
+    // raw text column
+    val p = planOf("q54_decontaminate")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q53: repetition-signal shuffles carry gram counts, never raw text") {
+    val exchanges = planOf("q53_repetition_signals")
+      .collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q57: PQ codebook and ADC tables broadcast; no cartesian anywhere") {
+    val s = planString("q57_ann_pq")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
