@@ -551,17 +551,32 @@ object Dedup extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Distinct word n-gram set over a materialized word-array column —
-    * the general form of [[shinglesFromWords]] (q31/q32 use n=3; the
-    * decontamination gate below uses n=8 per the usual "no 8-gram of a
-    * benchmark may appear in training data" rule).
+  /** (doc_id, n_shingles, s) rows: every distinct word n-gram of every
+    * document, with the per-doc distinct-gram count riding along so no
+    * later re-join against the (re-computed) gram subtree is needed.
+    * Plain JVM flatMap rather than a `transform`/`concat_ws` lambda
+    * chain for the same reason as [[bandKeysOf]]: array lambdas are
+    * interpreted CodegenFallback, and an inlined words-regexp would
+    * re-scan the text once per element_at — the spelled-out-expression
+    * version of this stage measured 52 s at sf0.1 vs ~1 s for this one.
     */
-  private def ngramsFromWords(ws: Column, n: Int): Column =
-    array_distinct(
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
-        .otherwise(array().cast("array<string>")))
+  private def ngramEntries(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val words = WordRe.findAllIn(text).toArray
+          val grams = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i + n - 1 < words.length) {
+            grams += words.slice(i, i + n).mkString(" "); i += 1
+          }
+          grams.iterator.map(s => (id, grams.size, s))
+        }
+      }
+      .toDF("doc_id", "n_shingles", "s")
+  }
 
   private def ngramsSql(n: Int): String = {
     val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
@@ -586,12 +601,9 @@ object Dedup extends QueryModule {
     */
   private def q54(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), ngramsFromWords(wordsCol, DecontN).as("sh"))
-    val ev = docs.filter(col("doc_id") % 10 === 3)
-      .select(explode(col("sh")).as("s")).distinct()
-    val trx = docs.filter(col("doc_id") % 10 =!= 3)
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        explode(col("sh")).as("s"))
+    val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
+      .select(col("s")).distinct()
+    val trx = ngramEntries(docs.filter(col("doc_id") % 10 =!= 3), DecontN)
     trx.join(broadcast(ev), "s")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_hits"))
