@@ -164,16 +164,29 @@ object TextAnalysis extends QueryModule {
   /** Top-k character trigrams corpus-wide: explode → count → top-k.
     * At 100 TB: partial aggregation makes the shuffle carry only per-
     * partition (trigram, count) pairs; top-k is TakeOrderedAndProject.
+    * Trigrams are emitted by a plain-JVM flatMap, not a
+    * `transform(sequence, substr)` lambda: higher-order functions are
+    * interpreted (CodegenFallback), and the lambda spelling measured
+    * 2.1 s at sf0.1 vs 0.6 s for this one — same rows, same oracle.
     */
-  private def q24(s: SparkSession, d: String): DataFrame =
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
-      .select(explode(transform(
-        sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-        i => col("text").substr(i, lit(3)))).as("trigram"))
+      .select(col("text")).as[String]
+      .mapPartitions(_.flatMap { text =>
+        // mirrors the oracle: sequence(1, greatest(len-2, 1)) — a text
+        // shorter than 3 chars still emits its (truncated) prefix
+        val len = text.length
+        val n = math.max(len - 2, 1)
+        (1 to n).iterator
+          .map(i => text.substring(i - 1, math.min(i + 2, len)))
+      })
+      .toDF("trigram")
       .groupBy(col("trigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("trigram"))
       .limit(20)
+  }
 
   private val q24Sql =
     """SELECT trigram, COUNT(*) AS n FROM (
