@@ -376,6 +376,37 @@ object Multimodal {
     }
   }
 
+  /** 64-bit content fingerprint of a decoded image: each of the 16
+    * grayscale thumbnail cells quantized to 4 bits, packed row-major.
+    * Identical PIXELS → identical fingerprint regardless of container
+    * format (a BMP and a PNG of the same image collide on purpose —
+    * byte-level hashes like sha256 cannot see through the encoding).
+    * None when the payload had no real pixel decode.
+    */
+  def contentFingerprint(f: MediaFeatures): Option[Long] =
+    f.thumb16.map(_.foldLeft(0L)((acc, g) =>
+      (acc << 4) | math.min(15L, (g * 16).toLong)))
+
+  /** Cross-format duplicate-image pairs — the image-side q30: decode →
+    * fingerprint → equality join within fingerprint buckets. Only
+    * (fingerprint, doc_id) pairs shuffle; payloads never move past the
+    * decode stage. At 100 TB the fingerprint table is ~16 bytes/image
+    * — a Hamming-banded variant (q58's shape) upgrades this from exact
+    * to NEAR-duplicate matching on the same layout.
+    */
+  def imageDedupPairs(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val fps = extractFeatures(media)
+      .flatMap(f => contentFingerprint(f).map(fp => (f.doc_id, fp)))
+      .toDF("doc_id", "fingerprint")
+    fps.as("a").join(fps.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fingerprint").as("fingerprint"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Size-bounded repartition: target ~`targetBytes` of payload per
     * partition, so decode memory is bounded regardless of row-size skew.
     */

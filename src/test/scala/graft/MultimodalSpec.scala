@@ -197,6 +197,64 @@ class MultimodalSpec extends SparkSpec {
       f.frame_sample.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("cross-format image dedup: BMP and PNG of identical pixels pair up") {
+    val sp = spark
+    import sp.implicits._
+    import java.awt.image.BufferedImage
+    def image(seed: Int): BufferedImage = {
+      val w = 8; val h = 6
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (((x * 31 + seed) % 256) << 16) |
+          (((y * 41) % 256) << 8) | ((x * y * 13) % 256))
+      img
+    }
+    def pngOf(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // hand-built 24bpp bottom-up BMP of the same pixels (w=8 → rows are
+    // already 4-byte aligned)
+    def bmpOf(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val rowBytes = ((3 * w + 3) / 4) * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+        .putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- (h - 1) to 0 by -1) { // bottom-up row order
+        for (x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          bb.put((rgb & 0xff).toByte) // B
+            .put(((rgb >> 8) & 0xff).toByte) // G
+            .put(((rgb >> 16) & 0xff).toByte) // R
+        }
+        bb.position(bb.position() + rowBytes - 3 * w)
+      }
+      bb.array()
+    }
+    val a = image(0)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/bmp", bmpOf(a)),
+      Multimodal.MediaRow(2L, "image/png", pngOf(a)), // same pixels
+      Multimodal.MediaRow(3L, "image/png", pngOf(image(90))), // different
+      Multimodal.MediaRow(4L, "text/plain", "no pixels".getBytes)).toDS()
+    // byte-level identity CANNOT see through the container: sha256 differs
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(0).sha256 != feats(1).sha256)
+    assert(Multimodal.contentFingerprint(feats(0)) ==
+      Multimodal.contentFingerprint(feats(1)))
+    assert(Multimodal.contentFingerprint(feats(3)).isEmpty,
+      "stub decode must not fingerprint")
+    val pairs = Multimodal.imageDedupPairs(media)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)), s"got $pairs")
+  }
+
   test("repartitionBySize bounds partition payload bytes") {
     val media = Multimodal.attachPayload(Tables.documents(spark, sf))
     val parts = Multimodal.repartitionBySize(media, targetBytes = 16 * 1024)

@@ -156,4 +156,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("q58: simhash pair join is band-key equality, never all-pairs") {
+    val s = planString("q58_simhash_pairs")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
 }
