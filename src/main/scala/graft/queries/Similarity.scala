@@ -496,10 +496,84 @@ object Similarity extends QueryModule {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val KmK = 8 // clusters (the IVF list count)
+  private val KmIters = 3 // Lloyd rounds
+
+  /** In-engine Lloyd k-means (q59): trains the coarse quantizer that
+    * q37/q57 deliberately seed (their cross-engine oracles need seeded
+    * determinism; a real deployment trains). Distributed shape per
+    * round: centroids are a broadcast 8-row model, assignment is a
+    * narrow argmin pass (BroadcastNestedLoop over KmK rows × N, window
+    * argmin), the update is posexplode → per-(cid, dim) partial-agg
+    * means — work ∝ N·K·Dim, no all-pairs, centroids re-broadcast each
+    * round via a store-backed scratch table. The per-round WCSS probe is
+    * one bounded driver scalar (the CC convergence-probe discipline).
+    *
+    * Rows-only catalog entry: float mean aggregation is
+    * partial-order-dependent in the low bits, so exact cross-engine hash
+    * parity is impossible by design; KMeansSpec pins the semantics
+    * instead (strictly decreasing WCSS, exhaustive assignment, better
+    * than the seeded-centroid quantizer it replaces).
+    */
+  private[graft] def kmeans(s: SparkSession, d: String)
+      : (DataFrame, Seq[Double]) = {
+    val e = Scratch.materialize(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "q59_e")
+    var cent = e.filter(col("vec_id") >= CentBase &&
+        col("vec_id") < CentBase + KmK)
+      .select((col("vec_id") - CentBase).as("cid"),
+        col("embedding").cast("array<float>").as("cent"))
+    val wcss = Seq.newBuilder[Double]
+    var assign: DataFrame = null
+    for (round <- 0 to KmIters) {
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cid"))
+      // materialized: the WCSS probe and the update step both read it
+      assign = Scratch.materialize(
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            l2sq(col("embedding"), col("cent")).as("d2"))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"), col("d2")),
+        s"q59_assign${round % 2}") // ping-pong scratch names
+      // bounded driver probe: one scalar per round
+      wcss += assign.agg(sum(col("d2"))).head().getDouble(0)
+      if (round < KmIters) {
+        // update step: per-(cluster, dim) means — posexplode keeps the
+        // shuffle at (cid, dim, partial sum/count) granularity
+        cent = Scratch.materialize(
+          assign.select(col("cid"),
+              posexplode(col("embedding")).as(Seq("dim", "v")))
+            .groupBy(col("cid"), col("dim"))
+            .agg(avg(col("v")).as("m"))
+            .groupBy(col("cid"))
+            .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+              .as("dm"))
+            .select(col("cid"),
+              transform(col("dm"), x => x.getField("m").cast("float"))
+                .as("cent")),
+          "q59_cent")
+      }
+    }
+    (assign, wcss.result())
+  }
+
+  /** Per-cluster training summary of [[kmeans]]. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val (assign, _) = kmeans(s, d)
+    assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("d2")), 2).as("wcss"))
+      .orderBy(col("cid"))
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
     CatalogEntry("q37_ann_ivf", q37, Some(q37Sql)),
     CatalogEntry("q57_ann_pq", q57, Some(q57Sql)),
+    CatalogEntry("q59_kmeans_train", q59, None),
   )
 }
