@@ -515,28 +515,44 @@ object Similarity extends QueryModule {
     * instead (strictly decreasing WCSS, exhaustive assignment, better
     * than the seeded-centroid quantizer it replaces).
     */
-  private[graft] def kmeans(s: SparkSession, d: String)
-      : (DataFrame, Seq[Double]) = {
-    val e = Scratch.materialize(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      "q59_e")
-    var cent = e.filter(col("vec_id") >= CentBase &&
+  /** Nearest-centroid assignment of every vector: broadcast the KmK-row
+    * model, one narrow argmin pass. Exposed un-materialized so the plan
+    * audit can see the join shape (Scratch.materialize checkpoints the
+    * RDD, which hides subplans from the final executedPlan).
+    */
+  private[graft] def kmeansAssignment(e: DataFrame, cent: DataFrame)
+      : DataFrame = {
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        l2sq(col("embedding"), col("cent")).as("d2"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
+  }
+
+  private[graft] def kmeansInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cent = e.filter(col("vec_id") >= CentBase &&
         col("vec_id") < CentBase + KmK)
       .select((col("vec_id") - CentBase).as("cid"),
         col("embedding").cast("array<float>").as("cent"))
+    (e, cent)
+  }
+
+  private[graft] def kmeans(s: SparkSession, d: String)
+      : (DataFrame, Seq[Double]) = {
+    val (e0, cent0) = kmeansInputs(s, d)
+    val e = Scratch.materialize(e0, "q59_e")
+    var cent = cent0
     val wcss = Seq.newBuilder[Double]
     var assign: DataFrame = null
     for (round <- 0 to KmIters) {
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2"), col("cid"))
       // materialized: the WCSS probe and the update step both read it
       assign = Scratch.materialize(
-        e.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            l2sq(col("embedding"), col("cent")).as("d2"))
-          .withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"), col("d2")),
+        kmeansAssignment(e, cent),
         s"q59_assign${round % 2}") // ping-pong scratch names
       // bounded driver probe: one scalar per round
       wcss += assign.agg(sum(col("d2"))).head().getDouble(0)

@@ -161,4 +161,21 @@ class PlanAuditSpec extends SparkSpec {
     val s = planString("q58_simhash_pairs")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("q59: k-means assignment broadcasts the centroid model, never a cartesian") {
+    // the catalog entry's final plan reads checkpointed scratch (which
+    // hides subplans), so audit the assignment stage itself: the
+    // crossJoin against the 8-row centroid table must be a broadcast of
+    // THAT table; the N-row side must never cartesian
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val (e, cent) = graft.queries.Similarity.kmeansInputs(spark, sf)
+      val s = graft.queries.Similarity.kmeansAssignment(e, cent)
+        .queryExecution.executedPlan.toString
+      assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+      assert(!s.contains("CartesianProduct"), s)
+    } finally spark.conf.set(key, saved)
+  }
 }
