@@ -665,6 +665,32 @@ object Dedup extends QueryModule {
        |  ELSE [] END)""".stripMargin.replace("\n", " ")
   }
 
+  /** Normalized ("fuzzy-exact") dedup (q61): the C4-style variant of q30
+    * — case-fold, collapse every non-alphanumeric run to one space, trim,
+    * THEN hash. Catches near-copies that differ only in casing,
+    * punctuation, or whitespace, which byte-exact q30 misses. Same scale
+    * shape as q30: one hash-groupBy, the shuffle carries (md5, doc_id)
+    * pairs only — normalization is a codegen'd per-row expression chain.
+    */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("norm_md5"))
+      .groupBy(col("norm_md5"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("norm_md5"))
+
+  private val q61Sql =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      |    AS norm_md5,
+      |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY norm_md5""".stripMargin
+
   private val DecontN = 8
 
   /** Benchmark decontamination (q54): flag every training document that
@@ -773,5 +799,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q54_decontaminate", q54, Some(q54Sql)),
     CatalogEntry("q55_dedup_survivors", q55, Some(q55Sql)),
     CatalogEntry("q58_simhash_pairs", q58, Some(q58Sql)),
+    CatalogEntry("q61_normalized_dedup", q61, Some(q61Sql)),
   )
 }

@@ -263,14 +263,25 @@ object Similarity extends QueryModule {
     * and a probe touches ~NProbe/NCent of the data — the FAISS IVF shape
     * on DataFrames.
     */
-  private def q37(s: SparkSession, d: String): DataFrame = {
+  private def q37(s: SparkSession, d: String): DataFrame =
+    ivfQuery(s, d, e => e.filter(col("vec_id") >= CentBase &&
+        col("vec_id") < CentBase + NCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm")))
+
+  /** The IVF build+probe with a pluggable coarse quantizer: `mkCent`
+    * receives the normalized corpus and returns the centroid table
+    * (cid, cent_emb, cent_nrm). q37 seeds it for oracle determinism;
+    * AnnRecallSpec plugs in q59's TRAINED centroids to compare the
+    * probes at EQUAL probed fraction (recall alone rewards skewed
+    * lists — a huge probed list is brute force wearing an index).
+    */
+  private[graft] def ivfQuery(s: SparkSession, d: String,
+      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe): DataFrame = {
     // e feeds the centroid scan AND the full assignment pass — a store-
     // backed temp table, not an executor cache (see Scratch.materialize)
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
-    val cent = e.filter(col("vec_id") >= CentBase &&
-        col("vec_id") < CentBase + NCent)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
+    val cent = mkCent(e)
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val scoredCent = e.crossJoin(broadcast(cent))
@@ -281,9 +292,9 @@ object Similarity extends QueryModule {
     // inverted lists: every vector in exactly its nearest list
     val assign = scoredCent.filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-    // queries probe their NProbe nearest lists
+    // queries probe their nProbe nearest lists
     val probes = scoredCent
-      .filter(col("vec_id") < NQ && col("crank") <= NProbe)
+      .filter(col("vec_id") < NQ && col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cid"))
     val w = Window.partitionBy(col("query_id"))
@@ -496,45 +507,82 @@ object Similarity extends QueryModule {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Average fraction of the corpus a query's probed IVF lists cover —
+    * the denominator of any honest recall claim (see [[probedFraction]]
+    * for the LSH twin).
+    */
+  private[graft] def ivfProbedFraction(s: SparkSession, d: String,
+      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe): Double = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
+    val cent = mkCent(e)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val scoredCent = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("embedding"), col("cent_emb")) /
+          (col("nrm") * col("cent_nrm")), 4).as("ccos"))
+      .withColumn("crank", row_number().over(aw))
+    val sizes = scoredCent.filter(col("crank") === 1).groupBy("cid").count()
+    val probes = scoredCent
+      .filter(col("vec_id") < NQ && col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val n = e.count().toDouble
+    probes.join(sizes, "cid")
+      .groupBy(col("query_id")).agg(sum(col("count")).as("p"))
+      .agg(avg(col("p"))).head().getDouble(0) / n
+  }
+
   private val KmK = 8 // clusters (the IVF list count)
   private val KmIters = 3 // Lloyd rounds
 
-  /** In-engine Lloyd k-means (q59): trains the coarse quantizer that
-    * q37/q57 deliberately seed (their cross-engine oracles need seeded
-    * determinism; a real deployment trains). Distributed shape per
-    * round: centroids are a broadcast 8-row model, assignment is a
-    * narrow argmin pass (BroadcastNestedLoop over KmK rows × N, window
-    * argmin), the update is posexplode → per-(cid, dim) partial-agg
-    * means — work ∝ N·K·Dim, no all-pairs, centroids re-broadcast each
-    * round via a store-backed scratch table. The per-round WCSS probe is
-    * one bounded driver scalar (the CC convergence-probe discipline).
+  /** In-engine SPHERICAL k-means (q59): trains the coarse quantizer
+    * that q37/q57 deliberately seed (their cross-engine oracles need
+    * seeded determinism; a real deployment trains). Spherical = assign
+    * by cosine, update = per-dimension mean (the mean's direction is
+    * what matters); the objective Σ(1 − cos) decreases monotonically
+    * exactly like Lloyd's WCSS. Distributed shape per round: centroids
+    * are a broadcast 8-row model, assignment is a narrow argmin pass
+    * (BroadcastNestedLoop over KmK rows × N, window argmin), the update
+    * is posexplode → per-(cid, dim) partial-agg means — work ∝ N·K·Dim,
+    * no all-pairs, centroids re-broadcast each round via a store-backed
+    * scratch table. The per-round objective probe is one bounded driver
+    * scalar (the CC convergence-probe discipline).
     *
     * Rows-only catalog entry: float mean aggregation is
     * partial-order-dependent in the low bits, so exact cross-engine hash
     * parity is impossible by design; KMeansSpec pins the semantics
-    * instead (strictly decreasing WCSS, exhaustive assignment, better
-    * than the seeded-centroid quantizer it replaces).
+    * instead (strictly decreasing objective, exhaustive assignment,
+    * better than the seeded-centroid quantizer), and AnnRecallSpec plugs
+    * the trained centroids into the IVF probe at matched probed
+    * fraction.
     */
-  /** Nearest-centroid assignment of every vector: broadcast the KmK-row
-    * model, one narrow argmin pass. Exposed un-materialized so the plan
-    * audit can see the join shape (Scratch.materialize checkpoints the
-    * RDD, which hides subplans from the final executedPlan).
+  /** Nearest-centroid assignment of every vector by COSINE (spherical
+    * k-means — the corpus's query metric; an L2 objective trains
+    * centroids the cosine probe then partitions differently, which
+    * measured recall@5 0.24 vs the seeded 0.44 at matched probed
+    * fraction). `d2` = 1 − cos, so smaller is better and the objective
+    * is a sum like Lloyd's. Broadcast the KmK-row model, one narrow
+    * argmin pass. Exposed un-materialized so the plan audit can see the
+    * join shape (Scratch.materialize checkpoints the RDD, which hides
+    * subplans from the final executedPlan).
     */
   private[graft] def kmeansAssignment(e: DataFrame, cent: DataFrame)
       : DataFrame = {
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cid"))
     e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        l2sq(col("embedding"), col("cent")).as("d2"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (lit(1.0) - dot(col("embedding"), col("cent")) /
+          (col("nrm") * sqrt(dot(col("cent"), col("cent"))))).as("d2"))
       .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        col("d2"))
   }
 
   private[graft] def kmeansInputs(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = withNorm(Tables.embeddings(s, d))
     val cent = e.filter(col("vec_id") >= CentBase &&
         col("vec_id") < CentBase + KmK)
       .select((col("vec_id") - CentBase).as("cid"),
@@ -543,7 +591,7 @@ object Similarity extends QueryModule {
   }
 
   private[graft] def kmeans(s: SparkSession, d: String)
-      : (DataFrame, Seq[Double]) = {
+      : (DataFrame, DataFrame, Seq[Double]) = {
     val (e0, cent0) = kmeansInputs(s, d)
     val e = Scratch.materialize(e0, "q59_e")
     var cent = cent0
@@ -573,15 +621,15 @@ object Similarity extends QueryModule {
           "q59_cent")
       }
     }
-    (assign, wcss.result())
+    (assign, cent, wcss.result())
   }
 
   /** Per-cluster training summary of [[kmeans]]. */
   private def q59(s: SparkSession, d: String): DataFrame = {
-    val (assign, _) = kmeans(s, d)
+    val (assign, _, _) = kmeans(s, d)
     assign.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("d2")), 2).as("wcss"))
+        round(sum(col("d2")), 2).as("sum_dissim"))
       .orderBy(col("cid"))
   }
 

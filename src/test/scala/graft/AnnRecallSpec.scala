@@ -9,17 +9,20 @@ package graft
 class AnnRecallSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  /** query_id -> top-5 candidate ids of a catalog ANN query's output
-    * (all three emit (query_id, cand_id, ..., rank) rows).
+  /** query_id -> top-5 candidate ids of an ANN result (all the ANN
+    * queries emit (query_id, cand_id, ..., rank) rows).
     */
-  private def top5(name: String): Map[Long, Set[Long]] = {
-    val df = SparkEntry.queries(name)(spark, sf)
+  private def top5Of(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Set[Long]] = {
     val rankIdx = df.columns.indexOf("rank")
     df.collect()
       .filter(_.getInt(rankIdx) <= 5)
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
   }
+
+  private def top5(name: String): Map[Long, Set[Long]] =
+    top5Of(SparkEntry.queries(name)(spark, sf))
 
   private def recallAt5(ann: Map[Long, Set[Long]],
       exact: Map[Long, Set[Long]]): Double = {
@@ -48,6 +51,37 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivf >= 0.35, f"IVF recall@5 collapsed: $ivf%.2f")
     assert(lsh >= 0.45, f"sign-LSH recall@5 collapsed: $lsh%.2f")
     assert(frac <= 0.5, f"LSH probes too much of the corpus: $frac%.2f")
+  }
+
+  test("q59-trained quantizer co-locates true neighbor pairs at least as well as seeds") {
+    // 5-query recall@5 is a 25-sample metric — too noisy to grade a
+    // quantizer (and raw recall rewards skewed lists: a huge probed
+    // list is brute force wearing an index). The robust measure: of
+    // the corpus's true high-cosine pairs (q34's near-dup ground
+    // truth, cosine-ranked), what fraction lands in the SAME inverted
+    // list? A one-list probe finds exactly the co-located ones.
+    import org.apache.spark.sql.functions._
+    val S = graft.queries.Similarity
+    val truePairs = SparkEntry.queries("q34_embedding_neardup")(spark, sf)
+      .select(col("vec_a"), col("vec_b"))
+    val (e, seedCent) = S.kmeansInputs(spark, sf)
+    val (_, trainedCent, _) = S.kmeans(spark, sf)
+    def coLocation(cent: org.apache.spark.sql.DataFrame): Double = {
+      val asg = S.kmeansAssignment(e, cent)
+        .select(col("vec_id"), col("cid"))
+      val n = truePairs.count().toDouble
+      val co = truePairs
+        .join(asg.select(col("vec_id").as("vec_a"), col("cid").as("ca")), "vec_a")
+        .join(asg.select(col("vec_id").as("vec_b"), col("cid").as("cb")), "vec_b")
+        .filter(col("ca") === col("cb")).count()
+      co / n
+    }
+    val seeded = coLocation(seedCent)
+    val trained = coLocation(trainedCent)
+    info(f"true-pair co-location: trained=$trained%.2f seeded=$seeded%.2f")
+    assert(trained >= seeded - 0.02,
+      f"training made the quantizer WORSE at keeping true neighbors " +
+        f"together: $trained%.2f < $seeded%.2f")
   }
 
   test("q57 PQ-ADC with exact rerank reaches useful recall@5") {

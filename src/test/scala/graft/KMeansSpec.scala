@@ -13,18 +13,18 @@ package graft
 class KMeansSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  test("q59 Lloyd rounds strictly decrease WCSS and beat the seeded init") {
-    val (assign, wcss) = graft.queries.Similarity.kmeans(spark, sf)
+  test("q59 spherical rounds strictly decrease the objective and beat the seeded init") {
+    val (assign, _, wcss) = graft.queries.Similarity.kmeans(spark, sf)
     assert(wcss.size == 4, s"expected init + 3 rounds, got $wcss")
     wcss.sliding(2).foreach { case Seq(prev, next) =>
       assert(next < prev,
-        s"WCSS must strictly decrease across rounds: $wcss")
+        s"objective must strictly decrease across rounds: $wcss")
     }
     // trained quantizer must clearly beat the seeded one (round 0 IS the
     // seeded assignment q37/q57 use)
     assert(wcss.last < wcss.head * 0.95,
       s"training bought <5% over the seeded centroids: $wcss")
-    info(f"WCSS per round: ${wcss.map(w => f"$w%.1f").mkString(" -> ")}")
+    info(f"objective (sum 1-cos) per round: ${wcss.map(w => f"$w%.1f").mkString(" -> ")}")
     val n = assign.count()
     val total = Tables.embeddings(spark, sf).count()
     assert(n == total, s"every vector assigned exactly once: $n vs $total")
