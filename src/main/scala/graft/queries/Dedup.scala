@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (documents table).
@@ -787,6 +788,110 @@ object Dedup extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Tokens per training sequence (q62) and pack shards. Locally 8
+    * shards; at 100 TB the shard count is sized so one shard ≈ one
+    * output file (tens of thousands) — the parameter scales the
+    * parallelism, not the algorithm.
+    */
+  private val PackBudget = 2048L
+  private val PackShards = 8L
+
+  /** Sequence packing (q62) — the GPT-style concat-then-chunk step that
+    * turns a document corpus into fixed-token-budget training sequences.
+    * Every doc is assigned a shard (salted hash of doc_id), docs
+    * concatenate in doc_id order within their shard, and the resulting
+    * token stream slices into `PackBudget`-token sequences; a doc
+    * belongs to the sequence where it STARTS (`seq_no`) at offset
+    * `seq_off`.
+    *
+    * Scale shape: the only sequential dependency — the running token
+    * sum — is PER SHARD (one window partitioned by shard, no global
+    * sort, no driver loop), which is exactly how real pipelines pack:
+    * each shard is one writer's output file, shards are embarrassingly
+    * parallel, and the assignment is deterministic so a re-run ships
+    * byte-identical training shards. Token counts use q20's BPE-ish
+    * regex; only (doc_id, n_tok, shard) ever shuffles — text never
+    * moves.
+    */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("n_tok"),
+        (hex12ToLong(md5(concat(lit("pack|"), col("doc_id").cast("string"))))
+          % PackShards).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("shard"),
+        expr(s"start_off div $PackBudget").as("seq_no"),
+        (col("start_off") % PackBudget).as("seq_off"),
+        col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q62Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |    ${hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
+       |      % $PackShards AS shard
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS start_off
+       |  FROM toks)
+       |SELECT doc_id, shard, start_off // $PackBudget AS seq_no,
+       |  start_off % $PackBudget AS seq_off, n_tok
+       |FROM offs ORDER BY doc_id""".stripMargin
+
+  private val SourceCap = 100
+  private val CapSalts = 16L
+
+  /** Skew-safe per-source quota cap (q63) — keep at most `SourceCap`
+    * documents per source (longest first, doc_id tie-break): the
+    * standard "don't let one domain dominate the mix" stage.
+    *
+    * A single `ROW_NUMBER() OVER (PARTITION BY source)` is a skew trap
+    * at 100 TB: one hot domain becomes one straggler task holding the
+    * domain's every row. This runs the q52 salting idea through a
+    * window instead: phase 1 ranks within (source, doc_id % CapSalts)
+    * and keeps each salt's top `SourceCap` — correct because any
+    * global top-N row is necessarily in its salt group's top N under
+    * the same total order — so the phase-2 per-source window sees at
+    * most CapSalts × SourceCap rows per source regardless of how hot
+    * the domain is. The oracle is the single-phase SQL: the two-phase
+    * plan must be value-identical, which is what makes the optimization
+    * checkable.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(CapSalts)))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val pruned = base.withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= SourceCap).drop("rn1")
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    pruned.withColumn("rank_in_source", row_number().over(w2))
+      .filter(col("rank_in_source") <= SourceCap)
+      .orderBy(col("source"), col("rank_in_source"))
+  }
+
+  private val q63Sql =
+    s"""SELECT doc_id, source, n_chars, rank_in_source FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rank_in_source
+       |  FROM documents)
+       |WHERE rank_in_source <= $SourceCap
+       |ORDER BY source, rank_in_source""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -800,5 +905,7 @@ object Dedup extends QueryModule {
     CatalogEntry("q55_dedup_survivors", q55, Some(q55Sql)),
     CatalogEntry("q58_simhash_pairs", q58, Some(q58Sql)),
     CatalogEntry("q61_normalized_dedup", q61, Some(q61Sql)),
+    CatalogEntry("q62_pack_sequences", q62, Some(q62Sql)),
+    CatalogEntry("q63_source_cap", q63, Some(q63Sql)),
   )
 }

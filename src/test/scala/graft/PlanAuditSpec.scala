@@ -162,6 +162,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q62: packing shuffles token counts per shard, never document text") {
+    // the concat-then-chunk assignment must stay one window partitioned
+    // by shard: every exchange carries (doc_id, n_tok, shard)-shaped
+    // rows only — shipping text to pack offsets would move the corpus
+    val exchanges = planOf("q62_pack_sequences").collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q63: phase-1 cap window partitions on (source, salt), spreading hot domains") {
+    // a per-source row_number alone is the 100 TB straggler; the first
+    // window's exchange must cluster on the salt expression too, and
+    // text must never shuffle (the cap needs only doc_id/source/n_chars)
+    val p = planOf("q63_source_cap")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected 2 windows:\n$p")
+    // bottom-most window = phase 1: must cluster on (source, salt)
+    assert(windows.last.partitionSpec.size == 2,
+      s"phase-1 window lost its salt:\n$p")
+    assert(windows.head.partitionSpec.size == 1,
+      s"phase-2 window must be per-source only:\n$p")
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q59: k-means assignment broadcasts the centroid model, never a cartesian") {
     // the catalog entry's final plan reads checkpointed scratch (which
     // hides subplans), so audit the assignment stage itself: the
