@@ -83,6 +83,22 @@ final class GraphRunner(
     spark.conf.getOption("graft.engine.shufflePartitions").map(_.toInt)
       .getOrElse(math.min(8, spark.sparkContext.defaultParallelism))
 
+  /** Opt-in per-commit phase timing (`graft.engine.timing=true`):
+    * prints materialize/checkpoint/write wall times per batch to stderr.
+    * Observability for perf attribution — off by default, zero cost when
+    * disabled.
+    */
+  private val timing: Boolean =
+    spark.conf.getOption("graft.engine.timing").exists(_.toBoolean)
+  private def timed[A](phase: String)(f: => A): A =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      try f
+      finally System.err.println(
+        f"[engine-timing] $phase ${(System.nanoTime() - t0) / 1e9}%.3fs")
+    }
+
   private def withEngineShuffle[A](f: => A): A =
     if (engineShuffleParts <= 0) f
     else {
@@ -270,7 +286,7 @@ final class GraphRunner(
     // RollForwardAsync concurrently per batch too).
     val toUnpersist = mutable.ArrayBuffer[DataFrame]()
     try {
-      levels.foreach { level =>
+      timed("materialize") { levels.foreach { level =>
         val built = level.map { r =>
           // T9: blocks at or before the reducer's start point are not
           // delivered to it (a late-starting reducer indexes from its
@@ -300,7 +316,7 @@ final class GraphRunner(
           ctx.outputs = ctx.outputs.updated(name, out)
           out.foreach { case (t, df) => appends(t) = (df, slotCols(t)) }
         }
-      }
+      } }
       flushCommit(blocksDf, batchId, appends, top, minSlot, ctx)
     } finally toUnpersist.foreach(_.unpersist(false))
   }
@@ -308,7 +324,7 @@ final class GraphRunner(
   private def flushCommit(blocksDf: DataFrame, batchId: Long,
       appends: mutable.LinkedHashMap[String, (DataFrame, String)],
       top: Seq[Point], minSlot: Long, ctx: BatchContext): Unit = {
-    val stored = store.checkpoints
+    val stored = timed("checkpoint-read") { store.checkpoints }
     val newCps = topoOrder.map { r =>
       val prior = pendingPoints.getOrElse(r.name,
         stored.getOrElse(r.name, Seq.empty))
@@ -357,8 +373,9 @@ final class GraphRunner(
         val owner = tableOwner.getOrElse(table, table)
         segTimes(owner) = segTimes.getOrElse(owner, 0.0) + sec
       }
-    val wrote = store.commit(batchId, appends.toMap, newCps, compactors,
-      onSegment)
+    val wrote = timed("store-commit") {
+      store.commit(batchId, appends.toMap, newCps, compactors, onSegment)
+    }
     telemetry.foreach(t => segTimes.foreach { case (r, sec) =>
       t.record(r, sec, top.head.slot)
     })
