@@ -318,7 +318,10 @@ final class GraphRunner(
         }
       } }
       flushCommit(blocksDf, batchId, appends, top, minSlot, ctx)
-    } finally toUnpersist.foreach(_.unpersist(false))
+    } finally {
+      toUnpersist.foreach(_.unpersist(false))
+      ctx.staged.foreach(_.unpersist(false))
+    }
   }
 
   private def flushCommit(blocksDf: DataFrame, batchId: Long,

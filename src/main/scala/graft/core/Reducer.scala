@@ -82,6 +82,24 @@ final class BatchContext(
       case Some(local) => table(name).unionByName(local)
       case None => table(name)
     }
+
+  /** Materialize a subtree SHARED by several of one reducer's output
+    * tables, so each collect doesn't re-execute it (a reducer returning
+    * `created` and a `spent` built FROM `created` would otherwise run
+    * the created plan twice per batch). Driver-committing stores get a
+    * local relation (its later collect is a free LocalTableScan);
+    * distributed stores get an executor cache released after the commit.
+    */
+  private[core] val staged = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  def stage(df: DataFrame): DataFrame =
+    if (store.preferLocalOutputs)
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    else {
+      val c = df.cache()
+      staged += c
+      c
+    }
 }
 
 /** The engine's user-extension surface — the moral equivalent of the

@@ -114,7 +114,10 @@ final class WalletUtxoReducer(watched: Map[String, String]) extends ChainReducer
   def rollForward(blocks: DataFrame, ctx: BatchContext): Map[String, DataFrame] = {
     // O6: tx → created outputs with positional index; O2: watched filter
     // as a broadcast join on the raw address (P7: no decode in hot path).
-    val created = blocks
+    // `created` feeds BOTH returned tables (spent's matchable union
+    // embeds it) — stage it once so the two collects share one
+    // execution instead of running the explode+join subtree twice.
+    val created = ctx.stage(blocks
       .select(col("slot"), explode(col("transactions")).as("tx"))
       .select(col("slot"), col("tx.txHash").as("txHash"),
         posexplode(col("tx.outputs")).as(Seq("txIndex", "o")))
@@ -123,7 +126,7 @@ final class WalletUtxoReducer(watched: Map[String, String]) extends ChainReducer
         col("o.lovelace").as("amount"))
       .join(broadcast(watchedDf(ctx.spark)), "address")
       .select(col("txHash"), col("txIndex"), col("slot"), col("address"),
-        col("addressName"), col("amount"))
+        col("addressName"), col("amount")))
     // O6: tx → spent refs
     val refs = blocks
       .select(col("slot").as("spentSlot"), explode(col("transactions")).as("tx"))
