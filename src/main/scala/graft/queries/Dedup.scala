@@ -850,6 +850,84 @@ object Dedup extends QueryModule {
        |  start_off % $PackBudget AS seq_off, n_tok
        |FROM offs ORDER BY doc_id""".stripMargin
 
+  private val ExactK = 8 // tokens per exact-substring unit
+
+  /** (doc_id, pos, g): every word `n`-gram of every document WITH its
+    * start position, non-distinct — q64 needs positions to merge
+    * duplicated grams into spans, where [[ngramEntries]] deliberately
+    * dedups. Same plain-JVM flatMap rationale (interpreted-HOF trap).
+    */
+  private def posGramEntries(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val words = WordRe.findAllIn(text).toArray
+          (0 to words.length - n).iterator.map(i =>
+            (id, i.toLong, words.slice(i, i + n).mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "pos", "g")
+  }
+
+  /** Exact duplicated-substring spans (q64) — the fixed-k re-expression
+    * of suffix-array ExactSubstr dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): every maximal token
+    * span whose every `ExactK`-gram also appears in at least one OTHER
+    * document. Real pipelines CUT these spans rather than dropping the
+    * whole document — this is the operator q30/q61 (whole-doc hashes)
+    * cannot express.
+    *
+    * Scale shape: grams hash to 48-bit longs in the SCAN stage, so the
+    * duplicated-gram groupBy and the join back shuffle (doc_id, pos, h)
+    * triples only — corpus text never moves (audited). Span merging is
+    * the islands-and-gaps trick: one per-document window
+    * (pos − row_number), no self-join, no iteration. A 48-bit collision
+    * (~N²/2⁴⁹ for N distinct grams) can only ADD a false duplicate
+    * span — both engines hash identically so the oracle still binds;
+    * widen to two hash columns at real corpus scale.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val grams = posGramEntries(Tables.documents(s, d), ExactK)
+      .select(col("doc_id"), col("pos"), hex12ToLong(md5(col("g"))).as("h"))
+    // feeds the dup aggregation AND the position join — one execution
+    val hs = Scratch.materialize(grams, "q64_grams")
+    val dup = hs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hs.join(dup, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + ExactK).as("span_toks"))
+      .select(col("doc_id"), col("span_start"), col("span_toks"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private val q64Sql = {
+    val parts = (0 until ExactK).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(1, greatest(len(ws) - ${ExactK - 2}, 1))) AS i
+       |  FROM docs),
+       |grams AS (SELECT doc_id, i - 1 AS pos, md5($parts) AS dg FROM pos),
+       |hs AS (SELECT doc_id, pos, ${hex12ToLongSql("dg")} AS h FROM grams),
+       |dup AS (SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM hs JOIN dup USING (h))
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |  MAX(pos) - MIN(pos) + $ExactK AS span_toks
+       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+  }
+
   private val SourceCap = 100
   private val CapSalts = 16L
 
@@ -907,5 +985,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q61_normalized_dedup", q61, Some(q61Sql)),
     CatalogEntry("q62_pack_sequences", q62, Some(q62Sql)),
     CatalogEntry("q63_source_cap", q63, Some(q63Sql)),
+    CatalogEntry("q64_exact_substr_spans", q64, Some(q64Sql)),
   )
 }

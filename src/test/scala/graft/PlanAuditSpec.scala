@@ -192,6 +192,19 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q64: duplicated-substring shuffles carry gram hashes, never gram text") {
+    // grams fold to 48-bit hashes in the scan stage; the dup groupBy,
+    // position join, and span window must shuffle (doc_id, pos, h)
+    // shapes only — a 'g'/'text' column in any exchange means the
+    // corpus is moving
+    val exchanges = planOf("q64_exact_substr_spans")
+      .collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(a => a.name == "text" || a.name == "g"),
+      s"gram/corpus text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q59: k-means assignment broadcasts the centroid model, never a cartesian") {
     // the catalog entry's final plan reads checkpointed scratch (which
     // hides subplans), so audit the assignment stage itself: the
