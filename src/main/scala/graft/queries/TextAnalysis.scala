@@ -496,6 +496,98 @@ object TextAnalysis extends QueryModule {
     vocab.join(perDoc, "lang").orderBy(col("lang"))
   }
 
+  private val LmWordRe = "\\S+".r
+  private val CleanShardMod = 7 // doc_id % 10 == 7 is the "clean" shard
+
+  /** (doc_id, w1, w2): adjacent word pairs per document — plain-JVM
+    * flatMap (the q24/ngramEntries interpreted-HOF rationale).
+    */
+  private def bigramEntries(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val ws = LmWordRe.findAllIn(text).toArray
+        (0 until ws.length - 1).iterator.map(i => (id, ws(i), ws(i + 1)))
+      })
+      .toDF("doc_id", "w1", "w2")
+  }
+
+  /** LM surprisal quality scoring (q65) — the CCNet-style "score every
+    * document under a language model trained on a trusted shard" filter,
+    * end to end IN the engine: a bigram model (add-one smoothing) trains
+    * on the clean shard, broadcasts, and every other document gets its
+    * per-bigram surprisal Σ⌈log₂ (U(w₁)+V)/(B(w₁,w₂)+1)⌉ plus an OOV
+    * count. Surprisal is LOG2-QUANTIZED via integer bit-lengths
+    * (`length(bin(x))`) — the q27 discipline: no transcendental-function
+    * parity risk, so the cross-engine hash gate stays exact; swapping in
+    * float ln at deployment is a one-line change to the same plan.
+    *
+    * Scale shape: the model is the small side by construction (vocab²
+    * bounded, corpus unbounded) — B and U broadcast, V rides as a 1-row
+    * broadcast aggregate; the corpus side is one narrow flatMap + two
+    * broadcast-hash left joins + one per-doc aggregation. Corpus text
+    * never shuffles; the only corpus-side exchange carries per-doc
+    * integer totals.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // the clean-shard pair table feeds three model aggregations —
+    // materialized once (q31 rationale)
+    val clean = Scratch.materialize(
+      bigramEntries(docs.filter(col("doc_id") % 10 === CleanShardMod)),
+      "q65_clean")
+    val b = clean.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val u = clean.groupBy(col("w1")).agg(count(lit(1)).as("u"))
+    val v = clean.agg(countDistinct(col("w2")).as("v"))
+    bigramEntries(docs.filter(col("doc_id") % 10 =!= CleanShardMod))
+      .join(broadcast(b), Seq("w1", "w2"), "left")
+      .join(broadcast(u), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (length(bin(coalesce(col("u"), lit(0L)) + col("v"))) -
+          length(bin(coalesce(col("c"), lit(0L)) + 1))).as("bits"),
+        col("c").isNull.cast("int").as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("oov")).as("oov_pairs"),
+        sum(col("bits")).as("bits_total"))
+      .select(col("doc_id"), col("n_pairs"), col("oov_pairs"),
+        col("bits_total"),
+        round(col("bits_total").cast("double") / col("n_pairs"), 4)
+          .as("mean_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q65Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+       |  FROM docs),
+       |pairs AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+       |b AS (SELECT w1, w2, COUNT(*) AS c FROM pairs
+       |      WHERE doc_id % 10 = $CleanShardMod GROUP BY w1, w2),
+       |u AS (SELECT w1, COUNT(*) AS u FROM pairs
+       |      WHERE doc_id % 10 = $CleanShardMod GROUP BY w1),
+       |v AS (SELECT COUNT(DISTINCT w2) AS v FROM pairs
+       |      WHERE doc_id % 10 = $CleanShardMod),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    LENGTH(bin(COALESCE(u.u, 0) + v.v))
+       |      - LENGTH(bin(COALESCE(b.c, 0) + 1)) AS bits,
+       |    CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM pairs p
+       |  LEFT JOIN b USING (w1, w2)
+       |  LEFT JOIN u USING (w1)
+       |  CROSS JOIN v
+       |  WHERE p.doc_id % 10 <> $CleanShardMod)
+       |SELECT doc_id, COUNT(*) AS n_pairs, SUM(oov) AS oov_pairs,
+       |  SUM(bits) AS bits_total,
+       |  round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS mean_bits
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -509,5 +601,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q47_bm25", q47, Some(q47Sql)),
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
     CatalogEntry("q56_sketch_profile", q56, None),
+    CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),
   )
 }

@@ -205,6 +205,19 @@ class PlanAuditSpec extends SparkSpec {
       s"gram/corpus text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q65: the LM broadcasts to the corpus; corpus text never shuffles") {
+    // the bigram model is the small side by construction — both lookup
+    // joins must be broadcasts, and no corpus-side exchange may carry
+    // text (the only corpus exchange is per-doc integer totals)
+    val p = planOf("q65_lm_surprisal")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q59: k-means assignment broadcasts the centroid model, never a cartesian") {
     // the catalog entry's final plan reads checkpointed scratch (which
     // hides subplans), so audit the assignment stage itself: the
