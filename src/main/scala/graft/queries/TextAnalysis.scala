@@ -588,6 +588,83 @@ object TextAnalysis extends QueryModule {
        |  round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS mean_bits
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val BpeMerges = 16
+
+  /** In-engine BPE merge training (q66) — the tokenizer-training step of
+    * an LLM data pipeline, the q59 discipline applied to text: the ONLY
+    * corpus-scale stage is one (word → freq) aggregation (text reduces
+    * to a bounded vocabulary table in a single shuffle); the merge loop
+    * then runs on that bounded table — per round one pair-count
+    * aggregation, a 1-ROW driver argmax probe (the k-means/CC bounded-
+    * probe discipline), and a narrow merge-application map, ping-pong
+    * materialized. Work per round is O(vocab), independent of corpus
+    * size: at 100 TB the rounds cost exactly what they cost here.
+    *
+    * Rows-only catalog entry BY DESIGN: the merge sequence is
+    * deterministic (integer pair frequencies, total (freq desc, pair)
+    * tie-break) but 16 data-dependent iterations are not expressible as
+    * one DuckDB SQL statement; BpeSpec pins the semantics instead
+    * (textbook merge sequence on a constructed vocabulary, determinism,
+    * monotone vocabulary compression).
+    */
+  private[graft] def bpeTrainOn(vocab0: DataFrame, merges: Int)
+      : Seq[(String, String, Long)] = {
+    val s = vocab0.sparkSession
+    import s.implicits._
+    var vocab = Scratch.materialize(
+      vocab0.as[(String, Long)]
+        .map { case (w, f) => (w.map(_.toString) :+ "</w>", f) }
+        .toDF("syms", "freq"), "q66_v0")
+    val rules = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      val best = vocab.as[(Seq[String], Long)]
+        .flatMap { case (syms, f) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), f))
+        }
+        .toDF("l", "r", "f")
+        .groupBy(col("l"), col("r")).agg(sum(col("f")).as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded driver probe: one rule per round
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, pf) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rules += ((l, r, pf))
+        vocab = Scratch.materialize(
+          vocab.as[(Seq[String], Long)].map { case (syms, f) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toSeq, f)
+          }.toDF("syms", "freq"), s"q66_v${round % 2 + 1}")
+        round += 1
+      }
+    }
+    rules.result()
+  }
+
+  /** Corpus word-frequency table — q66's one corpus-scale shuffle. */
+  private[graft] def bpeVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrainOn(bpeVocab(s, d), BpeMerges)
+      .zipWithIndex
+      .map { case ((l, r, pf), i) => (i + 1, l, r, pf) }
+      .toDF("rank", "left", "right", "pair_freq")
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -602,5 +679,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
     CatalogEntry("q56_sketch_profile", q56, None),
     CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),
+    CatalogEntry("q66_bpe_train", q66, None),
   )
 }
