@@ -257,9 +257,14 @@ object Dedup extends QueryModule {
       .toDF("doc_id", "band_key")
   }
 
-  private def q32(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), wordsCol.as("ws"))
+  /** The q32 pair computation over an arbitrary `(doc_id, text)`
+    * relation — shared by q32 (full corpus) and q67 (the pipeline's
+    * decontaminated survivors). Both band-join legs read the same
+    * `banded` subtree; their exchanges are identical so Spark's
+    * ReuseExchange deduplicates the signature pipeline.
+    */
+  private def minhashPairs(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), wordsCol.as("ws"))
     val ex = base
       .repartition(Scratch.par(base)) // barrier: materialize ws
       .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("s"))
@@ -281,6 +286,9 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("n_shared_bands").desc, col("doc_a"), col("doc_b"))
   }
+
+  private def q32(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d))
 
   private val q32Sql = {
     val sigSql = (0 until H).map(k =>
@@ -813,14 +821,23 @@ object Dedup extends QueryModule {
     * regex; only (doc_id, n_tok, shard) ever shuffles — text never
     * moves.
     */
-  private def q62(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
-          .cast("long").as("n_tok"),
-        (hex12ToLong(md5(concat(lit("pack|"), col("doc_id").cast("string"))))
-          % PackShards).as("shard"))
+  /** The q62 token/shard projection: `(doc_id, text)` →
+    * `(doc_id, n_tok, shard)` — after this narrow map, text is no
+    * longer needed by the packing path (q67 exploits that to keep text
+    * out of every one of its exchanges).
+    */
+  private def packToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("n_tok"),
+      (hex12ToLong(md5(concat(lit("pack|"), col("doc_id").cast("string"))))
+        % PackShards).as("shard"))
+
+  /** The q62 packing windows over a `(doc_id, n_tok, shard)` relation —
+    * shared by q62 (full corpus) and q67 (canonical survivors).
+    */
+  private def packFromToks(toks: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
@@ -831,6 +848,9 @@ object Dedup extends QueryModule {
         col("n_tok"))
       .orderBy(col("doc_id"))
   }
+
+  private def q62(s: SparkSession, d: String): DataFrame =
+    packFromToks(packToks(Tables.documents(s, d)))
 
   private val q62Sql =
     s"""WITH toks AS (
@@ -970,6 +990,146 @@ object Dedup extends QueryModule {
        |WHERE rank_in_source <= $SourceCap
        |ORDER BY source, rank_in_source""".stripMargin
 
+  private val DecontMax = 0.05 // max eval-8-gram hit fraction to keep
+
+  /** End-to-end pipeline manifest (q67) — the capstone composition:
+    * corpus in, packed training-shard assignments out, as ONE
+    * declarative plan the cross-engine oracle checks end to end.
+    *
+    *   1. QUALITY (q21's thresholds): length ≥ 100, punct ratio < 0.1,
+    *      stopword ratio > 0.01.
+    *   2. DECONTAMINATION (q54): drop the eval shard itself
+    *      (doc_id % 10 == 3) and any training doc sharing > DecontMax
+    *      of its 8-grams with the eval shard's broadcast gram set.
+    *   3. DEDUP (q32 → q39): MinHash/LSH candidate pairs over the
+    *      survivors, connected components, keep each cluster's
+    *      canonical (min doc_id) member.
+    *   4. PACK (q62): concat-then-chunk the canonical survivors into
+    *      2048-token training sequences, per shard.
+    *
+    * Every stage keeps its catalog shape (broadcast eval set, banded
+    * pair join, pointer-jumping CC, per-shard packing windows), so the
+    * composed plan inherits every audited scale property; the composed
+    * DuckDB oracle (quality predicate + gram CTEs + recursive-CTE
+    * components + packing windows) pins the whole pipeline's VALUES,
+    * not just each stage's. The survivors relation feeds three
+    * downstream consumers — materialized once.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val qual = docs.filter(
+      length(col("text")) >= 100 &&
+        (size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0)))
+          .cast("double") / greatest(length(col("text")), lit(1))) < 0.1 &&
+        (size(regexp_extract_all(col("text"),
+          lit("\\b(the|a|an|of|and|to|in|is|it|that)\\b"), lit(0)))
+          .cast("double") /
+          greatest(size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+"), lit(0))), lit(1))) > 0.01)
+    // eval grams come from the UNFILTERED eval shard (the benchmark is
+    // external — quality filtering does not apply to it)
+    val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
+      .select(col("s")).distinct()
+    val trx = qual.filter(col("doc_id") % 10 =!= 3)
+    val hits = ngramEntries(trx, DecontN)
+      .join(broadcast(ev), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+    val dek = Scratch.materialize(
+      trx.select(col("doc_id"), col("text"))
+        .join(hits.select(col("doc_id"), col("n_hits"), col("n_shingles")),
+          Seq("doc_id"), "left")
+        .filter(col("n_hits").isNull ||
+          col("n_hits").cast("double") / col("n_shingles") <= DecontMax)
+        .select(col("doc_id"), col("text")),
+      "q67_dek")
+    val pairs = minhashPairs(dek)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("cluster_id", "label")
+    // token counts project out BEFORE the label join, so text is gone
+    // by the first exchange of the canonical/packing path
+    val canon = packToks(dek).join(labels, Seq("doc_id"), "left")
+      .filter(coalesce(col("label"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("shard"))
+    packFromToks(canon)
+  }
+
+  private val q67Sql = {
+    val sigSql = (0 until H).map(k =>
+      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
+    val bandsSql = (0 until Bands).map(b =>
+      s"md5('$b|' || " +
+        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE qual AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE LENGTH(text) >= 100
+       |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+       |      / GREATEST(LENGTH(text), 1) < 0.1
+       |    AND CAST(len(regexp_extract_all(text,
+       |        '\\b(the|a|an|of|and|to|in|is|it|that)\\b')) AS DOUBLE)
+       |      / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1)
+       |      > 0.01),
+       |evd AS (
+       |  SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |        FROM documents WHERE doc_id % 10 = 3)),
+       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM evd),
+       |trxd AS (
+       |  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+       |  FROM (SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |              FROM qual WHERE doc_id % 10 <> 3))),
+       |hits AS (
+       |  SELECT doc_id, n_shingles, COUNT(*) AS n_hits
+       |  FROM trxd JOIN ev USING (s) GROUP BY doc_id, n_shingles),
+       |dek AS (
+       |  SELECT q.doc_id, q.text
+       |  FROM qual q LEFT JOIN hits h ON h.doc_id = q.doc_id
+       |  WHERE q.doc_id % 10 <> 3
+       |    AND (h.n_hits IS NULL
+       |         OR CAST(h.n_hits AS DOUBLE) / h.n_shingles <= $DecontMax)),
+       |mh AS (SELECT doc_id, $shinglesSql AS sh FROM dek),
+       |mex AS (SELECT doc_id, unnest(sh) AS s FROM mh),
+       |mhs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |        FROM (SELECT doc_id, md5(s) AS dg FROM mex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM mhs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+       |reach(n, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
+       |cluster AS (SELECT n AS doc_id, MIN(r) AS label
+       |            FROM reach GROUP BY n),
+       |canon AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM dek d LEFT JOIN cluster c ON c.doc_id = d.doc_id
+       |  WHERE COALESCE(c.label, d.doc_id) = d.doc_id),
+       |ptoks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |    ${hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
+       |      % $PackShards AS shard
+       |  FROM canon),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS start_off
+       |  FROM ptoks)
+       |SELECT doc_id, shard, start_off // $PackBudget AS seq_no,
+       |  start_off % $PackBudget AS seq_off, n_tok
+       |FROM offs ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -986,5 +1146,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q62_pack_sequences", q62, Some(q62Sql)),
     CatalogEntry("q63_source_cap", q63, Some(q63Sql)),
     CatalogEntry("q64_exact_substr_spans", q64, Some(q64Sql)),
+    CatalogEntry("q67_pipeline_manifest", q67, Some(q67Sql)),
   )
 }

@@ -218,6 +218,20 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q67: the composed pipeline never shuffles text and never goes all-pairs") {
+    // quality/decont/dedup/pack composed: token counts project out
+    // before the canonical join, so no exchange anywhere in the final
+    // plan may carry the text column; the pair stage must stay banded
+    val p = planOf("q67_pipeline_manifest")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q59: k-means assignment broadcasts the centroid model, never a cartesian") {
     // the catalog entry's final plan reads checkpointed scratch (which
     // hides subplans), so audit the assignment stage itself: the
