@@ -855,6 +855,12 @@ object Dedup extends QueryModule {
   private def q62(s: SparkSession, d: String): DataFrame =
     packFromToks(packToks(Tables.documents(s, d)))
 
+  /** The stateless token/shard projection for the STREAMING packer
+    * (`graft.streaming.StreamingPack`) — bit-identical to q62's batch
+    * stage, the bandEntries pattern.
+    */
+  def packTokEntries(docs: DataFrame): DataFrame = packToks(docs)
+
   private val q62Sql =
     s"""WITH toks AS (
        |  SELECT doc_id,
