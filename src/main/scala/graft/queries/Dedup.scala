@@ -1139,6 +1139,175 @@ object Dedup extends QueryModule {
        |FROM offs ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source token budgets for q68 — the mixture spec a real run
+    * derives from its data-mixing weights (DoReMi/Pile-style). Integer
+    * token budgets, not float fractions, so the cross-engine gate is
+    * exact.
+    */
+  private val MixBudgets: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", ((i % 4) + 1) * 500L))
+  private val MixSalts = 8L
+
+  /** Token-budget mixture sampling (q68) — the data-MIXING stage: each
+    * source contributes documents, in a deterministic pseudo-random
+    * order, until its token budget is spent (a document is taken iff it
+    * STARTS inside the budget). This is how a training mix ("x% web,
+    * y% wiki, z% code") is actually materialized.
+    *
+    * Scale shape: the naive spelling is one running-sum window per
+    * source ordered by a salted hash — a skew trap (one hot source =
+    * one straggler task holding every row, the q63 problem but for
+    * prefix sums, which per-salt top-N pruning cannot fix). Instead the
+    * global per-source order is defined as (salt, h, doc_id) and the
+    * prefix sum splits TWO-LEVEL, the q62 shard idea applied to
+    * sampling: per-(source, salt) token totals (a tiny aggregate —
+    * sources × MixSalts rows) prefix-sum into each salt's starting
+    * offset, which broadcasts back onto a per-(source, salt) window. No
+    * partition ever holds more than ~1/MixSalts of a source, budgets
+    * are a broadcast literal table, and only (doc_id, source, n_tok, h)
+    * ever shuffles — text never moves. The oracle is the single-window
+    * spelling: the two-level plan must be value-identical, which is
+    * what makes the rewrite checkable.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val budgets = broadcast(
+      s.createDataFrame(MixBudgets).toDF("source", "budget_toks"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("n_tok"),
+        hex12ToLong(md5(concat(lit("mix|"), col("doc_id").cast("string"))))
+          .as("h"))
+      .withColumn("salt", col("h") % MixSalts)
+    // two-level prefix sum: salt totals are sources × MixSalts rows
+    val saltW = Window.partitionBy(col("source")).orderBy(col("salt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val saltOff = toks.groupBy(col("source"), col("salt"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .withColumn("salt_start", sum(col("tot")).over(saltW) - col("tot"))
+      .select(col("source"), col("salt"), col("salt_start"))
+    val localW = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("local_off", sum(col("n_tok")).over(localW) - col("n_tok"))
+      .join(broadcast(saltOff), Seq("source", "salt"))
+      .join(budgets, "source")
+      .withColumn("start_off", col("salt_start") + col("local_off"))
+      .filter(col("start_off") < col("budget_toks"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("start_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q68Sql = {
+    val values = MixBudgets
+      .map { case (src, b) => s"('$src', ${b}::BIGINT)" }.mkString(", ")
+    s"""WITH b(source, budget_toks) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |    ${hex12ToLongSql("md5('mix|' || CAST(doc_id AS VARCHAR))")} AS h
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, source, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY h % $MixSalts, h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS start_off
+       |  FROM toks)
+       |SELECT doc_id, source, n_tok, start_off
+       |FROM offs JOIN b USING (source)
+       |WHERE start_off < budget_toks
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Incremental (delta-vs-index) dedup (q69): the operational shape of
+    * dedup at 100 TB — the corpus is already ingested and indexed; a
+    * new batch must be checked against it WITHOUT re-deduplicating the
+    * world. Frozen corpus = doc_id ≡ 0,1,2 (mod 10); delta = the rest.
+    * Every delta document reports its exact duplicate in the index
+    * (normalized q61 hash), its nearest near-duplicate (shared MinHash
+    * band — the q32/q38 banding), or `is_new`.
+    *
+    * Scale shape: in production the frozen side IS the stored index
+    * (norm-hash table + band table, partitioned by key) — here both are
+    * derived in-plan from the same table, in ONE signature pass over
+    * the full corpus (band keys are per-document, so computing them
+    * once and filtering is identical to two passes), materialized and
+    * filtered both ways. The delta joins shuffle only (hash, doc_id) /
+    * (band_key, doc_id) pairs; delta-side text never moves, index-side
+    * text was never read.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val isFrozen = col("doc_id") % 10 < 3
+    val docs = Tables.documents(s, d)
+    val norm = docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .as("norm_md5"))
+    val exactIdx = norm.filter(isFrozen)
+      .groupBy(col("norm_md5")).agg(min(col("doc_id")).as("idx_doc"))
+    val exact = norm.filter(!isFrozen)
+      .join(exactIdx, Seq("norm_md5"), "left")
+      .select(col("doc_id"), col("idx_doc").as("exact_of"))
+    // one signature pass over the corpus feeds both the frozen index
+    // and the delta probe (the two legs filter differently, so the
+    // static plan would otherwise compute the signatures twice)
+    val bands = Scratch.materialize(
+      bandEntries(docs.select(col("doc_id"), col("text"))), "q69_bands")
+    val near = bands.filter(!isFrozen)
+      .join(bands.filter(isFrozen)
+        .select(col("band_key"), col("doc_id").as("idx_doc")), "band_key")
+      .groupBy(col("doc_id")).agg(min(col("idx_doc")).as("near_of"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_of"), lit(-1L)).as("exact_of"),
+        coalesce(col("near_of"), lit(-1L)).as("near_of"))
+      .withColumn("is_new",
+        col("exact_of") === -1L && col("near_of") === -1L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q69Sql = {
+    val sigSql = (0 until H).map(k =>
+      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
+    val bandsSql = (0 until Bands).map(b =>
+      s"md5('$b|' || " +
+        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |norm AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |      AS norm_md5
+       |  FROM documents),
+       |exact_idx AS (
+       |  SELECT norm_md5, MIN(doc_id) AS idx_doc FROM norm
+       |  WHERE doc_id % 10 < 3 GROUP BY norm_md5),
+       |near AS (
+       |  SELECT d.doc_id, MIN(f.doc_id) AS near_of
+       |  FROM banded d JOIN banded f ON d.band_key = f.band_key
+       |  WHERE d.doc_id % 10 >= 3 AND f.doc_id % 10 < 3
+       |  GROUP BY d.doc_id)
+       |SELECT n.doc_id,
+       |  COALESCE(idx_doc, -1) AS exact_of,
+       |  COALESCE(near_of, -1) AS near_of,
+       |  COALESCE(idx_doc, -1) = -1 AND COALESCE(near_of, -1) = -1 AS is_new
+       |FROM norm n
+       |LEFT JOIN exact_idx USING (norm_md5)
+       |LEFT JOIN near ON near.doc_id = n.doc_id
+       |WHERE n.doc_id % 10 >= 3
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -1156,5 +1325,7 @@ object Dedup extends QueryModule {
     CatalogEntry("q63_source_cap", q63, Some(q63Sql)),
     CatalogEntry("q64_exact_substr_spans", q64, Some(q64Sql)),
     CatalogEntry("q67_pipeline_manifest", q67, Some(q67Sql)),
+    CatalogEntry("q68_mixture_sample", q68, Some(q68Sql)),
+    CatalogEntry("q69_incremental_dedup", q69, Some(q69Sql)),
   )
 }

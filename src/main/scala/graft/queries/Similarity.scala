@@ -633,11 +633,92 @@ object Similarity extends QueryModule {
       .orderBy(col("cid"))
   }
 
+  private val SemTau = 0.35 // intra-cluster cosine drop threshold
+
+  /** SemDeDup-style semantic dedup (q70, Abbas et al. 2023): cluster the
+    * embedding space with the coarse quantizer, then WITHIN each cluster
+    * drop every vector that has a lower-id neighbor at cosine ≥ τ — the
+    * embedding-space answer to "these two documents say the same thing
+    * in different words", which no text hash (q30/q61) or shingle
+    * signature (q32/q33) can see.
+    *
+    * Scale shape: identical to the IVF build (q37) — centroids are a
+    * broadcast 8-row table, assignment is one narrow argmax pass, and
+    * the pair join runs per cluster id (hash-partitioned inverted
+    * lists), never all-pairs; with balanced clusters the candidate set
+    * is Σ nᵢ² ≈ N²/C, and at real scale C grows with N (trained by the
+    * q59 k-means) so cluster size — and the per-task pair work — stays
+    * constant. The drop rule (any lower-id τ-neighbor in-cluster) is
+    * deterministic, so a re-run keeps byte-identical survivors.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q70_e")
+    val cent = e.filter(col("vec_id") >= CentBase &&
+        col("vec_id") < CentBase + NCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        round(dot(col("embedding"), col("cent_emb")) /
+          (col("nrm") * col("cent_nrm")), 4).as("ccos"))
+      .withColumn("crank", row_number().over(aw))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    val a = assign.select(col("vec_id").as("vec_a"), col("cid"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assign.select(col("vec_id").as("vec_b"), col("cid"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dups = a.join(b, "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b").as("vec_id"), col("vec_a"),
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cos"))
+      .filter(col("cos") >= SemTau)
+      .groupBy(col("vec_id")).agg(min(col("vec_a")).as("dup_of"))
+    assign.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .withColumn("kept", col("dup_of") === -1L)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q70Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id >= $CentBase AND vec_id < ${CentBase + NCent}),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dotSql("e.embedding", "cent.cent_emb")} /
+       |          (e.nrm * cent.cent_nrm), 4) DESC, cent.cid) AS crank
+       |    FROM e CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |dups AS (
+       |  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(${dotSql("a.embedding", "b.embedding")} /
+       |    (a.nrm * b.nrm), 4) >= $SemTau
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, s.cid, COALESCE(dup_of, -1) AS dup_of,
+       |  COALESCE(dup_of, -1) = -1 AS kept
+       |FROM assign s LEFT JOIN dups USING (vec_id)
+       |ORDER BY s.vec_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
     CatalogEntry("q37_ann_ivf", q37, Some(q37Sql)),
     CatalogEntry("q57_ann_pq", q57, Some(q57Sql)),
     CatalogEntry("q59_kmeans_train", q59, None),
+    CatalogEntry("q70_semantic_dedup", q70, Some(q70Sql)),
   )
 }

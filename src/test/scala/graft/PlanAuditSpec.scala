@@ -248,4 +248,49 @@ class PlanAuditSpec extends SparkSpec {
       assert(!s.contains("CartesianProduct"), s)
     } finally spark.conf.set(key, saved)
   }
+
+  test("q68: mixture prefix sum is two-level — per-(source,salt) windows, broadcast offsets") {
+    // a single per-source running-sum window is the 100 TB straggler;
+    // the doc-level window must cluster on (source, salt), the salt-
+    // offset/budget joins must broadcast, and text must never shuffle
+    val p = planOf("q68_mixture_sample")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected 2 windows:\n$p")
+    val sizes = windows.map(_.partitionSpec.size).sorted
+    assert(sizes == Seq(1, 2),
+      s"doc-level window lost its salt (or salt-offset window grew):\n$p")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q69: delta-vs-index joins shuffle keys only, never text, never all-pairs") {
+    // the frozen index and the delta probe join on norm-hash / band_key
+    // equality; any text column in an exchange means the corpus moved,
+    // and a nested-loop join means the index degenerated to all-pairs
+    val p = planOf("q69_incremental_dedup")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q70: semantic-dedup pair join is per-cluster hash equality, centroids broadcast") {
+    // assignment = broadcast of the 8-row centroid table; the intra-
+    // cluster pair join must be a hash join on cid (inverted lists),
+    // never a cartesian over the corpus
+    val s = planString("q70_semantic_dedup")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+  }
 }
