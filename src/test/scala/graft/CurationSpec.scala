@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral gates for the curation-stage operators (q68/q69/q70) —
+  * properties the value-hash oracle cannot express (the AnnRecallSpec
+  * discipline: an operator must be falsifiable on its SEMANTICS, not
+  * just reproduce numbers both engines happen to agree on).
+  */
+class CurationSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q68: every source stops within one document of its token budget") {
+    val sp = spark
+    import sp.implicits._
+    val sel = SparkEntry.queries("q68_mixture_sample")(sp, sf)
+      .select("source", "n_tok", "start_off")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val budgets = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 500L).toMap
+    val srcTotals = Tables.documents(sp, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(sel.nonEmpty)
+    var truncated = 0
+    sel.foreach { case (src, rows) =>
+      val b = budgets(src)
+      // a document is taken iff it STARTS inside the budget: every
+      // selected start offset is under budget, and the overshoot is
+      // bounded by the last document's own tokens
+      assert(rows.forall(_._3 < b), s"$src: start_off >= budget")
+      val toks = rows.map(_._2).sum
+      val lastTok = rows.maxBy(_._3)._2
+      assert(toks - lastTok < b, s"$src: overshoot beyond the last doc")
+      // unless the source ran out of documents, the budget is actually
+      // SPENT: selection is a prefix of the (salt, h, doc_id) order, so
+      // the first rejected document starts exactly at `toks` — which
+      // must be at or past the budget, else the mixture was starved
+      if (rows.length < srcTotals(src).toInt) {
+        truncated += 1
+        assert(toks >= b, s"$src: budget underspent ($toks < $b)")
+      }
+    }
+    assert(truncated > 0, "test data never hit a budget — spec is vacuous")
+  }
+
+  test("q69: near verdicts agree exactly with the band index, both directions") {
+    val sp = spark
+    import sp.implicits._
+    // independent reconstruction: a delta doc has near_of = f iff f is
+    // the SMALLEST frozen doc sharing >= 1 MinHash band with it
+    val bands = graft.queries.Dedup.bandEntries(
+        Tables.documents(sp, sf).select(col("doc_id"), col("text")))
+      .as[(Long, String)].collect()
+    val frozen = bands.filter(_._1 % 10 < 3).groupBy(_._2)
+      .map { case (k, vs) => k -> vs.map(_._1).min }
+    val expected = bands.filter(_._1 % 10 >= 3)
+      .flatMap { case (id, bk) => frozen.get(bk).map(id -> _) }
+      .groupBy(_._1).map { case (id, hits) => id -> hits.map(_._2).min }
+    val got = SparkEntry.queries("q69_incremental_dedup")(sp, sf)
+      .select("doc_id", "near_of").as[(Long, Long)].collect()
+      .filter(_._2 >= 0).toMap
+    assert(got == expected,
+      s"near_of mismatch: got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty, "no near-dups in test data — spec is vacuous")
+  }
+
+  test("q70: no two kept vectors in one cluster are tau-close (the SemDeDup invariant)") {
+    val sp = spark
+    import sp.implicits._
+    val verdict = SparkEntry.queries("q70_semantic_dedup")(sp, sf)
+      .select("vec_id", "cid", "kept").as[(Long, Long, Boolean)].collect()
+    assert(verdict.exists(!_._3), "nothing dropped — spec is vacuous")
+    val vecs = Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      // the engine rounds to 4 decimals before thresholding — match it
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    verdict.filter(_._3).groupBy(_._2).foreach { case (cid, kept) =>
+      val ids = kept.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val c = cos(vecs(ids(i)), vecs(ids(j)))
+        assert(c < 0.35,
+          s"kept pair (${ids(i)}, ${ids(j)}) in cluster $cid at cosine $c")
+      }
+    }
+  }
+}
