@@ -607,6 +607,23 @@ object TextAnalysis extends QueryModule {
     * (textbook merge sequence on a constructed vocabulary, determinism,
     * monotone vocabulary compression).
     */
+  /** One merge-rule application, left-to-right with non-overlapping
+    * consumption — the SINGLE definition shared by training (q66), the
+    * rank-priority encoder (q71), and BpeSpec's definitional sequential
+    * encoder, so the three cannot drift apart.
+    */
+  private[graft] def bpeApplyRule(syms: Seq[String], l: String, r: String)
+      : Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   private[graft] def bpeTrainOn(vocab0: DataFrame, merges: Int)
       : Seq[(String, String, Long)] = {
     val s = vocab0.sparkSession
@@ -634,20 +651,38 @@ object TextAnalysis extends QueryModule {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         rules += ((l, r, pf))
         vocab = Scratch.materialize(
-          vocab.as[(Seq[String], Long)].map { case (syms, f) =>
-            val out = scala.collection.mutable.ArrayBuffer[String]()
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                out += l + r; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toSeq, f)
-          }.toDF("syms", "freq"), s"q66_v${round % 2 + 1}")
+          vocab.as[(Seq[String], Long)]
+            .map { case (syms, f) => (bpeApplyRule(syms, l, r), f) }
+            .toDF("syms", "freq"), s"q66_v${round % 2 + 1}")
         round += 1
       }
     }
     rules.result()
+  }
+
+  /** BPE ENCODE with a trained merge table (the q71 kernel): start from
+    * characters + `</w>`, repeatedly apply the LOWEST-RANK adjacent
+    * merge present — the standard tokenizer-apply algorithm, equivalent
+    * by construction to replaying the merges in training order
+    * (BpeSpec asserts that equivalence on the real corpus vocabulary).
+    */
+  private[graft] def bpeEncode(word: String,
+      rank: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bl = ""; var br = ""
+      var i = 0
+      while (i + 1 < syms.length) {
+        val rr = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rr < bestRank) { bestRank = rr; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else syms = bpeApplyRule(syms, bl, br)
+    }
+    syms
   }
 
   /** Corpus word-frequency table — q66's one corpus-scale shuffle. */
@@ -665,6 +700,38 @@ object TextAnalysis extends QueryModule {
       .toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** BPE tokenizer APPLY (q71) — the other half of q66: encode the
+    * corpus with the trained merge table and report per-document BPE
+    * token counts (what a mixture budget or packing stage actually
+    * consumes once a real tokenizer replaces the q20 regex).
+    *
+    * Scale shape: the encoder runs over the VOCABULARY, not the corpus
+    * — tokenization is a pure function of the word, so the iterative
+    * merge loop costs O(distinct words), and the corpus-scale pass is
+    * explode → broadcast word→count join → per-doc sum (corpus text
+    * never shuffles; the word table is the small side by construction).
+    * Rows-only entry BY DESIGN (like q66: the trained table is not one
+    * SQL statement); BpeSpec pins the encoder against the definitional
+    * replay-merges-in-training-order spelling on the real vocabulary.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rank = bpeTrainOn(bpeVocab(s, d), BpeMerges).zipWithIndex
+      .map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val wordToks = bpeVocab(s, d).as[(String, Long)]
+      .map { case (w, _) => (w, bpeEncode(w, rank).length.toLong) }
+      .toDF("w", "n_bpe")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .join(broadcast(wordToks), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_toks"))
+      .withColumn("bpe_per_word",
+        round(col("n_bpe_toks").cast("double") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -680,5 +747,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q56_sketch_profile", q56, None),
     CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),
     CatalogEntry("q66_bpe_train", q66, None),
+    CatalogEntry("q71_bpe_encode", q71, None),
   )
 }

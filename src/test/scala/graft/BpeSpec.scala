@@ -69,4 +69,36 @@ class BpeSpec extends SparkSpec {
     assert(rules.size <= 2, rules.toString)
     assert(rules.nonEmpty)
   }
+
+  /** The q71 encoder gate: rank-priority encoding must equal the
+    * DEFINITIONAL spelling — replay the merges in training order — for
+    * every word of the real corpus vocabulary, and every emitted token
+    * must be reachable from characters through the learned rules.
+    */
+  test("q71: rank-priority encode == replay-merges-in-order, on the real vocabulary") {
+    val sp = spark
+    import sp.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rules = TextAnalysis.bpeTrainOn(TextAnalysis.bpeVocab(sp, sf), 16)
+    val rank = rules.zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val words = TextAnalysis.bpeVocab(sp, sf)
+      .as[(String, Long)].collect().map(_._1)
+    assert(words.nonEmpty)
+    val products = rules.map { case (l, r, _) => l + r }.toSet
+    var someWordCompressed = false
+    words.foreach { w =>
+      val enc = TextAnalysis.bpeEncode(w, rank)
+      val replay = rules.foldLeft(w.map(_.toString) :+ "</w>": Seq[String]) {
+        case (sy, (l, r, _)) => TextAnalysis.bpeApplyRule(sy, l, r)
+      }
+      assert(enc == replay, s"'$w': $enc != $replay")
+      // round-trip: tokens concatenate back to the word + terminator
+      assert(enc.mkString == w + "</w>", s"'$w' round-trip broke: $enc")
+      // every multi-char token is a learned merge product
+      enc.filter(t => t.length > 1 && t != "</w>").foreach(t =>
+        assert(products.contains(t), s"'$w' emitted unlearned token '$t'"))
+      if (enc.length < w.length + 1) someWordCompressed = true
+    }
+    assert(someWordCompressed, "no word compressed — encoder gate is vacuous")
+  }
 }
