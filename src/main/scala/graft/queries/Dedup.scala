@@ -1144,9 +1144,24 @@ object Dedup extends QueryModule {
     * token budgets, not float fractions, so the cross-engine gate is
     * exact.
     */
-  private val MixBudgets: Seq[(String, Long)] =
+  private[graft] val MixBudgets: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", ((i % 4) + 1) * 500L))
-  private val MixSalts = 8L
+  private[graft] val MixSalts = 8L
+
+  /** The q68 token/order projection for the STREAMING admission
+    * controller (`graft.streaming.StreamingMix`) and its convergence
+    * spec: (doc_id, source, n_tok, h, salt) with q68's exact hash and
+    * salt — the batch sampler's (salt, h, doc_id) order is the stream
+    * order that reproduces it.
+    */
+  def mixTokEntries(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("n_tok"),
+      hex12ToLong(md5(concat(lit("mix|"), col("doc_id").cast("string"))))
+        .as("h"))
+      .withColumn("salt", col("h") % MixSalts)
 
   /** Token-budget mixture sampling (q68) — the data-MIXING stage: each
     * source contributes documents, in a deterministic pseudo-random
@@ -1172,14 +1187,7 @@ object Dedup extends QueryModule {
   private def q68(s: SparkSession, d: String): DataFrame = {
     val budgets = broadcast(
       s.createDataFrame(MixBudgets).toDF("source", "budget_toks"))
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
-          .cast("long").as("n_tok"),
-        hex12ToLong(md5(concat(lit("mix|"), col("doc_id").cast("string"))))
-          .as("h"))
-      .withColumn("salt", col("h") % MixSalts)
+    val toks = mixTokEntries(Tables.documents(s, d))
     // two-level prefix sum: salt totals are sources × MixSalts rows
     val saltW = Window.partitionBy(col("source")).orderBy(col("salt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.queries.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One document's admission inputs: its source and token count. */
+final case class MixInput(doc_id: Long, source: String, n_tok: Long)
+
+/** The admission verdict: whether the document made it into the mix,
+  * and how many of its source's budget tokens were already spent when
+  * it arrived.
+  */
+final case class MixVerdict(doc_id: Long, source: String,
+    admitted: Boolean, spent_before: Long)
+
+/** Streaming token-budget admission control — the streaming twin of
+  * batch q68: an ingestion pipeline admits each arriving document into
+  * the training mix until its source's token budget is spent, instead
+  * of re-running the batch sampler over a growing corpus.
+  *
+  * Shape: the token projection is STATELESS per-row work
+  * (`Dedup.mixTokEntries`, bit-identical to q68's batch stage); the
+  * only state in the stream is ONE LONG per source — the tokens spent
+  * so far — maintained by `flatMapGroupsWithState`, so state is bounded
+  * by the source count forever. Greedy rule, same as batch: a document
+  * is admitted iff spending starts strictly inside the budget; only
+  * admitted documents advance the counter.
+  *
+  * Determinism contract: within a micro-batch each source's documents
+  * are judged in the SAMPLER's canonical (salt, h, doc_id) order —
+  * the same MD5-derived order q68 uses, recomputed per row from
+  * doc_id — and across batches in arrival order. Because batch q68's
+  * selection is a PREFIX of that order, a stream whose batches
+  * partition it in order reproduces q68's admitted set and
+  * per-document start offsets exactly, under ANY chunking —
+  * StreamingMixSpec pins that convergence (which also pins the JVM
+  * hash here against the engine's `hex12ToLong(md5(...))` spelling).
+  */
+object StreamingMix {
+
+  /** q68's order key for one document: (salt, h) from the first 6
+    * bytes of md5("mix|<doc_id>"), big-endian — the JVM twin of the
+    * engine's `hex12ToLong` convention (see `Dedup.bandKeysOf`).
+    */
+  private def mixKey(docId: Long): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(
+      s"mix|$docId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    (h % Dedup.MixSalts, h)
+  }
+
+  /** Stateless projection over a streaming (or batch) documents
+    * relation carrying (doc_id, source, text).
+    */
+  def tokEntries(docs: DataFrame): Dataset[MixInput] = {
+    import docs.sparkSession.implicits._
+    Dedup.mixTokEntries(docs)
+      .select("doc_id", "source", "n_tok").as[MixInput]
+  }
+
+  def verdicts(in: Dataset[MixInput],
+      budgets: Map[String, Long] = Dedup.MixBudgets.toMap)
+      : Dataset[MixVerdict] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, MixVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src, chunk, state) =>
+          var spent = state.getOption.getOrElse(0L)
+          val budget = budgets.getOrElse(src, 0L)
+          val out = chunk.toSeq
+            .sortBy(m => (mixKey(m.doc_id), m.doc_id)).map { m =>
+            val admit = spent < budget
+            val v = MixVerdict(m.doc_id, src, admit, spent)
+            if (admit) spent += m.n_tok
+            v
+          }
+          state.update(spent)
+          out.iterator
+      }
+  }
+}
