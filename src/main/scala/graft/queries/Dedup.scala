@@ -1316,6 +1316,90 @@ object Dedup extends QueryModule {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** Duplicated-span CUT (q72) — q64 made actionable, the Lee et al.
+    * ExactSubstr REWRITE: emit each document with every token cut that
+    * lies in a cross-document duplicated 8-gram occurring in a LOWER
+    * doc_id (keep-first-occurrence policy, per gram — deterministic, so
+    * the canonical copy survives verbatim and every later copy loses
+    * exactly the duplicated run).
+    *
+    * Scale shape: everything up to the cut-position table is q64's
+    * narrow gram-hash pipeline — (doc_id, pos, h) triples shuffle, text
+    * does not. Cut positions aggregate to ONE integer array per
+    * affected document, joined back to the corpus by doc_id; the
+    * rewrite itself is a per-row JVM map (the interpreted-HOF rule).
+    * Text crosses an exchange exactly twice, and only where it is the
+    * payload: the corpus→rewrite join and the ordered output — audited
+    * structurally (text-bearing exchange count, not just presence).
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val hs = Scratch.materialize(
+      posGramEntries(docs, ExactK)
+        .select(col("doc_id"), col("pos"), hex12ToLong(md5(col("g"))).as("h")),
+      "q72_grams")
+    val dup = hs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("min_doc"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("min_doc"))
+    val cuts = hs.join(dup, "h")
+      .filter(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + ExactK - 1)).as("tpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tpos"))).as("cut_pos"))
+    docs.select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("cut_pos"), array().cast("array<long>")).as("cut_pos"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, cutSeq) =>
+        val words = WordRe.findAllIn(text).toArray
+        val cut = cutSeq.toSet
+        val kept = words.iterator.zipWithIndex
+          .filterNot { case (_, i) => cut(i.toLong) }.map(_._1)
+        (id, cutSeq.size.toLong, kept.mkString(" "))
+      }
+      .toDF("doc_id", "n_cut", "clean_text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q72Sql = {
+    val parts = (0 until ExactK).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(1, greatest(len(ws) - ${ExactK - 2}, 1))) AS i
+       |  FROM docs),
+       |grams AS (SELECT doc_id, i - 1 AS pos, md5($parts) AS dg FROM pos),
+       |hs AS (SELECT doc_id, pos, ${hex12ToLongSql("dg")} AS h FROM grams),
+       |dup AS (SELECT h, MIN(doc_id) AS min_doc FROM hs
+       |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cover AS (
+       |  SELECT DISTINCT hs.doc_id, hs.pos + j.j AS tpos
+       |  FROM hs JOIN dup USING (h)
+       |  CROSS JOIN (SELECT unnest(range(0, $ExactK)) AS j) j
+       |  WHERE hs.doc_id > dup.min_doc),
+       |toks AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM docs),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.ws[t.i] AS w
+       |  FROM toks t LEFT JOIN cover c
+       |    ON c.doc_id = t.doc_id AND c.tpos = t.i - 1
+       |  WHERE c.doc_id IS NULL)
+       |SELECT d.doc_id,
+       |  COALESCE((SELECT COUNT(*) FROM cover c WHERE c.doc_id = d.doc_id),
+       |    0) AS n_cut,
+       |  COALESCE((SELECT string_agg(w, ' ' ORDER BY i) FROM kept k
+       |    WHERE k.doc_id = d.doc_id), '') AS clean_text
+       |FROM documents d
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -1335,5 +1419,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q67_pipeline_manifest", q67, Some(q67Sql)),
     CatalogEntry("q68_mixture_sample", q68, Some(q68Sql)),
     CatalogEntry("q69_incremental_dedup", q69, Some(q69Sql)),
+    CatalogEntry("q72_cut_dup_spans", q72, Some(q72Sql)),
   )
 }

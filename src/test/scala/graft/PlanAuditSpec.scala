@@ -283,6 +283,25 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q72: text crosses an exchange only as the rewrite payload, at most twice") {
+    // the gram/dup/cut stages must shuffle (doc_id, pos, h) and integer
+    // cut positions only; text may appear in exactly the corpus→rewrite
+    // join (source text) and the ordered output (clean text) — counting
+    // text-bearing exchanges, not just presence, pins that
+    val p = planOf("q72_cut_dup_spans")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    val srcText = exchanges.count(_.child.output.exists(_.name == "text"))
+    val outText = exchanges.count(_.child.output.exists(_.name == "clean_text"))
+    assert(srcText <= 1, s"source text shuffled $srcText times:\n$p")
+    assert(outText <= 1, s"clean text shuffled $outText times:\n$p")
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "g"),
+      s"gram text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q70: semantic-dedup pair join is per-cluster hash equality, centroids broadcast") {
     // assignment = broadcast of the 8-row centroid table; the intra-
     // cluster pair join must be a hash join on cid (inverted lists),
