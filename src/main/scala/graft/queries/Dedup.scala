@@ -1184,10 +1184,18 @@ object Dedup extends QueryModule {
     * spelling: the two-level plan must be value-identical, which is
     * what makes the rewrite checkable.
     */
-  private def q68(s: SparkSession, d: String): DataFrame = {
+  private def q68(s: SparkSession, d: String): DataFrame =
+    mixSelect(s, mixTokEntries(Tables.documents(s, d)), MixBudgets)
+
+  /** The q68 two-level prefix-sum selection over an arbitrary
+    * (doc_id, source, n_tok, h, salt) relation — factored out so
+    * CurationSpec can fuzz its equivalence with the straight-line
+    * single-order spelling on random inputs, not just the fixed corpus.
+    */
+  private[graft] def mixSelect(s: SparkSession, toks: DataFrame,
+      budgetRows: Seq[(String, Long)]): DataFrame = {
     val budgets = broadcast(
-      s.createDataFrame(MixBudgets).toDF("source", "budget_toks"))
-    val toks = mixTokEntries(Tables.documents(s, d))
+      s.createDataFrame(budgetRows).toDF("source", "budget_toks"))
     // two-level prefix sum: salt totals are sources × MixSalts rows
     val saltW = Window.partitionBy(col("source")).orderBy(col("salt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

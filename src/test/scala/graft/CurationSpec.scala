@@ -43,6 +43,43 @@ class CurationSpec extends SparkSpec {
     assert(truncated > 0, "test data never hit a budget — spec is vacuous")
   }
 
+  test("q68: two-level prefix sum equals the straight-line selection on random inputs") {
+    // the skew-safe rewrite must be value-identical to the definitional
+    // single-order greedy scan for ANY input, not just the corpus the
+    // oracle fixes — 10 seeded random worlds with adversarial shapes
+    // (empty sources, one-doc salts, zero budgets, giant documents)
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val nSrc = 1 + rnd.nextInt(5)
+      val budgets = (0 until nSrc).map(i => s"s$i" -> rnd.nextInt(300).toLong)
+      val rows = (0 until (20 + rnd.nextInt(300))).map { i =>
+        (i.toLong, s"s${rnd.nextInt(nSrc)}",
+          1L + rnd.nextInt(if (rnd.nextBoolean()) 10 else 200),
+          rnd.nextLong() & Long.MaxValue)
+      }
+      val toks = rows.toDF("doc_id", "source", "n_tok", "h")
+        .withColumn("salt", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("h"),
+          org.apache.spark.sql.functions.lit(8L)))
+      val got = graft.queries.Dedup.mixSelect(sp, toks, budgets)
+        .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+      // definitional spelling: one greedy scan per source in
+      // (salt, h, doc_id) order
+      val expected = rows.groupBy(_._2).flatMap { case (src, docs) =>
+        val b = budgets.toMap.apply(src)
+        var off = 0L
+        docs.sortBy(t => (t._4 % 8, t._4, t._1)).flatMap { t =>
+          val r = if (off < b) Some(t._1 -> off) else None
+          off += t._3
+          r
+        }
+      }
+      assert(got == expected, s"seed $seed: ${got.size} vs ${expected.size}")
+    }
+  }
+
   test("q69: near verdicts agree exactly with the band index, both directions") {
     val sp = spark
     import sp.implicits._
