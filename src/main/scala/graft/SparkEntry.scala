@@ -17,6 +17,7 @@ object SparkEntry {
     Similarity,
     Events,
     Media,
+    Selection,
     Chain,
   )
 

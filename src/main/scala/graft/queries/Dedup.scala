@@ -167,7 +167,7 @@ object Dedup extends QueryModule {
   /** First 12 hex digits of a lowercase digest as a 48-bit long —
     * a codegen'd polynomial over ascii values, no string parsing UDF.
     */
-  private def hex12ToLong(h: Column): Column =
+  private[graft] def hex12ToLong(h: Column): Column =
     (0 until 12).map(j =>
       hexVal(substring(h, j + 1, 1)).cast("long") * lit(1L << (4 * (11 - j))))
       .reduce(_ + _)
@@ -319,10 +319,10 @@ object Dedup extends QueryModule {
   /** Hex digit value 0-15 — ascii-arithmetic so it stays inside lambda
     * expressions in both engines.
     */
-  private def hexVal(c: Column): Column =
+  private[graft] def hexVal(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
 
-  private def hexValSql(c: String): String =
+  private[graft] def hexValSql(c: String): String =
     s"(CASE WHEN ascii($c) <= 57 THEN ascii($c) - 48 ELSE ascii($c) - 87 END)"
 
   /** 64-bit SimHash over word tokens (multiset): per word take md5's first

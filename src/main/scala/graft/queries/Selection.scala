@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-SELECTION stages of a training pipeline: importance-weighted
+  * corpus selection against a trusted target distribution (q74, the
+  * DSIR shape — Xie et al. 2023, "Data Selection for Language Models
+  * via Importance Resampling") and the final training-tensor
+  * materialization (q75: BPE token ids packed into fixed-length
+  * sequences — what actually ships to the trainer).
+  *
+  * Both stages follow the engine's scale discipline: models are the
+  * small side by construction (a 256-bucket hashed-unigram table for
+  * q74, a ≤(26 + merges + 1)-entry token vocabulary for q75) and
+  * broadcast; the corpus side shuffles integers — bucket ids, token
+  * ids, offsets — never text.
+  */
+object Selection extends QueryModule {
+
+  // ---------------------------------------------------------------- q74
+
+  /** Hashed-feature bucket count. 2 hex digits of md5 = exactly 8 bits,
+    * so the bucket id is uniform over 0..255 in both engines.
+    */
+  private val DsirBuckets = 256
+
+  /** The trusted/target shard: q65's clean-shard convention. DSIR's
+    * target corpus (Wikipedia/books in the paper) is modeled by the
+    * same held-out shard the surprisal filter trains on.
+    */
+  private val DsirTargetMod = 7
+
+  /** Documents selected (the resampling budget). */
+  private val DsirSelectN = 200
+
+  /** (doc_id, b): one row per word occurrence, b = 8-bit hashed-unigram
+    * feature bucket. The only corpus-scale projection q74 needs — text
+    * reduces to integer pairs in one narrow map.
+    */
+  private def dsirOcc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+      .withColumn("h", md5(col("w")))
+      .select(col("doc_id"),
+        (Dedup.hexVal(substring(col("h"), 1, 1)) * 16 +
+          Dedup.hexVal(substring(col("h"), 2, 1))).as("b"))
+
+  /** DSIR importance selection (q74) — score every raw document by how
+    * much more likely its hashed bag-of-words is under the target
+    * distribution than under the raw distribution, and keep the top
+    * `DsirSelectN`:
+    *
+    *   score(d) = Σ_occ [bits(t_b + 1) − bits(r_b + 1)]
+    *            + n_toks · [bits(R + B) − bits(T + B)]
+    *
+    * — the add-one-smoothed log importance ratio with `log₂` QUANTIZED
+    * to integer bit lengths (`length(bin(x))`, the q65/q27 discipline),
+    * so the cross-engine hash gate is exact; swapping real `ln` in at
+    * deployment changes one projection, not the plan.
+    *
+    * Scale shape: the feature model is ONE pass over the occurrence
+    * pairs producing a 256-row table (both shard counts come out of the
+    * same aggregation) that broadcasts; totals ride as a 1-row
+    * broadcast. The corpus side is a narrow map → broadcast-hash join →
+    * per-doc partial-agg sum → TakeOrdered(N). No exchange carries
+    * anything wider than (doc_id, bucket).
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val occ = Scratch.materialize(
+      dsirOcc(Tables.documents(s, d)), "q74_occ")
+    val model = occ.groupBy(col("b")).agg(
+      sum(when(col("doc_id") % 10 === DsirTargetMod, 1L).otherwise(0L))
+        .as("t"),
+      sum(when(col("doc_id") % 10 =!= DsirTargetMod, 1L).otherwise(0L))
+        .as("r"))
+    val tot = model.agg(sum(col("t")).as("tt"), sum(col("r")).as("rt"))
+    occ.filter(col("doc_id") % 10 =!= DsirTargetMod)
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(length(bin(col("t") + 1)) - length(bin(col("r") + 1)))
+          .as("ratio_bits"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"),
+        (col("ratio_bits") + col("n_toks") *
+          (length(bin(col("rt") + DsirBuckets)) -
+            length(bin(col("tt") + DsirBuckets)))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(DsirSelectN)
+  }
+
+  private def hexDigitValSql(expr: String, i: Int): String =
+    Dedup.hexValSql(s"substring($expr, $i, 1)")
+
+  private val q74Sql = {
+    val b1 = hexDigitValSql("md5(w)", 1)
+    val b2 = hexDigitValSql("md5(w)", 2)
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |    AS w
+       |  FROM documents),
+       |occ AS (SELECT doc_id, ($b1) * 16 + ($b2) AS b FROM w),
+       |model AS (
+       |  SELECT b,
+       |    SUM(CASE WHEN doc_id % 10 = $DsirTargetMod THEN 1 ELSE 0 END)
+       |      AS t,
+       |    SUM(CASE WHEN doc_id % 10 <> $DsirTargetMod THEN 1 ELSE 0 END)
+       |      AS r
+       |  FROM occ GROUP BY b),
+       |tot AS (SELECT SUM(t) AS tt, SUM(r) AS rt FROM model),
+       |scored AS (
+       |  SELECT o.doc_id, COUNT(*) AS n_toks,
+       |    SUM(LENGTH(bin(m.t + 1)) - LENGTH(bin(m.r + 1))) AS ratio_bits
+       |  FROM occ o JOIN model m USING (b)
+       |  WHERE o.doc_id % 10 <> $DsirTargetMod
+       |  GROUP BY o.doc_id)
+       |SELECT s.doc_id, s.n_toks,
+       |  CAST(s.ratio_bits + s.n_toks *
+       |    (LENGTH(bin(t.rt + $DsirBuckets)) -
+       |      LENGTH(bin(t.tt + $DsirBuckets))) AS BIGINT) AS score
+       |FROM scored s CROSS JOIN tot t
+       |ORDER BY score DESC, s.doc_id
+       |LIMIT $DsirSelectN""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q75
+
+  /** Tokens per emitted training sequence. Locally 512; at 100 TB this
+    * is the model's context length — a constant, not a scale knob.
+    */
+  private[graft] val SeqLen = 512L
+
+  /** Output shards; q62's rationale (one shard ≈ one trainer data
+    * file, embarrassingly parallel writers).
+    */
+  private[graft] val SeqShards = 4L
+
+  /** Deterministic salted shard of a doc — q62's assignment shape. */
+  private[graft] def seqShardOf(docId: Column): Column =
+    Dedup.hex12ToLong(md5(concat(lit("seq|"), docId.cast("string")))) %
+      SeqShards
+
+  /** The token-id vocabulary derives from the MERGE TABLE alone —
+    * single letters, the end-of-word mark, and each merge product,
+    * sorted. Bounded at 26 + 1 + merges entries, so it lives on the
+    * driver by construction (not a collect of corpus data).
+    */
+  private[graft] def tokenIds(rank: Map[(String, String), Int])
+      : Map[String, Int] =
+    (('a' to 'z').map(_.toString) ++ Seq("</w>") ++
+      rank.keys.map { case (l, r) => l + r })
+      .distinct.sorted.zipWithIndex.toMap
+
+  /** Training-tensor materialization (q75) — the LAST stage of the
+    * pipeline: the corpus becomes fixed-length arrays of BPE token ids,
+    * exactly what a trainer memory-maps. Combines q71's rank-priority
+    * encoder (BpeSpec pins its semantics) with q62's per-shard packing
+    * math: every doc's id stream concatenates in doc_id order within
+    * its salted shard, and the stream chunks into `SeqLen`-token
+    * sequences emitted as `token_ids` arrays.
+    *
+    * Scale shape: the merge table and token vocabulary are bounded and
+    * ride in closures; per-word id arrays come from a broadcast join
+    * against the (bounded) word vocabulary, so encoding is a narrow
+    * map. Token ids first cross an exchange at the per-doc position
+    * window and the `SeqLen`-bounded final grouping — i.e. text never
+    * shuffles, and what does shuffle IS the output tensor, which no
+    * materialization can avoid. Group state is bounded by `SeqLen`.
+    *
+    * Rows-only catalog entry BY DESIGN (BPE is not expressible in one
+    * SQL statement); TrainTensorSpec re-derives the expected per-shard
+    * id streams independently (driver-side encode + concat + chunk) and
+    * asserts exact equality, full-length invariants, and determinism.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rank = TextAnalysis
+      .bpeTrainOn(TextAnalysis.bpeVocab(s, d), TextAnalysis.BpeMerges)
+      .zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val ids = tokenIds(rank)
+    val wordIds = TextAnalysis.bpeVocab(s, d).as[(String, Long)]
+      .map { case (w, _) =>
+        (w, TextAnalysis.bpeEncode(w, rank).map(ids).toArray)
+      }
+      .toDF("w", "ids")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as(Seq("wpos", "w")))
+      .join(broadcast(wordIds), Seq("w"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("ids")).as(Seq("tpos", "tok")))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+      .withColumn("shard", seqShardOf(col("doc_id")))
+    val ws = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = perDoc
+      .withColumn("start_off", sum(col("n_tok")).over(ws) - col("n_tok"))
+      .select(col("doc_id"), col("shard"), col("start_off"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("wpos"), col("tpos"))
+    toks
+      .withColumn("ti", row_number().over(wd).cast("long") - 1L)
+      .join(offs, Seq("doc_id"))
+      .select(col("shard"), (col("start_off") + col("ti")).as("gpos"),
+        col("tok"))
+      .withColumn("seq_no", expr(s"gpos div $SeqLen"))
+      .groupBy(col("shard"), col("seq_no"))
+      .agg(count(lit(1)).as("n_tok"),
+        transform(
+          array_sort(collect_list(struct(col("gpos"), col("tok")))),
+          x => x.getField("tok")).as("token_ids"))
+      .orderBy(col("shard"), col("seq_no"))
+  }
+
+  override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
+    CatalogEntry("q75_train_sequences", q75, None),
+  )
+}

@@ -588,7 +588,7 @@ object TextAnalysis extends QueryModule {
        |  round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS mean_bits
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  private val BpeMerges = 16
+  private[graft] val BpeMerges = 16
 
   /** In-engine BPE merge training (q66) — the tokenizer-training step of
     * an LLM data pipeline, the q59 discipline applied to text: the ONLY

@@ -312,4 +312,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
       s.contains("BroadcastHashJoin"), s)
   }
+
+  test("q74: feature model broadcasts, selection is TakeOrdered, words never shuffle") {
+    // the 256-row bucket model must ride to the corpus side as a
+    // broadcast, the top-N as TakeOrdered (never a global sort), and no
+    // exchange may carry the word column or text — the corpus shuffles
+    // (doc_id, bucket) integers only
+    val p = planOf("q74_dsir_select")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(a => a.name == "w" || a.name == "text"),
+      s"word/text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q75: only token ids and offsets shuffle; word vocabulary broadcasts") {
+    // the encoder is a broadcast join against the bounded word-id
+    // vocabulary; corpus-side exchanges carry integer columns (doc_id,
+    // positions, tok, offsets) — never text, and never per-occurrence
+    // words (doc_id + w together). The one legitimate word-bearing
+    // exchange is the VOCABULARY aggregation: (w, freq), bounded by
+    // distinct-word count, no doc_id.
+    val p = planOf("q75_train_sequences")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    p.collect { case e: Exchange => e }.foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("text"),
+        s"raw text crosses the wire: $names")
+      assert(!(names.contains("w") && names.contains("doc_id")),
+        s"per-occurrence words cross the wire: $names")
+    }
+  }
 }
