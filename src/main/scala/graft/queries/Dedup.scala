@@ -172,7 +172,7 @@ object Dedup extends QueryModule {
       hexVal(substring(h, j + 1, 1)).cast("long") * lit(1L << (4 * (11 - j))))
       .reduce(_ + _)
 
-  private def hex12ToLongSql(expr: String): String =
+  private[graft] def hex12ToLongSql(expr: String): String =
     (0 until 12).map(j =>
       s"CAST(${hexValSql(s"substring($expr, ${j + 1}, 1)")} AS BIGINT) * ${1L << (4 * (11 - j))}")
       .mkString("(", " + ", ")")
@@ -804,8 +804,8 @@ object Dedup extends QueryModule {
     * output file (tens of thousands) — the parameter scales the
     * parallelism, not the algorithm.
     */
-  private val PackBudget = 2048L
-  private val PackShards = 8L
+  private[graft] val PackBudget = 2048L
+  private[graft] val PackShards = 8L
 
   /** Sequence packing (q62) — the GPT-style concat-then-chunk step that
     * turns a document corpus into fixed-token-budget training sequences.
@@ -829,7 +829,7 @@ object Dedup extends QueryModule {
     * longer needed by the packing path (q67 exploits that to keep text
     * out of every one of its exchanges).
     */
-  private def packToks(docs: DataFrame): DataFrame =
+  private[graft] def packToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"),
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))

@@ -219,8 +219,115 @@ object Selection extends QueryModule {
       .orderBy(col("shard"), col("seq_no"))
   }
 
+  // ---------------------------------------------------------------- q76
+
+  /** Training epochs enumerated by the shuffle manifest. */
+  private[graft] val Epochs = 3L
+
+  /** Salt fan-out for the per-epoch two-level rank (q68's discipline):
+    * the permutation rank is computed per (epoch, salt) and stitched
+    * with a broadcast salt-offset table, so no single partition ever
+    * holds a whole epoch.
+    */
+  private[graft] val ShuffleSalts = 8L
+
+  /** Cap on one row's `sequence()` array when enumerating a shard's
+    * sequence ids — a 100 TB shard owns millions of sequences, which
+    * must not materialize as one array.
+    */
+  private val SeqBlock = 4096L
+
+  /** Deterministic epoch-shuffle manifest (q76) — the trainer's
+    * reproducible data order: for each of `Epochs` epochs, every packed
+    * training sequence (q62's (shard, seq_no) universe, derived from
+    * per-shard token totals so mid-doc sequences are not missed)
+    * appears exactly once, in a seeded pseudo-random permutation, as
+    * `(epoch, global_step, shard, seq_no)`.
+    *
+    * Real pipelines shuffle the INDEX, not the data: the tensors of
+    * q75 stay where they are and the trainer walks this manifest. The
+    * permutation key is a salted hash, so re-runs ship byte-identical
+    * epoch orders and epochs differ from each other.
+    *
+    * Scale shape: the manifest is |corpus tokens| / budget rows of four
+    * integers — nothing wider ever shuffles. The global rank within an
+    * epoch is TWO-LEVEL (per-(epoch, salt) windows + a broadcast
+    * salt-offset table, the q68 rewrite), so a 12-billion-sequence
+    * epoch spreads over `ShuffleSalts` partitions instead of one; the
+    * trailing orderBy is presentation order for the gate.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val perShard = Dedup.packToks(Tables.documents(s, d))
+      .groupBy(col("shard")).agg(sum(col("n_tok")).as("tot"))
+      .select(col("shard"),
+        expr(s"(tot + ${Dedup.PackBudget} - 1) div ${Dedup.PackBudget}")
+          .as("n_seq"))
+    val seqs = perShard
+      .select(col("shard"), col("n_seq"),
+        explode(sequence(lit(0L), expr(s"(n_seq - 1) div $SeqBlock")))
+          .as("blk"))
+      .select(col("shard"),
+        explode(sequence(col("blk") * SeqBlock,
+          least(col("n_seq") - 1, col("blk") * SeqBlock + (SeqBlock - 1))))
+          .as("seq_no"))
+    val keyed = seqs
+      .crossJoin(broadcast(s.range(Epochs).toDF("epoch")))
+      .withColumn("k", Dedup.hex12ToLong(md5(concat(
+        lit("ep|"), col("epoch").cast("string"), lit("|"),
+        col("shard").cast("string"), lit("|"),
+        col("seq_no").cast("string")))))
+      .withColumn("salt", col("k") % ShuffleSalts)
+    val localW = Window.partitionBy(col("epoch"), col("salt"))
+      .orderBy(col("k"), col("shard"), col("seq_no"))
+    val saltW = Window.partitionBy(col("epoch")).orderBy(col("salt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = keyed.groupBy(col("epoch"), col("salt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum(col("cnt")).over(saltW) - col("cnt"))
+      .select(col("epoch"), col("salt"), col("off"))
+    keyed
+      .withColumn("rn", row_number().over(localW).cast("long"))
+      .join(broadcast(offs), Seq("epoch", "salt"))
+      .select(col("epoch"),
+        (col("off") + col("rn") - 1L).as("global_step"),
+        col("shard"), col("seq_no"))
+      .orderBy(col("epoch"), col("global_step"))
+  }
+
+  private val q76Sql = {
+    val key = Dedup.hex12ToLongSql(
+      "md5('ep|' || CAST(epoch AS VARCHAR) || '|' || " +
+        "CAST(shard AS VARCHAR) || '|' || CAST(seq_no AS VARCHAR))")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |    ${Dedup.hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
+       |      % ${Dedup.PackShards} AS shard
+       |  FROM documents),
+       |shards AS (
+       |  SELECT shard,
+       |    CAST((SUM(n_tok) + ${Dedup.PackBudget} - 1) // ${Dedup.PackBudget}
+       |      AS BIGINT) AS n_seq
+       |  FROM toks GROUP BY shard),
+       |seqs AS (
+       |  SELECT shard, unnest(generate_series(0, n_seq - 1)) AS seq_no
+       |  FROM shards),
+       |keyed AS (
+       |  SELECT e.epoch, s.shard, s.seq_no, ($key) AS k
+       |  FROM seqs s CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${Epochs - 1})) AS epoch) e)
+       |SELECT epoch,
+       |  ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY k % $ShuffleSalts, k, shard, seq_no) - 1 AS global_step,
+       |  shard, seq_no
+       |FROM keyed
+       |ORDER BY epoch, global_step""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, None),
+    CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
   )
 }

@@ -347,4 +347,24 @@ class PlanAuditSpec extends SparkSpec {
         s"per-occurrence words cross the wire: $names")
     }
   }
+
+  test("q76: epoch rank is two-level — per-(epoch,salt) windows, broadcast offsets") {
+    // one window per epoch is the 100 TB straggler: the rank window
+    // must cluster on (epoch, salt); the salt-offset table (≤ epochs ×
+    // salts rows) must come back as a broadcast; no exchange may carry
+    // text — the whole manifest is four integer columns
+    val p = planOf("q76_epoch_shuffle")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected 2 windows:\n$p")
+    assert(windows.map(_.partitionSpec.size).sorted == Seq(1, 2),
+      s"rank window lost its salt (or the offset window grew):\n$p")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
 }

@@ -70,4 +70,22 @@ class TrainTensorSpec extends SparkSpec {
     assert(collected().sortBy(r => (r._1, r._2)).toSeq ==
       collected().sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("q76 each epoch is a deterministic permutation, and epochs differ") {
+    val rows = SparkEntry.queries("q76_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (0L until Selection.Epochs).toSet)
+    val universes = byEpoch.toSeq.sortBy(_._1).map { case (e, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == rs.indices.map(_.toLong),
+        s"epoch $e global steps not dense")
+      rs.map(r => (r._3, r._4)).toSet
+    }
+    assert(universes.distinct.size == 1,
+      "epochs cover different sequence universes")
+    val orders = byEpoch.toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+    assert(orders.distinct.size == orders.size,
+      "two epochs shipped the same order — the shuffle isn't shuffling")
+  }
 }
