@@ -179,22 +179,28 @@ object Selection extends QueryModule {
     */
   private def q75(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rank = TextAnalysis
-      .bpeTrainOn(TextAnalysis.bpeVocab(s, d), TextAnalysis.BpeMerges)
+    // ONE corpus word-frequency pass feeds both merge training and the
+    // encoder's vocabulary, and ONE explode+broadcast-join pass yields
+    // the token stream consumed by both the per-doc counts and the
+    // final packing — without the scratch pins each subtree would
+    // execute twice (measured 4.0 s → the fix below)
+    val vocab = Scratch.materialize(TextAnalysis.bpeVocab(s, d), "q75_vocab")
+    val rank = TextAnalysis.bpeTrainOn(vocab, TextAnalysis.BpeMerges)
       .zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap
     val ids = tokenIds(rank)
-    val wordIds = TextAnalysis.bpeVocab(s, d).as[(String, Long)]
+    val wordIds = vocab.as[(String, Long)]
       .map { case (w, _) =>
         (w, TextAnalysis.bpeEncode(w, rank).map(ids).toArray)
       }
       .toDF("w", "ids")
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as(Seq("wpos", "w")))
-      .join(broadcast(wordIds), Seq("w"))
-      .select(col("doc_id"), col("wpos"),
-        posexplode(col("ids")).as(Seq("tpos", "tok")))
+    val toks = Scratch.materialize(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as(Seq("wpos", "w")))
+        .join(broadcast(wordIds), Seq("w"))
+        .select(col("doc_id"), col("wpos"),
+          posexplode(col("ids")).as(Seq("tpos", "tok"))), "q75_toks")
     val perDoc = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"))
       .withColumn("shard", seqShardOf(col("doc_id")))
