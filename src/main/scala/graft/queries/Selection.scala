@@ -70,9 +70,17 @@ object Selection extends QueryModule {
     * per-doc partial-agg sum → TakeOrdered(N). No exchange carries
     * anything wider than (doc_id, bucket).
     */
-  private def q74(s: SparkSession, d: String): DataFrame = {
-    val occ = Scratch.materialize(
-      dsirOcc(Tables.documents(s, d)), "q74_occ")
+  private def q74(s: SparkSession, d: String): DataFrame =
+    dsirSelect(Tables.documents(s, d), DsirSelectN)
+
+  /** The q74 kernel over any `(doc_id, text)` relation — separated so
+    * SelectionQualitySpec can drive it with a constructed corpus and
+    * assert the SEMANTICS (target-like documents actually get selected),
+    * which the value-hash oracle cannot see.
+    */
+  private[graft] def dsirSelect(docs: DataFrame, selectN: Int)
+      : DataFrame = {
+    val occ = Scratch.materialize(dsirOcc(docs), "q74_occ")
     val model = occ.groupBy(col("b")).agg(
       sum(when(col("doc_id") % 10 === DsirTargetMod, 1L).otherwise(0L))
         .as("t"),
@@ -91,7 +99,7 @@ object Selection extends QueryModule {
           (length(bin(col("rt") + DsirBuckets)) -
             length(bin(col("tt") + DsirBuckets)))).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(DsirSelectN)
+      .limit(selectN)
   }
 
   private def hexDigitValSql(expr: String, i: Int): String =
