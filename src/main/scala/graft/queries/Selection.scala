@@ -185,13 +185,16 @@ object Selection extends QueryModule {
     * id streams independently (driver-side encode + concat + chunk) and
     * asserts exact equality, full-length invariants, and determinism.
     */
-  private def q75(s: SparkSession, d: String): DataFrame = {
+  /** The q75 ENCODER stage, un-pinned — the corpus token stream
+    * `(doc_id, wpos, tpos, tok)` as a narrow map + broadcast join.
+    * Exposed so PlanAuditSpec can audit this stage's shape directly:
+    * q75 pins its result behind a scratch checkpoint, which hides the
+    * broadcast join from the final plan.
+    */
+  private[graft] def q75Toks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // ONE corpus word-frequency pass feeds both merge training and the
-    // encoder's vocabulary, and ONE explode+broadcast-join pass yields
-    // the token stream consumed by both the per-doc counts and the
-    // final packing — without the scratch pins each subtree would
-    // execute twice (measured 4.0 s → the fix below)
+    // encoder's vocabulary (the scratch pin below)
     val vocab = Scratch.materialize(TextAnalysis.bpeVocab(s, d), "q75_vocab")
     val rank = TextAnalysis.bpeTrainOn(vocab, TextAnalysis.BpeMerges)
       .zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap
@@ -201,14 +204,20 @@ object Selection extends QueryModule {
         (w, TextAnalysis.bpeEncode(w, rank).map(ids).toArray)
       }
       .toDF("w", "ids")
-    val toks = Scratch.materialize(
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+"), lit(0))).as(Seq("wpos", "w")))
-        .join(broadcast(wordIds), Seq("w"))
-        .select(col("doc_id"), col("wpos"),
-          posexplode(col("ids")).as(Seq("tpos", "tok"))), "q75_toks")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as(Seq("wpos", "w")))
+      .join(broadcast(wordIds), Seq("w"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("ids")).as(Seq("tpos", "tok")))
+  }
+
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    // ONE explode+broadcast-join pass yields the token stream consumed
+    // by both the per-doc counts and the final packing — without the
+    // pin the encoder subtree would execute twice (measured 5.4→4.5 s)
+    val toks = Scratch.materialize(q75Toks(s, d), "q75_toks")
     val perDoc = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"))
       .withColumn("shard", seqShardOf(col("doc_id")))
@@ -339,9 +348,107 @@ object Selection extends QueryModule {
        |ORDER BY epoch, global_step""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q77
+
+  /** Open-bin cap for q77's bounded best-fit: the packer keeps at most
+    * this many partially-filled sequences per shard; when a document
+    * fits none of them, the fullest is retired. Bounds packer memory at
+    * O(OpenBins) per shard regardless of corpus size — the difference
+    * between textbook FFD (every bin stays open, O(corpus/budget)
+    * state) and something that survives a 100 TB shard.
+    */
+  private[graft] val OpenBins = 64
+
+  /** Boundary-respecting best-fit packing (q77) — the OTHER packing
+    * semantic real pipelines use (NVIDIA NeMo's packed-sequence prep):
+    * q62/q75 concat-then-chunk, so a document may straddle two training
+    * sequences; q77 never splits a document. Per shard, documents are
+    * taken in token-count-DESCENDING order (first-fit-decreasing) and
+    * placed greedily into the open bin with the LEAST remaining room
+    * that still fits (best fit, ties to the oldest bin); documents
+    * longer than the budget are truncated to it and flagged. Output is
+    * one row per document — its (shard, bin_id, bin_off) slot — plus
+    * the truncation flag: exactly the manifest a packed-sequence
+    * loader needs.
+    *
+    * Scale shape: text never enters — the packToks projection reduces
+    * the corpus to (doc_id, n_tok, shard) before the ONE hash exchange
+    * on shard. Within a shard the greedy scan is inherently
+    * sequential, so it runs as a sorted `mapPartitions` (the (d)-case
+    * of the operator-preference ladder: no declarative form exists)
+    * with O(OpenBins) state; shards are the parallelism unit, exactly
+    * like q62's windows. Deterministic by the total (shard, n_tok
+    * desc, doc_id) order. Rows-only entry BY DESIGN (a stateful greedy
+    * is not one SQL statement); PackBinSpec pins the invariants — no
+    * overflow, contiguous offsets, no split, determinism — and a
+    * measured fill-efficiency floor vs the concat-then-chunk lower
+    * bound.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    bestFitPack(Dedup.packToks(Tables.documents(s, d)))
+
+  /** The q77 kernel over any `(doc_id, n_tok, shard)` relation. */
+  private[graft] def bestFitPack(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val budget = Dedup.PackBudget
+    val capped = toks.select(col("doc_id"),
+      least(col("n_tok"), lit(budget)).as("n_tok"),
+      (col("n_tok") > budget).as("truncated"), col("shard"))
+    capped.as[(Long, Long, Boolean, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("doc_id"))
+      .mapPartitions { it =>
+        // state resets at each shard boundary (shards are contiguous:
+        // the partition is hash-on-shard and sorted shard-first)
+        var curShard = Long.MinValue
+        var nextBin = 0L
+        val open = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        it.map { case (docId, n, trunc, shard) =>
+          if (shard != curShard) {
+            curShard = shard; nextBin = 0L; open.clear()
+          }
+          // best fit: among bins with room, the fullest; ties → oldest
+          var best = -1
+          var i = 0
+          while (i < open.length) {
+            if (open(i)._2 + n <= budget &&
+              (best < 0 || open(i)._2 > open(best)._2 ||
+                (open(i)._2 == open(best)._2 &&
+                  open(i)._1 < open(best)._1))) best = i
+            i += 1
+          }
+          val (binId, off) =
+            if (best >= 0) {
+              val (b, u) = open(best); open(best) = (b, u + n); (b, u)
+            } else {
+              if (open.length >= OpenBins) {
+                // retire the fullest (ties → oldest): it's the least
+                // likely to ever fit another doc in descending order
+                var full = 0
+                var j = 1
+                while (j < open.length) {
+                  if (open(j)._2 > open(full)._2 ||
+                    (open(j)._2 == open(full)._2 &&
+                      open(j)._1 < open(full)._1)) full = j
+                  j += 1
+                }
+                open.remove(full)
+              }
+              val b = nextBin; nextBin += 1L
+              open += ((b, n)); (b, 0L)
+            }
+          (shard, binId, docId, off, n, trunc)
+        }
+      }
+      .toDF("shard", "bin_id", "doc_id", "bin_off", "n_tok", "truncated")
+      .orderBy(col("shard"), col("bin_id"), col("bin_off"))
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, None),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
+    CatalogEntry("q77_bestfit_pack", q77, None),
   )
 }

@@ -334,18 +334,25 @@ class PlanAuditSpec extends SparkSpec {
     // positions, tok, offsets) — never text, and never per-occurrence
     // words (doc_id + w together). The one legitimate word-bearing
     // exchange is the VOCABULARY aggregation: (w, freq), bounded by
-    // distinct-word count, no doc_id.
-    val p = planOf("q75_train_sequences")
-    val s = p.toString
-    assert(s.contains("BroadcastHashJoin"), s)
-    assert(!s.contains("CartesianProduct"), s)
-    p.collect { case e: Exchange => e }.foreach { e =>
-      val names = e.child.output.map(_.name)
-      assert(!names.contains("text"),
-        s"raw text crosses the wire: $names")
-      assert(!(names.contains("w") && names.contains("doc_id")),
-        s"per-occurrence words cross the wire: $names")
-    }
+    // distinct-word count, no doc_id. The encoder stage is audited
+    // un-pinned (q75 checkpoints it, hiding its join from the final
+    // plan), the packing stage through the catalog entry.
+    val enc = graft.queries.Selection.q75Toks(spark, sf)
+      .queryExecution.executedPlan
+    val es = enc.toString
+    assert(es.contains("BroadcastHashJoin"), es)
+    assert(!es.contains("SortMergeJoin") && !es.contains("CartesianProduct"),
+      es)
+    val audit = (p: SparkPlan) =>
+      p.collect { case e: Exchange => e }.foreach { e =>
+        val names = e.child.output.map(_.name)
+        assert(!names.contains("text"),
+          s"raw text crosses the wire: $names")
+        assert(!(names.contains("w") && names.contains("doc_id")),
+          s"per-occurrence words cross the wire: $names")
+      }
+    audit(enc)
+    audit(planOf("q75_train_sequences"))
   }
 
   test("q76: epoch rank is two-level — per-(epoch,salt) windows, broadcast offsets") {
@@ -364,6 +371,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s)
     assert(!s.contains("CartesianProduct"), s)
     p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q77: one shard exchange of integer triples; text never shuffles") {
+    // the packer's only data movement is the hash partition on shard
+    // (plus the presentation sort's range exchange); both must carry
+    // the (doc_id, n_tok, shard) projection, never text
+    val p = planOf("q77_bestfit_pack")
+    val ex = p.collect { case e: Exchange => e }
+    assert(ex.size <= 2, s"unexpected exchanges:\n$p")
+    ex.foreach(e => assert(
       !e.child.output.exists(_.name == "text"),
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
