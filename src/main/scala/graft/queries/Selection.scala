@@ -402,47 +402,64 @@ object Selection extends QueryModule {
         // state resets at each shard boundary (shards are contiguous:
         // the partition is hash-on-shard and sorted shard-first)
         var curShard = Long.MinValue
-        var nextBin = 0L
-        val open = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var bins = BestFitBins.empty
         it.map { case (docId, n, trunc, shard) =>
-          if (shard != curShard) {
-            curShard = shard; nextBin = 0L; open.clear()
-          }
-          // best fit: among bins with room, the fullest; ties → oldest
-          var best = -1
-          var i = 0
-          while (i < open.length) {
-            if (open(i)._2 + n <= budget &&
-              (best < 0 || open(i)._2 > open(best)._2 ||
-                (open(i)._2 == open(best)._2 &&
-                  open(i)._1 < open(best)._1))) best = i
-            i += 1
-          }
-          val (binId, off) =
-            if (best >= 0) {
-              val (b, u) = open(best); open(best) = (b, u + n); (b, u)
-            } else {
-              if (open.length >= OpenBins) {
-                // retire the fullest (ties → oldest): it's the least
-                // likely to ever fit another doc in descending order
-                var full = 0
-                var j = 1
-                while (j < open.length) {
-                  if (open(j)._2 > open(full)._2 ||
-                    (open(j)._2 == open(full)._2 &&
-                      open(j)._1 < open(full)._1)) full = j
-                  j += 1
-                }
-                open.remove(full)
-              }
-              val b = nextBin; nextBin += 1L
-              open += ((b, n)); (b, 0L)
-            }
+          if (shard != curShard) { curShard = shard; bins = BestFitBins.empty }
+          val (binId, off) = bins.place(n, budget)
           (shard, binId, docId, off, n, trunc)
         }
       }
       .toDF("shard", "bin_id", "doc_id", "bin_off", "n_tok", "truncated")
       .orderBy(col("shard"), col("bin_id"), col("bin_off"))
+  }
+
+  /** The bounded best-fit placement machine — ONE implementation shared
+    * by batch q77's sorted scan and the streaming packer's per-shard
+    * state (`streaming/StreamingBinPack`), the bandEntries discipline:
+    * open bins as (binId, usedTokens) pairs capped at `OpenBins`; a doc
+    * goes to the FULLEST bin with room (ties → oldest); when nothing
+    * fits, the fullest bin retires and a fresh one opens.
+    */
+  private[graft] final class BestFitBins(
+      var nextBin: Long,
+      val open: scala.collection.mutable.ArrayBuffer[(Long, Long)]) {
+
+    /** Place an `n`-token document; returns its (binId, offset). */
+    def place(n: Long, budget: Long): (Long, Long) = {
+      var best = -1
+      var i = 0
+      while (i < open.length) {
+        if (open(i)._2 + n <= budget &&
+          (best < 0 || open(i)._2 > open(best)._2 ||
+            (open(i)._2 == open(best)._2 &&
+              open(i)._1 < open(best)._1))) best = i
+        i += 1
+      }
+      if (best >= 0) {
+        val (b, u) = open(best); open(best) = (b, u + n); (b, u)
+      } else {
+        if (open.length >= OpenBins) {
+          // retire the fullest (ties → oldest): it's the least likely
+          // to ever fit another doc
+          var full = 0
+          var j = 1
+          while (j < open.length) {
+            if (open(j)._2 > open(full)._2 ||
+              (open(j)._2 == open(full)._2 &&
+                open(j)._1 < open(full)._1)) full = j
+            j += 1
+          }
+          open.remove(full)
+        }
+        val b = nextBin; nextBin += 1L
+        open += ((b, n)); (b, 0L)
+      }
+    }
+  }
+
+  private[graft] object BestFitBins {
+    def empty: BestFitBins =
+      new BestFitBins(0L, scala.collection.mutable.ArrayBuffer.empty)
   }
 
   override def entries: Seq[CatalogEntry] = Seq(
