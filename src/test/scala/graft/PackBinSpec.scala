@@ -78,6 +78,37 @@ class PackBinSpec extends SparkSpec {
     assert(rows.forall(_._3 == 0L))
   }
 
+  test("q77 kernel fuzz: invariants hold on 20 seeded random worlds") {
+    // the machine itself, off-Spark: random budgets and doc sizes must
+    // never overflow a bin, always tile offsets contiguously, keep the
+    // open set bounded, and number bins densely — the ReorgFuzzSpec
+    // discipline applied to the packer
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      val b = 64L + rnd.nextInt(2000)
+      val bins = Selection.BestFitBins.empty
+      val placed = (0 until 500).map { i =>
+        val n = 1L + rnd.nextInt(b.toInt)
+        val (bin, off) = bins.place(n, b)
+        (i.toLong, bin, off, n)
+      }
+      placed.groupBy(_._2).values.foreach { rs =>
+        val sorted = rs.sortBy(_._3)
+        assert(sorted.head._3 == 0L, s"seed $seed: bin not started at 0")
+        sorted.sliding(2).foreach {
+          case Seq(x, y) =>
+            assert(y._3 == x._3 + x._4, s"seed $seed: offsets not contiguous")
+          case _ =>
+        }
+        assert(sorted.last._3 + sorted.last._4 <= b,
+          s"seed $seed: bin overflows")
+      }
+      assert(bins.open.length <= Selection.OpenBins)
+      assert(placed.map(_._2).distinct.sorted == (0L until bins.nextBin),
+        s"seed $seed: bin ids not dense")
+    }
+  }
+
   test("q77 kernel: complementary sizes pack perfectly; shards reset bin ids") {
     import spark.implicits._
     val half = budget / 2
