@@ -920,9 +920,12 @@ object TextAnalysis extends QueryModule {
     */
   private def q71(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rank = bpeTrainOn(bpeVocab(s, d), BpeMerges).zipWithIndex
+    // one corpus word-frequency pass feeds training AND the encoder
+    // table (the q75 fix applied here too)
+    val vocab = Scratch.materialize(bpeVocab(s, d), "q71_vocab")
+    val rank = bpeTrainOn(vocab, BpeMerges).zipWithIndex
       .map { case ((l, r, _), i) => (l, r) -> i }.toMap
-    val wordToks = bpeVocab(s, d).as[(String, Long)]
+    val wordToks = vocab.as[(String, Long)]
       .map { case (w, _) => (w, bpeEncode(w, rank).length.toLong) }
       .toDF("w", "n_bpe")
     Tables.documents(s, d)
