@@ -6,18 +6,23 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Data-SELECTION stages of a training pipeline: importance-weighted
-  * corpus selection against a trusted target distribution (q74, the
-  * DSIR shape — Xie et al. 2023, "Data Selection for Language Models
-  * via Importance Resampling") and the final training-tensor
-  * materialization (q75: BPE token ids packed into fixed-length
-  * sequences — what actually ships to the trainer).
+/** Data-SELECTION and TENSOR stages of a training pipeline:
+  * importance-weighted corpus selection against a trusted target
+  * distribution (q74, the DSIR shape — Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling"), the
+  * training-tensor materialization (q75: BPE token ids packed into
+  * fixed-length sequences — what actually ships to the trainer), the
+  * deterministic epoch-shuffle manifest (q76: the trainer's
+  * reproducible per-epoch data order), and boundary-respecting
+  * best-fit packing (q77: documents never split across sequences,
+  * bounded open-bin state — shared with `streaming/StreamingBinPack`).
   *
-  * Both stages follow the engine's scale discipline: models are the
+  * All stages follow the engine's scale discipline: models are the
   * small side by construction (a 256-bucket hashed-unigram table for
   * q74, a ≤(26 + merges + 1)-entry token vocabulary for q75) and
   * broadcast; the corpus side shuffles integers — bucket ids, token
-  * ids, offsets — never text.
+  * ids, offsets — never text; sequential dependencies are per-shard
+  * or two-level salted, never global.
   */
 object Selection extends QueryModule {
 
