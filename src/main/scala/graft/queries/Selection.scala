@@ -467,10 +467,49 @@ object Selection extends QueryModule {
       new BestFitBins(0L, scala.collection.mutable.ArrayBuffer.empty)
   }
 
+  // ---------------------------------------------------------------- q78
+
+  /** Order-independent content checksums per source (q78) — the
+    * verification primitive the engine's determinism story needs AT
+    * SCALE: q48/q62/q68/q75/q76/q77 all promise byte-identical re-runs,
+    * and this is how a 1000-executor run actually CHECKS that promise —
+    * per-group row count, XOR of per-row content hashes, and char
+    * total, all commutative/associative aggregates, so the checksum is
+    * independent of partitioning, task order, and shuffle width. Two
+    * runs produced identical data iff the (tiny) manifests match — no
+    * sort, no collect, no pairwise diff of 100 TB.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    contentChecksums(Tables.documents(s, d))
+
+  /** The q78 kernel over any `(source, doc_id, text)` relation. */
+  private[graft] def contentChecksums(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        Dedup.hex12ToLong(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("text")))).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("content_xor"),
+        sum(col("len")).as("n_chars"))
+      .orderBy(col("source"))
+
+  private val q78Sql = {
+    val h = Dedup.hex12ToLongSql(
+      "md5(concat_ws('|', CAST(doc_id AS VARCHAR), text))")
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  bit_xor($h) AS content_xor,
+       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, None),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
     CatalogEntry("q77_bestfit_pack", q77, None),
+    CatalogEntry("q78_content_checksums", q78, Some(q78Sql)),
   )
 }

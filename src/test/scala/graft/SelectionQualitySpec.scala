@@ -51,6 +51,16 @@ class SelectionQualitySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q78 checksums are partitioning-independent (the point of XOR)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = Selection.contentChecksums(docs).collect().toSeq
+    val scrambled = Selection.contentChecksums(
+      docs.repartition(7, col("doc_id"))).collect().toSeq
+    assert(base == scrambled,
+      "checksum changed under a different partitioning")
+    assert(base.nonEmpty)
+  }
+
   test("q74 scores order spam strictly below target-like documents") {
     val scored = Selection.dsirSelect(corpus(), 180)
       .select(col("doc_id"), col("score")).collect()
