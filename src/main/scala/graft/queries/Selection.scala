@@ -201,8 +201,7 @@ object Selection extends QueryModule {
     // ONE corpus word-frequency pass feeds both merge training and the
     // encoder's vocabulary (the scratch pin below)
     val vocab = Scratch.materialize(TextAnalysis.bpeVocab(s, d), "q75_vocab")
-    val rank = TextAnalysis.bpeTrainOn(vocab, TextAnalysis.BpeMerges)
-      .zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val rank = TextAnalysis.bpeRank(vocab)
     val ids = tokenIds(rank)
     val wordIds = vocab.as[(String, Long)]
       .map { case (w, _) =>
@@ -267,13 +266,17 @@ object Selection extends QueryModule {
 
   /** Deterministic epoch-shuffle manifest (q76) — the trainer's
     * reproducible data order: for each of `Epochs` epochs, every packed
-    * training sequence (q62's (shard, seq_no) universe, derived from
-    * per-shard token totals so mid-doc sequences are not missed)
-    * appears exactly once, in a seeded pseudo-random permutation, as
-    * `(epoch, global_step, shard, seq_no)`.
+    * training sequence of q62's (shard, seq_no) universe (PackShards ×
+    * PackBudget, derived from per-shard token totals so mid-doc
+    * sequences are not missed) appears exactly once, in a seeded
+    * pseudo-random permutation, as `(epoch, global_step, shard,
+    * seq_no)`.
     *
-    * Real pipelines shuffle the INDEX, not the data: the tensors of
-    * q75 stay where they are and the trainer walks this manifest. The
+    * Real pipelines shuffle the INDEX, not the data: the packed
+    * sequences stay where they are and the trainer walks this
+    * manifest. (The universe enumerated here is q62's packing; q75's
+    * tensor files use their own SeqShards/SeqLen layout — point the
+    * enumeration at that parameterization to index them instead.) The
     * permutation key is a salted hash, so re-runs ship byte-identical
     * epoch orders and epochs differ from each other.
     *
@@ -291,6 +294,10 @@ object Selection extends QueryModule {
         expr(s"(tot + ${Dedup.PackBudget} - 1) div ${Dedup.PackBudget}")
           .as("n_seq"))
     val seqs = perShard
+      // a shard whose docs are all zero-token owns NO sequences: without
+      // this guard sequence(0, -1) walks backwards and emits phantom
+      // (0, -1) ids the DuckDB twin (empty generate_series) never has
+      .filter(col("n_seq") > 0)
       .select(col("shard"), col("n_seq"),
         explode(sequence(lit(0L), expr(s"(n_seq - 1) div $SeqBlock")))
           .as("blk"))
@@ -415,7 +422,10 @@ object Selection extends QueryModule {
         }
       }
       .toDF("shard", "bin_id", "doc_id", "bin_off", "n_tok", "truncated")
-      .orderBy(col("shard"), col("bin_id"), col("bin_off"))
+      // doc_id breaks the tie for zero-token documents, which share a
+      // (bin_id, bin_off) slot — without it the presentation order of
+      // those rows is not total and re-runs could interleave them
+      .orderBy(col("shard"), col("bin_id"), col("bin_off"), col("doc_id"))
   }
 
   /** The bounded best-fit placement machine — ONE implementation shared

@@ -666,6 +666,15 @@ object TextAnalysis extends QueryModule {
     * by construction to replaying the merges in training order
     * (BpeSpec asserts that equivalence on the real corpus vocabulary).
     */
+  /** Train on `vocab` and index the merge table by rank — the ONE
+    * rank-map constructor for every consumer of the trained tokenizer
+    * (q71's counts, q75's tensors), so their encodings can never
+    * drift apart.
+    */
+  private[graft] def bpeRank(vocab: DataFrame): Map[(String, String), Int] =
+    bpeTrainOn(vocab, BpeMerges).zipWithIndex
+      .map { case ((l, r, _), i) => (l, r) -> i }.toMap
+
   private[graft] def bpeEncode(word: String,
       rank: Map[(String, String), Int]): Seq[String] = {
     var syms: Seq[String] = word.map(_.toString) :+ "</w>"
@@ -923,8 +932,7 @@ object TextAnalysis extends QueryModule {
     // one corpus word-frequency pass feeds training AND the encoder
     // table (the q75 fix applied here too)
     val vocab = Scratch.materialize(bpeVocab(s, d), "q71_vocab")
-    val rank = bpeTrainOn(vocab, BpeMerges).zipWithIndex
-      .map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val rank = bpeRank(vocab)
     val wordToks = vocab.as[(String, Long)]
       .map { case (w, _) => (w, bpeEncode(w, rank).length.toLong) }
       .toDF("w", "n_bpe")

@@ -78,6 +78,22 @@ class PackBinSpec extends SparkSpec {
     assert(rows.forall(_._3 == 0L))
   }
 
+  test("q77 kernel: zero-token documents share a slot but stay totally ordered") {
+    import spark.implicits._
+    // three empty docs + one real one on a single shard: empties place
+    // at the same (bin, off) without advancing it; the output must
+    // still carry all four, deterministically (doc_id tie-break)
+    val toks = Seq((5L, 0L, 0L), (3L, 0L, 0L), (9L, 100L, 0L),
+      (7L, 0L, 0L)).toDF("doc_id", "n_tok", "shard")
+    val a = Selection.bestFitPack(toks).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val b = Selection.bestFitPack(toks).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(a.toSeq == b.toSeq, "zero-token ties broke determinism")
+    assert(a.map(_._1).sorted.toSeq == Seq(3L, 5L, 7L, 9L))
+    assert(a.forall { case (_, _, off, n) => off + n <= Dedup.PackBudget })
+  }
+
   test("q77 kernel fuzz: invariants hold on 20 seeded random worlds") {
     // the machine itself, off-Spark: random budgets and doc sizes must
     // never overflow a bin, always tile offsets contiguously, keep the
