@@ -81,7 +81,19 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
   private lazy val conn: Connection = DriverManager.getConnection(url)
   private def withConn[A](f: Connection => A): A = synchronized {
     val saved = conn.getAutoCommit
-    try f(conn) finally conn.setAutoCommit(saved)
+    var restore = true
+    try f(conn)
+    catch { case e: Throwable =>
+      // a failed transactional block must not be committed by the
+      // autocommit restore below (JDBC: enabling autocommit COMMITS an
+      // open transaction) — roll anything in flight back first, and if
+      // even that fails leave autocommit alone rather than commit junk
+      if (!conn.getAutoCommit) {
+        try conn.rollback()
+        catch { case e2: Throwable => restore = false; e.addSuppressed(e2) }
+      }
+      throw e
+    } finally if (restore) conn.setAutoCommit(saved)
   }
 
   /** Quote an SQL identifier, validating it first: table/column names
@@ -138,7 +150,9 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         val ps = c.prepareStatement(
           s"INSERT INTO ${q("graft_tables")} VALUES (?, ?)")
         try { ps.setString(1, table); ps.setString(2, slotCol); ps.executeUpdate() }
-        catch { case _: Exception => () } // already registered
+        // swallow ONLY duplicate-key (already registered); any other
+        // failure must surface AND stay uncached so the next call retries
+        catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
         finally ps.close()
       }
       registeredCols += table -> slotCol
@@ -147,7 +161,13 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
   private def listTables(c: Connection): Set[String] = {
     val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
     val names = mutable.Set[String]()
-    while (rs.next()) names += rs.getString("TABLE_NAME")
+    // exclude catalogs by SCHEMA, not by name prefix: a user table
+    // legitimately named SYS-something must stay in the registry (it
+    // needs orphan cleanup and rollback like any other); Derby system
+    // tables live in the SYS schema and are type SYSTEM TABLE anyway
+    while (rs.next())
+      if (rs.getString("TABLE_SCHEM") != "SYS")
+        names += rs.getString("TABLE_NAME")
     rs.close()
     names.toSet
   }
@@ -157,8 +177,8 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
   // sound: no other process creates tables while this store holds the
   // root, and a metadata scan per commit is not free in Derby.
   private val userTableCache: mutable.Set[String] =
-    mutable.Set(withConn(listTables).filterNot(t =>
-      t.startsWith("graft_") || t.startsWith("SYS")).toSeq: _*)
+    mutable.Set(withConn(listTables).filterNot(_.startsWith("graft_"))
+      .toSeq: _*)
   private def userTables(c: Connection): Set[String] = userTableCache.toSet
 
   // positive-only existence cache (tables are never dropped)
@@ -412,17 +432,18 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     val ps = c.prepareStatement(
       s"INSERT INTO ${q(table)} (${names.mkString(", ")}) VALUES (${
         names.map(_ => "?").mkString(", ")})")
-    var pending = 0
-    rows.foreach { row =>
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        setParam(ps, i + 1, f.dataType, row.get(i))
+    try {
+      var pending = 0
+      rows.foreach { row =>
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          setParam(ps, i + 1, f.dataType, row.get(i))
+        }
+        ps.setLong(schema.fields.length + 1, batchOf(row))
+        ps.addBatch(); pending += 1
+        if (pending >= 5000) { ps.executeBatch(); pending = 0 }
       }
-      ps.setLong(schema.fields.length + 1, batchOf(row))
-      ps.addBatch(); pending += 1
-      if (pending >= 5000) { ps.executeBatch(); pending = 0 }
-    }
-    if (pending > 0) ps.executeBatch()
-    ps.close()
+      if (pending > 0) ps.executeBatch()
+    } finally ps.close()
   }
 
   /** Live-set compaction for the DB backend — the Derby analogue of
@@ -541,17 +562,20 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       checkpoints: Map[String, Seq[Point]]): Unit = {
     val del = c.prepareStatement(
       s"DELETE FROM ${q("graft_checkpoints")} WHERE reducer = ?")
-    checkpoints.keys.foreach { r => del.setString(1, r); del.executeUpdate() }
-    del.close()
+    try checkpoints.keys.foreach { r =>
+      del.setString(1, r); del.executeUpdate()
+    } finally del.close()
     val ps = c.prepareStatement(
       s"INSERT INTO ${q("graft_checkpoints")} VALUES (?, ?, ?)")
-    checkpoints.foreach { case (r, pts) =>
-      pts.foreach { p =>
-        ps.setString(1, r); ps.setString(2, p.hash); ps.setLong(3, p.slot)
-        ps.addBatch()
+    try {
+      checkpoints.foreach { case (r, pts) =>
+        pts.foreach { p =>
+          ps.setString(1, r); ps.setString(2, p.hash); ps.setLong(3, p.slot)
+          ps.addBatch()
+        }
       }
-    }
-    ps.executeBatch(); ps.close()
+      ps.executeBatch()
+    } finally ps.close()
   }
 
   def commit(batchId: Long, appends: Map[String, (DataFrame, String)],
@@ -572,8 +596,13 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       val collected = Await.result(
         Future.sequence(appends.toSeq.map { case (table, (df, slotCol)) =>
           Future {
+            // clock the collect INSIDE the future: a shared t0 would
+            // charge every table for its slowest sibling plus the
+            // serialized inserts ahead of it in the txn loop below
             val t0 = System.nanoTime()
-            (table, slotCol, df.schema, df.collect(), t0)
+            val rows = df.collect()
+            (table, slotCol, df.schema, rows,
+              (System.nanoTime() - t0) / 1e9)
           }
         }), Duration.Inf)
       if (collected.forall(_._4.isEmpty)) return false
@@ -588,10 +617,11 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
               s"DELETE FROM ${q(t)} WHERE ${q("_batch")} >= $batchId")
             finally st.close()
           }
-          collected.foreach { case (table, _, schema, rows, t0) =>
+          collected.foreach { case (table, _, schema, rows, collectSec) =>
+            val t1 = System.nanoTime()
             ensureTable(c, table, schema)
             if (rows.nonEmpty) insertRows(c, table, schema, rows, _ => batchId)
-            onSegment(table, (System.nanoTime() - t0) / 1e9)
+            onSegment(table, collectSec + (System.nanoTime() - t1) / 1e9)
           }
           if (compactEvery > 0 && batchId % compactEvery == 0)
             compactTables(c, compactors)
@@ -675,6 +705,13 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       try {
         val stored = storedSlotCols
         userTables(c).foreach { t =>
+          // crashed-attempt orphans first: a phase-1 append above the
+          // committed marker (executor mode, crash before phase 2) is
+          // invisible NOW but the marker this rollback inserts is the
+          // orphans' own batch id — without this delete they'd become
+          // visible and no retried-batch cleanup would ever reach them
+          st.executeUpdate(
+            s"DELETE FROM ${q(t)} WHERE ${q("_batch")} >= $next")
           // stored registry wins (a subset-registered runner doesn't
           // know other tables' retraction columns)
           val slotCol = stored.getOrElse(t, slotCols.getOrElse(t, "slot"))

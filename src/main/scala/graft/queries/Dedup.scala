@@ -164,6 +164,22 @@ object Dedup extends QueryModule {
   private val Seeds: Seq[Long] =
     (1 to H).map(k => (0x9E3779B97F4A7C15L * k) & 0xFFFFFFFFFFFFL)
 
+  /** First 6 md5 bytes of `s`, big-endian — the JVM twin of the
+    * engine-side `hex12ToLong(md5(...))` convention, shared by every
+    * driver/executor-side consumer (bandKeysOf, StreamingMix) so the
+    * spelling can never fork. The caller supplies the digest instance:
+    * hoist ONE per partition/group — `getInstance` per row is a
+    * provider lookup on the hot path.
+    */
+  private[graft] def md5Prefix48(md: java.security.MessageDigest,
+      s: String): Long = {
+    val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** First 12 hex digits of a lowercase digest as a 48-bit long —
     * a codegen'd polynomial over ascii values, no string parsing UDF.
     */
@@ -225,11 +241,7 @@ object Dedup extends QueryModule {
     }
     val mins = Array.fill(H)(Long.MaxValue)
     shingles.foreach { s =>
-      val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 12 hex digits = first 6 bytes, big-endian (hex12ToLong)
-      var h = 0L
-      var j = 0
-      while (j < 6) { h = (h << 8) | (dg(j) & 0xffL); j += 1 }
+      val h = md5Prefix48(md, s)
       var k = 0
       while (k < H) {
         val v = h ^ Seeds(k); if (v < mins(k)) mins(k) = v; k += 1

@@ -39,17 +39,13 @@ final case class MixVerdict(doc_id: Long, source: String,
   */
 object StreamingMix {
 
-  /** q68's order key for one document: (salt, h) from the first 6
-    * bytes of md5("mix|<doc_id>"), big-endian — the JVM twin of the
-    * engine's `hex12ToLong` convention (see `Dedup.bandKeysOf`).
+  /** q68's order key for one document: (salt, h) via the shared
+    * `Dedup.md5Prefix48` fold — one digest instance per group chunk,
+    * not one per row.
     */
-  private def mixKey(docId: Long): (Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(
-      s"mix|$docId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var h = 0L
-    var i = 0
-    while (i < 6) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+  private def mixKey(md: java.security.MessageDigest,
+      docId: Long): (Long, Long) = {
+    val h = Dedup.md5Prefix48(md, s"mix|$docId")
     (h % Dedup.MixSalts, h)
   }
 
@@ -72,8 +68,9 @@ object StreamingMix {
         (src, chunk, state) =>
           var spent = state.getOption.getOrElse(0L)
           val budget = budgets.getOrElse(src, 0L)
+          val md = java.security.MessageDigest.getInstance("MD5")
           val out = chunk.toSeq
-            .sortBy(m => (mixKey(m.doc_id), m.doc_id)).map { m =>
+            .sortBy(m => (mixKey(md, m.doc_id), m.doc_id)).map { m =>
             val admit = spent < budget
             val v = MixVerdict(m.doc_id, src, admit, spent)
             if (admit) spent += m.n_tok

@@ -146,6 +146,38 @@ class StoreContractSpec extends SparkSpec {
     }
   }
 
+  test("jdbc-derby: rollback clears crashed-attempt orphans above the marker") {
+    val root = tmpDir("orphan-jdbc")
+    val store = new JdbcStore(root, spark)
+    val runner = new GraphRunner(spark, store,
+      Seq(new BlockSummaryReducer), batchSize = 6)
+    val blocks = ChainGen.generate(12, seed = 7L)
+    runner.processEvents(blocks.map(RollForward.apply))
+    val schema = (new BlockSummaryReducer).tables.head.schema
+    val committed = store.batchId
+    val visibleBefore = store.read("blocks", schema).count()
+    // simulate an executor-mode phase-1 append that crashed before its
+    // marker txn: a row tagged committed+1 with a LOW slot, so the
+    // rollback's slot-keyed delete cannot be what removes it
+    val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$root/derby")
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""INSERT INTO "blocks" VALUES ('orphan', 1, 1, ${committed + 1})""")
+      finally st.close()
+    } finally c.close()
+    assert(store.read("blocks", schema).collect()
+      .forall(_.getString(0) != "orphan"),
+      "orphan visible before rollback — two-phase gating broken")
+    // rewind with delSlot above every slot: the slot-keyed deletes are
+    // no-ops, and the marker this writes IS the orphan's own batch id
+    store.rollback(Long.MaxValue, Map("blocks" -> "slot"), Map.empty)
+    val rows = store.read("blocks", schema).collect()
+    assert(rows.forall(_.getString(0) != "orphan"),
+      "crashed-attempt orphan became visible after rollback")
+    assert(rows.length == visibleBefore)
+  }
+
   test("jdbc-derby: hostile SQL identifiers fail loudly instead of reaching DDL/DML") {
     val sp = spark
     import sp.implicits._
