@@ -73,8 +73,11 @@ final class GraphRunner(
     * batch. Measured on local[32] @ batch 500: 32→8 partitions lifted
     * the JDBC chain rate ~33% (426→565 blk/s median) with the segment
     * store seeing a similar gain. The width is applied around the
-    * engine's OWN actions only (set/restore), so concurrent analytics
-    * on the session keep their planned width. `graft.engine.
+    * engine's own actions via the depth-counted [[EngineShuffle]]
+    * guard (concurrent runners on one session don't clobber each
+    * other's restore; an analytics query PLANNED during an engine
+    * action does see the narrow width — run analytics on their own
+    * session if that window matters). `graft.engine.
     * shufflePartitions`: override for deployments whose per-batch state
     * joins need cluster-wide width (e.g. executor-mode JDBC with a huge
     * live set); 0 disables the override entirely.
@@ -102,11 +105,9 @@ final class GraphRunner(
   private def withEngineShuffle[A](f: => A): A =
     if (engineShuffleParts <= 0) f
     else {
-      val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", engineShuffleParts)
+      EngineShuffle.enter(spark, engineShuffleParts)
       try f
-      finally prev.foreach(p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p))
+      finally EngineShuffle.exit(spark)
     }
 
   // ---- graph validation (reference ReducerExtension.cs:110-124,
@@ -155,6 +156,10 @@ final class GraphRunner(
     reducers.flatMap(_.tables).map(t => t.name -> t).toMap
   private val slotCols: Map[String, String] =
     tableDefs.map { case (n, d) => n -> d.slotCol }
+  private val tableOwner: Map[String, String] =
+    reducers.flatMap(r => r.tables.map(t => t.name -> r.name)).toMap
+  private val declaredTables: Map[String, Set[String]] =
+    reducers.map(r => r.name -> r.tables.map(_.name).toSet).toMap
 
   /** Checkpoint points deferred by empty commits (reference T4 carry-
     * forward, `ReducerGraphProcessor.cs:222-249`) — in-memory only, like
@@ -198,6 +203,13 @@ final class GraphRunner(
     * source trickles events, `ReducerGraphProcessor.cs:166-173`), on
     * rollback (T5: commit open batch first — the pre-fork blocks are
     * valid), and on drain (T1 trigger c).
+    *
+    * The age trigger is evaluated ON EVENT ARRIVAL: a pull iterator
+    * cannot time out a blocked source, so a batch opened before a long
+    * silence commits with the next event (or the drain), not on a wall
+    * clock. Feeds needing a hard wall-clock latency bound should run
+    * through the streaming path (`ChainIngest` with a `ProcessingTime`
+    * trigger), whose micro-batch cadence provides it.
     */
   def processEvents(events: IterableOnce[BlockEvent]): Unit = {
     val open = mutable.ArrayBuffer[Block]()
@@ -294,7 +306,15 @@ final class GraphRunner(
           val startSlot = startPoints(r.name).slot
           val in = if (startSlot >= 0) blocksDf.filter(col("slot") > startSlot)
                    else blocksDf
-          r.name -> r.rollForward(in, ctx)
+          val out = r.rollForward(in, ctx)
+          // a key outside the reducer's declared tables would silently
+          // clobber another reducer's append (or die later in slotCols
+          // with no attribution) — fail here, naming the offender
+          val bad = out.keys.filterNot(declaredTables(r.name))
+          require(bad.isEmpty, s"reducer ${r.name} returned undeclared " +
+            s"table(s): ${bad.mkString(", ")} (declared: ${
+              declaredTables(r.name).mkString(", ")})")
+          r.name -> out
         }
         val shapedByReducer: Seq[(String, Map[String, DataFrame])] =
           if (store.preferLocalOutputs) {
@@ -342,13 +362,23 @@ final class GraphRunner(
     // in-txn DELETE) AND a DataFrame form (segment-store fold). Schemas
     // come from the registry, so tables with no appends this batch still
     // compact on compaction cycles.
+    // Compactor view of a table = committed state ∪ THIS commit's own
+    // appends. The DB backends' in-txn SQL DELETEs see the just-inserted
+    // rows; the segment store's DataFrame fold runs before the manifest
+    // swap and would not — without the union the two backends diverge,
+    // and a DropUnmatched row whose match arrives in this very commit
+    // would be wrongly dropped by the segment fold.
+    def tableAtCommit(n: String): DataFrame = appends.get(n) match {
+      case Some((df, _)) => ctx.table(n).unionByName(df)
+      case None => ctx.table(n)
+    }
     val compactors: Map[String, BoundCompactor] = tableDefs.collect {
       case (t, d) if d.compactWith.isDefined =>
         t -> (d.compactWith.get match {
           case Compaction.DropMatched(against, keys, slotCol) =>
             BoundCompactor(d.schema,
               df => df.join(
-                ctx.table(against).filter(col(slotCol) <= frontier)
+                tableAtCommit(against).filter(col(slotCol) <= frontier)
                   .select(keys.map(col): _*),
                 keys, "left_anti"),
               Some(SqlCompaction(against, keys, slotCol, frontier,
@@ -357,17 +387,15 @@ final class GraphRunner(
             BoundCompactor(d.schema,
               df => df.filter(col(slotCol) > frontier).unionByName(
                 df.filter(col(slotCol) <= frontier).join(
-                  ctx.table(against).select(keys.map(col): _*),
+                  tableAtCommit(against).select(keys.map(col): _*),
                   keys, "left_semi")),
               Some(SqlCompaction(against, keys, slotCol, frontier,
                 dropMatched = false)))
           case Compaction.Custom(fn) =>
             BoundCompactor(d.schema,
-              df => fn(df, (n: String) => ctx.table(n), frontier), None)
+              df => fn(df, tableAtCommit, frontier), None)
         })
     }
-    val tableOwner: Map[String, String] =
-      reducers.flatMap(r => r.tables.map(t => t.name -> r.name)).toMap
     // segment-write times aggregate PER REDUCER per batch (a reducer may
     // own several tables; telemetry counts one batch, summing its writes)
     val segTimes = mutable.Map[String, Double]()
@@ -491,5 +519,32 @@ final class GraphRunner(
       case RollForward(b) => b.slot > safe
       case _ => true
     })
+  }
+}
+
+/** Depth-counted, session-keyed engine-width override. A plain
+  * save/set/restore races between concurrently-flushing runners on one
+  * session (the multi-root Worker shape): B would "save" A's engine
+  * override and restore it as the user width, leaving the session
+  * narrowed forever. Here the FIRST entrant per session saves the
+  * user's width and only the LAST exitor restores it; overlapping
+  * engine actions run at the most recent entrant's width (they all
+  * want a narrow engine width — which one is immaterial).
+  */
+private[core] object EngineShuffle {
+  private val state =
+    mutable.Map[SparkSession, (Int, Option[String])]()
+  def enter(spark: SparkSession, width: Int): Unit = synchronized {
+    val (depth, saved) = state.getOrElse(spark,
+      (0, spark.conf.getOption("spark.sql.shuffle.partitions")))
+    state(spark) = (depth + 1, saved)
+    spark.conf.set("spark.sql.shuffle.partitions", width)
+  }
+  def exit(spark: SparkSession): Unit = synchronized {
+    val (depth, saved) = state(spark)
+    if (depth <= 1) {
+      state.remove(spark)
+      saved.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    } else state(spark) = (depth - 1, saved)
   }
 }

@@ -48,6 +48,11 @@ import scala.jdk.CollectionConverters._
 final class StateStore(val root: String, spark: SparkSession,
     maxSegments: Int = 8) extends Store {
 
+  // the compaction fold keeps the newest max(2, maxSegments/2) segments
+  // and rewrites the rest; below 2 that split is empty and the fold
+  // would read zero parquet paths
+  require(maxSegments >= 2, s"maxSegments must be >= 2, got $maxSegments")
+
   final case class Segment(id: Long, minSlot: Long, maxSlot: Long)
 
   final case class Manifest(
@@ -66,9 +71,30 @@ final class StateStore(val root: String, spark: SparkSession,
 
   def checkpoints: Map[String, Seq[Point]] = manifest.checkpoints
 
+  /** Parsed-manifest cache: one flush reads the manifest dozens of
+    * times (batchId, checkpoints, every `ctx.table`/`store.read`), and
+    * each `manifest` call was a full file read + parse. The cache is
+    * validated by (mtime, size) — one stat instead of a parse — so a
+    * manifest swapped by ANOTHER process (a writer observed by a
+    * long-lived reader instance) is still picked up; this instance's
+    * own writes refresh it directly in `writeManifest`.
+    */
+  @volatile private var cachedManifest
+      : (java.nio.file.attribute.FileTime, Long, Manifest) = null
+
   def manifest: Manifest = {
     if (!Files.exists(manifestPath))
       return Manifest(-1L, 0L, Map.empty, Map.empty)
+    val mt = Files.getLastModifiedTime(manifestPath)
+    val sz = Files.size(manifestPath)
+    val c = cachedManifest
+    if (c != null && c._1 == mt && c._2 == sz) return c._3
+    val m = parseManifest()
+    cachedManifest = (mt, sz, m)
+    m
+  }
+
+  private def parseManifest(): Manifest = {
     val p = new Properties()
     val in = Files.newInputStream(manifestPath)
     try p.load(in) finally in.close()
@@ -119,6 +145,8 @@ final class StateStore(val root: String, spark: SparkSession,
     try p.store(out, null) finally out.close()
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    cachedManifest = (Files.getLastModifiedTime(manifestPath),
+      Files.size(manifestPath), m)
   }
 
   private def segPath(table: String, id: Long): String =

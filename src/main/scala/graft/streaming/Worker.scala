@@ -42,7 +42,8 @@ object Worker {
     * reducer progress rows while the worker runs.
     */
   final class Handle private[Worker] (
-      queries: Seq[(Root, StreamingQuery)], pollMs: Long) {
+      queries: Seq[(Root, StreamingQuery)], pollMs: Long,
+      workerTelemetry: Option[Telemetry] = None) {
     @volatile private var stopping = false
 
     /** Graceful shutdown: stop every root (drain the in-flight batch,
@@ -66,7 +67,11 @@ object Worker {
       */
     def progress: Map[String, Seq[ReducerProgress]] =
       queries.map { case (r, _) =>
-        r.runner.store.root -> r.telemetry.fold(Seq.empty[ReducerProgress])(_.snapshot)
+        // same fallback chain as start(): a root without its own
+        // telemetry reports through the worker-level instance (shared
+        // across such roots — give roots their own for per-root rows)
+        r.runner.store.root -> r.telemetry.orElse(workerTelemetry)
+          .fold(Seq.empty[ReducerProgress])(_.snapshot)
       }.toMap
 
     /** Wait for EVERY root to terminate (WhenAll). Throws the first
@@ -99,6 +104,11 @@ object Worker {
     require(roots.nonEmpty, "no roots to run")
     require(roots.map(_.runner.store.root).distinct.size == roots.size,
       "multi-root worker requires one distinct store per root (T13)")
+    // a shared stream checkpoint is as fatal as a shared store: the
+    // second root would resume from the first's file-source offset log
+    // and silently skip its own blocks
+    require(roots.map(_.checkpointDir).distinct.size == roots.size,
+      "multi-root worker requires one distinct checkpointDir per root")
     val started = mutable.ArrayBuffer[(Root, StreamingQuery)]()
     try
       roots.foreach { r =>
@@ -109,7 +119,7 @@ object Worker {
     catch { // a root that cannot start (e.g. held lock) fails the worker
       case e: Throwable => stopAll(started.map(_._2)); throw e
     }
-    new Handle(started.toSeq, pollMs)
+    new Handle(started.toSeq, pollMs, telemetry)
   }
 
   /** Run every root to completion (with `AvailableNow`: drain-then-stop;
