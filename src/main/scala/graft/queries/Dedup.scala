@@ -342,7 +342,15 @@ object Dedup extends QueryModule {
     * the sum. Emitted as 16 hex chars. Explode → 64 partial sums (map-side
     * combine) → digest: one narrow shuffle of 64 ints per doc.
     */
-  private def q33(s: SparkSession, d: String): DataFrame = {
+  private def q33(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d).orderBy(col("doc_id"))
+
+  /** The q33 signature relation WITHOUT the catalog entry's trailing
+    * presentation sort — q58 consumes it unordered (its band join
+    * destroys any order), so materializing q33 verbatim paid a full
+    * range-partition sort per run for nothing.
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
@@ -364,7 +372,6 @@ object Dedup extends QueryModule {
       lit("0123456789abcdef").substr(dc + 1, lit(1)))
     sums.select(col("doc_id"),
         concat(hexDigits: _*).as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
   // shared by q33 (signatures) and q58 (banded near-dup pairs)
@@ -415,7 +422,7 @@ object Dedup extends QueryModule {
   private def q58(s: SparkSession, d: String): DataFrame = {
     // the 64-sum signature aggregation feeds both self-join legs —
     // store-backed, not recomputed per leg
-    val sig = Scratch.materialize(q33(s, d), "q58_sig")
+    val sig = Scratch.materialize(simhashSigs(s, d), "q58_sig")
     def half(off: Int): Column = (0 until 8).map(j =>
       hexVal(substring(col("simhash"), off + j + 1, 1)).cast("long") *
         lit(1L << (4 * (7 - j)))).reduce(_ + _)
@@ -1367,9 +1374,11 @@ object Dedup extends QueryModule {
       .filter(col("doc_id") > col("min_doc"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + ExactK - 1)).as("tpos"))
-      .distinct()
+      // collect_set deduplicates and the consumer reads the array as a
+      // Set — a pre-distinct() (an extra full shuffle) and a sort_array
+      // would both be pure waste
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("tpos"))).as("cut_pos"))
+      .agg(collect_set(col("tpos")).as("cut_pos"))
     docs.select(col("doc_id"), col("text"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),

@@ -101,10 +101,10 @@ object Similarity extends QueryModule {
     }
 
   private def planeWSql(t: Int, p: Int, d: String): String = {
+    // the shared hex-digit decode (Dedup.hexValSql), not a third local
+    // spelling of the ascii CASE convention
     def hv(i: Int) =
-      s"(CASE WHEN ascii(substring(md5('$t:$p,' || CAST($d AS VARCHAR)), $i, 1)) <= 57 " +
-        s"THEN ascii(substring(md5('$t:$p,' || CAST($d AS VARCHAR)), $i, 1)) - 48 " +
-        s"ELSE ascii(substring(md5('$t:$p,' || CAST($d AS VARCHAR)), $i, 1)) - 87 END)"
+      Dedup.hexValSql(s"substring(md5('$t:$p,' || CAST($d AS VARCHAR)), $i, 1)")
     s"(CAST(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)} AS DOUBLE) / 32768.0 - 1.0)"
   }
 
@@ -282,13 +282,7 @@ object Similarity extends QueryModule {
     // backed temp table, not an executor cache (see Scratch.materialize)
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
     val cent = mkCent(e)
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val scoredCent = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        round(dot(col("embedding"), col("cent_emb")) /
-          (col("nrm") * col("cent_nrm")), 4).as("ccos"))
-      .withColumn("crank", row_number().over(aw))
+    val scoredCent = centroidRanks(e, cent)
     // inverted lists: every vector in exactly its nearest list
     val assign = scoredCent.filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
@@ -387,7 +381,7 @@ object Similarity extends QueryModule {
     * approximate distance is the table lookup sum over its codes —
     * pivoted to FIXED textual order before summing (a SUM over double
     * rows has nondeterministic add order; q47's trick) — then the ADC
-    * shortlist of 50 is reranked with exact cosines. At scale: codebook
+    * shortlist of `Shortlist` (64) is reranked with exact cosines. At scale: codebook
     * and distance tables are broadcast models, codes are a narrow map
     * product, only (query, cand, m, d) lookup rows shuffle into the
     * per-pair pivot, and the exact rerank touches Shortlist·NQ vectors.
@@ -515,13 +509,7 @@ object Similarity extends QueryModule {
       mkCent: DataFrame => DataFrame, nProbe: Int = NProbe): Double = {
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
     val cent = mkCent(e)
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val scoredCent = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        round(dot(col("embedding"), col("cent_emb")) /
-          (col("nrm") * col("cent_nrm")), 4).as("ccos"))
-      .withColumn("crank", row_number().over(aw))
+    val scoredCent = centroidRanks(e, cent)
     val sizes = scoredCent.filter(col("crank") === 1).groupBy("cid").count()
     val probes = scoredCent
       .filter(col("vec_id") < NQ && col("crank") <= nProbe)
@@ -566,14 +554,33 @@ object Similarity extends QueryModule {
     * join shape (Scratch.materialize checkpoints the RDD, which hides
     * subplans from the final executedPlan).
     */
+  /** Rank every vector's candidate centroids by rounded cosine — the
+    * ONE spelling of the nearest-centroid pass shared by ivfQuery,
+    * ivfProbedFraction, and q70 (three hand-copies of this subplan
+    * previously risked silent oracle divergence on any tie-break or
+    * rounding change). Adds (cid, cent_emb, cent_nrm, ccos, crank);
+    * downstream selects prune what they need.
+    */
+  private def centroidRanks(e: DataFrame, cent: DataFrame): DataFrame = {
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(dot(col("embedding"), col("cent_emb")) /
+        (col("nrm") * col("cent_nrm")), 4))
+      .withColumn("crank", row_number().over(aw))
+  }
+
   private[graft] def kmeansAssignment(e: DataFrame, cent: DataFrame)
       : DataFrame = {
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cid"))
-    e.crossJoin(broadcast(cent))
+    // centroid norms once per K-row model, not once per N×K joined row
+    val centN = cent.withColumn("cent_nrm",
+      sqrt(dot(col("cent"), col("cent"))))
+    e.crossJoin(broadcast(centN))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         (lit(1.0) - dot(col("embedding"), col("cent")) /
-          (col("nrm") * sqrt(dot(col("cent"), col("cent"))))).as("d2"))
+          (col("nrm") * col("cent_nrm"))).as("d2"))
       .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
@@ -607,17 +614,24 @@ object Similarity extends QueryModule {
       if (round < KmIters) {
         // update step: per-(cluster, dim) means — posexplode keeps the
         // shuffle at (cid, dim, partial sum/count) granularity
+        val updated = assign.select(col("cid"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(avg(col("v")).as("m"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+            .as("dm"))
+          .select(col("cid"),
+            transform(col("dm"), x => x.getField("m").cast("float"))
+              .as("new_cent"))
+        // a cluster that captured no vectors this round keeps its prior
+        // centroid: dropping it would shrink K mid-training and could
+        // RAISE the objective (each vector's best-of-fewer is no
+        // better), breaking the monotone-descent gate
         cent = Scratch.materialize(
-          assign.select(col("cid"),
-              posexplode(col("embedding")).as(Seq("dim", "v")))
-            .groupBy(col("cid"), col("dim"))
-            .agg(avg(col("v")).as("m"))
-            .groupBy(col("cid"))
-            .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
-              .as("dm"))
+          cent.join(updated, Seq("cid"), "left")
             .select(col("cid"),
-              transform(col("dm"), x => x.getField("m").cast("float"))
-                .as("cent")),
+              coalesce(col("new_cent"), col("cent")).as("cent")),
           "q59_cent")
       }
     }
@@ -657,13 +671,7 @@ object Similarity extends QueryModule {
         col("vec_id") < CentBase + NCent)
       .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
         col("nrm").as("cent_nrm"))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        round(dot(col("embedding"), col("cent_emb")) /
-          (col("nrm") * col("cent_nrm")), 4).as("ccos"))
-      .withColumn("crank", row_number().over(aw))
+    val assign = centroidRanks(e, cent)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
     val a = assign.select(col("vec_id").as("vec_a"), col("cid"),
