@@ -25,16 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds — the same truncation DuckDB applies, so oracle
-    * comparisons see identical instants.
+  /** `events.ts` arrives in whatever physical form the driver's
+    * generator used for that round — TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects; read as raw nanos via the legacy conf
+    * and truncate to micros, DuckDB's own truncation) or plain
+    * TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Both normalize to the
+    * session-zone TimestampType (UTC session ⇒ identical instants), so
+    * every downstream window/as-of query sees one stable type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS), no zone annotation
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -66,6 +66,12 @@ final class GraphRunner(
 
   private val byName = reducers.map(r => r.name -> r).toMap
 
+  /** Names of this runner's registered reducers — lets a multi-root
+    * caller (Worker.Handle.progress) attribute shared-telemetry rows to
+    * the root that actually owns them.
+    */
+  def reducerNames: Set[String] = byName.keySet
+
   /** Engine-side shuffle width. A micro-batch is bounded by the trigger
     * size (T1), so the session's shuffle parallelism — sized for
     * full-scan analytics (32 here, thousands on a cluster) — schedules
@@ -531,20 +537,29 @@ final class GraphRunner(
   * engine actions run at the most recent entrant's width (they all
   * want a narrow engine width — which one is immaterial).
   */
-private[core] object EngineShuffle {
+private[graft] object EngineShuffle {
+  // per-session STACK of entrant widths (not a bare depth counter): two
+  // runners on one session may use DIFFERENT engineShuffleParts, and an
+  // inner exit must restore the OUTER entrant's width — a counter alone
+  // left the inner width in force for the rest of the outer action. The
+  // user's own width is captured once at first entry and restored last.
   private val state =
-    mutable.Map[SparkSession, (Int, Option[String])]()
+    mutable.Map[SparkSession, (List[Int], Option[String])]()
   def enter(spark: SparkSession, width: Int): Unit = synchronized {
-    val (depth, saved) = state.getOrElse(spark,
-      (0, spark.conf.getOption("spark.sql.shuffle.partitions")))
-    state(spark) = (depth + 1, saved)
+    val (stack, saved) = state.getOrElse(spark,
+      (Nil, spark.conf.getOption("spark.sql.shuffle.partitions")))
+    state(spark) = (width :: stack, saved)
     spark.conf.set("spark.sql.shuffle.partitions", width)
   }
   def exit(spark: SparkSession): Unit = synchronized {
-    val (depth, saved) = state(spark)
-    if (depth <= 1) {
-      state.remove(spark)
-      saved.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
-    } else state(spark) = (depth - 1, saved)
+    val (stack, saved) = state(spark)
+    stack.tail match {
+      case outer :: _ =>
+        state(spark) = (stack.tail, saved)
+        spark.conf.set("spark.sql.shuffle.partitions", outer)
+      case Nil =>
+        state.remove(spark)
+        saved.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    }
   }
 }

@@ -87,11 +87,13 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       // a failed transactional block must not be committed by the
       // autocommit restore below (JDBC: enabling autocommit COMMITS an
       // open transaction) — roll anything in flight back first, and if
-      // even that fails leave autocommit alone rather than commit junk
-      if (!conn.getAutoCommit) {
-        try conn.rollback()
-        catch { case e2: Throwable => restore = false; e.addSuppressed(e2) }
-      }
+      // even that fails leave autocommit alone rather than commit junk.
+      // The WHOLE attempt (getAutoCommit included) runs inside its own
+      // try: on a dead/broken connection getAutoCommit itself throws,
+      // and that secondary failure must suppress onto the original
+      // exception, not replace it.
+      try { if (!conn.getAutoCommit) conn.rollback() }
+      catch { case e2: Throwable => restore = false; e.addSuppressed(e2) }
       throw e
     } finally if (restore) conn.setAutoCommit(saved)
   }

@@ -74,29 +74,29 @@ final class StateStore(val root: String, spark: SparkSession,
   /** Parsed-manifest cache: one flush reads the manifest dozens of
     * times (batchId, checkpoints, every `ctx.table`/`store.read`), and
     * each `manifest` call was a full file read + parse. The cache is
-    * validated by (mtime, size) — one stat instead of a parse — so a
-    * manifest swapped by ANOTHER process (a writer observed by a
-    * long-lived reader instance) is still picked up; this instance's
-    * own writes refresh it directly in `writeManifest`.
+    * validated by BYTE EQUALITY of the (small) manifest file — a
+    * (mtime, size) check could serve a stale parse when a cross-process
+    * writer swaps the manifest twice within one coarse-granularity
+    * mtime tick at an identical byte size; reading the bytes costs the
+    * same one syscall-bounded I/O and cannot be fooled. This instance's
+    * own writes refresh the cache directly in `writeManifest`.
     */
-  @volatile private var cachedManifest
-      : (java.nio.file.attribute.FileTime, Long, Manifest) = null
+  @volatile private var cachedManifest: (Array[Byte], Manifest) = null
 
   def manifest: Manifest = {
     if (!Files.exists(manifestPath))
       return Manifest(-1L, 0L, Map.empty, Map.empty)
-    val mt = Files.getLastModifiedTime(manifestPath)
-    val sz = Files.size(manifestPath)
+    val bytes = Files.readAllBytes(manifestPath)
     val c = cachedManifest
-    if (c != null && c._1 == mt && c._2 == sz) return c._3
-    val m = parseManifest()
-    cachedManifest = (mt, sz, m)
+    if (c != null && java.util.Arrays.equals(c._1, bytes)) return c._2
+    val m = parseManifest(bytes)
+    cachedManifest = (bytes, m)
     m
   }
 
-  private def parseManifest(): Manifest = {
+  private def parseManifest(bytes: Array[Byte]): Manifest = {
     val p = new Properties()
-    val in = Files.newInputStream(manifestPath)
+    val in = new java.io.ByteArrayInputStream(bytes)
     try p.load(in) finally in.close()
     val keys = p.stringPropertyNames().asScala
     val tables = keys.filter(_.startsWith("table.")).map { k =>
@@ -140,13 +140,17 @@ final class StateStore(val root: String, spark: SparkSession,
     if (m.pendingGc.nonEmpty)
       p.setProperty("pendingGc", m.pendingGc.mkString(","))
     m.slotCols.foreach { case (t, c) => p.setProperty(s"slotcol.$t", c) }
+    // serialize to bytes first so the cache key is EXACTLY what was
+    // moved into place (re-statting/re-reading after the move could
+    // observe another process's manifest and mis-attribute it to `m`)
+    val buf = new java.io.ByteArrayOutputStream()
+    p.store(buf, null)
+    val bytes = buf.toByteArray
     val tmp = Paths.get(root, s"manifest.tmp")
-    val out = Files.newOutputStream(tmp)
-    try p.store(out, null) finally out.close()
+    Files.write(tmp, bytes)
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    cachedManifest = (Files.getLastModifiedTime(manifestPath),
-      Files.size(manifestPath), m)
+    cachedManifest = (bytes, m)
   }
 
   private def segPath(table: String, id: Long): String =

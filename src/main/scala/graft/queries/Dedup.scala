@@ -894,8 +894,9 @@ object Dedup extends QueryModule {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
        |      AS start_off
        |  FROM toks)
-       |SELECT doc_id, shard, start_off // $PackBudget AS seq_no,
-       |  start_off % $PackBudget AS seq_off, n_tok
+       |SELECT doc_id, shard,
+       |  CAST(start_off // $PackBudget AS BIGINT) AS seq_no,
+       |  CAST(start_off % $PackBudget AS BIGINT) AS seq_off, n_tok
        |FROM offs ORDER BY doc_id""".stripMargin
 
   private val ExactK = 8 // tokens per exact-substring unit
@@ -1153,8 +1154,9 @@ object Dedup extends QueryModule {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
        |      AS start_off
        |  FROM ptoks)
-       |SELECT doc_id, shard, start_off // $PackBudget AS seq_no,
-       |  start_off % $PackBudget AS seq_off, n_tok
+       |SELECT doc_id, shard,
+       |  CAST(start_off // $PackBudget AS BIGINT) AS seq_no,
+       |  CAST(start_off % $PackBudget AS BIGINT) AS seq_off, n_tok
        |FROM offs ORDER BY doc_id""".stripMargin
   }
 
@@ -1252,7 +1254,8 @@ object Dedup extends QueryModule {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
        |      AS start_off
        |  FROM toks)
-       |SELECT doc_id, source, n_tok, start_off
+       |SELECT doc_id, source, n_tok,
+       |  CAST(start_off AS BIGINT) AS start_off
        |FROM offs JOIN b USING (source)
        |WHERE start_off < budget_toks
        |ORDER BY doc_id""".stripMargin

@@ -175,7 +175,9 @@ object Selection extends QueryModule {
     * encoder (BpeSpec pins its semantics) with q62's per-shard packing
     * math: every doc's id stream concatenates in doc_id order within
     * its salted shard, and the stream chunks into `SeqLen`-token
-    * sequences emitted as `token_ids` arrays.
+    * sequences emitted as comma-joined `token_ids` strings (the array
+    * form is one `split` away; a scalar column keeps the driver's
+    * pandas-side canonicalization working).
     *
     * Scale shape: the merge table and token vocabulary are bounded and
     * ride in closures; per-word id arrays come from a broadcast join
@@ -239,10 +241,15 @@ object Selection extends QueryModule {
         col("tok"))
       .withColumn("seq_no", expr(s"gpos div $SeqLen"))
       .groupBy(col("shard"), col("seq_no"))
+      // token_ids ships as a comma-joined STRING, not ARRAY<INT>: the
+      // driver's rows-only check canonicalizes every output column with
+      // a pandas sort, and numpy arrays are unhashable/unsortable there
+      // (CORRECTNESS_r04 q75 err). The trainer-facing array form is one
+      // split() away and TrainTensorSpec re-derives it exactly.
       .agg(count(lit(1)).as("n_tok"),
-        transform(
+        array_join(transform(
           array_sort(collect_list(struct(col("gpos"), col("tok")))),
-          x => x.getField("tok")).as("token_ids"))
+          x => x.getField("tok").cast("string")), ",").as("token_ids"))
       .orderBy(col("shard"), col("seq_no"))
   }
 
@@ -492,7 +499,17 @@ object Selection extends QueryModule {
   private def q78(s: SparkSession, d: String): DataFrame =
     contentChecksums(Tables.documents(s, d))
 
-  /** The q78 kernel over any `(source, doc_id, text)` relation. */
+  /** The q78 kernel over any `(source, doc_id, text)` relation.
+    *
+    * TWO independent commutative aggregates of the row hash — XOR and a
+    * modular SUM — because XOR alone has a multiset blind spot: any even
+    * number of paired duplicates cancels (e.g. {A,A,B,C} vs {B,C,D,D}
+    * XOR-collide at equal counts/chars). sum+xor together close it: a
+    * pair adds 2h to the sum, which only collides with a simultaneous
+    * XOR collision. The sum runs mod 2^48 — since 2^48 divides 2^64,
+    * Spark's wrapping 64-bit SUM and DuckDB's exact HUGEINT SUM agree
+    * after pmod, at any corpus size.
+    */
   private[graft] def contentChecksums(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         Dedup.hex12ToLong(md5(concat_ws("|",
@@ -501,6 +518,7 @@ object Selection extends QueryModule {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bit_xor(h)").as("content_xor"),
+        pmod(sum(col("h")), lit(1L << 48)).as("content_sum"),
         sum(col("len")).as("n_chars"))
       .orderBy(col("source"))
 
@@ -509,6 +527,7 @@ object Selection extends QueryModule {
       "md5(concat_ws('|', CAST(doc_id AS VARCHAR), text))")
     s"""SELECT source, COUNT(*) AS n_docs,
        |  bit_xor($h) AS content_xor,
+       |  CAST(SUM($h) % ${1L << 48} AS BIGINT) AS content_sum,
        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
        |FROM documents
        |GROUP BY source

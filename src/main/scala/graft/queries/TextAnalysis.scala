@@ -583,8 +583,9 @@ object TextAnalysis extends QueryModule {
        |  LEFT JOIN u USING (w1)
        |  CROSS JOIN v
        |  WHERE p.doc_id % 10 <> $CleanShardMod)
-       |SELECT doc_id, COUNT(*) AS n_pairs, SUM(oov) AS oov_pairs,
-       |  SUM(bits) AS bits_total,
+       |SELECT doc_id, COUNT(*) AS n_pairs,
+       |  CAST(SUM(oov) AS BIGINT) AS oov_pairs,
+       |  CAST(SUM(bits) AS BIGINT) AS bits_total,
        |  round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS mean_bits
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

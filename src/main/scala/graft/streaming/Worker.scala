@@ -68,10 +68,14 @@ object Worker {
     def progress: Map[String, Seq[ReducerProgress]] =
       queries.map { case (r, _) =>
         // same fallback chain as start(): a root without its own
-        // telemetry reports through the worker-level instance (shared
-        // across such roots — give roots their own for per-root rows)
+        // telemetry reports through the worker-level instance. That
+        // instance is SHARED across such roots, so its snapshot is
+        // filtered to the root's own reducers — otherwise every root
+        // would report the full worker-wide row set and a caller
+        // summing per-root rows would double-count.
         r.runner.store.root -> r.telemetry.orElse(workerTelemetry)
-          .fold(Seq.empty[ReducerProgress])(_.snapshot)
+          .fold(Seq.empty[ReducerProgress])(
+            _.snapshot.filter(p => r.runner.reducerNames.contains(p.reducer)))
       }.toMap
 
     /** Wait for EVERY root to terminate (WhenAll). Throws the first

@@ -17,7 +17,7 @@ class TrainTensorSpec extends SparkSpec {
     SparkEntry.queries("q75_train_sequences")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getSeq[Int](3).toVector))
+        r.getString(3).split(",").map(_.toInt).toVector))
 
   private lazy val expected: Map[Long, Vector[Int]] = {
     import spark.implicits._

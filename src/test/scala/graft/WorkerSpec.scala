@@ -118,6 +118,25 @@ class WorkerSpec extends SparkSpec {
     } finally h.requestStop()
   }
 
+  test("shared worker telemetry is attributed per root, not duplicated") {
+    import graft.streaming.Telemetry
+    // both roots fall back to the ONE worker-level telemetry; each must
+    // report only its OWN reducers' rows (summing per-root rows must not
+    // double-count — ADVICE r4)
+    val shared = new Telemetry(
+      Map("block_summary" -> None, "tx_index" -> Some("block_summary")))
+    val (rA, _) = root("ta", ChainGen.generate(6, seed = 51L),
+      Seq(new BlockSummaryReducer))
+    val (rB, _) = root("tb", ChainGen.generate(9, seed = 52L, tag = "r2"),
+      Seq(new BlockSummaryReducer, new TxIndexReducer))
+    val h = Worker.start(spark, Seq(rA, rB), telemetry = Some(shared))
+    h.await()
+    val pA = h.progress(rA.runner.store.root).map(_.reducer)
+    val pB = h.progress(rB.runner.store.root).map(_.reducer).sorted
+    assert(pA == Seq("block_summary"), s"root A rows: $pA")
+    assert(pB == Seq("block_summary", "tx_index"), s"root B rows: $pB")
+  }
+
   test("distinct-store requirement is enforced up front") {
     val store = new StateStore(tmpDir("wk-shared"), spark)
     def mk = new GraphRunner(spark, store, Seq(new BlockSummaryReducer),
