@@ -671,7 +671,7 @@ object Dedup extends QueryModule {
     * re-scan the text once per element_at — the spelled-out-expression
     * version of this stage measured 52 s at sf0.1 vs ~1 s for this one.
     */
-  private def ngramEntries(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def ngramEntries(docs: DataFrame, n: Int): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -689,7 +689,7 @@ object Dedup extends QueryModule {
       .toDF("doc_id", "n_shingles", "s")
   }
 
-  private def ngramsSql(n: Int): String = {
+  private[graft] def ngramsSql(n: Int): String = {
     val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
     s"""list_distinct(CASE WHEN len(ws) >= $n
        |  THEN list_transform(range(1, len(ws) - ${n - 2}), i -> $parts)
@@ -722,7 +722,7 @@ object Dedup extends QueryModule {
       |GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY norm_md5""".stripMargin
 
-  private val DecontN = 8
+  private[graft] val DecontN = 8
 
   /** Benchmark decontamination (q54): flag every training document that
     * shares an exact word 8-gram with the held-out evaluation shard
@@ -1019,7 +1019,7 @@ object Dedup extends QueryModule {
        |WHERE rank_in_source <= $SourceCap
        |ORDER BY source, rank_in_source""".stripMargin
 
-  private val DecontMax = 0.05 // max eval-8-gram hit fraction to keep
+  private[graft] val DecontMax = 0.05 // max eval-8-gram hit fraction to keep
 
   /** End-to-end pipeline manifest (q67) — the capstone composition:
     * corpus in, packed training-shard assignments out, as ONE

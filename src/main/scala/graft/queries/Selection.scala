@@ -534,11 +534,138 @@ object Selection extends QueryModule {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+
+  /** Per-document curation AUDIT record (q79) — every curation signal
+    * the catalog computes, fused into one decision row per document:
+    * a `reasons` bitmask (0 = keep) over
+    *
+    *   bit 0 (1)  fails the q21/q67 quality thresholds
+    *   bit 1 (2)  exact normalized duplicate of a lower doc_id (q61)
+    *   bit 2 (4)  eval-shard contamination above q54's threshold
+    *   bit 3 (8)  IS the held-out eval shard (doc_id ≡ 3 mod 10)
+    *   bit 4 (16) semantic near-duplicate — a lower-id cosine ≥ τ
+    *              in-cluster neighbor in EMBEDDING space (q70)
+    *
+    * This is the first catalog entry that joins the `documents` AND
+    * `embeddings` tables (doc_id ≡ vec_id): the lexical signals no
+    * text hash can rank and the semantic signal no shingle can see,
+    * on one spine. Real pipelines ship exactly this manifest for
+    * auditability — "why was doc X dropped?" must be answerable
+    * without re-running the pipeline. Unlike q67 (which applies the
+    * stages SEQUENTIALLY and only reports survivors), every signal
+    * here is evaluated on the full corpus independently, so a
+    * multi-reason document carries all its reasons.
+    *
+    * Scale shape: each signal keeps its own catalog plan (codegen'd
+    * predicate, hash groupBy, broadcast gram semi-join, per-cluster
+    * pair join); the fusion is doc_id-keyed joins of (id, flag) pairs.
+    * Text and embeddings never cross a fusion exchange.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val fQual = docs.select(col("doc_id"),
+      (!(length(col("text")) >= 100 &&
+        (size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0)))
+          .cast("double") / greatest(length(col("text")), lit(1))) < 0.1 &&
+        (size(regexp_extract_all(col("text"),
+          lit("\\b(the|a|an|of|and|to|in|is|it|that)\\b"), lit(0)))
+          .cast("double") /
+          greatest(size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+"), lit(0))), lit(1))) > 0.01))
+        .cast("int").as("f_qual"))
+    val norm = docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .as("norm_md5"))
+    val fExact = norm
+      .join(norm.groupBy(col("norm_md5")).agg(min(col("doc_id")).as("keeper")),
+        "norm_md5")
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("keeper")).cast("int").as("f_exact"))
+    val ev = Dedup.ngramEntries(
+        docs.filter(col("doc_id") % 10 === 3), Dedup.DecontN)
+      .select(col("s")).distinct()
+    val fCont = Dedup.ngramEntries(
+        docs.filter(col("doc_id") % 10 =!= 3), Dedup.DecontN)
+      .join(broadcast(ev), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"),
+        (col("n_hits").cast("double") / col("n_shingles") > Dedup.DecontMax)
+          .cast("int").as("f_cont"))
+    val fSem = Similarity.semanticDupOf(s, d)
+      .select(col("vec_id").as("doc_id"),
+        (col("dup_of") =!= -1L).cast("int").as("f_sem"))
+    docs.select(col("doc_id"))
+      .join(fQual, Seq("doc_id"))
+      .join(fExact, Seq("doc_id"))
+      .join(fCont, Seq("doc_id"), "left")
+      .join(fSem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("f_qual") +
+          col("f_exact") * 2 +
+          coalesce(col("f_cont"), lit(0)) * 4 +
+          (col("doc_id") % 10 === 3).cast("int") * 8 +
+          coalesce(col("f_sem"), lit(0)) * 16).as("reasons"))
+      .withColumn("keep", col("reasons") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql =
+    s"""WITH ${Similarity.semanticSqlCtes},
+       |fq AS (
+       |  SELECT doc_id, CAST(NOT (
+       |    LENGTH(text) >= 100
+       |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+       |      / GREATEST(LENGTH(text), 1) < 0.1
+       |    AND CAST(len(regexp_extract_all(text,
+       |        '\\b(the|a|an|of|and|to|in|is|it|that)\\b')) AS DOUBLE)
+       |      / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1)
+       |      > 0.01) AS INTEGER) AS f_qual
+       |  FROM documents),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |      AS norm_md5
+       |  FROM documents),
+       |fe AS (
+       |  SELECT doc_id, CAST(doc_id <> MIN(doc_id) OVER (
+       |    PARTITION BY norm_md5) AS INTEGER) AS f_exact
+       |  FROM nrm),
+       |gd AS (
+       |  SELECT doc_id, ${Dedup.ngramsSql(Dedup.DecontN)} AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |        FROM documents)),
+       |evg AS (SELECT DISTINCT unnest(sh) AS s FROM gd WHERE doc_id % 10 = 3),
+       |trg AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+       |        FROM gd WHERE doc_id % 10 <> 3),
+       |fc AS (
+       |  SELECT doc_id, CAST(CAST(COUNT(*) AS DOUBLE) / n_shingles
+       |    > ${Dedup.DecontMax} AS INTEGER) AS f_cont
+       |  FROM trg JOIN evg USING (s)
+       |  GROUP BY doc_id, n_shingles),
+       |fs AS (
+       |  SELECT vec_id AS doc_id, 1 AS f_sem FROM semdups)
+       |SELECT d.doc_id,
+       |  fq.f_qual + fe.f_exact * 2 + COALESCE(fc.f_cont, 0) * 4 +
+       |    CAST(d.doc_id % 10 = 3 AS INTEGER) * 8 +
+       |    COALESCE(fs.f_sem, 0) * 16 AS reasons,
+       |  fq.f_qual + fe.f_exact * 2 + COALESCE(fc.f_cont, 0) * 4 +
+       |    CAST(d.doc_id % 10 = 3 AS INTEGER) * 8 +
+       |    COALESCE(fs.f_sem, 0) * 16 = 0 AS keep
+       |FROM documents d
+       |JOIN fq USING (doc_id)
+       |JOIN fe USING (doc_id)
+       |LEFT JOIN fc USING (doc_id)
+       |LEFT JOIN fs USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, None),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
     CatalogEntry("q77_bestfit_pack", q77, None),
+    CatalogEntry("q79_curation_audit", q79, Some(q79Sql)),
     CatalogEntry("q78_content_checksums", q78, Some(q78Sql)),
   )
 }

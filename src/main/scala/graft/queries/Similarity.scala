@@ -665,7 +665,13 @@ object Similarity extends QueryModule {
     * constant. The drop rule (any lower-id τ-neighbor in-cluster) is
     * deterministic, so a re-run keeps byte-identical survivors.
     */
-  private def q70(s: SparkSession, d: String): DataFrame = {
+  /** q70's verdict relation, un-ordered: every vector's coarse cluster
+    * and its lowest-id cosine ≥ τ in-cluster neighbor (`dup_of`, −1 if
+    * none). Factored out so the q79 curation audit consumes the SAME
+    * subplan the q70 oracle pins — a hand-copy would silently diverge
+    * on any tie-break or rounding change.
+    */
+  private[graft] def semanticDupOf(s: SparkSession, d: String): DataFrame = {
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q70_e")
     val cent = e.filter(col("vec_id") >= CentBase &&
         col("vec_id") < CentBase + NCent)
@@ -689,12 +695,18 @@ object Similarity extends QueryModule {
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
-      .withColumn("kept", col("dup_of") === -1L)
-      .orderBy(col("vec_id"))
   }
 
-  private val q70Sql =
-    s"""WITH e AS (
+  private def q70(s: SparkSession, d: String): DataFrame =
+    semanticDupOf(s, d)
+      .withColumn("kept", col("dup_of") === -1L)
+      .orderBy(col("vec_id"))
+
+  /** The q70 subplan as DuckDB CTE text (`e`/`cent`/`assign`/`semdups`)
+    * — shared by q70Sql and the q79 audit oracle.
+    */
+  private[graft] val semanticSqlCtes =
+    s"""e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
@@ -709,16 +721,19 @@ object Similarity extends QueryModule {
        |          (e.nrm * cent.cent_nrm), 4) DESC, cent.cid) AS crank
        |    FROM e CROSS JOIN cent)
        |  WHERE crank = 1),
-       |dups AS (
+       |semdups AS (
        |  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
        |  FROM assign a JOIN assign b
        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  WHERE round(${dotSql("a.embedding", "b.embedding")} /
        |    (a.nrm * b.nrm), 4) >= $SemTau
-       |  GROUP BY b.vec_id)
+       |  GROUP BY b.vec_id)""".stripMargin
+
+  private val q70Sql =
+    s"""WITH $semanticSqlCtes
        |SELECT s.vec_id, s.cid, COALESCE(dup_of, -1) AS dup_of,
        |  COALESCE(dup_of, -1) = -1 AS kept
-       |FROM assign s LEFT JOIN dups USING (vec_id)
+       |FROM assign s LEFT JOIN semdups USING (vec_id)
        |ORDER BY s.vec_id""".stripMargin
 
   override def entries: Seq[CatalogEntry] = Seq(

@@ -386,4 +386,40 @@ class PlanAuditSpec extends SparkSpec {
       !e.child.output.exists(_.name == "text"),
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
+
+  test("q79: signal fusion shuffles ids/flags only — no text, no grams, no embeddings, no cartesian") {
+    // each signal keeps its own audited plan (broadcast eval grams,
+    // hash-groupBy norm digests, per-cluster pair join); the fusion
+    // joins (doc_id, flag) pairs, so NOTHING wide may cross an
+    // exchange: not text, not the gram column, not embedding vectors
+    val p = planOf("q79_curation_audit")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s) // eval gram set broadcasts
+    assert(!s.contains("CartesianProduct"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+    // gram strings may SHUFFLE only on the eval side (the benchmark
+    // suite is MBs — its distinct() pays one small exchange before the
+    // broadcast; the broadcast itself is not a shuffle); the corpus
+    // gram stream must reach the broadcast join without an exchange of
+    // its own
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val gramEx = p.collect { case e: ShuffleExchangeExec
+      if e.child.output.exists(_.name == "s") => e }
+    assert(gramEx.size <= 1, s"corpus grams cross the wire:\n$p")
+    // embedding vectors may shuffle ONLY keyed by their cluster (the
+    // q70 inverted-list pair join) or their own vec_id (the
+    // nearest-centroid ranking window) — never range/unkeyed
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    p.collect { case e: ShuffleExchangeExec
+      if e.child.output.exists(_.name == "embedding") => e }
+      .foreach(e => e.outputPartitioning match {
+        case hp: HashPartitioning => assert(
+          hp.expressions.exists(_.references.exists(a =>
+            a.name == "cid" || a.name == "vec_id")),
+          s"embedding exchange not cid/vec_id-keyed: $e")
+        case other => fail(s"embedding exchange not hash-partitioned: $other")
+      })
+  }
 }
