@@ -51,9 +51,16 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         (name, -1.0, Seq.empty[Double])
       } finally {
-        // keep per-query timings independent: drop cached relations and
-        // let the JVM compact between plans (35 distinct codegen'd plans
-        // otherwise accumulate enough garbage to triple late timings)
+        // keep per-query timings independent: drop cached relations AND
+        // localCheckpoint-pinned scratch RDDs (clearCache does not touch
+        // the latter; left pinned, 78 queries of them drive old-gen GC
+        // pressure that measured q79 at 17.6s vs 2.9s in a clean JVM),
+        // then let the JVM compact between plans
+        // blocking=true: async removal would overlap the NEXT query's
+        // timed reps (block-manager contention is exactly what this
+        // cleanup exists to prevent)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
       }

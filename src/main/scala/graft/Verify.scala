@@ -27,7 +27,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // q31/q37 cache intermediates
+      } finally {
+        // release localCheckpoint-pinned scratch RDDs alongside cached
+        // relations — 79 queries in one session otherwise accumulate
+        // every materialized subtree in the block manager (see Bench)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

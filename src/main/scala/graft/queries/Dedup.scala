@@ -677,16 +677,27 @@ object Dedup extends QueryModule {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val words = WordRe.findAllIn(text).toArray
-          val grams = scala.collection.mutable.LinkedHashSet.empty[String]
-          var i = 0
-          while (i + n - 1 < words.length) {
-            grams += words.slice(i, i + n).mkString(" "); i += 1
-          }
+          val grams = gramsOf(text, n)
           grams.iterator.map(s => (id, grams.size, s))
         }
       }
       .toDF("doc_id", "n_shingles", "s")
+  }
+
+  /** Distinct word n-grams of ONE document — the single implementation
+    * behind batch [[ngramEntries]] and the streaming curation audit's
+    * per-row contamination check, so the two surfaces can never diverge
+    * on tokenization or gram joining.
+    */
+  private[graft] def gramsOf(text: String, n: Int)
+      : scala.collection.Set[String] = {
+    val words = WordRe.findAllIn(text).toArray
+    val grams = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + n - 1 < words.length) {
+      grams += words.slice(i, i + n).mkString(" "); i += 1
+    }
+    grams
   }
 
   private[graft] def ngramsSql(n: Int): String = {

@@ -562,18 +562,25 @@ object Selection extends QueryModule {
     * pair join); the fusion is doc_id-keyed joins of (id, flag) pairs.
     * Text and embeddings never cross a fusion exchange.
     */
+  /** The q21/q67 quality-FAIL predicate as one shared column
+    * expression — batch q79 and `streaming/StreamingCurate` both use
+    * exactly this, so the two audit surfaces cannot diverge on a
+    * threshold or a regex.
+    */
+  private[graft] def qualityFail(text: Column): Column =
+    !(length(text) >= 100 &&
+      (size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+        .cast("double") / greatest(length(text), lit(1))) < 0.1 &&
+      (size(regexp_extract_all(text,
+        lit("\\b(the|a|an|of|and|to|in|is|it|that)\\b"), lit(0)))
+        .cast("double") /
+        greatest(size(regexp_extract_all(text,
+          lit("[A-Za-z]+"), lit(0))), lit(1))) > 0.01)
+
   private def q79(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val fQual = docs.select(col("doc_id"),
-      (!(length(col("text")) >= 100 &&
-        (size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0)))
-          .cast("double") / greatest(length(col("text")), lit(1))) < 0.1 &&
-        (size(regexp_extract_all(col("text"),
-          lit("\\b(the|a|an|of|and|to|in|is|it|that)\\b"), lit(0)))
-          .cast("double") /
-          greatest(size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+"), lit(0))), lit(1))) > 0.01))
-        .cast("int").as("f_qual"))
+      qualityFail(col("text")).cast("int").as("f_qual"))
     val norm = docs.select(col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
         .as("norm_md5"))
