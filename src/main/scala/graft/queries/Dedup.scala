@@ -775,6 +775,53 @@ object Dedup extends QueryModule {
        |FROM trx JOIN ev USING (s)
        |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin
 
+  /** Bloom-pruned decontamination (q80) — VALUE-IDENTICAL to q54, in
+    * the physical shape needed once the held-out suite itself is
+    * large. q54 broadcasts the eval shard's exact distinct-gram set,
+    * which holds while benchmark suites are megabytes; aggregate every
+    * eval shard of every benchmark family and the exact strings
+    * outgrow a broadcast. The standard two-phase answer, built from
+    * Spark's own sketch machinery:
+    *
+    *   1. SUMMARIZE the eval grams as a Bloom filter
+    *      (`DataFrameStatFunctions.bloomFilter` — the spark-sketch
+    *      `BloomFilter` that runtime row-level filtering injects;
+    *      ~6 bits/gram at 3% fpp vs ~50 BYTES for the exact string);
+    *   2. PRUNE the corpus gram stream with `mightContainString` — a
+    *      per-row hash probe in one narrow JVM filter stage (no false
+    *      negatives, so no real hit is ever lost);
+    *   3. EXACT-CONFIRM the survivors (true hits + ~fpp of the
+    *      stream) against the exact gram relation in a join whose
+    *      probe side is now ~fpp of the corpus, not the corpus.
+    *
+    * A false positive costs one wasted confirm-join row — never a
+    * wrong verdict — which is why this plan hashes identically to
+    * q54's broadcast-exact plan (the oracle IS q54's SQL). The bloom
+    * build is driver-bounded by the sketch size (bits, not grams);
+    * the one extra eval-side pass for `expectedNumItems` is
+    * eval-shard-scale, not corpus-scale.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
+      .select(col("s")).distinct()
+    val nEv = math.max(ev.count(), 1L)
+    val bf = s.sparkContext.broadcast(
+      ev.stat.bloomFilter("s", nEv, 0.03))
+    val trx = ngramEntries(docs.filter(col("doc_id") % 10 =!= 3), DecontN)
+    val pruned = trx.as[(Long, Int, String)]
+      .filter(r => bf.value.mightContainString(r._3))
+      .toDF("doc_id", "n_shingles", "s")
+    pruned.join(ev, "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 4)
+          .as("hit_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deduplicated-corpus manifest (q55): the end-to-end output a real
     * pipeline actually ships — every document tagged with its duplicate
     * cluster and whether it is the cluster's canonical survivor
@@ -1453,6 +1500,10 @@ object Dedup extends QueryModule {
     CatalogEntry("q39_dup_clusters", q39, Some(q39Sql)),
     CatalogEntry("q48_stratified_sample", q48, Some(q48Sql)),
     CatalogEntry("q54_decontaminate", q54, Some(q54Sql)),
+    // q80's oracle IS q54's SQL: the two-phase bloom plan must hash
+    // identically to the broadcast-exact plan (fp ⇒ wasted join row,
+    // never a wrong verdict)
+    CatalogEntry("q80_bloom_decontaminate", q80, Some(q54Sql)),
     CatalogEntry("q55_dedup_survivors", q55, Some(q55Sql)),
     CatalogEntry("q58_simhash_pairs", q58, Some(q58Sql)),
     CatalogEntry("q61_normalized_dedup", q61, Some(q61Sql)),

@@ -129,4 +129,32 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("q80: bloom-pruned decontamination equals q54 exactly; the prune actually prunes") {
+    val sp = spark
+    import sp.implicits._
+    val exact = SparkEntry.queries("q54_decontaminate")(sp, sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val bloom = SparkEntry.queries("q80_bloom_decontaminate")(sp, sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(bloom == exact,
+      s"two-phase plan diverged: ${bloom.size} vs ${exact.size} rows")
+    assert(exact.nonEmpty, "no contaminated docs in test data - spec is vacuous")
+    // the prune's reason to exist: the confirm join's probe side must be
+    // a small fraction of the corpus gram stream (false-positive rate +
+    // true hits; 3% fpp configured)
+    val docs = Tables.documents(sp, sf)
+    val ev = graft.queries.Dedup.ngramEntries(
+        docs.filter(col("doc_id") % 10 === 3), graft.queries.Dedup.DecontN)
+      .select(col("s")).distinct()
+    val bf = sp.sparkContext.broadcast(
+      ev.stat.bloomFilter("s", math.max(ev.count(), 1L), 0.03))
+    val trx = graft.queries.Dedup.ngramEntries(
+      docs.filter(col("doc_id") % 10 =!= 3), graft.queries.Dedup.DecontN)
+    val total = trx.count()
+    val survivors = trx.as[(Long, Int, String)]
+      .filter(r => bf.value.mightContainString(r._3)).count()
+    assert(survivors < total / 2,
+      s"bloom prune kept $survivors of $total corpus grams - not pruning")
+  }
 }
