@@ -917,7 +917,7 @@ object Dedup extends QueryModule {
   /** The q62 packing windows over a `(doc_id, n_tok, shard)` relation —
     * shared by q62 (full corpus) and q67 (canonical survivors).
     */
-  private def packFromToks(toks: DataFrame): DataFrame = {
+  private[graft] def packFromToks(toks: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks

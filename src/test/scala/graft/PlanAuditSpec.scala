@@ -142,6 +142,21 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q80: bloom prune precedes the confirm join; corpus text never shuffles") {
+    // the two-phase shape: the corpus gram stream must pass the JVM
+    // bloom filter stage BEFORE any join, and (as in q54) no exchange
+    // may carry raw document text
+    val p = planOf("q80_bloom_decontaminate")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    // the prune is a typed filter over the deserialized gram stream —
+    // visible as a filter/map over serializefromobject below the join
+    assert(s.contains("SerializeFromObject"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q53: repetition-signal shuffles carry gram counts, never raw text") {
     val exchanges = planOf("q53_repetition_signals")
       .collect { case e: Exchange => e }
