@@ -246,9 +246,9 @@ object Similarity extends QueryModule {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  private val NCent = 8 // IVF lists
+  private[graft] val NCent = 8 // IVF lists
   private val NProbe = 2 // probed lists per query
-  private val CentBase = 100L // centroid seed vectors: vec_id 100..107
+  private[graft] val CentBase = 100L // centroid seed vectors: vec_id 100..107
 
   /** IVF-style ANN (q37): the other standard scale path besides sign-LSH.
     * Coarse quantizer = NCent deterministic seed vectors (vec_id
@@ -647,7 +647,7 @@ object Similarity extends QueryModule {
       .orderBy(col("cid"))
   }
 
-  private val SemTau = 0.35 // intra-cluster cosine drop threshold
+  private[graft] val SemTau = 0.35 // intra-cluster cosine drop threshold
 
   /** SemDeDup-style semantic dedup (q70, Abbas et al. 2023): cluster the
     * embedding space with the coarse quantizer, then WITHIN each cluster
