@@ -105,22 +105,40 @@ object StreamingCurate {
     * keeper (smallest doc_id seen); a replayed keeper re-emits `keep`
     * (idempotent under at-least-once sources). Within one micro-batch
     * a group resolves by min doc_id — batch q61's exact semantics.
+    *
+    * `stateTtl` (StreamingDedup's contract): on an unbounded stream,
+    * NoTimeout pins one 8-byte keeper per distinct content forever;
+    * with a TTL, a content key idle that long is evicted, bounding
+    * state by the ACTIVE working set. The trade: a copy arriving
+    * beyond the TTL after its keeper is flagged `keep` again — the
+    * dedup horizon is the TTL, which batch re-audit over the
+    * accumulated corpus closes.
     */
   def audit(docs: DataFrame,
-      evalGrams: Broadcast[Set[String]]): Dataset[CurateVerdict] = {
+      evalGrams: Broadcast[Set[String]],
+      stateTtl: Option[java.time.Duration] = None): Dataset[CurateVerdict] = {
     val sigs = signals(docs, evalGrams)
     import sigs.sparkSession.implicits._
+    val timeoutKind = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     sigs.groupByKey(_.norm_md5)
       .flatMapGroupsWithState[Long, CurateVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutKind) {
         (_, chunk, state) =>
-          val ds = chunk.toSeq.sortBy(_.doc_id)
-          val keeper =
-            math.min(state.getOption.getOrElse(Long.MaxValue), ds.head.doc_id)
-          state.update(keeper)
-          ds.iterator.map { d =>
-            val reasons = d.base | (if (d.doc_id != keeper) 2 else 0)
-            CurateVerdict(d.doc_id, reasons, reasons == 0)
+          if (state.hasTimedOut) {
+            state.remove() // idle content key: evict, emit nothing
+            Iterator.empty
+          } else {
+            val ds = chunk.toSeq.sortBy(_.doc_id)
+            val keeper =
+              math.min(state.getOption.getOrElse(Long.MaxValue),
+                ds.head.doc_id)
+            state.update(keeper)
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            ds.iterator.map { d =>
+              val reasons = d.base | (if (d.doc_id != keeper) 2 else 0)
+              CurateVerdict(d.doc_id, reasons, reasons == 0)
+            }
           }
       }
   }

@@ -89,10 +89,18 @@ object StreamingSemanticDedup {
     * re-emits its original verdict (membership is id-checked, so
     * at-least-once sources cannot double-insert).
     */
+  /** `stateTtl`: StreamingDedup's contract — a cluster idle that long
+    * evicts its membership index, bounding state by the ACTIVE working
+    * set on unbounded streams; the dedup horizon becomes the TTL, which
+    * batch q70 re-audit closes.
+    */
   def verdicts(vecs: DataFrame,
       cents: Broadcast[Seq[(Long, Array[Float], Double)]],
-      maxCluster: Int = DefaultMaxCluster): Dataset[SemVerdict] = {
+      maxCluster: Int = DefaultMaxCluster,
+      stateTtl: Option[java.time.Duration] = None): Dataset[SemVerdict] = {
     import vecs.sparkSession.implicits._
+    val timeoutKind = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     val assigned = vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -115,8 +123,12 @@ object StreamingSemanticDedup {
       }
     assigned.groupByKey(_._1)
       .flatMapGroupsWithState[Seq[(Long, Array[Float], Double)], SemVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutKind) {
         (cid, chunk, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle cluster: evict its index, emit nothing
+            Iterator.empty
+          } else {
           var members = state.getOption.getOrElse(Seq.empty)
           val out = chunk.toSeq.sortBy(_._2).map { case (_, id, emb, nrm) =>
             var dupOf = -1L
@@ -134,7 +146,9 @@ object StreamingSemanticDedup {
             SemVerdict(id, cid, dupOf)
           }
           state.update(members)
+          stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
           out.iterator
+          }
       }
   }
 }

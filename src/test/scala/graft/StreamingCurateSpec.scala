@@ -95,4 +95,43 @@ class StreamingCurateSpec extends SparkSpec {
       assert(v3(50L) == Seq(0) && v3(5L) == Seq(0))
     } finally q.stop()
   }
+
+  test("state TTL evicts idle keepers: a copy beyond the horizon is kept again") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val body = ("the quick brown fox jumps over a lazy dog and " * 20).trim
+    val ev = sp.sparkContext.broadcast(Set.empty[String])
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCurate.audit(mem.toDF().toDF("doc_id", "text"), ev,
+        stateTtl = Some(java.time.Duration.ofMillis(500)))
+      .writeStream.format("memory").queryName("curate_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .start()
+    def stateRows: Long = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+    def poll(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      mem.addData(Seq((10L, body)))
+      poll("keeper indexed")(stateRows == 1L)
+      poll("keeper evicted by TTL")(stateRows == 0L)
+      // the keeper is gone: the same content arriving beyond the
+      // horizon is KEPT again (the documented TTL trade)
+      mem.addData(Seq((20L, body)))
+      poll("second copy processed")(
+        sp.table("curate_ttl").count() == 2)
+      val r20 = sp.table("curate_ttl").filter(col("doc_id") === 20)
+        .select("reasons").as[Int].head()
+      assert(r20 == 0, s"beyond-horizon copy must be kept, got reasons=$r20")
+    } finally q.stop()
+  }
 }

@@ -63,4 +63,43 @@ class StreamingSemanticSpec extends SparkSpec {
         s"replay must re-emit each replayed vector once: ${extra.size}")
     } finally q.stop()
   }
+
+  test("state TTL evicts idle clusters: a tau-close vector beyond the horizon is kept") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val cents = sp.sparkContext.broadcast(
+      Seq((100L, Array(1.0f, 0.0f), 1.0)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSemanticDedup.verdicts(
+        mem.toDF().toDF("vec_id", "embedding"), cents,
+        stateTtl = Some(java.time.Duration.ofMillis(500)))
+      .writeStream.format("memory").queryName("sem_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .start()
+    def stateRows: Long = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+    def poll(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      mem.addData(Seq((1L, Array(1.0f, 0.0f))))
+      poll("cluster indexed")(stateRows == 1L)
+      poll("cluster evicted by TTL")(stateRows == 0L)
+      // the index is gone: an identical vector beyond the horizon has
+      // no stored neighbor to match - kept (the documented TTL trade)
+      mem.addData(Seq((2L, Array(1.0f, 0.0f))))
+      poll("second vector processed")(sp.table("sem_ttl").count() == 2)
+      val v2 = sp.table("sem_ttl").filter(col("vec_id") === 2)
+        .select("dup_of").as[Long].head()
+      assert(v2 == -1L, s"beyond-horizon vector must be kept, got dup_of=$v2")
+    } finally q.stop()
+  }
 }
