@@ -129,7 +129,13 @@ object StreamingSemanticDedup {
             state.remove() // idle cluster: evict its index, emit nothing
             Iterator.empty
           } else {
-          var members = state.getOption.getOrElse(Seq.empty)
+          // buffer + id set per invocation: the τ-compare is inherently
+          // O(cluster) per arrival (same cost class as the batch
+          // per-cluster pair join), but append and id-membership must
+          // not add another O(n) on top (Seq :+ and exists are linear)
+          val members = scala.collection.mutable.ArrayBuffer
+            .from(state.getOption.getOrElse(Seq.empty))
+          val idsSeen = scala.collection.mutable.Set.from(members.map(_._1))
           val out = chunk.toSeq.sortBy(_._2).map { case (_, id, emb, nrm) =>
             var dupOf = -1L
             members.foreach { case (mid, memb, mnrm) =>
@@ -140,12 +146,12 @@ object StreamingSemanticDedup {
                 round4(dotD(emb, memb) / (nrm * mnrm)) >= Similarity.SemTau &&
                 (dupOf == -1L || mid < dupOf)) dupOf = mid
             }
-            if (members.lengthCompare(maxCluster) < 0 &&
-              !members.exists(_._1 == id))
-              members = members :+ ((id, emb, nrm))
+            if (members.size < maxCluster && !idsSeen.contains(id)) {
+              members += ((id, emb, nrm)); idsSeen += id
+            }
             SemVerdict(id, cid, dupOf)
           }
-          state.update(members)
+          state.update(members.toSeq)
           stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
           out.iterator
           }
