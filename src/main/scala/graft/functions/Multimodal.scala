@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * still-image formats and WAV: BMP/WAV/PNG are pure-JVM parsers (PNG
   * does full IDAT inflate + scanline un-filtering), and jpeg/gif/tiff
   * decode through the JDK's bundled ImageIO codecs (headless, no
-  * external libs). Only formats with no JVM codec at all (mp3/mp4
-  * audio+video streams) keep the deterministic `decodeStub`; swapping
-  * in a real decoder (e.g. ffmpeg JNI) changes only the `decodeAny`
-  * dispatch, nothing about the distributed plan.
+  * external libs). mp4/mp3 CONTAINER metadata is also real — an
+  * ISO-BMFF box walk (mvhd duration, tkhd dimensions) and an MPEG1
+  * Layer III frame-header parse (sample rate, CBR duration) — so the
+  * only remaining stub is the compressed SAMPLE decode itself, the one
+  * part with no JVM codec; swapping in a real decoder (e.g. ffmpeg
+  * JNI) changes only the `decodeAny` dispatch, nothing about the
+  * distributed plan.
   *
   * At 100 TB: payloads never shuffle (features are extracted in the scan
   * stage); `repartitionBySize` bounds partition payload bytes so executor
@@ -344,6 +347,104 @@ object Multimodal {
     Some(decodeStub(r).copy(width = Some(w), height = Some(h)))
   }
 
+  // ---- container METADATA parsers: mp4 (ISO-BMFF) and mp3 frames ----
+  // The last honest stubs are the mp4/mp3 SAMPLE decoders (no JVM
+  // codec exists); the CONTAINERS are plain structured bytes, so
+  // duration / dimensions / rates parse for real — the same honesty
+  // split PNG had (header real, pixels stubbed) before its pixel
+  // decode landed.
+
+  private def be32L(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be64L(b: Array[Byte], off: Int): Long =
+    (be32L(b, off) << 32) | be32L(b, off + 4)
+
+  /** ISO-BMFF (mp4/mov/m4a) container walk — REAL mvhd
+    * timescale/duration and the first video track's tkhd dimensions
+    * (16.16 fixed point), no codec involved. Sample decode stays the
+    * stub. None unless the payload leads with an `ftyp` box and
+    * carries a sane mvhd (caller falls back to the stub).
+    */
+  private def decodeMp4(r: MediaRow): Option[MediaFeatures] = {
+    val b = r.payload
+    if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    var ts = 0L; var dur = -1L; var w = 0; var h = 0
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = be32L(b, off)
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        var hdr = 8
+        if (size == 1 && off + 16 <= end) { size = be64L(b, off + 8); hdr = 16 }
+        else if (size == 0) size = (end - off).toLong
+        if (size < hdr || size > end - off) return // malformed: stop walking
+        val p = off + hdr
+        typ match {
+          case "moov" | "trak" => walk(p, off + size.toInt)
+          case "mvhd" =>
+            val v = b(p) & 0xff
+            if (v == 1 && p + 32 <= end) {
+              ts = be32L(b, p + 20); dur = be64L(b, p + 24)
+            } else if (v == 0 && p + 20 <= end) {
+              ts = be32L(b, p + 12); dur = be32L(b, p + 16)
+            }
+          case "tkhd" if w == 0 =>
+            val v = b(p) & 0xff
+            val wOff = p + (if (v == 1) 88 else 76)
+            if (wOff + 8 <= end) {
+              val tw = (be32L(b, wOff) >> 16).toInt
+              val th = (be32L(b, wOff + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, b.length)
+    if (ts <= 0 || dur < 0) return None
+    Some(decodeStub(r).copy(
+      width = if (w > 0) Some(w) else None,
+      height = if (h > 0) Some(h) else None,
+      duration_ms = Some(dur.toDouble * 1000.0 / ts)))
+  }
+
+  private val Mp3Bitrates = // MPEG1 Layer III, kbit/s (index 1-14)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000) // MPEG1 sample rates
+
+  /** MP3 frame-header parse — REAL sample rate and a bitrate-derived
+    * duration estimate from the first MPEG1 Layer III frame sync
+    * (after an optional ID3v2 tag). CBR assumption for the duration —
+    * the standard container-level estimate; sample decode stays the
+    * stub. None when no valid frame header is found.
+    */
+  private def decodeMp3(r: MediaRow): Option[MediaFeatures] = {
+    val b = r.payload
+    if (b.length < 4) return None
+    // skip ID3v2: "ID3" + ver(2) + flags(1) + synchsafe size(4)
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + sz
+    }
+    if (off + 4 > b.length) return None
+    val h0 = b(off) & 0xff; val h1 = b(off + 1) & 0xff
+    val h2 = b(off + 2) & 0xff
+    // sync + MPEG1 (version bits 11) + Layer III (layer bits 01)
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+    if (((h1 >> 3) & 3) != 3 || ((h1 >> 1) & 3) != 1) return None
+    val bi = (h2 >> 4) & 0xf; val si = (h2 >> 2) & 3
+    if (bi == 0 || bi == 15 || si == 3) return None
+    val kbps = Mp3Bitrates(bi)
+    val durMs = (b.length - off).toDouble * 8.0 / kbps // /1000*1000
+    Some(decodeStub(r).copy(
+      sample_rate = Some(Mp3Rates(si)),
+      duration_ms = Some(durMs)))
+  }
+
   /** Mime dispatch: real decoder where one exists, stub otherwise. Every
     * real decoder is exception-fenced: a malformed or adversarial
     * payload (truncated stream, lying header) degrades to the stub
@@ -360,6 +461,8 @@ object Multimodal {
       case "image/gif" => safe(decodeImageIO).orElse(safe(decodeGif))
       case "image/jpeg" | "image/jpg" | "image/tiff" => safe(decodeImageIO)
       case "audio/wav" | "audio/x-wav" => safe(decodeWav)
+      case "video/mp4" | "audio/mp4" | "video/quicktime" => safe(decodeMp4)
+      case "audio/mpeg" | "audio/mp3" => safe(decodeMp3)
       case _ => None
     }).getOrElse(decodeStub(r))
   }

@@ -197,6 +197,62 @@ class MultimodalSpec extends SparkSpec {
       f.frame_sample.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("real mp4 container parse: mvhd duration and tkhd dimensions, no codec") {
+    val sp = spark
+    import sp.implicits._
+    // minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0));
+    // timescale 600, duration 1200 -> 2000 ms; track 640x360 in 16.16
+    val bb = java.nio.ByteBuffer.allocate(16 + 216)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(216).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes).putInt(0) // version+flags
+      .putInt(0).putInt(0)                        // ctime, mtime
+      .putInt(600).putInt(1200)                   // timescale, duration
+      .putInt(0x00010000).putShort(0x0100.toShort)
+      .put(new Array[Byte](10)).put(new Array[Byte](36))
+      .put(new Array[Byte](24)).putInt(2)
+    bb.putInt(100).put("trak".getBytes)
+    bb.putInt(92).put("tkhd".getBytes).putInt(0)
+      .putInt(0).putInt(0).putInt(1).putInt(0).putInt(1200)
+      .put(new Array[Byte](8))
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .put(new Array[Byte](36))
+      .putInt(640 << 16).putInt(360 << 16)
+    val mp4 = bb.array()
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", mp4),
+      Multimodal.MediaRow(2L, "video/mp4", mp4.take(20)), // truncated
+      Multimodal.MediaRow(3L, "application/octet-stream", mp4)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f(0).duration_ms.exists(d => math.abs(d - 2000.0) < 1e-9),
+      s"mvhd duration: ${f(0).duration_ms}")
+    assert(f(0).width.contains(640) && f(0).height.contains(360))
+    assert(f(1).duration_ms.isEmpty && f(1).width.isEmpty, "truncated -> stub")
+    assert(f(2).duration_ms.isEmpty, "unclaimed mime stays stubbed")
+  }
+
+  test("real mp3 frame-header parse: sample rate + CBR duration estimate") {
+    val sp = spark
+    import sp.implicits._
+    // ID3v2 (empty) + MPEG1 Layer III sync, 128 kbps idx, 44100 Hz idx;
+    // 16000 audio bytes at 128 kbps -> exactly 1000 ms
+    val audio = 16000
+    val bb = java.nio.ByteBuffer.allocate(10 + audio)
+    bb.put("ID3".getBytes).put(3.toByte).put(0.toByte).put(0.toByte)
+      .putInt(0) // synchsafe size 0
+    bb.put(0xff.toByte).put(0xfb.toByte).put(0x90.toByte).put(0x00.toByte)
+    val mp3 = bb.array()
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/mpeg", mp3),
+      Multimodal.MediaRow(2L, "audio/mpeg", Array[Byte](1, 2, 3))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f(0).sample_rate.contains(44100), s"rate: ${f(0).sample_rate}")
+    assert(f(0).duration_ms.exists(d => math.abs(d - 1000.0) < 1e-9),
+      s"duration: ${f(0).duration_ms}")
+    assert(f(1).sample_rate.isEmpty, "no frame sync -> stub")
+  }
+
   test("cross-format image dedup: BMP and PNG of identical pixels pair up") {
     val sp = spark
     import sp.implicits._
