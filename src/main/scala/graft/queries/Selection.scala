@@ -667,12 +667,62 @@ object Selection extends QueryModule {
        |LEFT JOIN fs USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+
+  /** Curation-audit ROLLUP (q81) — the one-page report a data lead
+    * actually reads after a run: per source, how many documents
+    * survive curation and WHY the rest drop, with every q79 reasons
+    * bit decoded into its own count. At 100 TB this is the dashboard
+    * row per corpus slice — the full q79 manifest is for lineage
+    * drill-down, this is the daily go/no-go table. One hash
+    * aggregation over (source, reasons, keep) integers; the heavy
+    * lifting stays in q79's audited signal plans.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val bit = (n: Int) => (col("reasons").bitwiseAND(n) > 0).cast("long")
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(q79(s, d), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(bit(1)).as("n_qual"),
+        sum(bit(2)).as("n_exact"),
+        sum(bit(4)).as("n_cont"),
+        sum(bit(8)).as("n_eval"),
+        sum(bit(16)).as("n_sem"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** q81's oracle reuses q79's full CTE chain; sums CAST to BIGINT
+    * (DuckDB SUM→HUGEINT arrives in pandas as float64 — the
+    * CORRECTNESS_r04 dtype lesson).
+    */
+  private val q81Sql = {
+    val core = q79Sql.stripSuffix("\nORDER BY d.doc_id")
+    def b(n: Int) = s"CAST(SUM(CAST(reasons & $n > 0 AS BIGINT)) AS BIGINT)"
+    s"""WITH audit AS (
+       |$core
+       |)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_keep,
+       |  ${b(1)} AS n_qual, ${b(2)} AS n_exact, ${b(4)} AS n_cont,
+       |  ${b(8)} AS n_eval, ${b(16)} AS n_sem,
+       |  round(CAST(SUM(CAST(keep AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
+       |    AS keep_rate
+       |FROM documents d JOIN audit USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, None),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
     CatalogEntry("q77_bestfit_pack", q77, None),
     CatalogEntry("q79_curation_audit", q79, Some(q79Sql)),
+    CatalogEntry("q81_audit_rollup", q81, Some(q81Sql)),
     CatalogEntry("q78_content_checksums", q78, Some(q78Sql)),
   )
 }
