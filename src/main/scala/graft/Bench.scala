@@ -25,9 +25,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SCRATCH_DIR: route Scratch.materialize through parquet
+    // instead of localCheckpoint (the cluster mode) — the A/B knob for
+    // attributing block-manager-pinning GC tails vs filesystem cost
+    sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
+      .foreach(d => spark.conf.set("graft.scratch.dir", d))
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // Per-EXECUTION cleanup, run OUTSIDE the timed region: a rep must
+    // not inherit the previous execution's localCheckpoint-pinned
+    // scratch RDDs (warmup + 3 reps of e.g. q75 otherwise hold 4
+    // generations of pinned partitions at once — old-gen pressure that
+    // surfaces as the 3-4x single-rep tails in BENCH_r05's driver run,
+    // e.g. q75 reps [3.87, 3.29, 14.30]), nor its uncollected garbage.
+    // blocking=true: async removal would overlap the next timed rep.
+    def settle(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // SPARK_GRAFT_ONLY=q31,q37 restricts to matching prefixes (local
     // iteration); the driver runs the full catalog (env unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -38,10 +56,13 @@ object Bench {
       System.err.println(s"[bench] $name ...")
       try {
         exec(name) // warmup: codegen + JIT for this plan shape
+        settle()
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           exec(name)
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          settle()
+          dt
         }
         val dt = times.sorted.apply(times.size / 2)
         System.err.println(f"[bench] $name median $dt%.2fs of " +
@@ -49,20 +70,8 @@ object Bench {
         (name, dt, times)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        settle()
         (name, -1.0, Seq.empty[Double])
-      } finally {
-        // keep per-query timings independent: drop cached relations AND
-        // localCheckpoint-pinned scratch RDDs (clearCache does not touch
-        // the latter; left pinned, 78 queries of them drive old-gen GC
-        // pressure that measured q79 at 17.6s vs 2.9s in a clean JVM),
-        // then let the JVM compact between plans
-        // blocking=true: async removal would overlap the NEXT query's
-        // timed reps (block-manager contention is exactly what this
-        // cleanup exists to prevent)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
-        System.gc()
       }
     }
     // The driver captures only the LAST 2000 chars of stdout and parses

@@ -73,24 +73,37 @@ final class StateStore(val root: String, spark: SparkSession,
 
   /** Parsed-manifest cache: one flush reads the manifest dozens of
     * times (batchId, checkpoints, every `ctx.table`/`store.read`), and
-    * each `manifest` call was a full file read + parse. The cache is
-    * validated by BYTE EQUALITY of the (small) manifest file — a
-    * (mtime, size) check could serve a stale parse when a cross-process
-    * writer swaps the manifest twice within one coarse-granularity
-    * mtime tick at an identical byte size; reading the bytes costs the
-    * same one syscall-bounded I/O and cannot be fooled. This instance's
-    * own writes refresh the cache directly in `writeManifest`.
+    * each `manifest` call was a full file read + parse. Two tiers:
+    * a (fileKey, mtime, size) STAT fast path serves the hot intra-flush
+    * reads without touching file contents; on any stat difference we
+    * fall back to a full byte read, and only re-PARSE when the bytes
+    * actually differ (an mtime-only touch reuses the parse). The stat
+    * tier could in principle serve a stale parse if a cross-process
+    * writer swapped the manifest twice within one mtime tick at an
+    * identical size and inode — our swap is a fresh-temp-file atomic
+    * move (new fileKey each time), so the stat triple cannot repeat.
+    * This instance's own writes refresh the cache in `writeManifest`.
     */
-  @volatile private var cachedManifest: (Array[Byte], Manifest) = null
+  @volatile private var cachedManifest
+      : (Object, java.nio.file.attribute.FileTime, Long, Array[Byte],
+        Manifest) = null
 
   def manifest: Manifest = {
-    if (!Files.exists(manifestPath))
-      return Manifest(-1L, 0L, Map.empty, Map.empty)
-    val bytes = Files.readAllBytes(manifestPath)
+    val attrs =
+      try Files.readAttributes(manifestPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException =>
+        return Manifest(-1L, 0L, Map.empty, Map.empty)
+      }
     val c = cachedManifest
-    if (c != null && java.util.Arrays.equals(c._1, bytes)) return c._2
-    val m = parseManifest(bytes)
-    cachedManifest = (bytes, m)
+    if (c != null && c._1 == attrs.fileKey() &&
+      c._2 == attrs.lastModifiedTime() && c._3 == attrs.size())
+      return c._5
+    val bytes = Files.readAllBytes(manifestPath)
+    val m = if (c != null && java.util.Arrays.equals(c._4, bytes)) c._5
+            else parseManifest(bytes)
+    cachedManifest =
+      (attrs.fileKey(), attrs.lastModifiedTime(), attrs.size(), bytes, m)
     m
   }
 
@@ -148,9 +161,16 @@ final class StateStore(val root: String, spark: SparkSession,
     val bytes = buf.toByteArray
     val tmp = Paths.get(root, s"manifest.tmp")
     Files.write(tmp, bytes)
+    // stat the TEMP file before the rename: POSIX rename preserves
+    // inode/mtime/size, so this is exactly the stat a later reader will
+    // see for our bytes — statting after the move could observe another
+    // process's manifest and mis-attribute it to `m`
+    val attrs = Files.readAttributes(tmp,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    cachedManifest = (bytes, m)
+    cachedManifest =
+      (attrs.fileKey(), attrs.lastModifiedTime(), attrs.size(), bytes, m)
   }
 
   private def segPath(table: String, id: Long): String =

@@ -187,10 +187,14 @@ object Selection extends QueryModule {
     * shuffles, and what does shuffle IS the output tensor, which no
     * materialization can avoid. Group state is bounded by `SeqLen`.
     *
-    * Rows-only catalog entry BY DESIGN (BPE is not expressible in one
-    * SQL statement); TrainTensorSpec re-derives the expected per-shard
-    * id streams independently (driver-side encode + concat + chunk) and
-    * asserts exact equality, full-length invariants, and determinism.
+    * Oracle: `TextAnalysis.bpeOracleCtes` unrolls the merge loop into
+    * DuckDB CTE layers whose v16 stage IS each word's trained encoding
+    * (training-order replay — BpeSpec pins it equivalent to the
+    * rank-priority encoder on the real vocabulary); the oracle then
+    * re-derives token ids, the per-shard offsets, and the chunked
+    * id streams in SQL, so the tensors hash-check end to end.
+    * TrainTensorSpec additionally re-derives every shard's id stream
+    * driver-side and asserts exact equality and determinism.
     */
   /** The q75 ENCODER stage, un-pinned — the corpus token stream
     * `(doc_id, wpos, tpos, tok)` as a narrow map + broadcast join.
@@ -251,6 +255,56 @@ object Selection extends QueryModule {
           array_sort(collect_list(struct(col("gpos"), col("tok")))),
           x => x.getField("tok").cast("string")), ",").as("token_ids"))
       .orderBy(col("shard"), col("seq_no"))
+  }
+
+  /** q75's DuckDB oracle: the unrolled BPE stack (training-order replay
+    * = the trained encoding, see `TextAnalysis.bpeOracleCtes`), then
+    * token-id assignment (letters + `</w>` + merge products, sorted —
+    * `tokenIds`' exact rule), the corpus `(doc, wpos, tpos)` stream,
+    * salted shard + cumulative start offsets, and `SeqLen` chunking —
+    * each stage the SQL spelling of the Spark stage above it.
+    */
+  private val q75Sql = {
+    val shard = Dedup.hex12ToLongSql(
+      "md5('seq|' || CAST(doc_id AS VARCHAR))")
+    val letters = ('a' to 'z').map(c => s"'$c'").mkString(", ")
+    val products = (1 to TextAnalysis.BpeMerges)
+      .map(k => s"SELECT l || r AS tok FROM b$k")
+      .mkString("\n       UNION ALL ")
+    TextAnalysis.bpeOracleCtes + s""",
+       |wsyms AS (SELECT w,
+       |  list_filter(string_split(syms, ',,'), x -> x <> '') AS ss
+       |  FROM v${TextAnalysis.BpeMerges}),
+       |tokid AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS id
+       |  FROM (SELECT DISTINCT tok FROM (
+       |    SELECT unnest([$letters, '</w>']) AS tok
+       |    UNION ALL $products))),
+       |wordtok AS (
+       |  SELECT w, i - 1 AS tpos, id
+       |  FROM (SELECT w, ss, unnest(range(1, len(ss) + 1)) AS i FROM wsyms)
+       |  JOIN tokid ON tokid.tok = ss[i]),
+       |docw AS (
+       |  SELECT doc_id, wi - 1 AS wpos, ws[wi] AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |        FROM documents),
+       |       unnest(range(1, len(ws) + 1)) AS t(wi)),
+       |stream AS (
+       |  SELECT doc_id, wpos, tpos, id AS tok FROM docw JOIN wordtok USING (w)),
+       |nt AS (SELECT doc_id, $shard % $SeqShards AS shard, COUNT(*) AS n
+       |       FROM stream GROUP BY doc_id),
+       |offs AS (SELECT doc_id, shard,
+       |  SUM(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS start_off
+       |  FROM nt),
+       |gp AS (
+       |  SELECT o.shard, s.tok, o.start_off - 1 +
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY s.wpos, s.tpos)
+       |    AS gpos
+       |  FROM stream s JOIN offs o USING (doc_id))
+       |SELECT shard, CAST(gpos // $SeqLen AS BIGINT) AS seq_no,
+       |  COUNT(*) AS n_tok,
+       |  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY gpos) AS token_ids
+       |FROM gp GROUP BY shard, seq_no ORDER BY shard, seq_no""".stripMargin
   }
 
   // ---------------------------------------------------------------- q76
@@ -506,9 +560,11 @@ object Selection extends QueryModule {
     * number of paired duplicates cancels (e.g. {A,A,B,C} vs {B,C,D,D}
     * XOR-collide at equal counts/chars). sum+xor together close it: a
     * pair adds 2h to the sum, which only collides with a simultaneous
-    * XOR collision. The sum runs mod 2^48 — since 2^48 divides 2^64,
-    * Spark's wrapping 64-bit SUM and DuckDB's exact HUGEINT SUM agree
-    * after pmod, at any corpus size.
+    * XOR collision. The sum accumulates in decimal(38,0) — exact like
+    * DuckDB's HUGEINT, and immune to ANSI-mode long overflow (Spark
+    * 4.x defaults spark.sql.ansi.enabled=true, where a LongType SUM
+    * THROWS once Σh exceeds 2^63 — only ~65k docs of h<2^48 per
+    * group). Both engines then agree mod 2^48 exactly, at any size.
     */
   private[graft] def contentChecksums(docs: DataFrame): DataFrame =
     docs.select(col("source"),
@@ -518,7 +574,8 @@ object Selection extends QueryModule {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bit_xor(h)").as("content_xor"),
-        pmod(sum(col("h")), lit(1L << 48)).as("content_sum"),
+        pmod(sum(col("h").cast("decimal(38,0)")), lit(1L << 48))
+          .cast("long").as("content_sum"),
         sum(col("len")).as("n_chars"))
       .orderBy(col("source"))
 
@@ -718,7 +775,7 @@ object Selection extends QueryModule {
 
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
-    CatalogEntry("q75_train_sequences", q75, None),
+    CatalogEntry("q75_train_sequences", q75, Some(q75Sql)),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
     CatalogEntry("q77_bestfit_pack", q77, None),
     CatalogEntry("q79_curation_audit", q79, Some(q79Sql)),

@@ -591,6 +591,80 @@ object TextAnalysis extends QueryModule {
 
   private[graft] val BpeMerges = 16
 
+  /** The 16-round BPE merge loop UNROLLED as DuckDB CTE layers — the
+    * driver-verifiable oracle for q66/q71/q75 (closing round-5's
+    * "rows-only by design" caveat): each layer re-derives its own
+    * argmax pair (`ORDER BY pf DESC, l, r LIMIT 1` — q66's exact
+    * tie-break), so the oracle is fully independent of the engine's
+    * training run; only the ROUND COUNT is pinned, which is a constant
+    * of the operator, not data.
+    *
+    * Symbol lists ride as a ",,"-joined string wrapped in ",," on both
+    * ends; one merge application is then a single
+    * `replace(',l,,r,' → ',lr,')`. The pattern consumes exactly ONE
+    * comma of each surrounding double-separator, so left-to-right
+    * non-overlapping `replace` chains across adjacent matches
+    * (`,,a,,a,,a,,a,,` → `,,aa,,aa,,`) and cannot match across symbol
+    * boundaries (symbols never contain commas) — bit-for-bit
+    * `bpeApplyRule` semantics. After layer v16 each word's syms string
+    * IS its trained encoding: training-order replay, which BpeSpec
+    * pins equivalent to the rank-priority encoder on the real corpus
+    * vocabulary.
+    */
+  private[graft] def bpeOracleCtes: String = {
+    val bref = "\\1" // regexp_replace backreference, kept out of the
+                     // interpolated literal (s"" would reject \1)
+    val b = new StringBuilder
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // v(k) referencing v(k-1) twice (pair counting + merge apply) would
+    // expand v0 2^16 times — materialization keeps each layer computed
+    // exactly once, so the oracle is 16 linear passes over the vocab
+    b ++= s"""WITH words AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |vocab AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT w,
+       |  ',,' || regexp_replace(w, '(.)', '$bref,,', 'g') || '</w>,,' AS syms,
+       |  freq FROM vocab)""".stripMargin
+    for (k <- 1 to BpeMerges) {
+      b ++= s""",
+         |p$k AS (
+         |  SELECT ss[i] AS l, ss[i+1] AS r, SUM(freq) AS pf
+         |  FROM (SELECT list_filter(string_split(syms, ',,'), x -> x <> '') AS ss,
+         |        freq FROM v${k - 1}),
+         |       unnest(range(1, len(ss))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, pf FROM p$k ORDER BY pf DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT w,
+         |  replace(syms, ',' || b.l || ',,' || b.r || ',',
+         |          ',' || b.l || b.r || ',') AS syms,
+         |  freq FROM v${k - 1}, b$k b)""".stripMargin
+    }
+    b.result()
+  }
+
+  private val q66Sql =
+    bpeOracleCtes +
+      (1 to BpeMerges).map(k =>
+        s"""SELECT $k AS "rank", l AS "left", r AS "right",
+           |  CAST(pf AS BIGINT) AS pair_freq FROM b$k""".stripMargin)
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY \"rank\"")
+
+  private val q71Sql =
+    bpeOracleCtes + s""",
+       |enc AS (SELECT w,
+       |  len(list_filter(string_split(syms, ',,'), x -> x <> '')) AS n_bpe
+       |  FROM v$BpeMerges),
+       |docw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_toks,
+       |  round(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 4) AS bpe_per_word
+       |FROM docw JOIN enc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** In-engine BPE merge training (q66) — the tokenizer-training step of
     * an LLM data pipeline, the q59 discipline applied to text: the ONLY
     * corpus-scale stage is one (word → freq) aggregation (text reduces
@@ -601,12 +675,14 @@ object TextAnalysis extends QueryModule {
     * materialized. Work per round is O(vocab), independent of corpus
     * size: at 100 TB the rounds cost exactly what they cost here.
     *
-    * Rows-only catalog entry BY DESIGN: the merge sequence is
-    * deterministic (integer pair frequencies, total (freq desc, pair)
-    * tie-break) but 16 data-dependent iterations are not expressible as
-    * one DuckDB SQL statement; BpeSpec pins the semantics instead
-    * (textbook merge sequence on a constructed vocabulary, determinism,
-    * monotone vocabulary compression).
+    * Oracle: the merge sequence is deterministic (integer pair
+    * frequencies, total (freq desc, pair) tie-break) and the round
+    * count is a bounded constant, so the loop UNROLLS into one DuckDB
+    * statement (`bpeOracleCtes` — 16 CTE layers, each re-deriving its
+    * own argmax), giving this entry a full hash-checked CORRECTNESS
+    * row; BpeSpec additionally pins the semantics in-repo (textbook
+    * merge sequence on a constructed vocabulary, determinism, monotone
+    * vocabulary compression).
     */
   /** One merge-rule application, left-to-right with non-overlapping
     * consumption — the SINGLE definition shared by training (q66), the
@@ -924,9 +1000,10 @@ object TextAnalysis extends QueryModule {
     * merge loop costs O(distinct words), and the corpus-scale pass is
     * explode → broadcast word→count join → per-doc sum (corpus text
     * never shuffles; the word table is the small side by construction).
-    * Rows-only entry BY DESIGN (like q66: the trained table is not one
-    * SQL statement); BpeSpec pins the encoder against the definitional
-    * replay-merges-in-training-order spelling on the real vocabulary.
+    * Oracle: the unrolled q66 CTE stack replays the merges in training
+    * order; its v16 layer IS each word's encoding (BpeSpec pins that
+    * replay equivalent to this rank-priority encoder on the real
+    * vocabulary), so the per-doc counts hash-check against DuckDB.
     */
   private def q71(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -962,8 +1039,8 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
     CatalogEntry("q56_sketch_profile", q56, None),
     CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),
-    CatalogEntry("q66_bpe_train", q66, None),
-    CatalogEntry("q71_bpe_encode", q71, None),
+    CatalogEntry("q66_bpe_train", q66, Some(q66Sql)),
+    CatalogEntry("q71_bpe_encode", q71, Some(q71Sql)),
     CatalogEntry("q73_quality_classifier", q73, None),
   )
 }

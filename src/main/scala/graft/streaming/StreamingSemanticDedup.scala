@@ -39,6 +39,13 @@ final case class SemVerdict(vec_id: Long, cid: Long, dup_of: Long)
   * length. The arrival-order horizon matches StreamingCurate: under
   * out-of-order arrival first-wins may keep a higher-id copy batch
   * would drop — batch re-audit closes it.
+  *
+  * Replay idempotence: each ADMITTED member's emitted verdict is stored
+  * with it in state and returned verbatim on redelivery — recomputing
+  * would let a lower-id member that arrived AFTER the first delivery
+  * flip a replayed keep into a dup. Non-admitted arrivals (possible
+  * only once the cluster is saturated, i.e. the member set is frozen)
+  * recompute against that frozen set, which is equally deterministic.
   */
 object StreamingSemanticDedup {
 
@@ -122,34 +129,39 @@ object StreamingSemanticDedup {
         }
       }
     assigned.groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[(Long, Array[Float], Double)], SemVerdict](
-        OutputMode.Append(), timeoutKind) {
+      .flatMapGroupsWithState[Seq[(Long, Array[Float], Double, Long)],
+        SemVerdict](OutputMode.Append(), timeoutKind) {
         (cid, chunk, state) =>
           if (state.hasTimedOut) {
             state.remove() // idle cluster: evict its index, emit nothing
             Iterator.empty
           } else {
-          // buffer + id set per invocation: the τ-compare is inherently
-          // O(cluster) per arrival (same cost class as the batch
-          // per-cluster pair join), but append and id-membership must
-          // not add another O(n) on top (Seq :+ and exists are linear)
+          // buffer + verdict map per invocation: the τ-compare is
+          // inherently O(cluster) per arrival (same cost class as the
+          // batch per-cluster pair join), but append and id-membership
+          // must not add another O(n) on top (Seq :+ / exists are
+          // linear). Each member carries its EMITTED dup_of so a
+          // replayed id returns its original verdict, not a recompute.
           val members = scala.collection.mutable.ArrayBuffer
             .from(state.getOption.getOrElse(Seq.empty))
-          val idsSeen = scala.collection.mutable.Set.from(members.map(_._1))
+          val verdictOf = scala.collection.mutable.Map
+            .from(members.map(m => m._1 -> m._4))
           val out = chunk.toSeq.sortBy(_._2).map { case (_, id, emb, nrm) =>
-            var dupOf = -1L
-            members.foreach { case (mid, memb, mnrm) =>
-              // mid < id: batch q70 only ever points at a LOWER id —
-              // without it a REPLAYED keeper would match members that
-              // arrived after its first delivery
-              if (mid < id &&
-                round4(dotD(emb, memb) / (nrm * mnrm)) >= Similarity.SemTau &&
-                (dupOf == -1L || mid < dupOf)) dupOf = mid
+            verdictOf.get(id) match {
+              case Some(stored) => SemVerdict(id, cid, stored) // replay
+              case None =>
+                var dupOf = -1L
+                members.foreach { case (mid, memb, mnrm, _) =>
+                  // mid < id: batch q70 only ever points at a LOWER id
+                  if (mid < id &&
+                    round4(dotD(emb, memb) / (nrm * mnrm)) >= Similarity.SemTau &&
+                    (dupOf == -1L || mid < dupOf)) dupOf = mid
+                }
+                if (members.size < maxCluster) {
+                  members += ((id, emb, nrm, dupOf)); verdictOf(id) = dupOf
+                }
+                SemVerdict(id, cid, dupOf)
             }
-            if (members.size < maxCluster && !idsSeen.contains(id)) {
-              members += ((id, emb, nrm)); idsSeen += id
-            }
-            SemVerdict(id, cid, dupOf)
           }
           state.update(members.toSeq)
           stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))

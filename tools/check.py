@@ -44,9 +44,13 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip("/").split("/")[-1]
-        files = glob.glob(f"{d}/*.parquet")
+    # union of produced dirs and declared oracles: an oracle entry whose
+    # Spark run crashed before writing its dir must surface as MISSING,
+    # not silently vanish from the report
+    dirs = {d.rstrip("/").split("/")[-1]: d
+            for d in sorted(glob.glob(f"{out_dir}/*/"))}
+    for name in sorted(set(dirs) | set(oracles)):
+        files = glob.glob(f"{dirs[name]}/*.parquet") if name in dirs else []
         if not files:
             results[name] = "MISSING spark output"
             continue
