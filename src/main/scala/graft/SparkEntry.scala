@@ -14,6 +14,7 @@ object SparkEntry {
     Relational,
     TextAnalysis,
     Dedup,
+    SuffixDedup,
     Similarity,
     Events,
     Media,

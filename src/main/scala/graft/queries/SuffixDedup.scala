@@ -1,0 +1,347 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANY-LENGTH exact duplicated-substring detection — the suffix-sort
+  * re-expression of ExactSubstr dedup (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better", 2022), closing the
+  * fixed-k gap of q64/q72: those anchor on 8-gram units, so a
+  * duplicated run of 6 or 7 tokens is invisible to them, while here any
+  * cross-document duplicated run of ≥ `MinSpan` tokens is reported at
+  * its EXACT total length, however long.
+  *
+  * Method (the distributed suffix-array shape):
+  *   1. Every token position emits its bounded suffix — the next
+  *      `MaxSpan` tokens — plus the 48-bit hash of its `MinSpan`-token
+  *      prefix ("gram"). Positions with fewer than MinSpan tokens left
+  *      cannot start a ≥ MinSpan match and emit nothing.
+  *   2. Suffixes hash-partition by gram and sort lexicographically
+  *      within the partition (same gram ⇒ same partition, and within a
+  *      partition same-gram rows are sort-contiguous, because any row
+  *      sorting between two rows that share a prefix shares it too).
+  *   3. Two O(1)-state streaming scans (ascending and descending sort)
+  *      compute each suffix's LONGEST common prefix with any suffix
+  *      from ANOTHER document: in suffix-sorted order, the best
+  *      other-document partner is the nearest one above or below, with
+  *      LCP = the running MIN of adjacent LCPs in between (the classic
+  *      suffix-array/LCP-interval property), which is a linear
+  *      recurrence — bestUp(r) = adj(r) if the previous row is
+  *      other-document, else min(adj(r), bestUp(prev)) — needing only
+  *      the previous row as state. No per-group buffering: a boilerplate
+  *      gram duplicated a million times streams through, it does not
+  *      materialize.
+  *   4. Positions with LCP ≥ MinSpan each cover the interval
+  *      [pos, pos+lcp); the per-document union of those intervals IS
+  *      the union of ALL cross-document duplicated runs ≥ MinSpan, at
+  *      exact length: a duplicated run of length m contributes
+  *      [i, i+min(m−i, MaxSpan)) at every start i ≤ m−MinSpan, and
+  *      those intervals chain into [0, m) for ANY m ≥ MinSpan — the
+  *      MaxSpan bound caps per-position memory, not reportable span
+  *      length. Interval union is one window (running max of span
+  *      ends), the islands-and-gaps trick generalized to intervals.
+  *
+  * Scale shape: the one wide exchange carries (gram-hash, ≤ MaxSpan
+  * tokens, doc_id, pos) rows — suffix text must move because suffix
+  * ORDER is the algorithm, but the payload is bounded at MaxSpan tokens
+  * per row (Lee et al.'s own distributed variant shuffles suffixes the
+  * same way). Everything after the scans is narrow integer triples.
+  * Skew: one mega-hot gram lands its group in one task, but the scans
+  * are O(group) streaming with O(1) state, not O(group) memory.
+  *
+  * The DuckDB oracle is deliberately a DIFFERENT formulation — max
+  * pairwise token-LCP within each gram group (quadratic, oracle-scale
+  * only) — so the hash gate cross-checks the recurrence, the sort-order
+  * reasoning, and the interval union against an independent spelling.
+  */
+object SuffixDedup extends QueryModule {
+
+  private[graft] val MinSpan = 6 // report threshold (< q64's ExactK = 8)
+  private[graft] val MaxSpan = 16 // bounded suffix window (memory cap)
+
+  private val WordRe = "\\S+".r // same token class as q64/q72
+
+  /** (doc_id, pos, sfx, gh): every position's bounded suffix (space-
+    * joined, lossless for \S+ tokens) and its MinSpan-prefix hash.
+    */
+  private def suffixEntries(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val ws = WordRe.findAllIn(text).toArray
+          (0 to ws.length - MinSpan).iterator.map { i =>
+            val sfx = ws.slice(i, math.min(i + MaxSpan, ws.length))
+              .mkString(" ")
+            val gram = ws.slice(i, i + MinSpan).mkString(" ")
+            val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var j = 0
+            while (j < 6) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+            (id, i.toLong, sfx, h)
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "sfx", "gh")
+  }
+
+  /** Token-level longest common prefix of two space-joined suffixes. */
+  private def tokenLcp(a: Array[String], b: Array[String]): Long = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a(i) == b(i)) i += 1
+    i.toLong
+  }
+
+  /** One directional scan: over suffix-sorted rows, each row's LCP to
+    * the nearest preceding other-document suffix (−1 if none within its
+    * gram group). Group boundaries need no gram column: adjacent LCP
+    * < MinSpan IS the boundary (two suffixes share a gram iff they
+    * share ≥ MinSpan tokens).
+    */
+  private def directionalLcp(sorted: DataFrame): DataFrame = {
+    import sorted.sparkSession.implicits._
+    sorted.select(col("doc_id"), col("pos"), col("sfx"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        var prevDoc = Long.MinValue
+        var prevToks: Array[String] = null
+        var run = -1L
+        it.map { case (doc, pos, sfx) =>
+          val toks = sfx.split(' ')
+          if (prevToks == null) run = -1L
+          else {
+            val adj = tokenLcp(prevToks, toks)
+            if (adj < MinSpan) run = -1L // new gram group
+            else if (prevDoc != doc) run = adj
+            else if (run >= 0) run = math.min(run, adj)
+            // else: still no other-doc row above in this group
+          }
+          prevDoc = doc; prevToks = toks
+          (doc, pos, run)
+        }
+      }
+      .toDF("doc_id", "pos", "run")
+  }
+
+  /** (doc_id, pos, ell): each position's exact max-LCP to any other
+    * document (≥ MinSpan rows only), from the two directional scans.
+    */
+  private[graft] def positionLcp(docs: DataFrame): DataFrame =
+    positionLcpFrom(Scratch.materialize(suffixEntries(docs), "qsa_sfx"))
+
+  /** Interval union per document: [pos, pos+ell) intervals merge into
+    * maximal spans via a running max of prior span ends.
+    */
+  private def spanUnion(ell: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    ell
+      .withColumn("cum_end", max(col("pos") + col("ell")).over(prior))
+      .withColumn("brk",
+        (col("pos") > coalesce(col("cum_end"), lit(-1L))).cast("long"))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos") + col("ell")) - min(col("pos"))).as("span_toks"))
+      .select(col("doc_id"), col("span_start"), col("span_toks"))
+  }
+
+  /** Any-length duplicated spans over an arbitrary `(doc_id, text)`
+    * relation — the q82 kernel, exposed for the planted-corpus spec.
+    */
+  private[graft] def spansOf(docs: DataFrame): DataFrame =
+    spanUnion(positionLcp(docs))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Any-length duplicated spans (q82): every maximal cross-document
+    * duplicated token run of ≥ MinSpan tokens, exact length.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    spansOf(Tables.documents(s, d))
+
+  // ------------------------------------------------------------ oracle
+
+  /** DuckDB twins share these CTEs: bounded suffix token lists, then
+    * per-position max token-LCP to another document via the quadratic
+    * within-gram pair join (independent of the Spark recurrence), then
+    * the interval union.
+    */
+  private val ellSqlCtes = {
+    s"""docs AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |sfx AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    list_slice(ws, i, least(i + $MaxSpan - 1, len(ws))) AS toks
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(range(1, greatest(len(ws) - $MinSpan + 2, 1))) AS i
+       |        FROM docs)),
+       |pairs AS (
+       |  SELECT a.doc_id, a.pos,
+       |    list_sum(list_transform(range(1, $MaxSpan + 1),
+       |      j -> CASE WHEN j <= least(len(a.toks), len(b.toks))
+       |                 AND list_slice(a.toks, 1, j) = list_slice(b.toks, 1, j)
+       |           THEN 1 ELSE 0 END)) AS lcp
+       |  FROM sfx a JOIN sfx b
+       |    ON list_slice(a.toks, 1, $MinSpan) = list_slice(b.toks, 1, $MinSpan)
+       |   AND a.doc_id <> b.doc_id),
+       |ell AS (
+       |  SELECT doc_id, pos, CAST(least(MAX(lcp), $MaxSpan) AS BIGINT) AS ell
+       |  FROM pairs GROUP BY doc_id, pos
+       |  HAVING MAX(lcp) >= $MinSpan),
+       |isl AS (
+       |  SELECT doc_id, pos, ell,
+       |    CASE WHEN pos > COALESCE(MAX(pos + ell) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ell),
+       |grps AS (
+       |  SELECT doc_id, pos, ell,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start,
+       |    MAX(pos + ell) - MIN(pos) AS span_toks, grp
+       |  FROM grps GROUP BY doc_id, grp)""".stripMargin
+  }
+
+  private val q82Sql =
+    s"""WITH $ellSqlCtes
+       |SELECT doc_id, span_start, span_toks FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // --------------------------------------------------------------- q83
+
+  /** Any-length duplicated-span CUT (q83) — q82 made actionable, the
+    * q72 policy generalized from fixed 8-grams to exact spans: each
+    * span is cut from every document EXCEPT the canonical copy, where
+    * "canonical" is keep-first at span granularity — a span survives in
+    * document d iff no position inside it has a MinSpan-gram whose
+    * minimal owning doc_id is below d. Deterministic, and the canonical
+    * copy survives verbatim while every later copy loses exactly the
+    * duplicated run.
+    *
+    * Scale shape: everything up to the cut-position table is q82's
+    * bounded-suffix pipeline plus ONE narrow (gram-hash → min doc_id)
+    * aggregation; cut positions reduce to one integer array per
+    * affected document; the rewrite is a per-row JVM map. Text crosses
+    * an exchange only as the bounded suffix payload and the final
+    * corpus→rewrite join (q72's audited discipline).
+    */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    cutsOf(Tables.documents(s, d))
+
+  /** The q83 kernel over an arbitrary `(doc_id, text)` relation. */
+  private[graft] def cutsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sfx = Scratch.materialize(suffixEntries(docs), "q83_sfx")
+    // per-gram canonical owner (48-bit gram hash — narrow, like q64)
+    val gmin = sfx.groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc"))
+    val pmin = sfx.join(gmin, "gh")
+      .select(col("doc_id"), col("pos"), col("min_doc"))
+    val ell = positionLcpFrom(sfx)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = ell.join(pmin, Seq("doc_id", "pos"))
+      .withColumn("cum_end", max(col("pos") + col("ell")).over(prior))
+      .withColumn("brk",
+        (col("pos") > coalesce(col("cum_end"), lit(-1L))).cast("long"))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        max(col("pos") + col("ell")).as("span_end"),
+        min(col("min_doc")).as("span_min_doc"))
+    val cuts = islands
+      .filter(col("span_min_doc") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("tpos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tpos")).as("cut_pos"))
+    docs.select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("cut_pos"), array().cast("array<long>")).as("cut_pos"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, cutSeq) =>
+        val words = WordRe.findAllIn(text).toArray
+        val cut = cutSeq.toSet
+        val kept = words.iterator.zipWithIndex
+          .filterNot { case (_, i) => cut(i.toLong) }.map(_._1)
+        (id, cutSeq.size.toLong, kept.mkString(" "))
+      }
+      .toDF("doc_id", "n_cut", "clean_text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The LCP scans over a materialized suffix table (q83 shares the
+    * table with its gram-min aggregation — one execution). Each
+    * directional scan carries its OWN repartition-by-gram: the hash
+    * exchange must sit between the materialization and the sort, because
+    * a parquet-backed scratch re-read (cluster mode) re-splits files by
+    * byte ranges and would otherwise scatter a gram group across scan
+    * partitions, silently breaking the recurrence chain.
+    */
+  private def positionLcpFrom(sfx: DataFrame): DataFrame = {
+    val up = directionalLcp(sfx.repartition(col("gh"))
+      .sortWithinPartitions(col("sfx"), col("doc_id"), col("pos")))
+    val down = directionalLcp(sfx.repartition(col("gh"))
+      .sortWithinPartitions(col("sfx").desc, col("doc_id").desc,
+        col("pos").desc))
+    up.unionByName(down)
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("run")).as("ell"))
+      .filter(col("ell") >= MinSpan)
+  }
+
+  private val q83Sql = {
+    val gramParts = (0 until MinSpan).map(j => s"ws[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""WITH $ellSqlCtes,
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos, md5($gramParts) AS dg
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(range(1, greatest(len(ws) - $MinSpan + 2, 1))) AS i
+       |        FROM docs)),
+       |gmin AS (
+       |  SELECT dg, MIN(doc_id) AS min_doc FROM grams GROUP BY dg),
+       |pmin AS (
+       |  SELECT g.doc_id, g.pos, m.min_doc
+       |  FROM grams g JOIN gmin m USING (dg)),
+       |cutspans AS (
+       |  SELECT s.doc_id, s.span_start, s.span_start + s.span_toks AS span_end
+       |  FROM spans s
+       |  WHERE (SELECT MIN(p.min_doc) FROM pmin p
+       |         WHERE p.doc_id = s.doc_id
+       |           AND p.pos >= s.span_start
+       |           AND p.pos < s.span_start + s.span_toks) < s.doc_id),
+       |cover AS (
+       |  SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS tpos
+       |  FROM cutspans),
+       |toks AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM docs),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.ws[t.i] AS w
+       |  FROM toks t LEFT JOIN cover c
+       |    ON c.doc_id = t.doc_id AND c.tpos = t.i - 1
+       |  WHERE c.doc_id IS NULL)
+       |SELECT d.doc_id,
+       |  COALESCE((SELECT COUNT(*) FROM cover c WHERE c.doc_id = d.doc_id),
+       |    0) AS n_cut,
+       |  COALESCE((SELECT string_agg(w, ' ' ORDER BY i) FROM kept k
+       |    WHERE k.doc_id = d.doc_id), '') AS clean_text
+       |FROM documents d
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q82_exactsubstr_any", q82, Some(q82Sql)),
+    CatalogEntry("q83_cut_any_spans", q83, Some(q83Sql)),
+  )
+}
