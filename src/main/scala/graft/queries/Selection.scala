@@ -773,6 +773,63 @@ object Selection extends QueryModule {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** Packing CERTIFICATE (q87) — the driver-verifiable projection of
+    * the rows-only q77 (a stateful greedy is not one SQL statement, but
+    * its conservation laws are): per shard, the exact document count
+    * and capped token total — DuckDB re-derives both independently from
+    * the corpus, cross-checking the shard hash, the truncation cap and
+    * the token count — plus the packing invariants as oracle-pinned
+    * booleans: no bin overflows the budget, every bin is tiled
+    * contiguously from offset 0 with no gap or overlap, and the bin
+    * count lands within PackBinSpec's measured 25% of the fractional
+    * lower bound ⌈total/budget⌉. A placement bug — an overflow, a
+    * split, a lost document, runaway fragmentation — breaks this row's
+    * hash even though the slot assignment itself is unoracleable.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val packed = bestFitPack(Dedup.packToks(Tables.documents(s, d)))
+    val budget = Dedup.PackBudget
+    val bins = packed.groupBy(col("shard"), col("bin_id"))
+      .agg(sum(col("n_tok")).as("fill"),
+        min(col("bin_off")).as("min_off"),
+        max(col("bin_off") + col("n_tok")).as("max_end"))
+    bins.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("fill")).as("total_toks"),
+        max(col("fill")).as("max_fill"),
+        min((col("min_off") === 0 && col("max_end") === col("fill"))
+          .cast("int")).as("all_tiled"))
+      .join(packed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs")), "shard")
+      .withColumn("min_bins",
+        expr(s"(total_toks + ${budget - 1L}) div $budget"))
+      .select(col("shard"), col("n_docs"), col("total_toks"),
+        col("min_bins"),
+        (col("max_fill") <= budget).as("no_overflow"),
+        (col("all_tiled") === 1).as("tiled"),
+        (col("n_bins") >= col("min_bins") &&
+          col("n_bins").cast("double") <=
+            ceil(col("min_bins").cast("double") * 1.25) + 1.0)
+          .as("bins_ok"))
+      .orderBy(col("shard"))
+  }
+
+  private val q87Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(len(regexp_extract_all(text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT),
+       |      ${Dedup.PackBudget}) AS n_tok,
+       |    ${Dedup.hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
+       |      % ${Dedup.PackShards} AS shard
+       |  FROM documents)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_toks,
+       |  CAST((SUM(n_tok) + ${Dedup.PackBudget} - 1) // ${Dedup.PackBudget}
+       |    AS BIGINT) AS min_bins,
+       |  TRUE AS no_overflow, TRUE AS tiled, TRUE AS bins_ok
+       |FROM toks GROUP BY shard ORDER BY shard""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, Some(q75Sql)),
@@ -781,5 +838,6 @@ object Selection extends QueryModule {
     CatalogEntry("q79_curation_audit", q79, Some(q79Sql)),
     CatalogEntry("q81_audit_rollup", q81, Some(q81Sql)),
     CatalogEntry("q78_content_checksums", q78, Some(q78Sql)),
+    CatalogEntry("q87_pack_certificate", q87, Some(q87Sql)),
   )
 }

@@ -736,6 +736,34 @@ object Similarity extends QueryModule {
        |FROM assign s LEFT JOIN semdups USING (vec_id)
        |ORDER BY s.vec_id""".stripMargin
 
+  /** K-means CERTIFICATE (q85) — the driver-verifiable projection of
+    * the rows-only q59: float centroid means are partial-order-
+    * dependent in the low bits, so the trained model can never hash
+    * cross-engine, but the training CLAIMS can. One row per Lloyd
+    * round: the exhaustive-assignment count (every vector assigned
+    * exactly once — the oracle re-derives the corpus count
+    * independently) and the monotone-descent flag (this round's
+    * objective strictly improved on the previous round's), pinned TRUE
+    * by the oracle. A regression in the update step — a dropped
+    * cluster, a raised objective, a lost vector — breaks this row's
+    * hash even though the centroids themselves are unoracleable.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val (assign, _, wcss) = kmeans(s, d)
+    val nAssigned = assign.count()
+    import s.implicits._
+    wcss.indices.map { r =>
+      (r.toLong, nAssigned, r == 0 || wcss(r) < wcss(r - 1))
+    }.toDF("round", "n_assigned", "improved")
+      .orderBy(col("round"))
+  }
+
+  private val q85Sql =
+    s"""SELECT unnest(range(0, ${KmIters + 1})) AS round,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_assigned,
+       |  TRUE AS improved
+       |ORDER BY round""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
@@ -743,5 +771,6 @@ object Similarity extends QueryModule {
     CatalogEntry("q57_ann_pq", q57, Some(q57Sql)),
     CatalogEntry("q59_kmeans_train", q59, None),
     CatalogEntry("q70_semantic_dedup", q70, Some(q70Sql)),
+    CatalogEntry("q85_kmeans_certificate", q85, Some(q85Sql)),
   )
 }

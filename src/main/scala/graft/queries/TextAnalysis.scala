@@ -971,22 +971,68 @@ object TextAnalysis extends QueryModule {
     * SQL statement); ClassifierSpec pins strictly-decreasing loss,
     * determinism, and accuracy above the majority baseline.
     */
-  private def q73(s: SparkSession, d: String): DataFrame = {
+  /** Train + score: `(doc_id, y, margin)` with the 4-dp-rounded margin,
+    * plus the accepted-loss trace — the shared back half of q73/q86.
+    */
+  private[graft] def clsScored(s: SparkSession, d: String)
+      : (DataFrame, Seq[Double]) = {
     val docs = Tables.documents(s, d)
     val feats = clsFeatures(docs)
     val labels = clsLabels(docs)
-    val (w, _) = clsTrain(feats, labels)
+    val (w, losses) = clsTrain(feats, labels)
     import s.implicits._
     val wDf = broadcast(
       w.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("idx", "wv"))
-    feats.join(wDf, "idx")
+    val scored = feats.join(wDf, "idx")
       .groupBy(col("doc_id"))
       .agg(round(sum((col("x") * col("wv")).cast("decimal(30,15)"))
         .cast("double"), 4).as("margin"))
       .join(labels, "doc_id")
+    (scored, losses)
+  }
+
+  /** Training-set-optimal decision threshold over the rounded margins —
+    * the calibration step a skewed label prior makes necessary: with an
+    * 87/13 prior the loss-optimal model can score EVERY document above
+    * zero (measured at sf0.01: all-positive at threshold 0, accuracy ==
+    * majority exactly, while AUC = 0.957), so "margin > 0" throws the
+    * learned separation away. Deterministic: candidates are the
+    * DISTINCT 4-dp margins — bounded by the margin range, not the
+    * corpus — aggregated to (margin, n_pos, n_neg) counts, then one
+    * driver scan picks the accuracy-max split (ties → smallest
+    * threshold, all-positive split included as −∞). The collect is a
+    * bounded model-sized probe (q59/q66 discipline), never corpus rows.
+    */
+  private[graft] def clsBestThr(scored: DataFrame): Double = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val cnt = scored.groupBy(col("margin"))
+      .agg(sum(col("y")).cast("long").as("np"),
+        sum(lit(1.0) - col("y")).cast("long").as("nn"))
+      .orderBy(col("margin"))
+      .as[(Double, Long, Long)].collect()
+    val totPos = cnt.map(_._2).sum
+    val totNeg = cnt.map(_._3).sum
+    // threshold -inf: everything predicted positive
+    var best = Double.NegativeInfinity
+    var bestAcc = totPos
+    var negBelow = 0L
+    var posBelow = 0L
+    cnt.foreach { case (m, np, nn) =>
+      negBelow += nn; posBelow += np
+      val acc = negBelow + (totPos - posBelow) // predict margin > m
+      if (acc > bestAcc) { bestAcc = acc; best = m }
+    }
+    best
+  }
+
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val (scored, _) = clsScored(s, d)
+    val thr = clsBestThr(scored)
+    scored
       .select(col("doc_id"), col("y").cast("boolean").as("label"),
-        col("margin"), (col("margin") > 0).as("predicted"))
+        col("margin"), (col("margin") > thr).as("predicted"))
       .orderBy(col("doc_id"))
   }
 
@@ -1025,6 +1071,114 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketch CERTIFICATE (q84) — the driver-verifiable projection of the
+    * rows-only q56: sketch outputs themselves are implementation-defined
+    * (Spark HLL++/KLL vs DuckDB), so q56 can never hash cross-engine —
+    * but the EXACT aggregates the sketches approximate can, and the
+    * sketch-error claims can ride along as booleans the oracle pins to
+    * TRUE. A green row therefore certifies (a) per-language exact
+    * document/vocabulary/distinct-doc counts agree with DuckDB bit-for-
+    * bit, and (b) every q56 sketch estimate landed inside its
+    * documented error envelope (HLL++ rsd 0.02 → 3σ = 6%; KLL accuracy
+    * 1000 → rank error 0.001, checked against the exact 0.45/0.55
+    * quantile band). If a Spark upgrade drifts a sketch outside its
+    * envelope, this row's hash breaks — which is exactly the signal a
+    * rows-only entry could never give. (Exact distincts are
+    * correctness-harness cost, not the 100 TB path — q56 remains the
+    * production shape.)
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("lang"),
+      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+    val vocab = words.groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("exact_vocab"),
+        approx_count_distinct(col("w"), 0.02).as("av"))
+    val perDoc = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("exact_distinct_docs"),
+        approx_count_distinct(md5(col("text")), 0.02).as("ad"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50s"),
+        expr("percentile(n_chars, array(0.45, 0.55))").as("band"))
+    vocab.join(perDoc, "lang")
+      .select(col("lang"), col("n_docs"), col("exact_vocab"),
+        col("exact_distinct_docs"),
+        (abs(col("av") - col("exact_vocab")) <=
+          col("exact_vocab").cast("double") * 0.06).as("vocab_in_bounds"),
+        (abs(col("ad") - col("exact_distinct_docs")) <=
+          col("exact_distinct_docs").cast("double") * 0.06).as("docs_in_bounds"),
+        (col("p50s") >= element_at(col("band"), 1) &&
+          col("p50s") <= element_at(col("band"), 2)).as("p50_in_bounds"))
+      .orderBy(col("lang"))
+  }
+
+  private val q84Sql =
+    """WITH w AS (
+      |  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |v AS (
+      |  SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_vocab
+      |  FROM w GROUP BY lang),
+      |d AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct_docs
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, exact_vocab, exact_distinct_docs,
+      |  TRUE AS vocab_in_bounds, TRUE AS docs_in_bounds,
+      |  TRUE AS p50_in_bounds
+      |FROM v JOIN d USING (lang) ORDER BY lang""".stripMargin
+
+  /** Classifier CERTIFICATE (q86) — the driver-verifiable projection of
+    * the rows-only q73 (sigmoid training can never hash cross-engine):
+    * per-label exact counts of the q21-heuristic training labels
+    * (DuckDB re-derives them independently — a real parity check on the
+    * labeling pass), plus the training claims as oracle-pinned
+    * booleans: the accepted-loss trace is strictly decreasing, and the
+    * trained model's accuracy ON its labels beats the majority-class
+    * baseline (it actually learned). A training regression breaks this
+    * row's hash even though the weights themselves are unoracleable.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val (scored0, losses) = clsScored(s, d)
+    val scored = Scratch.materialize(scored0, "q86_scored")
+    val thr = clsBestThr(scored)
+    import s.implicits._
+    // one bounded probe: calibrated accuracy, majority baseline, and
+    // per-class mean margins (does the model SEPARATE the classes?)
+    val Seq((acc, n, nPos, mPos, mNeg)) = scored
+      .agg(avg(((col("margin") > thr) === (col("y") > 0.5)).cast("double")),
+        count(lit(1)).cast("double"), sum(col("y")),
+        avg(when(col("y") > 0.5, col("margin"))),
+        avg(when(col("y") <= 0.5, col("margin"))))
+      .as[(Double, Double, Double, Double, Double)].collect().toSeq
+    val majority = math.max(nPos, n - nPos) / n
+    val monotone = losses.sliding(2).forall {
+      case Seq(a, b) => b < a
+      case _ => true
+    }
+    scored.groupBy(col("y").cast("boolean").as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("label"), col("n_docs"),
+        lit(monotone).as("loss_monotone"),
+        lit(acc > majority).as("acc_beats_majority"),
+        lit(mPos > mNeg).as("classes_separated"))
+      .orderBy(col("label"))
+  }
+
+  private val q86Sql = {
+    val ok =
+      s"""LENGTH(text) >= 100
+         |    AND CAST(${rxCountSql("text", "[^\\w\\s]")} AS DOUBLE)
+         |      / GREATEST(LENGTH(text), 1) < 0.1
+         |    AND CAST(${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS DOUBLE)
+         |      / GREATEST(${rxCountSql("text", "[A-Za-z]+")}, 1) > 0.01""".stripMargin
+    s"""SELECT ($ok) AS label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  TRUE AS loss_monotone, TRUE AS acc_beats_majority,
+       |  TRUE AS classes_separated
+       |FROM documents GROUP BY 1 ORDER BY label""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -1042,5 +1196,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q66_bpe_train", q66, Some(q66Sql)),
     CatalogEntry("q71_bpe_encode", q71, Some(q71Sql)),
     CatalogEntry("q73_quality_classifier", q73, None),
+    CatalogEntry("q84_sketch_certificate", q84, Some(q84Sql)),
+    CatalogEntry("q86_classifier_certificate", q86, Some(q86Sql)),
   )
 }
