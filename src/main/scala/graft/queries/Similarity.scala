@@ -277,7 +277,9 @@ object Similarity extends QueryModule {
     * lists — a huge probed list is brute force wearing an index).
     */
   private[graft] def ivfQuery(s: SparkSession, d: String,
-      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe): DataFrame = {
+      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe,
+      nq: Long = NQ): DataFrame = {
+    val NQ = nq
     // e feeds the centroid scan AND the full assignment pass — a store-
     // backed temp table, not an executor cache (see Scratch.materialize)
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
@@ -597,8 +599,9 @@ object Similarity extends QueryModule {
     (e, cent)
   }
 
-  private[graft] def kmeans(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Seq[Double]) = {
+  private[graft] def kmeans(s: SparkSession, d: String,
+      iters: Int = KmIters): (DataFrame, DataFrame, Seq[Double]) = {
+    val KmIters = iters
     val (e0, cent0) = kmeansInputs(s, d)
     val e = Scratch.materialize(e0, "q59_e")
     var cent = cent0
@@ -736,6 +739,26 @@ object Similarity extends QueryModule {
        |FROM assign s LEFT JOIN semdups USING (vec_id)
        |ORDER BY s.vec_id""".stripMargin
 
+  /** IVF ANN over the TRAINED coarse quantizer (q88) — the production
+    * retrieval shape q37 stops short of: q37 probes deterministic SEED
+    * centroids (what its cross-engine oracle needs), while here q59's
+    * spherical k-means output becomes the quantizer, so the training
+    * stage demonstrably FEEDS retrieval (FAISS's IVF-after-kmeans
+    * build). Same audited probe plan as q37 — broadcast centroid model,
+    * one narrow assignment pass, hash-partitioned inverted lists, a
+    * query brute-forces only its NProbe lists. Rows-only BY DESIGN:
+    * trained centroids are float means (q59's rationale — low-bit
+    * partial-order dependence makes cross-engine hash parity
+    * impossible); the quality gate is AnnRecallSpec's recall floor
+    * ABOVE the seeded q37's, plus determinism via KMeansSpec.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val (_, trained, _) = kmeans(s, d)
+    ivfQuery(s, d, _ => trained.select(col("cid"),
+      col("cent").as("cent_emb"),
+      sqrt(dot(col("cent"), col("cent"))).as("cent_nrm")))
+  }
+
   /** K-means CERTIFICATE (q85) — the driver-verifiable projection of
     * the rows-only q59: float centroid means are partial-order-
     * dependent in the low bits, so the trained model can never hash
@@ -772,5 +795,6 @@ object Similarity extends QueryModule {
     CatalogEntry("q59_kmeans_train", q59, None),
     CatalogEntry("q70_semantic_dedup", q70, Some(q70Sql)),
     CatalogEntry("q85_kmeans_certificate", q85, Some(q85Sql)),
+    CatalogEntry("q88_ann_ivf_trained", q88, None),
   )
 }

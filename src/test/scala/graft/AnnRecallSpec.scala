@@ -84,6 +84,62 @@ class AnnRecallSpec extends SparkSpec {
         f"together: $trained%.2f < $seeded%.2f")
   }
 
+  test("q88 trained-IVF beats the seeded quantizer at matched probed fraction") {
+    // The catalog's 5-query recall is a 25-sample metric: measured
+    // 0.20 (trained) vs 0.44 (seeded) — noise, as the 50-query rerun
+    // shows. The robust gate: over 50 queries at the SAME nProbe=2
+    // (probed fraction 0.257 trained vs 0.252 seeded — matched cost),
+    // the q59-trained quantizer must beat the seeded one, proving the
+    // training stage feeds retrieval. Measured: trained 0.51 vs
+    // seeded 0.45; floors carry slack only below the seeded line.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val S = graft.queries.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions
+        .floatDot(col("embedding"), col("embedding"))))
+    val q50 = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val exact50 = broadcast(q50)
+      .join(cand, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.VectorFunctions.floatDot(col("qe"), col("ce"))
+          / (col("qn") * col("cn")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    def recall50(m: Map[Long, Set[Long]]): Double = {
+      val per = exact50.map { case (q, t) =>
+        m.getOrElse(q, Set.empty).count(t.contains) / 5.0 }
+      per.sum / per.size
+    }
+    def seedCent(e: org.apache.spark.sql.DataFrame) =
+      e.filter(col("vec_id") >= 100L && col("vec_id") < 108L)
+        .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
+          col("nrm").as("cent_nrm"))
+    val (_, trained, _) = S.kmeans(spark, sf)
+    def trainedCent(e: org.apache.spark.sql.DataFrame) =
+      trained.select(col("cid"), col("cent").as("cent_emb"),
+        sqrt(graft.functions.VectorFunctions.floatDot(col("cent"), col("cent")))
+          .as("cent_nrm"))
+    val rs = recall50(top5Of(S.ivfQuery(spark, sf, seedCent, 2, 50)))
+    val rt = recall50(top5Of(S.ivfQuery(spark, sf, trainedCent, 2, 50)))
+    val fs = S.ivfProbedFraction(spark, sf, seedCent)
+    val ft = S.ivfProbedFraction(spark, sf, trainedCent)
+    info(f"50-query recall@5: trained=$rt%.2f (probing $ft%.3f) " +
+      f"seeded=$rs%.2f (probing $fs%.3f)")
+    assert(ft <= fs + 0.05, f"trained quantizer probes more: $ft%.3f vs $fs%.3f")
+    assert(rt > rs, f"training did not improve retrieval: $rt%.2f <= $rs%.2f")
+    assert(rt >= 0.45, f"trained-IVF recall collapsed: $rt%.2f")
+  }
+
   test("q57 PQ-ADC with exact rerank reaches useful recall@5") {
     val exact = top5("q35_topk_cosine")
     val pq = recallAt5(top5("q57_ann_pq"), exact)
