@@ -38,7 +38,7 @@ object StreamPerf {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val ev = StreamingCurate.frozenEvalGrams(
+    val ev = StreamingCurate.frozenEvalIndex(
       docsDf.filter(col("doc_id") % 10 === 3)
         .select(col("doc_id"), col("text")))
     val cents = StreamingSemanticDedup.frozenCentroids(

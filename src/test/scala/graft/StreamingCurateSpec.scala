@@ -18,7 +18,7 @@ class StreamingCurateSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
 
     val docs = Tables.documents(sp, sf)
-    val ev = StreamingCurate.frozenEvalGrams(
+    val ev = StreamingCurate.frozenEvalIndex(
       docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"), col("text")))
     val all = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
@@ -57,7 +57,7 @@ class StreamingCurateSpec extends SparkSpec {
 
     // long enough to pass quality, no eval grams frozen (empty set)
     val body = ("the quick brown fox jumps over a lazy dog and " * 20).trim
-    val ev = sp.sparkContext.broadcast(Set.empty[String])
+    val ev = sp.sparkContext.broadcast(graft.streaming.EvalGramIndex.empty)
     val mem = MemoryStream[(Long, String)]
     val q = StreamingCurate.audit(mem.toDF().toDF("doc_id", "text"), ev)
       .writeStream.format("memory").queryName("curate_dup")
@@ -96,12 +96,108 @@ class StreamingCurateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EvalGramIndex: exact at 10x-shard scale, ~16 B/gram, distributed build agrees") {
+    val sp = spark
+    import sp.implicits._
+    // ~300k synthetic grams — an eval shard an order of magnitude past
+    // what a driver-collected Set[String] was comfortable with
+    val rnd = new scala.util.Random(7)
+    val present = (0 until 300000)
+      .map(i => s"tok${i} " + rnd.alphanumeric.take(24).mkString).toSet
+    val idx = graft.streaming.EvalGramIndex.ofStrings(present)
+    assert(idx.size == present.size)
+    // compactness: bloom bits + 16 B/gram — assert the per-gram weight
+    // stays below 24 B (a boxed Set entry is >100 B)
+    assert(idx.approxBytes / idx.size < 24,
+      s"index weighs ${idx.approxBytes / idx.size} B/gram")
+    // exactness both ways: every present gram found; absent grams that
+    // the bloom may pass are killed by the md5 confirm — NO false
+    // positives, unlike a bloom alone at fpp=0.03
+    present.take(5000).foreach(g => assert(idx.contains(g)))
+    (0 until 20000).foreach { i =>
+      assert(!idx.contains(s"absent${i} " + rnd.alphanumeric.take(24).mkString))
+    }
+    // the distributed build (Spark-side unhex(md5)) must agree with the
+    // driver-side build gram-for-gram on real eval-shard text
+    val evalDocs = Tables.documents(sp, sf)
+      .filter(col("doc_id") % 10 === 3).select(col("doc_id"), col("text"))
+    val dist = graft.streaming.StreamingCurate.frozenEvalIndex(evalDocs).value
+    val driver = graft.streaming.EvalGramIndex.ofStrings(
+      evalDocs.select(col("text")).as[String].collect()
+        .flatMap(t => graft.queries.Dedup.gramsOf(t, graft.queries.Dedup.DecontN))
+        .toSet)
+    assert(dist.size == driver.size, s"${dist.size} vs ${driver.size} grams")
+    val probe = Tables.documents(sp, sf).select(col("text")).as[String]
+      .head(50).flatMap(t =>
+        graft.queries.Dedup.gramsOf(t, graft.queries.Dedup.DecontN))
+    probe.foreach(g => assert(dist.contains(g) == driver.contains(g), g))
+  }
+
+  test("event-time audit: within-horizon converges, beyond-horizon straggler dropped, keeper evicts at watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val body = ("the quick brown fox jumps over a lazy dog and " * 20).trim
+    val other = ("many slow green turtles walk under the warm sun and " * 20).trim
+    val ev = sp.sparkContext.broadcast(graft.streaming.EvalGramIndex.empty)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingCurate.auditEventTime(
+        mem.toDF().toDF("doc_id", "text", "event_time"), ev,
+        java.time.Duration.ofSeconds(10))
+      .writeStream.format("memory").queryName("curate_et")
+      .outputMode("append").start()
+    def verdicts(): Map[Long, Seq[Int]] = {
+      val sp2 = sp
+      import sp2.implicits._
+      sp.table("curate_et").select("doc_id", "reasons")
+        .as[(Long, Int)].collect().toSeq
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    }
+    try {
+      // t=100: first sighting keeps; t=105 (within horizon): dup
+      mem.addData(Seq((10L, body, ts(100))))
+      q.processAllAvailable()
+      mem.addData(Seq((20L, body, ts(105))))
+      q.processAllAvailable()
+      val v1 = verdicts()
+      assert(v1(10L) == Seq(0) && v1(20L) == Seq(2))
+      // t=200 on OTHER content advances the watermark to 190 — far past
+      // the keeper's last sighting (105) + horizon (10)
+      mem.addData(Seq((30L, other, ts(200))))
+      q.processAllAvailable()
+      // next batch: the keeper times out (evicted). Trigger it with
+      // more OTHER content so the body group is untouched by data.
+      mem.addData(Seq((31L, other, ts(201))))
+      q.processAllAvailable()
+      // the same content re-arriving ABOVE the watermark is KEPT again
+      // (beyond-horizon re-admission — the MaxRollbackSlots trade)
+      mem.addData(Seq((40L, body, ts(203))))
+      q.processAllAvailable()
+      val v2 = verdicts()
+      assert(v2(40L) == Seq(0),
+        s"beyond-horizon copy must be kept again: ${v2(40L)}")
+      // a straggler BELOW the watermark (event time 50 << 190) is
+      // dropped before the stateful operator: no verdict at all
+      mem.addData(Seq((60L, body, ts(50))))
+      q.processAllAvailable()
+      val v3 = verdicts()
+      assert(!v3.contains(60L),
+        s"beyond-horizon straggler must be dropped, got ${v3.get(60L)}")
+      // within-horizon late data still converges: 41 shares 40's
+      // content, arrives later with a slightly older-but-valid time
+      mem.addData(Seq((41L, body, ts(202))))
+      q.processAllAvailable()
+      assert(verdicts()(41L) == Seq(2))
+    } finally q.stop()
+  }
+
   test("state TTL evicts idle keepers: a copy beyond the horizon is kept again") {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
     val body = ("the quick brown fox jumps over a lazy dog and " * 20).trim
-    val ev = sp.sparkContext.broadcast(Set.empty[String])
+    val ev = sp.sparkContext.broadcast(graft.streaming.EvalGramIndex.empty)
     val mem = MemoryStream[(Long, String)]
     val q = StreamingCurate.audit(mem.toDF().toDF("doc_id", "text"), ev,
         stateTtl = Some(java.time.Duration.ofMillis(500)))

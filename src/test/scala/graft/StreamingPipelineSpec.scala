@@ -29,7 +29,7 @@ class StreamingPipelineSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
 
     val docs = Tables.documents(sp, sf)
-    val ev = StreamingCurate.frozenEvalGrams(
+    val ev = StreamingCurate.frozenEvalIndex(
       docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"), col("text")))
     val all = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
@@ -90,7 +90,7 @@ class StreamingPipelineSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
 
     val docs = Tables.documents(sp, sf)
-    val ev = StreamingCurate.frozenEvalGrams(
+    val ev = StreamingCurate.frozenEvalIndex(
       docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"), col("text")))
     val all = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
