@@ -100,18 +100,38 @@ final class MockChainProvider(
     Some(Point(chain.last.hash, chain.last.slot))
 }
 
-/** Parquet-file provider: the deterministic offline backend reading block
-  * rows from a directory (the same files ChainIngest streams). Pull-based
-  * iteration through the common seam; the driver only ever holds one
-  * partition's iterator worth of blocks (`toLocalIterator`).
+/** File provider: the deterministic offline backend reading blocks from
+  * a directory (the same files ChainIngest streams). Two on-disk forms
+  * behind one seam:
+  *   - parquet block rows (this engine's generated chains);
+  *   - a directory of REAL Cardano `.cbor` blocks (the reference's
+  *     `TestData/Blocks` corpus shape) — read via Spark's
+  *     binaryFile source and decoded EXECUTOR-SIDE by [[CborBlock]],
+  *     so a 100 TB block archive decodes distributed, not on the
+  *     driver; undecodable files are skipped (the reference's
+  *     null-and-skip `MockChainSyncProvider.DiscoverAllBlocks`).
+  * Pull-based iteration through the common seam; the driver only ever
+  * holds one partition's iterator worth of blocks (`toLocalIterator`).
   */
 final class FileChainProvider(spark: SparkSession, blocksDir: String)
     extends ChainProvider {
 
+  private lazy val hasCbor: Boolean = {
+    val d = new java.io.File(blocksDir)
+    d.isDirectory && d.listFiles != null &&
+      d.listFiles.exists(_.getName.endsWith(".cbor"))
+  }
+
   private def sorted = {
     import spark.implicits._
-    spark.read.schema(Encoders.product[Block].schema).parquet(blocksDir)
-      .as[Block].sort("slot")
+    if (hasCbor)
+      spark.read.format("binaryFile").load(s"$blocksDir/*.cbor")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => CborBlock.decode(b).map(_._2))
+        .sort("slot")
+    else
+      spark.read.schema(Encoders.product[Block].schema).parquet(blocksDir)
+        .as[Block].sort("slot")
   }
 
   def startChainSync(candidates: Seq[Point]): Iterator[BlockEvent] = {
