@@ -98,17 +98,14 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     } finally if (restore) conn.setAutoCommit(saved)
   }
 
-  /** Quote an SQL identifier, validating it first: table/column names
-    * reach this class only from `TableDef`s, but one hostile name
-    * (embedded quote, control char) must fail loudly rather than be
-    * spliced into DDL/DML text.
+  /** The SQL dialect behind all generated DDL/type mapping
+    * ([[SqlDialect]]): Derby is the embedded runner; `postgres` emits
+    * the reference deployment's DDL (golden-pinned by SqlDialectSpec).
     */
-  private def q(ident: String): String = {
-    require(ident.nonEmpty && ident.length <= 128 &&
-      ident.forall(ch => ch.isLetterOrDigit || ch == '_'),
-      s"invalid SQL identifier: '$ident'")
-    "\"" + ident + "\""
-  }
+  private val dialect: SqlDialect = SqlDialect.forName(
+    spark.conf.getOption("graft.jdbc.dialect").getOrElse("derby"))
+
+  private def q(ident: String): String = dialect.quote(ident)
 
   // bootstrap the framework tables
   withConn { c =>
@@ -116,21 +113,14 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     val st = c.createStatement()
     try {
       if (!existing.contains("graft_commits"))
-        st.executeUpdate(
-          s"CREATE TABLE ${q("graft_commits")} (batch_id BIGINT PRIMARY KEY)")
+        st.executeUpdate(dialect.commitsDdl)
       if (!existing.contains("graft_checkpoints"))
-        st.executeUpdate(
-          s"""CREATE TABLE ${q("graft_checkpoints")}
-             | (reducer VARCHAR(128), hash VARCHAR(256), slot BIGINT)"""
-            .stripMargin.replace("\n", " "))
+        st.executeUpdate(dialect.checkpointsDdl)
       if (!existing.contains("graft_tables"))
         // per-table retraction column, persisted at first write: a later
         // rollback from a subset-registered runner must know every
         // table's slot column (same role as StateStore manifest slotCols)
-        st.executeUpdate(
-          s"""CREATE TABLE ${q("graft_tables")}
-             | (tbl VARCHAR(128) PRIMARY KEY, slot_col VARCHAR(128))"""
-            .stripMargin.replace("\n", " "))
+        st.executeUpdate(dialect.tablesDdl)
     } finally st.close()
   }
 
@@ -328,8 +318,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         Seq("_batch" -> s"ix_${table}_batch", slotCol -> s"ix_${table}_slot")
           .foreach { case (column, ix) =>
             val st = c.createStatement()
-            try st.executeUpdate(
-              s"CREATE INDEX ${q(ix)} ON ${q(table)} (${q(column)})")
+            try st.executeUpdate(dialect.createIndex(ix, table, Seq(column)))
             catch { case _: Exception => () }
             finally st.close()
           }
@@ -353,46 +342,11 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
 
   override def preferLocalOutputs: Boolean = driverCommit
 
-  // Derby DDL/JDBC type mapping. Strings are VARCHAR (Derby's max), NOT
-  // the CLOB Spark's Derby dialect picks: CLOB supports neither equality
-  // predicates nor indexes, which would bar the set-based in-database
-  // compaction DELETEs below (and the reference's own key columns are
-  // bounded hashes/addresses). Both commit modes create tables through
-  // `ensureTable`, so the mapping stays interchangeable.
-  private def sqlType(dt: DataType): String = dt match {
-    case StringType => "VARCHAR(32672)"
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case DoubleType => "DOUBLE"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case BinaryType => "BLOB"
-    case TimestampType => "TIMESTAMP"
-    case DateType => "DATE"
-    case ShortType | ByteType => "SMALLINT"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case other =>
-      throw new IllegalArgumentException(s"unsupported JDBC column type $other")
-  }
-
-  // setNull needs the REAL target type code: Derby rejects Types.NULL
-  // with SQLFeatureNotSupportedException ("data type 0 is not supported"),
-  // which would roll back any batch whose reducer output contains a null.
-  private def jdbcTypeCode(dt: DataType): Int = dt match {
-    case StringType => Types.VARCHAR
-    case LongType => Types.BIGINT
-    case IntegerType => Types.INTEGER
-    case DoubleType => Types.DOUBLE
-    case FloatType => Types.REAL
-    case BooleanType => Types.BOOLEAN
-    case BinaryType => Types.BLOB
-    case TimestampType => Types.TIMESTAMP
-    case DateType => Types.DATE
-    case ShortType | ByteType => Types.SMALLINT
-    case _: DecimalType => Types.DECIMAL
-    case other =>
-      throw new IllegalArgumentException(s"unsupported JDBC null type $other")
-  }
+  // DDL/JDBC type mapping lives in the dialect (see its doc for the
+  // Derby VARCHAR-not-CLOB and setNull rationales). Both commit modes
+  // create tables through `ensureTable`, so the mapping stays
+  // interchangeable.
+  private def jdbcTypeCode(dt: DataType): Int = dialect.jdbcTypeCode(dt)
 
   private def setParam(ps: PreparedStatement, idx: Int, dt: DataType,
       v: Any): Unit =
@@ -418,11 +372,8 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
   private def ensureTable(c: Connection, table: String,
       schema: StructType): Unit =
     if (!tableExists(table)) {
-      val cols = (schema.fields.map(f =>
-        s"${q(f.name)} ${sqlType(f.dataType)}") :+ s"${q("_batch")} BIGINT")
-        .mkString(", ")
       val st = c.createStatement()
-      try st.executeUpdate(s"CREATE TABLE ${q(table)} ($cols)")
+      try st.executeUpdate(dialect.createUserTable(table, schema))
       finally st.close()
       knownTables += table
       userTableCache += table
@@ -481,8 +432,8 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       keyCols: Seq[String]): Unit =
     if (!keyIndexed.contains(table)) {
       val st = c.createStatement()
-      try st.executeUpdate(s"CREATE INDEX ${q(s"ix_${table}_cmpkey")} " +
-        s"ON ${q(table)} (${keyCols.map(q).mkString(", ")})")
+      try st.executeUpdate(
+        dialect.createIndex(s"ix_${table}_cmpkey", table, keyCols))
       catch { case _: Exception => () }
       finally st.close()
       keyIndexed += table
