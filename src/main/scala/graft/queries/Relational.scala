@@ -504,6 +504,49 @@ object Relational extends QueryModule {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** FUZZY record linkage (q90) — approximate-match join: part names
+    * within Levenshtein distance ≤ 2, the classic entity-resolution /
+    * catalog-reconciliation operator this engine's exact joins don't
+    * cover. Blocking IS the operator's semantics (as in q31): candidate
+    * pairs must share (⌊len/4⌋, first char), so work is
+    * Σ(block²) — never the corpus cartesian — and the same blocking is
+    * stated in the oracle. The Spark side computes the distance with
+    * the codegen'd THRESHOLDED `levenshtein(a, b, 2)` kernel (banded
+    * DP, early-exit at distance 3 — O(len·k) not O(len²) per pair,
+    * the hot-path win at scale); `-1` (over threshold) filters before
+    * anything leaves the join stage. At 100 TB the blocks hash across
+    * the cluster and per-block skew is bounded by the key design
+    * (length × leading char), the measured q31 discipline.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey").as("k"), lower(col("p_name")).as("n"))
+      .withColumn("blk_len", floor(length(col("n")) / 4))
+      .withColumn("blk_c", substring(col("n"), 1, 1))
+    val a = p.select(col("k").as("a_key"), col("n").as("a_name"),
+      col("blk_len"), col("blk_c"))
+    val b = p.select(col("k").as("b_key"), col("n").as("b_name"),
+      col("blk_len"), col("blk_c"))
+    a.join(b, Seq("blk_len", "blk_c"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+      .filter(col("dist") >= 0)
+      .select(col("a_key"), col("b_key"), col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  private val q90Sql =
+    """WITH p AS (
+      |  SELECT p_partkey AS k, lower(p_name) AS n,
+      |    length(p_name) // 4 AS blk_len, substr(lower(p_name), 1, 1) AS blk_c
+      |  FROM part)
+      |SELECT a.k AS a_key, b.k AS b_key,
+      |  CAST(levenshtein(a.n, b.n) AS INT) AS dist
+      |FROM p a JOIN p b
+      |  ON a.blk_len = b.blk_len AND a.blk_c = b.blk_c AND a.k < b.k
+      |WHERE levenshtein(a.n, b.n) <= 2
+      |ORDER BY a_key, b_key""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
     CatalogEntry("q02_filter_project", q02, Some(q02Sql)),
@@ -526,5 +569,6 @@ object Relational extends QueryModule {
     CatalogEntry("q19_promo_ratio", q19, Some(q19Sql)),
     CatalogEntry("q29_percentiles", q29, Some(q29Sql)),
     CatalogEntry("q49_bucketed_join", q49, Some(q49Sql)),
+    CatalogEntry("q90_fuzzy_link", q90, Some(q90Sql)),
   )
 }

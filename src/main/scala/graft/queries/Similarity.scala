@@ -787,6 +787,64 @@ object Similarity extends QueryModule {
        |  TRUE AS improved
        |ORDER BY round""".stripMargin
 
+  /** Semantic threshold for eval-vs-train EMBEDDING contamination
+    * (q89): data-calibrated for the synthetic corpus, where the
+    * train-side max-cos-to-eval distribution tops out at ~0.45
+    * (p99 ≈ 0.40) — high enough that only genuine geometric neighbors
+    * of the held-out shard flag, low enough to be non-vacuous.
+    */
+  private[graft] val CosDecontTau = 0.40
+
+  /** SEMANTIC decontamination (q89) — the third leg of the
+    * decontamination family: q54 removes exact lexical overlap, q80
+    * scales that with a Bloom prune, and this flags train items whose
+    * EMBEDDING sits ≥ τ cosine from ANY held-out eval item — the
+    * paraphrase leak the lexical legs cannot see (the reason modern
+    * pipelines decontaminate in embedding space as well).
+    *
+    * Shape: the eval shard (vec_id ≡ 3 mod 10 — the q54/q79
+    * convention) is BROADCAST with pre-computed norms; the corpus side
+    * streams through one narrow pass of codegen'd FloatDot kernels;
+    * partial-aggregation (max) collapses each train vector's eval
+    * comparisons MAP-SIDE, so the only shuffle is one
+    * (vec_id, max_cos) row per train vector. At 100 TB: the corpus
+    * never re-partitions and never carries embeddings through an
+    * exchange — work is |train|·|eval| kernel calls, the exact-answer
+    * floor; past broadcastable eval shards the approximate path is
+    * q88's trained-IVF probe (assign both sides, bound the max within
+    * probed cells), traded as recall-vs-cost like any ANN query.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val ev = e.filter(col("vec_id") % 10 === 3)
+      .select(col("embedding").as("ev_emb"), col("nrm").as("ev_nrm"))
+    e.filter(col("vec_id") % 10 =!= 3)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("ev_emb")) / (col("nrm") * col("ev_nrm")))
+          .as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(round(max(col("cos")), 4).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= CosDecontTau)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q89Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ev AS (SELECT embedding AS ev_emb, nrm AS ev_nrm
+       |       FROM e WHERE vec_id % 10 = 3),
+       |mx AS (
+       |  SELECT t.vec_id,
+       |    round(max(${dotSql("t.embedding", "ev_emb")} /
+       |      (t.nrm * ev_nrm)), 4) AS max_cos
+       |  FROM e t CROSS JOIN ev WHERE t.vec_id % 10 <> 3
+       |  GROUP BY t.vec_id)
+       |SELECT vec_id, max_cos, max_cos >= $CosDecontTau AS contaminated
+       |FROM mx ORDER BY vec_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
@@ -796,5 +854,6 @@ object Similarity extends QueryModule {
     CatalogEntry("q70_semantic_dedup", q70, Some(q70Sql)),
     CatalogEntry("q85_kmeans_certificate", q85, Some(q85Sql)),
     CatalogEntry("q88_ann_ivf_trained", q88, None),
+    CatalogEntry("q89_semantic_decontaminate", q89, Some(q89Sql)),
   )
 }

@@ -50,10 +50,40 @@ object ChainIngest {
     // and trim to the graph-safe slot before any batch flows.
     try runner.reconcileStartup()
     catch { case e: Throwable => lock.close(); throw e }
-    val reader = spark.readStream.schema(blockSchema)
-    val src = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(blocksDir)
+    // Wire-format switch, mirroring FileChainProvider: a directory of
+    // real `.cbor` blocks streams through the binaryFile source with
+    // EXECUTOR-SIDE CborBlock decode (undecodable files skip — the
+    // reference's null-and-skip), parquet block rows otherwise. Either
+    // way the micro-batch carries the same Block schema downstream.
+    val hasCbor = {
+      val d = new java.io.File(blocksDir)
+      d.isDirectory && d.listFiles != null &&
+        d.listFiles.exists(_.getName.endsWith(".cbor"))
+    }
+    val src =
+      if (hasCbor) {
+        import spark.implicits._
+        import org.apache.spark.sql.types._
+        // binaryFile's fixed schema, stated explicitly (streaming file
+        // sources don't self-describe)
+        val binSchema = StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType)))
+        val r = spark.readStream.format("binaryFile").schema(binSchema)
+        maxFilesPerTrigger
+          .fold(r)(n => r.option("maxFilesPerTrigger", n))
+          .load(s"$blocksDir/*.cbor")
+          .select(col("content")).as[Array[Byte]]
+          .flatMap(b => graft.sources.CborBlock.decode(b).map(_._2))
+          .toDF()
+      } else {
+        val reader = spark.readStream.schema(blockSchema)
+        maxFilesPerTrigger
+          .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+          .parquet(blocksDir)
+      }
     val query =
       try {
         src.writeStream

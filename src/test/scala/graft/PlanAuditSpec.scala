@@ -437,4 +437,24 @@ class PlanAuditSpec extends SparkSpec {
         case other => fail(s"embedding exchange not hash-partitioned: $other")
       })
   }
+
+  test("q89: eval shard broadcasts; corpus max collapses map-side before the only row shuffle") {
+    val s = planString("q89_semantic_decontaminate")
+    // the eval fan-out must be a broadcast of THAT side, never a
+    // shuffled cartesian of the corpus
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // partial max before the exchange: per-vector eval comparisons
+    // never cross the wire individually
+    assert(s.contains("partial_max") || s.contains("partial max") ||
+      "HashAggregate.*max".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("q90: fuzzy link is an equi-join on the blocking key, never a cartesian") {
+    val s = planString("q90_fuzzy_link")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+  }
 }
