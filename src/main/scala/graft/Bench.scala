@@ -24,7 +24,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-rep unpersist of locally-checkpointed
+    // scratch RDDs emits a WARN per rep; with stdout+stderr captured
+    // together by the harness, those lines can push the JSON line out
+    // of the 2000-char tail the driver parses (BENCH_r05 recorded
+    // "parsed": null with a WARN line AS the tail for exactly this
+    // reason).
+    spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_SCRATCH_DIR: route Scratch.materialize through parquet
     // instead of localCheckpoint (the cluster mode) — the A/B knob for
     // attributing block-manager-pinning GC tails vs filesystem cost
@@ -92,7 +98,11 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"sf":"$sfDir","reps":$reps,"queries":$detail}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    // stop FIRST, print LAST: anything Spark logs during shutdown must
+    // land before the one JSON line the driver tail-parses, never after
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    System.out.flush()
   }
 }

@@ -507,45 +507,59 @@ object Relational extends QueryModule {
   /** FUZZY record linkage (q90) — approximate-match join: part names
     * within Levenshtein distance ≤ 2, the classic entity-resolution /
     * catalog-reconciliation operator this engine's exact joins don't
-    * cover. Blocking IS the operator's semantics (as in q31): candidate
-    * pairs must share (⌊len/4⌋, first char), so work is
-    * Σ(block²) — never the corpus cartesian — and the same blocking is
-    * stated in the oracle. The Spark side computes the distance with
-    * the codegen'd THRESHOLDED `levenshtein(a, b, 2)` kernel (banded
-    * DP, early-exit at distance 3 — O(len·k) not O(len²) per pair,
-    * the hot-path win at scale); `-1` (over threshold) filters before
-    * anything leaves the join stage. At 100 TB the blocks hash across
-    * the cluster and per-block skew is bounded by the key design
-    * (length × leading char), the measured q31 discipline.
+    * cover. The SCALE-CORRECT shape links DISTINCT VALUES, not row
+    * pairs: rows collapse to (name, members, canonical key) first — a
+    * map-side-combined aggregate — and the quadratic comparison runs
+    * over the distinct-name relation, whose size grows sublinearly
+    * with the corpus (Heaps-law vocabulary, 64 names at every sf of
+    * this testdata) while row-pair output would grow as corpus². Each
+    * surviving pair carries both sides' member counts, so row-level
+    * linkage is a keys-only semi-join away when a consumer wants it.
+    *
+    * Blocking IS the operator's semantics (as in q31): candidate name
+    * pairs must share (⌊len/4⌋, first char), stated identically in the
+    * oracle. Distances use Spark's THRESHOLDED `levenshtein(a, b, 2)`
+    * kernel (banded DP, early exit at distance 3 — O(len·k) not
+    * O(len²) per pair); `-1` (over threshold) filters inside the join
+    * stage, so only real matches ever leave it.
     */
   private def q90(s: SparkSession, d: String): DataFrame = {
-    val p = Tables.part(s, d)
+    val names = Tables.part(s, d)
       .select(col("p_partkey").as("k"), lower(col("p_name")).as("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("members"), min(col("k")).as("canon"))
       .withColumn("blk_len", floor(length(col("n")) / 4))
       .withColumn("blk_c", substring(col("n"), 1, 1))
-    val a = p.select(col("k").as("a_key"), col("n").as("a_name"),
-      col("blk_len"), col("blk_c"))
-    val b = p.select(col("k").as("b_key"), col("n").as("b_name"),
-      col("blk_len"), col("blk_c"))
+    val a = names.select(col("n").as("a_name"), col("members").as("a_members"),
+      col("canon").as("a_canon"), col("blk_len"), col("blk_c"))
+    val b = names.select(col("n").as("b_name"), col("members").as("b_members"),
+      col("canon").as("b_canon"), col("blk_len"), col("blk_c"))
     a.join(b, Seq("blk_len", "blk_c"))
-      .filter(col("a_key") < col("b_key"))
+      .filter(col("a_name") < col("b_name"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
       .filter(col("dist") >= 0)
-      .select(col("a_key"), col("b_key"), col("dist"))
-      .orderBy(col("a_key"), col("b_key"))
+      .select(col("a_name"), col("b_name"), col("dist"),
+        col("a_members"), col("b_members"), col("a_canon"), col("b_canon"))
+      .orderBy(col("a_name"), col("b_name"))
   }
 
   private val q90Sql =
-    """WITH p AS (
-      |  SELECT p_partkey AS k, lower(p_name) AS n,
-      |    length(p_name) // 4 AS blk_len, substr(lower(p_name), 1, 1) AS blk_c
-      |  FROM part)
-      |SELECT a.k AS a_key, b.k AS b_key,
-      |  CAST(levenshtein(a.n, b.n) AS INT) AS dist
-      |FROM p a JOIN p b
-      |  ON a.blk_len = b.blk_len AND a.blk_c = b.blk_c AND a.k < b.k
+    """WITH names AS (
+      |  SELECT lower(p_name) AS n, COUNT(*) AS members,
+      |    MIN(p_partkey) AS canon
+      |  FROM part GROUP BY lower(p_name)),
+      |blocked AS (
+      |  SELECT n, members, canon,
+      |    length(n) // 4 AS blk_len, substr(n, 1, 1) AS blk_c
+      |  FROM names)
+      |SELECT a.n AS a_name, b.n AS b_name,
+      |  CAST(levenshtein(a.n, b.n) AS INT) AS dist,
+      |  a.members AS a_members, b.members AS b_members,
+      |  a.canon AS a_canon, b.canon AS b_canon
+      |FROM blocked a JOIN blocked b
+      |  ON a.blk_len = b.blk_len AND a.blk_c = b.blk_c AND a.n < b.n
       |WHERE levenshtein(a.n, b.n) <= 2
-      |ORDER BY a_key, b_key""".stripMargin
+      |ORDER BY a_name, b_name""".stripMargin
 
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
