@@ -561,6 +561,90 @@ object Relational extends QueryModule {
       |WHERE levenshtein(a.n, b.n) <= 2
       |ORDER BY a_name, b_name""".stripMargin
 
+  /** PIVOT (q91) — wide-format reshaping with an EXPLICIT value list:
+    * per-month order counts spread across the five priority columns.
+    * The explicit list is the scale discipline Spark's own API pushes
+    * (pivot without values triggers a driver-side distinct scan).
+    * Catalyst plans this as two aggregates: the corpus collapses
+    * map-side to (month, priority) counts FIRST — the only
+    * corpus-scale stage — and pivotfirst then reshapes the already
+    * group-sized relation, so the wide output costs one partial-
+    * aggregated pass over the data plus a shuffle of |groups| rows
+    * (both pinned by PlanAuditSpec). Value-equivalent to the oracle's
+    * FILTERed counts.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority"))
+      .groupBy(col("month"))
+      .pivot("o_orderpriority", pris)
+      .agg(count(lit(1)))
+      .toDF("month", "n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+      .select(col("month") +: Seq("n_urgent", "n_high", "n_medium",
+        "n_notspec", "n_low").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy(col("month"))
+  }
+
+  private val q91Sql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  COUNT(*) FILTER (WHERE o_orderpriority='1-URGENT') AS n_urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority='2-HIGH') AS n_high,
+      |  COUNT(*) FILTER (WHERE o_orderpriority='3-MEDIUM') AS n_medium,
+      |  COUNT(*) FILTER (WHERE o_orderpriority='4-NOT SPECIFIED') AS n_notspec,
+      |  COUNT(*) FILTER (WHERE o_orderpriority='5-LOW') AS n_low
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
+  /** Time-series RESAMPLE + GAP FILL (q92): per-priority daily order
+    * counts on a complete calendar grid — absent days materialize as
+    * zero, and `last_seen` forward-fills the latest observation
+    * (`last(_, ignoreNulls)` over a per-key ordered frame). The scale
+    * shape: the calendar spine is tiny and BROADCAST against the
+    * distinct-key relation; the observation join is a keyed left join;
+    * and the fill window partitions BY KEY, so at 100 TB each series
+    * sorts within its own shard — a GLOBAL single-series window (the
+    * naive spelling) would funnel the grid through one partition.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val grid = daily.select(col("pri")).distinct()
+      .crossJoin(broadcast(cal))
+    val w = Window.partitionBy(col("pri")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("pri", "day"), "left")
+      .select(col("pri"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_filled"),
+        coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L))
+          .as("last_seen"))
+      .orderBy(col("pri"), col("day"))
+  }
+
+  private val q92Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    CAST((SELECT min(day) FROM daily) AS TIMESTAMP),
+      |    CAST((SELECT max(day) FROM daily) AS TIMESTAMP),
+      |    INTERVAL 1 DAY)) AS DATE) AS day),
+      |grid AS (SELECT cal.day, p.pri
+      |         FROM cal CROSS JOIN (SELECT DISTINCT pri FROM daily) p)
+      |SELECT g.pri AS pri, g.day AS day, COALESCE(d.n, 0) AS n_filled,
+      |  COALESCE(LAST_VALUE(d.n IGNORE NULLS) OVER (
+      |    PARTITION BY g.pri ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS last_seen
+      |FROM grid g LEFT JOIN daily d ON g.pri = d.pri AND g.day = d.day
+      |ORDER BY pri, day""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
     CatalogEntry("q02_filter_project", q02, Some(q02Sql)),
@@ -584,5 +668,7 @@ object Relational extends QueryModule {
     CatalogEntry("q29_percentiles", q29, Some(q29Sql)),
     CatalogEntry("q49_bucketed_join", q49, Some(q49Sql)),
     CatalogEntry("q90_fuzzy_link", q90, Some(q90Sql)),
+    CatalogEntry("q91_pivot", q91, Some(q91Sql)),
+    CatalogEntry("q92_gapfill", q92, Some(q92Sql)),
   )
 }

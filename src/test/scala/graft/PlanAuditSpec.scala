@@ -450,6 +450,27 @@ class PlanAuditSpec extends SparkSpec {
       "HashAggregate.*max".r.findAllIn(s).size >= 2, s)
   }
 
+  test("q91: pivot shuffles aggregate state only — corpus rows never reach the pivot exchange") {
+    val s = planString("q91_pivot")
+    // Spark plans pivot as TWO aggregates: corpus → (month, pri) counts
+    // (partial_count BEFORE its exchange — the corpus-scale stage),
+    // then pivotfirst over the already-tiny group relation. The audit
+    // pins both: map-side combine on the wide stage, and the single
+    // count(1) pass (five pivot columns must not become five scans).
+    assert(s.contains("partial_count"), s)
+    assert(s.contains("partial_pivotfirst"), s)
+    assert("FileScan".r.findAllIn(s).size == 1,
+      s"pivot must read the table once:\n$s")
+  }
+
+  test("q92: forward-fill window partitions BY KEY, never one global series") {
+    val s = planString("q92_gapfill")
+    assert(s.contains("windowspecdefinition(pri#"),
+      s"fill window must partition by pri:\n$s")
+    // the calendar spine rides a broadcast, not a shuffle of the grid
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+  }
+
   test("q90: fuzzy link is an equi-join on the blocking key, never a cartesian") {
     val s = planString("q90_fuzzy_link")
     assert(!s.contains("CartesianProduct") &&
