@@ -645,6 +645,74 @@ object Relational extends QueryModule {
       |FROM grid g LEFT JOIN daily d ON g.pri = d.pri AND g.day = d.day
       |ORDER BY pri, day""".stripMargin
 
+  /** PageRank (q93) — iterative GRAPH analytics beyond q39's connected
+    * components: influence ranking over the customer–supplier bipartite
+    * graph (distinct trade edges from orders⋈lineitem, symmetrized).
+    * Arithmetic is INTEGER FIXED-POINT — ranks in millionths, damping
+    * as (rank·85) div (deg·100), teleport 0.15·SCALE — because float
+    * power iteration can never hash cross-engine (partial-order sums)
+    * while integral division and integral sums are exact in both
+    * engines: the q74 log2-quantization discipline applied to an
+    * iterative kernel. Ten fixed rounds; the oracle is the SAME
+    * recurrence as ten generated CTE layers.
+    *
+    * Scale shape: each round is ONE hash join of the edge relation
+    * against the current rank vector plus a partial-aggregated inflow
+    * shuffle — both keyed on node id — and each round's vector is
+    * materialized (Scratch) so lineage stays flat, the q39 discipline.
+    * Rank rows are (long, long); edges carry no payload. At 100 TB the
+    * edge relation partitions once by src and every iteration reuses
+    * that partitioning.
+    */
+  private val PrScale = 1000000L
+  private val PrIters = 10
+
+  /** The iteration kernel over a directed edge list `(a, b)` (callers
+    * symmetrize if undirected). Exposed for PageRankSpec's synthetic-
+    * graph properties.
+    */
+  private[graft] def pageRankInt(e0: DataFrame, iters: Int = PrIters): DataFrame = {
+    val edges = Scratch.materialize(
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))), "pr_edges")
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val degE = Scratch.materialize(edges.join(deg, "a"), "pr_edges_deg")
+    var ranks = Scratch.materialize(
+      deg.select(col("a").as("node"), lit(PrScale).as("rank")), "pr_r0")
+    for (i <- 1 to iters) {
+      val next = degE.join(ranks, degE("a") === ranks("node"))
+        .select(col("b"), expr("(rank * 85) div (deg * 100)").as("c"))
+        .groupBy(col("b"))
+        .agg((lit(15L * PrScale / 100) + sum(col("c"))).as("rank"))
+        .select(col("b").as("node"), col("rank"))
+      ranks = Scratch.materialize(next, s"pr_r${i % 2 + 1}")
+    }
+    ranks.orderBy(col("node"))
+  }
+
+  private def q93(s: SparkSession, d: String): DataFrame =
+    pageRankInt(Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct())
+
+  private val q93Sql = {
+    val layers = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.b AS node,
+         |    CAST(${15L * PrScale / 100} + SUM((r.rank * 85) // (d.deg * 100)) AS BIGINT) AS rank
+         |  FROM edges e JOIN deg d ON e.a = d.a JOIN r${i - 1} r ON e.a = r.node
+         |  GROUP BY e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+       |r0 AS (SELECT a AS node, CAST($PrScale AS BIGINT) AS rank FROM deg),
+       |$layers
+       |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
     CatalogEntry("q02_filter_project", q02, Some(q02Sql)),
@@ -670,5 +738,6 @@ object Relational extends QueryModule {
     CatalogEntry("q90_fuzzy_link", q90, Some(q90Sql)),
     CatalogEntry("q91_pivot", q91, Some(q91Sql)),
     CatalogEntry("q92_gapfill", q92, Some(q92Sql)),
+    CatalogEntry("q93_pagerank", q93, Some(q93Sql)),
   )
 }
