@@ -845,6 +845,80 @@ object Similarity extends QueryModule {
        |SELECT vec_id, max_cos, max_cos >= $CosDecontTau AS contaminated
        |FROM mx ORDER BY vec_id""".stripMargin
 
+  /** HYBRID retrieval (q94) — reciprocal-rank fusion of the lexical and
+    * vector legs, the RAG-era serving operator: BM25 (q47's scored
+    * relation, same fixed query) and cosine-to-query-embedding (vec 0)
+    * each produce a top-`FuseTopK` list via TakeOrdered, and the two
+    * lists fuse by RRF. Fusion arithmetic is INTEGER (contribution =
+    * SCALE div (60 + rank)) so the fused order is bit-exact in both
+    * engines — the q93 fixed-point discipline.
+    *
+    * Scale shape: each leg ends in TakeOrderedAndProject (never a
+    * global sort materialization); ranks are then assigned by a window
+    * over ≤ FuseTopK rows — bounded by a constant, not the corpus —
+    * and the fusion join is two 100-row lists. This is exactly how
+    * distributed RRF serves in practice: fuse top-K lists, never
+    * full rankings.
+    */
+  private val RrfK = 60L
+  private val RrfScale = 1000000L
+  private val FuseTopK = 100
+
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val lex = TextAnalysis.bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(FuseTopK)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val e = withNorm(Tables.embeddings(s, d))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+      .select(col("vec_id").as("doc_id"),
+        round(dot(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("q_nrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(FuseTopK)
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + r_lex)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + r_vec)"), lit(0L))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+  }
+
+  private val q94Sql =
+    s"""WITH ${TextAnalysis.bm25SqlCtes},
+       |lex AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM (SELECT doc_id, bm25 FROM bm
+       |        ORDER BY bm25 DESC, doc_id LIMIT $FuseTopK)),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q0 AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |vec0 AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    round(${dotSql("e.embedding", "q_emb")} / (e.nrm * q_nrm), 4) AS cos
+       |  FROM e CROSS JOIN q0 WHERE e.vec_id <> 0),
+       |vec AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+       |  FROM (SELECT doc_id, cos FROM vec0
+       |        ORDER BY cos DESC, doc_id LIMIT $FuseTopK)),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    CAST(COALESCE($RrfScale // ($RrfK + r_lex), 0) +
+       |         COALESCE($RrfScale // ($RrfK + r_vec), 0) AS BIGINT) AS rrf
+       |  FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, rrf,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS fused_rank
+       |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+       |ORDER BY fused_rank""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
@@ -855,5 +929,6 @@ object Similarity extends QueryModule {
     CatalogEntry("q85_kmeans_certificate", q85, Some(q85Sql)),
     CatalogEntry("q88_ann_ivf_trained", q88, None),
     CatalogEntry("q89_semantic_decontaminate", q89, Some(q89Sql)),
+    CatalogEntry("q94_hybrid_rrf", q94, Some(q94Sql)),
   )
 }

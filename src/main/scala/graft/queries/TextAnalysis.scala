@@ -348,7 +348,15 @@ object TextAnalysis extends QueryModule {
     */
   private val BmQuery = Seq("hash", "join", "merge")
 
-  private def q47(s: SparkSession, d: String): DataFrame = {
+  private def q47(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+
+  /** The full scored relation behind q47 (every doc matching ≥1 query
+    * term, with its rounded BM25) — exposed for q94's hybrid fusion.
+    */
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
@@ -371,16 +379,17 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"),
         round(BmQuery.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 4)
           .as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(10)
   }
 
-  private val q47Sql = {
+  /** q47's CTE body up to the scored relation — shared with q94's
+    * hybrid-fusion oracle.
+    */
+  private[graft] val bm25SqlCtes = {
     val terms = BmQuery.map(t => s"'$t'").mkString(", ")
     val fixedSum = BmQuery.map(t =>
       s"COALESCE(MAX(CASE WHEN w = '$t' THEN s END), CAST(0 AS DOUBLE))")
       .mkString(" + ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |  FROM documents),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
@@ -394,11 +403,16 @@ object TextAnalysis extends QueryModule {
        |      (tf.tf + CAST(0.3 AS DOUBLE) + CAST(0.9 AS DOUBLE) *
        |        (CAST(dl.dl * corpus.n_docs AS DOUBLE) /
        |          CAST(corpus.tot_tokens AS DOUBLE))) AS s
-       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus)
-       |SELECT doc_id, round($fixedSum, 4) AS bm25
-       |FROM scored GROUP BY doc_id
-       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
+       |bm AS (
+       |  SELECT doc_id, round($fixedSum, 4) AS bm25
+       |  FROM scored GROUP BY doc_id)""".stripMargin
   }
+
+  private val q47Sql =
+    s"""WITH $bm25SqlCtes
+       |SELECT doc_id, bm25 FROM bm
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
   /** Repeated-content quality signals (q53) — the Gopher-style repetition
     * filters of a curation pipeline: per-document duplicate-word fraction

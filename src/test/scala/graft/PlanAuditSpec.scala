@@ -471,6 +471,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
   }
 
+  test("q94: both retrieval legs end in TakeOrdered; rank windows see only the top-K lists") {
+    val s = planString("q94_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(s).size >= 2,
+      s"each leg must cap via TakeOrdered, not a global sort:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q90: fuzzy link is an equi-join on the blocking key, never a cartesian") {
     val s = planString("q90_fuzzy_link")
     assert(!s.contains("CartesianProduct") &&
