@@ -1,0 +1,371 @@
+package graft.sources
+
+import graft.core._
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+
+/** A real TCP bearer for the chain-sync seam — the part of the
+  * reference's N2N source (`Providers/N2NProvider.cs:89-215`) that every
+  * prior round had to leave as "environment-bound": there is no Cardano
+  * node to dial offline, but there IS a loopback, so the protocol itself
+  * — framing, intersection negotiation, server-driven rollbacks, and
+  * genuine REQUEST PIPELINING with the adaptive depth window — runs over
+  * an actual socket here and is spec-pinned end to end.
+  *
+  * Wire format (from the PUBLIC ouroboros-network chain-sync CDDL — the
+  * message constructor indices and point shape are the spec's own;
+  * framing is simplified to one 4-byte big-endian length prefix per CBOR
+  * message in place of the full mux, which multiplexes many
+  * mini-protocols this engine doesn't carry):
+  *
+  *   msgRequestNext      = [0]
+  *   msgAwaitReply       = [1]
+  *   msgRollForward      = [2, blockBytes, tip]   ; tag-24-wrapped CBOR
+  *   msgRollBackward     = [3, point, tip]
+  *   msgFindIntersect    = [4, [point+]]
+  *   msgIntersectFound   = [5, point, tip]
+  *   msgIntersectNotFound= [6, tip]
+  *   point               = [] / [slot, hash-bytes] ; [] = origin
+  *
+  * Blocks ride as REAL CBOR ([[CborBlock]]); rollback points map to
+  * engine events exactly as `ArgusUtil.RollBackwardResponse` does:
+  * specific point ⇒ Exclusive (the point itself survives), origin ⇒
+  * Inclusive at slot 0.
+  */
+object ChainSyncWire {
+  val MsgRequestNext = 0L
+  val MsgAwaitReply = 1L
+  val MsgRollForward = 2L
+  val MsgRollBackward = 3L
+  val MsgFindIntersect = 4L
+  val MsgIntersectFound = 5L
+  val MsgIntersectNotFound = 6L
+
+  def writeFrame(out: DataOutputStream, payload: Array[Byte]): Unit = {
+    out.writeInt(payload.length)
+    out.write(payload)
+  }
+
+  def readFrame(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    require(n >= 0 && n <= 64 * 1024 * 1024, s"frame length $n")
+    val buf = new Array[Byte](n)
+    in.readFully(buf)
+    buf
+  }
+
+  def pointCbor(w: CborWriter, p: Option[Point]): Unit = p match {
+    case None => w.arrayHeader(0) // origin
+    case Some(pt) =>
+      w.arrayHeader(2)
+      w.uint(pt.slot)
+      w.bytes(unhex(pt.hash))
+  }
+
+  def readPoint(r: CborReader): Option[Point] =
+    r.readArrayHeader() match {
+      case 0 => None
+      case 2 =>
+        val slot = r.readUInt()
+        val hash = hex(r.readBytes())
+        Some(Point(hash, slot))
+      case n => throw new IllegalArgumentException(s"point arity $n")
+    }
+
+  private[sources] def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Hashes on this wire are the CONTENT-DERIVED hex digests real CBOR
+    * blocks carry (BLAKE2b-256) — a non-hex id has no place in the
+    * protocol and fails loudly here.
+    */
+  private[sources] def unhex(s: String): Array[Byte] = {
+    require(s.length % 2 == 0 && s.forall(c => Character.digit(c, 16) >= 0),
+      s"point hash must be hex: '$s'")
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < s.length) {
+      out(i / 2) = Integer.parseInt(s.substring(i, i + 2), 16).toByte
+      i += 2
+    }
+    out
+  }
+}
+
+/** What the server replays after the negotiated intersection. */
+sealed trait ServedEvent
+final case class ServeForward(wire: Array[Byte], block: Block) extends ServedEvent
+final case class ServeBack(point: Point) extends ServedEvent
+
+/** Loopback chain-sync SERVER — the node side of the protocol, built for
+  * the spec: it knows the canonical chain (intersection negotiation +
+  * tip), replays a script (default: roll the whole chain forward), and
+  * RECORDS the high-water mark of pipelined-but-unanswered RequestNexts
+  * so the client's adaptive pipelining is observable, not assumed.
+  */
+final class ChainSyncServer(
+    chain: Seq[(Array[Byte], Block)],
+    script: Option[Seq[ServedEvent]] = None) {
+  import ChainSyncWire._
+
+  require(chain.nonEmpty, "server needs a non-empty chain")
+  private val server =
+    new ServerSocket(0, 4, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  @volatile var maxInflight: Int = 0
+  @volatile private var running = true
+
+  private val bySlot = chain.map { case (_, b) => b.slot -> b.hash }.toMap
+  private def tipPoint = Point(chain.last._2.hash, chain.last._2.slot)
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "chainsync-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () }
+    }
+  }, "chainsync-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = {
+    running = false
+    server.close()
+  }
+
+  private def handle(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    var events: Seq[ServedEvent] = Seq.empty
+    var cursor = 0
+    var pendingRollback: Option[Option[Point]] = None
+    var pendingRequests = 0
+
+    def tipTo(w: CborWriter): Unit = pointCbor(w, Some(tipPoint))
+
+    def respondOne(): Unit = {
+      val w = new CborWriter
+      pendingRollback match {
+        case Some(p) =>
+          w.arrayHeader(3); w.uint(MsgRollBackward)
+          pointCbor(w, p); tipTo(w)
+          pendingRollback = None
+        case None if cursor < events.size =>
+          events(cursor) match {
+            case ServeForward(wire, _) =>
+              w.arrayHeader(3); w.uint(MsgRollForward)
+              w.bytes(wire); tipTo(w)
+            case ServeBack(p) =>
+              w.arrayHeader(3); w.uint(MsgRollBackward)
+              pointCbor(w, Some(p)); tipTo(w)
+          }
+          cursor += 1
+        case None =>
+          w.arrayHeader(1); w.uint(MsgAwaitReply)
+      }
+      writeFrame(out, w.result())
+    }
+
+    try {
+      var open = true
+      while (open) {
+        val frame = readFrame(in)
+        val r = new CborReader(frame)
+        r.readArrayHeader()
+        r.readUInt() match {
+          case MsgFindIntersect =>
+            val n = r.readArrayHeader()
+            val candidates = (0 until n).map(_ => readPoint(r))
+            // newest-first validation against the canonical chain —
+            // exactly the N2CProvider walk the mock provider pins
+            val specific = candidates.flatten
+            val agreed = specific.sortBy(-_.slot)
+              .find(p => bySlot.get(p.slot).contains(p.hash))
+            val hasOrigin = candidates.contains(None)
+            val w = new CborWriter
+            if (agreed.isDefined || hasOrigin) {
+              w.arrayHeader(3); w.uint(MsgIntersectFound)
+              pointCbor(w, agreed); tipTo(w)
+              pendingRollback = Some(agreed)
+              val from = agreed.map(_.slot).getOrElse(-1L)
+              events = script.getOrElse(
+                chain.collect { case (wire, b) if b.slot > from =>
+                  ServeForward(wire, b)
+                })
+              cursor = 0
+            } else {
+              w.arrayHeader(2); w.uint(MsgIntersectNotFound); tipTo(w)
+            }
+            writeFrame(out, w.result())
+            out.flush()
+          case MsgRequestNext =>
+            // drain every request already on the wire before answering:
+            // the pipelining high-water mark is the client's true
+            // in-flight window
+            pendingRequests += 1
+            while (in.available() >= 4) {
+              val f2 = readFrame(in)
+              val r2 = new CborReader(f2)
+              r2.readArrayHeader()
+              require(r2.readUInt() == MsgRequestNext)
+              pendingRequests += 1
+            }
+            maxInflight = math.max(maxInflight, pendingRequests)
+            while (pendingRequests > 0) {
+              respondOne()
+              pendingRequests -= 1
+            }
+            out.flush()
+          case other =>
+            throw new IllegalArgumentException(s"unexpected message $other")
+        }
+      }
+    } catch {
+      case _: EOFException | _: java.net.SocketException => () // client left
+      case e: Exception => if (running) throw e
+    } finally sock.close()
+  }
+}
+
+/** TCP chain-sync CLIENT behind the [[ChainProvider]] seam — the S2
+  * pipelined source with the pieces the reference implements: newest-
+  * first intersection via MsgFindIntersect (all-rolled-back fails with
+  * the reference's error), the opening rollback from the protocol's own
+  * MsgRollBackward, blocks decoded from REAL CBOR, and the ADAPTIVE
+  * PIPELINE WINDOW live on the socket: the client keeps
+  * `adaptivePipelineDepth(maxDepth, tipGap)` MsgRequestNexts in flight,
+  * topping the window up as responses arrive — at the tip it degrades
+  * to one-at-a-time (latency), far behind it batches (throughput),
+  * exactly the reference's `N2NProvider` step function, and the spec
+  * reads the server's observed high-water mark to prove it.
+  */
+final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20)
+    extends ChainProvider {
+  import ChainSyncWire._
+
+  def startChainSync(candidates: Seq[Point]): Iterator[BlockEvent] = {
+    val sock = new Socket(InetAddress.getByName(host), port)
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    val w = new CborWriter
+    w.arrayHeader(2); w.uint(MsgFindIntersect)
+    if (candidates.isEmpty) { w.arrayHeader(1); pointCbor(w, None) }
+    else {
+      w.arrayHeader(candidates.size)
+      candidates.sortBy(-_.slot).foreach(p => pointCbor(w, Some(p)))
+    }
+    writeFrame(out, w.result()); out.flush()
+    val r0 = new CborReader(readFrame(in))
+    r0.readArrayHeader()
+    var tipSlot = 0L
+    r0.readUInt() match {
+      case MsgIntersectFound =>
+        readPoint(r0) // the intersection; the opening MsgRollBackward re-delivers it
+        tipSlot = readPoint(r0).map(_.slot).getOrElse(0L)
+      case MsgIntersectNotFound =>
+        sock.close()
+        throw new IllegalStateException(
+          s"Failed to find any valid intersection point. All " +
+            s"${candidates.size} saved intersection(s) have been rolled " +
+            "back. Consider resetting the reducer state or increasing " +
+            "the rollback buffer size.")
+      case other =>
+        sock.close()
+        throw new IllegalStateException(s"unexpected reply $other")
+    }
+
+    new Iterator[BlockEvent] {
+      private var inflight = 0
+      private var drained = false
+      private var lastSlot = -1L
+      private var nextEvent: Option[BlockEvent] = None
+
+      private def topUp(): Unit = {
+        val gap = math.max(tipSlot - lastSlot, 0L)
+        val depth = ChainProvider.adaptivePipelineDepth(maxDepth, gap)
+        var sent = false
+        while (inflight < depth && !drained) {
+          val rq = new CborWriter
+          rq.arrayHeader(1); rq.uint(MsgRequestNext)
+          writeFrame(out, rq.result())
+          inflight += 1
+          sent = true
+        }
+        if (sent) out.flush()
+      }
+
+      private def pull(): Unit = {
+        while (nextEvent.isEmpty && !(drained && inflight == 0)) {
+          topUp()
+          val r = new CborReader(readFrame(in))
+          r.readArrayHeader()
+          inflight -= 1
+          r.readUInt() match {
+            case MsgRollForward =>
+              val wire = r.readBytes()
+              tipSlot = readPoint(r).map(_.slot).getOrElse(tipSlot)
+              CborBlock.decode(wire) match {
+                case Some((_, b)) =>
+                  lastSlot = b.slot
+                  nextEvent = Some(RollForward(b))
+                case None => () // undecodable: null-and-skip
+              }
+            case MsgRollBackward =>
+              val p = readPoint(r)
+              tipSlot = readPoint(r).map(_.slot).getOrElse(tipSlot)
+              // ArgusUtil.RollBackwardResponse mapping: specific point ⇒
+              // Exclusive; origin ⇒ Inclusive at slot 0
+              nextEvent = Some(p match {
+                case Some(pt) => lastSlot = pt.slot; RollBack(pt, Exclusive)
+                case None => lastSlot = -1L; RollBack(Point("origin", 0L), Inclusive)
+              })
+            case MsgAwaitReply =>
+              drained = true // catch-up complete: AvailableNow semantics
+            case other =>
+              throw new IllegalStateException(s"unexpected message $other")
+          }
+        }
+        if (drained && inflight == 0 && nextEvent.isEmpty) sock.close()
+      }
+
+      def hasNext: Boolean = {
+        pull()
+        nextEvent.isDefined
+      }
+
+      def next(): BlockEvent = {
+        pull()
+        val e = nextEvent.getOrElse(throw new NoSuchElementException)
+        nextEvent = None
+        e
+      }
+    }
+  }
+
+  def tip: Option[Point] = {
+    val sock = new Socket(InetAddress.getByName(host), port)
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val w = new CborWriter
+      w.arrayHeader(2); w.uint(MsgFindIntersect)
+      w.arrayHeader(1); pointCbor(w, None)
+      writeFrame(out, w.result()); out.flush()
+      val r = new CborReader(readFrame(in))
+      r.readArrayHeader()
+      r.readUInt()
+      readPoint(r) // intersection (origin)
+      readPoint(r) // tip
+    } finally sock.close()
+  }
+}

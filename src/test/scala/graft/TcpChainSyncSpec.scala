@@ -1,0 +1,155 @@
+package graft
+
+import graft.core._
+import graft.sources._
+
+/** The S2 TCP bearer, end to end over a real loopback socket: CBOR-framed
+  * chain-sync messages (the public CDDL's constructor indices and point
+  * shape), newest-first intersection negotiation, protocol-driven opening
+  * and mid-stream rollbacks, real-CBOR block decode, and — the piece that
+  * makes it S2 rather than S1 — OBSERVED adaptive request pipelining:
+  * the server records the high-water mark of in-flight RequestNexts, so
+  * the depth window is proven on the wire, not assumed from the step
+  * function. Finishes with ProviderSync driving the full UTxO reducer
+  * graph from the socket to oracle balances.
+  */
+class TcpChainSyncSpec extends SparkSpec {
+
+  /** Spend-matched real-hash CBOR chain (the CborCodecSpec shape). */
+  private def genChain(n: Int, seed: Int)
+      : (Seq[(Array[Byte], Block)], Map[String, String]) = {
+    val rnd = new scala.util.Random(seed)
+    val addrs = (0 until 6).map(i => f"aa$i%02d" * 8)
+    val watched = Map(addrs(0) -> "alice", addrs(1) -> "bob")
+    val live = scala.collection.mutable.ArrayBuffer[(String, Int, String, Long)]()
+    var prev = "00" * 32
+    var height = 100L
+    var slot = 1000L
+    val out = (0 until n).map { _ =>
+      slot += 1 + rnd.nextInt(3)
+      height += 1
+      val txs = (0 until rnd.nextInt(3)).map { _ =>
+        val nSpend = rnd.nextInt(3).min(live.size)
+        val spends = (0 until nSpend).map(_ => live.remove(rnd.nextInt(live.size)))
+        Tx("tmp",
+          spends.map { case (h, i, _, _) => TxInput(h, i) },
+          (0 to rnd.nextInt(2)).map(_ =>
+            TxOutput(addrs(rnd.nextInt(addrs.size)), 1000L + rnd.nextInt(9000))))
+      }
+      val (bytes, real) = CborBlock.encode(
+        Block("tmp", height, slot, txs, Era.Conway), prevHash = prev)
+      prev = real.hash
+      real.transactions.foreach(t => t.outputs.zipWithIndex.foreach {
+        case (o, oi) => live += ((t.txHash, oi, o.address, o.lovelace))
+      })
+      (bytes, real)
+    }
+    (out, watched)
+  }
+
+  test("full origin sync over TCP: decode fidelity + adaptive pipelining observed on the wire") {
+    val (chain, _) = genChain(600, seed = 3)
+    val server = new ChainSyncServer(chain)
+    try {
+      val p = new TcpChainProvider("127.0.0.1", server.port, maxDepth = 20)
+      assert(p.tip.contains(Point(chain.last._2.hash, chain.last._2.slot)))
+      val events = p.startChainSync(Seq.empty).toVector
+      events.head match {
+        case RollBack(pt, mode) =>
+          assert(pt.hash == "origin" && mode == Inclusive,
+            "origin rollback must map Inclusive at slot 0 (ArgusUtil semantics)")
+        case other => fail(s"stream must open with a rollback, got $other")
+      }
+      val blocks = events.collect { case RollForward(b) => b }
+      assert(blocks == chain.map(_._2).toVector, "block fidelity over the wire")
+      // 600 slots behind ⇒ the step function requests 20-deep; the
+      // server saw that window actually outstanding on the socket
+      assert(server.maxInflight >= 10,
+        s"pipelining never happened: maxInflight=${server.maxInflight}")
+    } finally server.close()
+  }
+
+  test("intersection negotiation: newest-first, rolled-back candidates skipped, all-gone fails hard") {
+    val (chain, _) = genChain(40, seed = 4)
+    val server = new ChainSyncServer(chain)
+    try {
+      val p = new TcpChainProvider("127.0.0.1", server.port)
+      val good = chain(19)._2
+      val fork = Point("ab" * 32, chain(30)._2.slot) // newer but not on chain
+      val events = p.startChainSync(
+        Seq(Point(good.hash, good.slot), fork)).toVector
+      events.head match {
+        case RollBack(pt, mode) =>
+          assert(pt == Point(good.hash, good.slot) && mode == Exclusive,
+            "must agree on the newest SURVIVING candidate, Exclusive")
+        case other => fail(s"$other")
+      }
+      val blocks = events.collect { case RollForward(b) => b }
+      assert(blocks == chain.map(_._2).filter(_.slot > good.slot).toVector)
+      val ex = intercept[IllegalStateException] {
+        new TcpChainProvider("127.0.0.1", server.port)
+          .startChainSync(Seq(fork, Point("cd" * 32, 1L)))
+      }
+      assert(ex.getMessage.contains("rolled back"), ex.getMessage)
+    } finally server.close()
+  }
+
+  test("mid-stream reorg: server-driven MsgRollBackward surfaces as an Exclusive RollBack event") {
+    val (chain, _) = genChain(20, seed = 5)
+    val (alt, _) = genChain(24, seed = 6)
+    val back = chain(9)._2
+    val script = chain.take(10).map { case (w, b) => ServeForward(w, b) } ++
+      Seq(ServeBack(Point(back.hash, back.slot))) ++
+      alt.drop(20).map { case (w, b) => ServeForward(w, b) }
+    val server = new ChainSyncServer(chain, Some(script))
+    try {
+      val events = new TcpChainProvider("127.0.0.1", server.port)
+        .startChainSync(Seq.empty).toVector
+      val reorgIdx = events.indexWhere {
+        case RollBack(pt, Exclusive) => pt.slot == back.slot
+        case _ => false
+      }
+      assert(reorgIdx > 0, s"scripted reorg never surfaced: $events")
+      val after = events.drop(reorgIdx + 1).collect { case RollForward(b) => b }
+      assert(after == alt.drop(20).map(_._2).toVector)
+    } finally server.close()
+  }
+
+  test("ProviderSync drives the UTxO graph from the socket to oracle balances") {
+    val sp = spark
+    val (chain, watched) = genChain(16, seed = 11)
+    val oracle: Seq[(Long, Map[String, Long])] = {
+      val pool = scala.collection.mutable.Map[(String, Int), (String, Long)]()
+      chain.map { case (_, b) =>
+        b.transactions.foreach { tx =>
+          tx.outputs.zipWithIndex.foreach { case (o, i) =>
+            pool((tx.txHash, i)) = (o.address, o.lovelace)
+          }
+          tx.inputs.foreach(in => pool.remove((in.txId, in.index)))
+        }
+        b.slot -> watched.map { case (addr, name) =>
+          name -> pool.valuesIterator.filter(_._1 == addr).map(_._2).sum
+        }
+      }
+    }
+    val server = new ChainSyncServer(chain)
+    try {
+      val reducers = Seq(
+        new graft.operators.BlockSummaryReducer,
+        new graft.operators.TxIndexReducer,
+        new graft.operators.WalletUtxoReducer(watched),
+        new graft.operators.BalanceSnapshotReducer(watched))
+      val store = new graft.core.StateStore(tmpDir("tcp-sync-store"), sp)
+      val runner = new graft.core.GraphRunner(sp, store, reducers, batchSize = 500)
+      ProviderSync.run(runner,
+        new TcpChainProvider("127.0.0.1", server.port))
+      val snaps = store.read("balance_snapshots", reducers(3).tables.head.schema)
+        .collect().groupBy(_.getLong(3))
+        .map { case (s, rs) => s -> rs.map(r => r.getString(1) -> r.getLong(4)).toMap }
+      assert(snaps.size == oracle.size)
+      oracle.foreach { case (s, bal) =>
+        assert(snaps(s) == bal, s"slot $s: ${snaps(s)} vs $bal")
+      }
+    } finally server.close()
+  }
+}
