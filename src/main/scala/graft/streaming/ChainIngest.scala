@@ -170,6 +170,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** STREAM-STREAM interval join (SURVEY §2.8's remaining join rubric):
+    * click→purchase attribution — every purchase matched to the clicks
+    * of the same user within the preceding `horizonMin` minutes, both
+    * sides LIVE streams. The time-range predicate plus per-side
+    * watermarks is what makes this runnable forever: Spark derives a
+    * state-retention bound for EACH side from the watermark and the
+    * interval (a click can only ever match purchases up to horizon
+    * later, so once the purchase watermark passes click.ts + horizon
+    * the click's join state evicts) — without the range condition the
+    * join state would accrete unboundedly, the 100 TB/day killer.
+    * Append-mode inner join: matches emit as they form; a side arriving
+    * later than its watermark allows is dropped, the same late-data
+    * contract as every windowed operator here.
+    */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes",
+      horizonMin: Int = 30): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(
+      s"""c_user = p_user AND
+         |p_ts >= c_ts AND
+         |p_ts <= c_ts + interval $horizonMin minutes""".stripMargin))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Streaming funnel-stage tracking via `flatMapGroupsWithState` — the
     * custom-state twin of batch q45 and the engine's arbitrary-stateful
     * operator surface (SURVEY.md §2.10: where declarative windows can't

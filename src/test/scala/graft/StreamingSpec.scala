@@ -116,6 +116,59 @@ class StreamingSpec extends SparkSpec {
     assert(after.select("hash").distinct().count() == blocks.size)
   }
 
+  test("stream-stream interval join converges with the batch join; state is watermark-bounded") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(sp, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().sortBy(_._2.getTime)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().sortBy(_._2.getTime)
+    // batch truth: the same interval predicate as a plain join
+    val expected = {
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      c.join(p, expr(
+        "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+        .select(col("c_user"), col("c_ts"), col("p_ts"))
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+    }
+    assert(expected.nonEmpty, "interval join is vacuous on this data")
+    val memC = MemoryStream[(Long, Timestamp)]
+    val memP = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.EventStreams.attributedPurchases(
+        memC.toDF().toDF("user_id", "ts"), memP.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      // event-time-ordered chunks on both sides: per-side state must
+      // carry matches across micro-batch boundaries
+      val chunks = 3
+      (0 until chunks).foreach { i =>
+        memC.addData(clicks.slice(i * clicks.length / chunks,
+          (i + 1) * clicks.length / chunks).toIndexedSeq)
+        memP.addData(purchases.slice(i * purchases.length / chunks,
+          (i + 1) * purchases.length / chunks).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = sp.table("attributed")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(got == expected,
+        s"missing ${(expected -- got).size}, extra ${(got -- expected).size}")
+      // the join kept STATE (not everything matched within one batch)
+      val stateRows = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      assert(stateRows.exists(_ > 0), s"join state missing: $stateRows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState funnel converges with batch q45 across micro-batches") {
     val sp = spark
     import sp.implicits._
