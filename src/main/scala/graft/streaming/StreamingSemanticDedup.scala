@@ -52,7 +52,7 @@ object StreamingSemanticDedup {
   /** `FloatDot`'s exact fold: each float widened to double, products
     * accumulated left to right.
     */
-  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+  private[streaming] def dotD(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0
     var i = 0
@@ -63,7 +63,7 @@ object StreamingSemanticDedup {
   /** Spark `round(x, 4)` on DoubleType: `BigDecimal.valueOf` (i.e. the
     * double's canonical decimal string), HALF_UP.
     */
-  private def round4(v: Double): Double =
+  private[streaming] def round4(v: Double): Double =
     if (v.isNaN || v.isInfinite) v
     else java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -102,4 +102,42 @@ class StreamingSemanticSpec extends SparkSpec {
       assert(v2 == -1L, s"beyond-horizon vector must be kept, got dup_of=$v2")
     } finally q.stop()
   }
+
+  test("stateless semantic decontamination converges bit-identically with batch q89 under any chunking") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(sp, sf)
+    val ev = graft.streaming.StreamingSemDecont.frozenEvalVecs(emb)
+    val all = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val batch = SparkEntry.queries("q89_semantic_decontaminate")(sp, sf)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingSemDecont.verdicts(
+        mem.toDF().toDF("vec_id", "embedding"), ev)
+      .writeStream.format("memory").queryName("sem_decont")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = sp.table("sem_decont")
+        .as[(Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.size == batch.size, s"${got.size} vs ${batch.size}")
+      assert(got == batch, {
+        val bad = got.collect { case (k, v) if batch(k) != v => (k, v, batch(k)) }
+        s"diverged on ${bad.size}: ${bad.take(3)}"
+      })
+      assert(batch.values.exists(_._2),
+        "contamination bit never fires - convergence is vacuous for it")
+      // STATELESS: the query runs with no state store at all
+      val stateOps = Option(q.lastProgress).map(_.stateOperators.length)
+      assert(stateOps.contains(0), s"probe must be stateless: $stateOps")
+    } finally q.stop()
+  }
 }
