@@ -71,40 +71,33 @@ final class StateStore(val root: String, spark: SparkSession,
 
   def checkpoints: Map[String, Seq[Point]] = manifest.checkpoints
 
-  /** Parsed-manifest cache: one flush reads the manifest dozens of
-    * times (batchId, checkpoints, every `ctx.table`/`store.read`), and
-    * each `manifest` call was a full file read + parse. Two tiers:
-    * a (fileKey, mtime, size) STAT fast path serves the hot intra-flush
-    * reads without touching file contents; on any stat difference we
-    * fall back to a full byte read, and only re-PARSE when the bytes
-    * actually differ (an mtime-only touch reuses the parse). The stat
-    * tier could in principle serve a stale parse if a cross-process
-    * writer swapped the manifest twice within one mtime tick at an
-    * identical size and inode — our swap is a fresh-temp-file atomic
-    * move (new fileKey each time), so the stat triple cannot repeat.
-    * This instance's own writes refresh the cache in `writeManifest`.
+  /** PARSE cache keyed on the manifest's BYTES: one flush reads the
+    * manifest dozens of times (batchId, checkpoints, every
+    * `ctx.table`/`store.read`); each call re-READS the small file but
+    * only re-PARSES when the bytes actually changed. Deliberately NO
+    * stat (fileKey/mtime/size) fast path: a cross-process writer
+    * swapping the manifest twice within one mtime tick can repeat the
+    * triple (a freed inode is recyclable for the next temp file, and
+    * fileKey() may be null on some filesystems, degrading the check to
+    * (mtime, size)) — a stale parse here double-applies a batch or
+    * rolls back to the wrong slot. Manifests are KBs; the byte read is
+    * noise next to any Spark job the caller is about to run.
     */
-  @volatile private var cachedManifest
-      : (Object, java.nio.file.attribute.FileTime, Long, Array[Byte],
-        Manifest) = null
+  @volatile private var cachedManifest: (Array[Byte], Manifest) = null
 
   def manifest: Manifest = {
-    val attrs =
-      try Files.readAttributes(manifestPath,
-        classOf[java.nio.file.attribute.BasicFileAttributes])
+    val bytes =
+      try Files.readAllBytes(manifestPath)
       catch { case _: java.io.IOException =>
         return Manifest(-1L, 0L, Map.empty, Map.empty)
       }
     val c = cachedManifest
-    if (c != null && c._1 == attrs.fileKey() &&
-      c._2 == attrs.lastModifiedTime() && c._3 == attrs.size())
-      return c._5
-    val bytes = Files.readAllBytes(manifestPath)
-    val m = if (c != null && java.util.Arrays.equals(c._4, bytes)) c._5
-            else parseManifest(bytes)
-    cachedManifest =
-      (attrs.fileKey(), attrs.lastModifiedTime(), attrs.size(), bytes, m)
-    m
+    if (c != null && java.util.Arrays.equals(c._1, bytes)) c._2
+    else {
+      val m = parseManifest(bytes)
+      cachedManifest = (bytes, m)
+      m
+    }
   }
 
   private def parseManifest(bytes: Array[Byte]): Manifest = {
@@ -161,16 +154,9 @@ final class StateStore(val root: String, spark: SparkSession,
     val bytes = buf.toByteArray
     val tmp = Paths.get(root, s"manifest.tmp")
     Files.write(tmp, bytes)
-    // stat the TEMP file before the rename: POSIX rename preserves
-    // inode/mtime/size, so this is exactly the stat a later reader will
-    // see for our bytes — statting after the move could observe another
-    // process's manifest and mis-attribute it to `m`
-    val attrs = Files.readAttributes(tmp,
-      classOf[java.nio.file.attribute.BasicFileAttributes])
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    cachedManifest =
-      (attrs.fileKey(), attrs.lastModifiedTime(), attrs.size(), bytes, m)
+    cachedManifest = (bytes, m)
   }
 
   private def segPath(table: String, id: Long): String =

@@ -631,11 +631,14 @@ object Similarity extends QueryModule {
         // centroid: dropping it would shrink K mid-training and could
         // RAISE the objective (each vector's best-of-fewer is no
         // better), breaking the monotone-descent gate
+        // ping-pong like q59_assign: in parquet-scratch mode a FIXED
+        // name would overwrite the files the update join is still
+        // reading (FAILED_READ_FILE mid-round)
         cent = Scratch.materialize(
           cent.join(updated, Seq("cid"), "left")
             .select(col("cid"),
               coalesce(col("new_cent"), col("cent")).as("cent")),
-          "q59_cent")
+          s"q59_cent${round % 2}")
       }
     }
     (assign, cent, wcss.result())

@@ -1159,11 +1159,17 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     // one bounded probe: calibrated accuracy, majority baseline, and
     // per-class mean margins (does the model SEPARATE the classes?)
+    // per-class means COALESCE to the sentinel that keeps the
+    // separation claim honest on a degenerate one-class corpus: an
+    // absent class means "not separated" (false), never a decode crash
+    // on the NULL avg
     val Seq((acc, n, nPos, mPos, mNeg)) = scored
       .agg(avg(((col("margin") > thr) === (col("y") > 0.5)).cast("double")),
         count(lit(1)).cast("double"), sum(col("y")),
-        avg(when(col("y") > 0.5, col("margin"))),
-        avg(when(col("y") <= 0.5, col("margin"))))
+        coalesce(avg(when(col("y") > 0.5, col("margin"))),
+          lit(Double.NegativeInfinity)),
+        coalesce(avg(when(col("y") <= 0.5, col("margin"))),
+          lit(Double.PositiveInfinity)))
       .as[(Double, Double, Double, Double, Double)].collect().toSeq
     val majority = math.max(nPos, n - nPos) / n
     val monotone = losses.sliding(2).forall {

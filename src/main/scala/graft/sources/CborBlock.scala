@@ -211,6 +211,20 @@ object CborBlock {
     */
   val unsupportedEraCount = new java.util.concurrent.atomic.LongAdder
 
+  /** The ONE wire-format switch both the batch FileChainProvider and
+    * streaming ChainIngest consult: a directory with any `.cbor` file
+    * is a real-CBOR corpus. Single listing (a re-list could return
+    * null if the dir vanished between calls).
+    */
+  def isCborDir(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) false
+    else {
+      val files = d.listFiles
+      files != null && files.exists(_.getName.endsWith(".cbor"))
+    }
+  }
+
   /** Header-only view: era, content-derived hash, height, slot, and the
     * PREVIOUS block's hash — the linkage accessor chain validation
     * needs (CborCodecSpec re-derives the reference corpus's prev-hash
@@ -468,9 +482,13 @@ object CborBlock {
   }
 
   private def unhex(s: String): Array[Byte] = {
-    val out = new Array[Byte]((s.length + 1) / 2)
+    // fail loudly: a lenient decode would silently pad odd-length or
+    // non-hex ids into corrupted fixture addresses/prev-hashes
+    require(s.length % 2 == 0 && s.forall(c => Character.digit(c, 16) >= 0),
+      s"hex string expected: '$s'")
+    val out = new Array[Byte](s.length / 2)
     var i = 0
-    while (i + 1 < s.length) {
+    while (i < s.length) {
       out(i / 2) = Integer.parseInt(s.substring(i, i + 2), 16).toByte
       i += 2
     }

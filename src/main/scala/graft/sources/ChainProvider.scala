@@ -116,11 +116,7 @@ final class MockChainProvider(
 final class FileChainProvider(spark: SparkSession, blocksDir: String)
     extends ChainProvider {
 
-  private lazy val hasCbor: Boolean = {
-    val d = new java.io.File(blocksDir)
-    d.isDirectory && d.listFiles != null &&
-      d.listFiles.exists(_.getName.endsWith(".cbor"))
-  }
+  private lazy val hasCbor: Boolean = CborBlock.isCborDir(blocksDir)
 
   private def sorted = {
     import spark.implicits._

@@ -55,11 +55,7 @@ object ChainIngest {
     // EXECUTOR-SIDE CborBlock decode (undecodable files skip — the
     // reference's null-and-skip), parquet block rows otherwise. Either
     // way the micro-batch carries the same Block schema downstream.
-    val hasCbor = {
-      val d = new java.io.File(blocksDir)
-      d.isDirectory && d.listFiles != null &&
-        d.listFiles.exists(_.getName.endsWith(".cbor"))
-    }
+    val hasCbor = graft.sources.CborBlock.isCborDir(blocksDir)
     val src =
       if (hasCbor) {
         import spark.implicits._

@@ -64,4 +64,27 @@ class DocIngestSpec extends SparkSpec {
       .count()
     assert(distinctContents.count() == 20)
   }
+
+  test("writeSplit materializes both relations in one partitioned job") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("jsonl-split-in")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "d.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "alpha"}""",
+        """broken line""",
+        """{"doc_id": 2, "text": "beta", "lang": "en"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val out = tmpDir("jsonl-split-out")
+    DocIngest.jsonl(sp, dir).writeSplit(out)
+    val names = new java.io.File(out).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names == Set("_ok=true", "_ok=false"), s"$names")
+    val ok = sp.read.parquet(s"$out/_ok=true")
+    val bad = sp.read.parquet(s"$out/_ok=false")
+    assert(ok.count() == 2 && bad.count() == 1)
+    assert(bad.select("line").as[String].head() == "broken line")
+    assert(ok.select("lang").as[String].collect().sorted.toSeq == Seq("en", "und"))
+  }
 }
