@@ -86,9 +86,14 @@ final class StateStore(val root: String, spark: SparkSession,
   @volatile private var cachedManifest: (Array[Byte], Manifest) = null
 
   def manifest: Manifest = {
+    // ONLY absence means "fresh store". Any other read failure (EMFILE,
+    // permissions, a stalled mount) must PROPAGATE: treating it as
+    // empty would hand commit() a batchId of -1, pass the idempotency
+    // guard, and let writeManifest atomically replace the real manifest
+    // with one that references none of the committed segments.
     val bytes =
       try Files.readAllBytes(manifestPath)
-      catch { case _: java.io.IOException =>
+      catch { case _: java.nio.file.NoSuchFileException =>
         return Manifest(-1L, 0L, Map.empty, Map.empty)
       }
     val c = cachedManifest

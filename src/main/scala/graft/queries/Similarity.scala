@@ -279,7 +279,6 @@ object Similarity extends QueryModule {
   private[graft] def ivfQuery(s: SparkSession, d: String,
       mkCent: DataFrame => DataFrame, nProbe: Int = NProbe,
       nq: Long = NQ): DataFrame = {
-    val NQ = nq
     // e feeds the centroid scan AND the full assignment pass — a store-
     // backed temp table, not an executor cache (see Scratch.materialize)
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
@@ -290,7 +289,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
     // queries probe their nProbe nearest lists
     val probes = scoredCent
-      .filter(col("vec_id") < NQ && col("crank") <= nProbe)
+      .filter(col("vec_id") < nq && col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cid"))
     val w = Window.partitionBy(col("query_id"))
@@ -601,20 +600,19 @@ object Similarity extends QueryModule {
 
   private[graft] def kmeans(s: SparkSession, d: String,
       iters: Int = KmIters): (DataFrame, DataFrame, Seq[Double]) = {
-    val KmIters = iters
     val (e0, cent0) = kmeansInputs(s, d)
     val e = Scratch.materialize(e0, "q59_e")
     var cent = cent0
     val wcss = Seq.newBuilder[Double]
     var assign: DataFrame = null
-    for (round <- 0 to KmIters) {
+    for (round <- 0 to iters) {
       // materialized: the WCSS probe and the update step both read it
       assign = Scratch.materialize(
         kmeansAssignment(e, cent),
         s"q59_assign${round % 2}") // ping-pong scratch names
       // bounded driver probe: one scalar per round
       wcss += assign.agg(sum(col("d2"))).head().getDouble(0)
-      if (round < KmIters) {
+      if (round < iters) {
         // update step: per-(cluster, dim) means — posexplode keeps the
         // shuffle at (cid, dim, partial sum/count) granularity
         val updated = assign.select(col("cid"),

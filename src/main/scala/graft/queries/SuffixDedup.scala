@@ -61,10 +61,24 @@ object SuffixDedup extends QueryModule {
   private[graft] val MinSpan = 6 // report threshold (< q64's ExactK = 8)
   private[graft] val MaxSpan = 16 // bounded suffix window (memory cap)
 
-  private val WordRe = "\\S+".r // same token class as q64/q72
+  /** Token class: runs of non-whitespace PRINTABLE-RANGE characters —
+    * control chars (< 0x20) separate tokens exactly like whitespace.
+    * This is load-bearing for step 2's sort-contiguity: every character
+    * a token may contain is > ' ' (0x20), so the space-joined suffix of
+    * a position is always IMMEDIATELY adjacent to its extensions in
+    * lexicographic order (nothing can sort strictly between "g1 .. g6"
+    * and "g1 .. g6 t7" — that would need a 6th token continuing with a
+    * char below 0x20). With plain \S+, a token like "g6\u0001y" could
+    * wedge between the two, break the LCP-interval min, and silently
+    * drop a real cross-document span. q64/q72 keep \S+ (their fixed-k
+    * gram equality never relies on sort order); the oracle here uses
+    * the same class.
+    */
+  private val WordRe = "[^\\s\\x00-\\x1f]+".r
 
   /** (doc_id, pos, sfx, gh): every position's bounded suffix (space-
-    * joined, lossless for \S+ tokens) and its MinSpan-prefix hash.
+    * joined, lossless for the separator-free token class) and its
+    * MinSpan-prefix hash.
     */
   private def suffixEntries(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -173,7 +187,7 @@ object SuffixDedup extends QueryModule {
     */
   private val ellSqlCtes = {
     s"""docs AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  SELECT doc_id, regexp_extract_all(text, '[^\\s\\x00-\\x1f]+') AS ws
        |  FROM documents),
        |sfx AS (
        |  SELECT doc_id, i - 1 AS pos,

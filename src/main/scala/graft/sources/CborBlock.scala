@@ -395,7 +395,7 @@ object CborBlock {
       coin
     }
 
-  private def hex(b: Array[Byte]): String = {
+  private[sources] def hex(b: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(b.length * 2)
     b.foreach(x => sb.append(f"${x & 0xff}%02x"))
     sb.toString
@@ -481,7 +481,7 @@ object CborBlock {
     (bytes, real)
   }
 
-  private def unhex(s: String): Array[Byte] = {
+  private[sources] def unhex(s: String): Array[Byte] = {
     // fail loudly: a lenient decode would silently pad odd-length or
     // non-hex ids into corrupted fixture addresses/prev-hashes
     require(s.length % 2 == 0 && s.forall(c => Character.digit(c, 16) >= 0),

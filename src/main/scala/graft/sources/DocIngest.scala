@@ -7,19 +7,25 @@ import org.apache.spark.sql.types._
 /** JSONL ingestion front door for the documents pipeline — how a corpus
   * actually ARRIVES before any catalog operator sees it: newline-
   * delimited JSON (the lingua franca of web-scale text dumps), read
-  * against the DECLARED documents schema with malformed lines
-  * QUARANTINED, not silently dropped and not run-aborting.
+  * against the DECLARED documents schema with every rejected line
+  * QUARANTINED AS ITS ORIGINAL BYTES — not silently dropped, not
+  * run-aborting, not re-serialized.
   *
   * At 100 TB the failure mode this guards is silent row loss: Spark's
-  * default PERMISSIVE mode nulls out unparseable rows, DROPMALFORMED
-  * erases them, FAILFAST kills a day-long job on one bad line. The
-  * shape here is PERMISSIVE + `_corrupt_record` split into two
-  * relations:
+  * default PERMISSIVE json mode nulls out unparseable rows,
+  * DROPMALFORMED erases them, FAILFAST kills a day-long job on one bad
+  * line — and `_corrupt_record` preserves originals only for MALFORMED
+  * JSON, so a schema-violating valid-JSON line (a typo'd field name)
+  * would lose its payload to re-serialization. The shape here reads the
+  * dump as TEXT and parses with `from_json`, so the original line
+  * column exists for every row:
   *
-  *   - `docs`: schema-conforming rows, `n_chars` derived when the
-  *     producer omitted it (`length(text)`), `doc_id` required;
-  *   - `quarantine`: the ORIGINAL malformed line plus the source file,
-  *     so producers can be debugged without re-reading the dump.
+  *   - `docs`: schema-conforming rows (`doc_id` and `text` required),
+  *     defaults derived (`lang` 'und', `source` 'unknown', `n_chars`
+  *     from `length(text)`);
+  *   - `quarantine`: the VERBATIM input line plus the source file —
+  *     whether the line was malformed JSON or valid JSON missing a
+  *     requirement, producers debug from the actual bytes.
   *
   * The two are LAZY views over one declared scan — materializing both
   * independently therefore reads the dump twice (a union of the two
@@ -30,68 +36,58 @@ import org.apache.spark.sql.types._
   */
 object DocIngest {
 
-  val schema: StructType = StructType(Seq(
+  val dataSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType),
-    StructField("n_chars", LongType),
-    StructField("_corrupt_record", StringType)))
+    StructField("n_chars", LongType)))
 
   private val okCond =
-    col("_corrupt_record").isNull &&
-      col("doc_id").isNotNull && col("text").isNotNull
+    col("p").isNotNull &&
+      col("p.doc_id").isNotNull && col("p.text").isNotNull
 
   final class Ingested private[DocIngest] (raw: DataFrame) {
 
     /** Schema-conforming rows with defaults derived. */
     def docs: DataFrame =
       raw.filter(okCond)
-        .select(col("doc_id"), col("text"),
-          coalesce(col("lang"), lit("und")).as("lang"),
-          coalesce(col("source"), lit("unknown")).as("source"),
-          coalesce(col("n_chars"), length(col("text")).cast("long"))
+        .select(col("p.doc_id").as("doc_id"), col("p.text").as("text"),
+          coalesce(col("p.lang"), lit("und")).as("lang"),
+          coalesce(col("p.source"), lit("unknown")).as("source"),
+          coalesce(col("p.n_chars"), length(col("p.text")).cast("long"))
             .as("n_chars"))
 
-    /** Malformed / requirement-violating rows, original bytes kept. */
+    /** Rejected rows — ALWAYS the verbatim input line. */
     def quarantine: DataFrame =
       raw.filter(!okCond)
-        .select(
-          coalesce(col("_corrupt_record"),
-            to_json(struct(col("doc_id"), col("text"), col("lang"),
-              col("source"), col("n_chars")))).as("line"),
-          col("_file").as("file"))
+        .select(col("value").as("line"), col("_file").as("file"))
 
     /** ONE pass over the input materializing BOTH relations: a single
       * plan over the raw scan tags each row `_ok` and writes
       * hive-partitioned on it — docs land under `_ok=true`, quarantine
-      * (original line + file) under `_ok=false`, one job, one read.
+      * (verbatim line + file) under `_ok=false`, one job, one read.
       */
     def writeSplit(outDir: String): Unit =
       raw.select(
         okCond.as("_ok"),
-        col("doc_id"), col("text"),
-        coalesce(col("lang"), lit("und")).as("lang"),
-        coalesce(col("source"), lit("unknown")).as("source"),
-        coalesce(col("n_chars"), length(col("text")).cast("long"))
+        col("p.doc_id").as("doc_id"), col("p.text").as("text"),
+        coalesce(col("p.lang"), lit("und")).as("lang"),
+        coalesce(col("p.source"), lit("unknown")).as("source"),
+        coalesce(col("p.n_chars"), length(col("p.text")).cast("long"))
           .as("n_chars"),
-        when(!okCond,
-          coalesce(col("_corrupt_record"),
-            to_json(struct(col("doc_id"), col("text"), col("lang"),
-              col("source"), col("n_chars"))))).as("line"),
+        when(!okCond, col("value")).as("line"),
         when(!okCond, col("_file")).as("file"))
         .write.mode("overwrite").partitionBy("_ok").parquet(outDir)
   }
 
   def jsonl(spark: SparkSession, path: String): Ingested = {
-    // a corrupt line parses to all-null data columns + the raw line; a
-    // VALID line may also omit fields, so the split key is the corrupt
-    // column AND the hard requirements (doc_id, text present)
-    new Ingested(spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      .withColumn("_file", input_file_name()))
+    // text scan + from_json, NOT the json reader: the original line must
+    // exist as a column for EVERY row so quarantine is verbatim. A
+    // malformed line parses to a null struct; a valid-JSON line missing
+    // a requirement fails okCond — both quarantine with their bytes.
+    new Ingested(spark.read.text(path)
+      .withColumn("_file", input_file_name())
+      .withColumn("p", from_json(col("value"), dataSchema)))
   }
 }

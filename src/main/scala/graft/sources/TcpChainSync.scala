@@ -72,27 +72,12 @@ object ChainSyncWire {
       case n => throw new IllegalArgumentException(s"point arity $n")
     }
 
-  private[sources] def hex(b: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(b.length * 2)
-    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
-    sb.toString
-  }
-
-  /** Hashes on this wire are the CONTENT-DERIVED hex digests real CBOR
-    * blocks carry (BLAKE2b-256) — a non-hex id has no place in the
-    * protocol and fails loudly here.
-    */
-  private[sources] def unhex(s: String): Array[Byte] = {
-    require(s.length % 2 == 0 && s.forall(c => Character.digit(c, 16) >= 0),
-      s"point hash must be hex: '$s'")
-    val out = new Array[Byte](s.length / 2)
-    var i = 0
-    while (i < s.length) {
-      out(i / 2) = Integer.parseInt(s.substring(i, i + 2), 16).toByte
-      i += 2
-    }
-    out
-  }
+  // hashes on this wire are the CONTENT-DERIVED hex digests real CBOR
+  // blocks carry (BLAKE2b-256); CborBlock's strict helpers are the one
+  // implementation — a non-hex id has no place in the protocol and
+  // fails loudly there
+  private[sources] def hex(b: Array[Byte]): String = CborBlock.hex(b)
+  private[sources] def unhex(s: String): Array[Byte] = CborBlock.unhex(s)
 }
 
 /** What the server replays after the negotiated intersection. */
@@ -211,7 +196,13 @@ final class ChainSyncServer(
             // the pipelining high-water mark is the client's true
             // in-flight window
             pendingRequests += 1
-            while (in.available() >= 4) {
+            // drain only COMPLETE frames: a RequestNext is exactly 6
+            // bytes (4-byte length + [0]), so >= 6 available means one
+            // can be read without blocking mid-frame. On a chunking
+            // bearer a split frame simply isn't drained this round, so
+            // maxInflight is a LOWER bound of the client's window —
+            // exact on loopback, where frames arrive atomically.
+            while (in.available() >= 6) {
               val f2 = readFrame(in)
               val r2 = new CborReader(f2)
               r2.readArrayHeader()

@@ -13,32 +13,7 @@ object TcpPerf {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(4000)
     val reps = if (args.length > 1) args(1).toInt else 3
-    // spend-matched real-hash CBOR chain, the TcpChainSyncSpec generator
-    val rnd = new scala.util.Random(9)
-    val addrs = (0 until 6).map(i => f"aa$i%02d" * 8)
-    val live = scala.collection.mutable.ArrayBuffer[(String, Int, String, Long)]()
-    var prev = "00" * 32
-    var height = 100L
-    var slot = 1000L
-    val chain = (0 until n).map { _ =>
-      slot += 1 + rnd.nextInt(3)
-      height += 1
-      val txs = (0 until rnd.nextInt(3)).map { _ =>
-        val nSpend = rnd.nextInt(3).min(live.size)
-        val spends = (0 until nSpend).map(_ => live.remove(rnd.nextInt(live.size)))
-        Tx("tmp",
-          spends.map { case (h, i, _, _) => TxInput(h, i) },
-          (0 to rnd.nextInt(2)).map(_ =>
-            TxOutput(addrs(rnd.nextInt(addrs.size)), 1000L + rnd.nextInt(9000))))
-      }
-      val (bytes, real) = CborBlock.encode(
-        Block("tmp", height, slot, txs, Era.Conway), prevHash = prev)
-      prev = real.hash
-      real.transactions.foreach(t => t.outputs.zipWithIndex.foreach {
-        case (o, oi) => live += ((t.txHash, oi, o.address, o.lovelace))
-      })
-      (bytes, real)
-    }
+    val chain = CborChainGen.generate(n, seed = 9)
     val server = new ChainSyncServer(chain)
     try {
       (0 to reps).foreach { r =>

@@ -114,53 +114,10 @@ class CborCodecSpec extends SparkSpec {
   test("streaming ingest of a .cbor directory drives the full UTxO graph to the oracle balances") {
     val sp = spark
     import sp.implicits._
-    // a spend-matched chain in REAL-HASH space: inputs reference the
-    // BLAKE2b tx hashes of earlier blocks' outputs (content-derived ids
-    // only exist post-encode, so generation interleaves with encoding —
-    // the shape a real chain producer has too)
-    val rnd = new scala.util.Random(11)
-    val addrs = (0 until 6).map(i => f"aa$i%02d" * 8)
-    val watched = Map(addrs(0) -> "alice", addrs(1) -> "bob")
-    val live = scala.collection.mutable.ArrayBuffer[(String, Int, String, Long)]()
-    var prev = "00" * 32
-    var height = 100L
-    var slot = 1000L
-    val gen = (0 until 16).map { bi =>
-      slot += 1 + rnd.nextInt(3)
-      height += 1
-      val txs = (0 until rnd.nextInt(3)).map { _ =>
-        val nSpend = rnd.nextInt(3).min(live.size)
-        val spends = (0 until nSpend).map(_ => live.remove(rnd.nextInt(live.size)))
-        Tx("tmp",
-          spends.map { case (h, i, _, _) => TxInput(h, i) },
-          (0 to rnd.nextInt(2)).map(_ =>
-            TxOutput(addrs(rnd.nextInt(addrs.size)), 1000L + rnd.nextInt(9000))))
-      }
-      val (bytes, real) = CborBlock.encode(
-        Block("tmp", height, slot, txs, Era.Conway), prevHash = prev)
-      prev = real.hash
-      real.transactions.foreach(t => t.outputs.zipWithIndex.foreach {
-        case (o, oi) => live += ((t.txHash, oi, o.address, o.lovelace))
-      })
-      (bytes, real)
-    }
-    // independent imperative fold (ChainGen.balanceOracle's discipline,
-    // re-stated here for THIS watched set): unspent balance per watched
-    // name after every block
-    val oracle: Seq[(Long, Map[String, Long])] = {
-      val pool = scala.collection.mutable.Map[(String, Int), (String, Long)]()
-      gen.map { case (_, b) =>
-        b.transactions.foreach { tx =>
-          tx.outputs.zipWithIndex.foreach { case (o, i) =>
-            pool((tx.txHash, i)) = (o.address, o.lovelace)
-          }
-          tx.inputs.foreach(in => pool.remove((in.txId, in.index)))
-        }
-        b.slot -> watched.map { case (addr, name) =>
-          name -> pool.valuesIterator.filter(_._1 == addr).map(_._2).sum
-        }
-      }
-    }
+    // a spend-matched chain in REAL-HASH space (shared generator)
+    val gen = graft.sources.CborChainGen.generate(16, seed = 11)
+    val watched = graft.sources.CborChainGen.Watched
+    val oracle = graft.sources.CborChainGen.balanceOracle(gen, watched)
     val dir = tmpDir("cbor-stream")
     def drop(bs: Seq[(Array[Byte], Block)]): Unit = bs.foreach { case (bytes, b) =>
       java.nio.file.Files.write(

@@ -34,12 +34,11 @@ class DocIngestSpec extends SparkSpec {
       (2L, "sans metadata", "und", "unknown", 13L),
       (3L, "with count", "en", "unknown", 999L)
         .copy(_3 = "und")), s"$docs")
-    val bad = got.quarantine.select("line").as[String].collect().toSeq
-    assert(bad.size == 4, s"$bad")
-    // the original malformed bytes survive for producer debugging
-    assert(bad.contains("""{"truncated: """) ||
-      bad.exists(_.startsWith("""{"truncated""")), s"$bad")
-    assert(bad.exists(_ == "not json at all"), s"$bad")
+    val bad = got.quarantine.select("line").as[String].collect().toSet
+    // VERBATIM bytes for every rejected line — malformed JSON and
+    // requirement-violating valid JSON alike (a re-serialized row would
+    // lose unknown fields, exactly the evidence a producer needs)
+    assert(bad == lines.drop(3).toSet, s"$bad")
     // nothing lost: the two relations tile the input
     assert(got.docs.count() + got.quarantine.count() == lines.size)
     // quarantine carries the source file

@@ -115,4 +115,27 @@ class SuffixDedupSpec extends SparkSpec {
     val cut = SparkEntry.queries("q83_cut_any_spans")(spark, sf)
     assert(cut.count() == Tables.documents(spark, sf).count())
   }
+
+  test("control-char token cannot wedge between a suffix and its extension (sort-contiguity)") {
+    val sp = spark
+    import sp.implicits._
+    // doc 0 ENDS with the 6-token run; doc 1 continues it; doc 2 plants
+    // the adversarial interloper whose 6th token extends "t6" with a
+    // char below 0x20 ("t6\u0001y"). Under a \\S+ token class the
+    // interloper's suffix sorts BETWEEN the run and its extension and
+    // the 6-token LCP is never computed; with control chars as token
+    // separators it tokenizes as ... "t6", "y" ... and cannot wedge.
+    val run = "t1 t2 t3 t4 t5 t6"
+    val docs = Seq(
+      (0L, s"alpha beta $run"),
+      (1L, s"$run t7 t8 gamma delta"),
+      (2L, s"t1 t2 t3 t4 t5 t6\u0001y zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val spans = graft.queries.SuffixDedup.spansOf(docs)
+      .select("doc_id", "span_toks").as[(Long, Long)].collect().toSet
+    // docs 0 and 1 share the 6-token run; doc 2 ALSO contains it (the
+    // control char splits "t6\u0001y" into "t6", "y")
+    assert(spans.contains((0L, 6L)) && spans.exists(_._1 == 1L),
+      s"cross-document 6-token span missed: $spans")
+  }
 }

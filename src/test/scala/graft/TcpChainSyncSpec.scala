@@ -15,37 +15,9 @@ import graft.sources._
   */
 class TcpChainSyncSpec extends SparkSpec {
 
-  /** Spend-matched real-hash CBOR chain (the CborCodecSpec shape). */
   private def genChain(n: Int, seed: Int)
-      : (Seq[(Array[Byte], Block)], Map[String, String]) = {
-    val rnd = new scala.util.Random(seed)
-    val addrs = (0 until 6).map(i => f"aa$i%02d" * 8)
-    val watched = Map(addrs(0) -> "alice", addrs(1) -> "bob")
-    val live = scala.collection.mutable.ArrayBuffer[(String, Int, String, Long)]()
-    var prev = "00" * 32
-    var height = 100L
-    var slot = 1000L
-    val out = (0 until n).map { _ =>
-      slot += 1 + rnd.nextInt(3)
-      height += 1
-      val txs = (0 until rnd.nextInt(3)).map { _ =>
-        val nSpend = rnd.nextInt(3).min(live.size)
-        val spends = (0 until nSpend).map(_ => live.remove(rnd.nextInt(live.size)))
-        Tx("tmp",
-          spends.map { case (h, i, _, _) => TxInput(h, i) },
-          (0 to rnd.nextInt(2)).map(_ =>
-            TxOutput(addrs(rnd.nextInt(addrs.size)), 1000L + rnd.nextInt(9000))))
-      }
-      val (bytes, real) = CborBlock.encode(
-        Block("tmp", height, slot, txs, Era.Conway), prevHash = prev)
-      prev = real.hash
-      real.transactions.foreach(t => t.outputs.zipWithIndex.foreach {
-        case (o, oi) => live += ((t.txHash, oi, o.address, o.lovelace))
-      })
-      (bytes, real)
-    }
-    (out, watched)
-  }
+      : (Seq[(Array[Byte], Block)], Map[String, String]) =
+    (CborChainGen.generate(n, seed), CborChainGen.Watched)
 
   test("full origin sync over TCP: decode fidelity + adaptive pipelining observed on the wire") {
     val (chain, _) = genChain(600, seed = 3)
@@ -118,20 +90,7 @@ class TcpChainSyncSpec extends SparkSpec {
   test("ProviderSync drives the UTxO graph from the socket to oracle balances") {
     val sp = spark
     val (chain, watched) = genChain(16, seed = 11)
-    val oracle: Seq[(Long, Map[String, Long])] = {
-      val pool = scala.collection.mutable.Map[(String, Int), (String, Long)]()
-      chain.map { case (_, b) =>
-        b.transactions.foreach { tx =>
-          tx.outputs.zipWithIndex.foreach { case (o, i) =>
-            pool((tx.txHash, i)) = (o.address, o.lovelace)
-          }
-          tx.inputs.foreach(in => pool.remove((in.txId, in.index)))
-        }
-        b.slot -> watched.map { case (addr, name) =>
-          name -> pool.valuesIterator.filter(_._1 == addr).map(_._2).sum
-        }
-      }
-    }
+    val oracle = CborChainGen.balanceOracle(chain, watched)
     val server = new ChainSyncServer(chain)
     try {
       val reducers = Seq(
