@@ -713,6 +713,36 @@ object Relational extends QueryModule {
        |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
   }
 
+  /** SQL-TEXT entry point (q95) — the one rubric surface the DataFrame
+    * catalog deliberately left to Catalyst: a query submitted as ANSI
+    * SQL TEXT through `spark.sql` over registered views. The text is
+    * engine-neutral by construction (the Conventions decimal-sum
+    * discipline is plain CAST/SUM), so THE SAME STRING is both the
+    * Spark query and the DuckDB oracle — parser coverage with zero
+    * translation surface to drift. Shape is TPC-H Q10 (returned-item
+    * revenue by customer): three-way fact join, dim broadcast by
+    * Catalyst, one partial-aggregated shuffle, TakeOrdered(20).
+    */
+  private val q95Text =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t))
+    s.sql(q95Text)
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q01_agg_pricing_summary", q01, Some(q01Sql)),
     CatalogEntry("q02_filter_project", q02, Some(q02Sql)),
@@ -739,5 +769,6 @@ object Relational extends QueryModule {
     CatalogEntry("q91_pivot", q91, Some(q91Sql)),
     CatalogEntry("q92_gapfill", q92, Some(q92Sql)),
     CatalogEntry("q93_pagerank", q93, Some(q93Sql)),
+    CatalogEntry("q95_sql_text", q95, Some(q95Text)),
   )
 }
