@@ -186,4 +186,27 @@ class CborCodecSpec extends SparkSpec {
       "real outputs should carry >1 ADA somewhere")
     assert(txs.flatMap(_.inputs).forall(_.txId.length == 64))
   }
+
+  test("decoder fuzz: random bytes and bit-flipped real blocks never throw or hang") {
+    val rnd = new scala.util.Random(13)
+    // pure noise at assorted sizes
+    (0 until 4000).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      CborBlock.decode(b) // Option either way; a throw/hang fails the test
+      CborBlock.headerInfo(b)
+    }
+    // structured corruption: single bit flips in a VALID wire block -
+    // the adversarial middle ground between noise and well-formed
+    val (valid, _) = CborBlock.encode(mkBlock(7, 4242L, 3))
+    (0 until 2000).foreach { _ =>
+      val b = valid.clone()
+      val bit = rnd.nextInt(b.length * 8)
+      b(bit / 8) = (b(bit / 8) ^ (1 << (bit % 8))).toByte
+      CborBlock.decode(b)
+      CborBlock.headerInfo(b)
+    }
+    // truncations at every prefix length of the valid block
+    (0 until valid.length).foreach(n => CborBlock.decode(valid.take(n)))
+  }
 }
