@@ -518,12 +518,23 @@ final class GraphRunner(
     diags
   }
 
+  /** The replay-trim floor is MUTABLE: it starts at the safe slot (drop
+    * blocks already committed, the at-least-once replay trim) but must
+    * FOLLOW any in-stream rollback below it — after
+    * `RollBack(p)` the chain's replacement blocks legitimately carry
+    * slots at or below the old floor, and a static snapshot would drop
+    * them, leaving a permanent gap between the rollback point and the
+    * old floor (silent data loss the next checkpoint would seal in).
+    */
   def resume(events: IterableOnce[BlockEvent]): Unit = {
     reconcileStartup()
-    val safe = latestCheckpointSlot
+    var floor = latestCheckpointSlot
     processEvents(events.iterator.filter {
-      case RollForward(b) => b.slot > safe
-      case _ => true
+      case RollForward(b) => b.slot > floor
+      case RollBack(p, mode) =>
+        val kept = if (mode == Exclusive) p.slot else p.slot - 1
+        floor = math.min(floor, kept)
+        true
     })
   }
 }

@@ -453,7 +453,19 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
   private def compactTables(c: Connection,
       compactors: Map[String, BoundCompactor]): Unit = {
     lastCompactionBufferedRows = 0L
-    compactors.foreach { case (table, comp) =>
+    // Custom compactors run FIRST: their bound fn may lazily read OTHER
+    // store tables, and in executor-commit mode those reads go through
+    // executor-side JDBC connections (separate Derby transactions) that
+    // would block on write locks taken by the declarative DELETEs in
+    // this same open transaction until the lock timeout killed the
+    // commit. With customs first, no in-txn write lock exists yet when
+    // those reads execute. (Driver-commit mode is immune either way —
+    // driverRead reuses this very connection.) Residual constraint: a
+    // Custom fn must not read a table that ANOTHER Custom compactor
+    // rewrites in the same commit; declare that shape declaratively or
+    // run driver-commit.
+    val (customs, declaratives) = compactors.partition(_._2.sql.isEmpty)
+    (customs.toSeq ++ declaratives.toSeq).foreach { case (table, comp) =>
       if (tableExists(table)) comp.sql match {
         case Some(sc) if tableExists(sc.againstTable) =>
           ensureKeyIndex(c, sc.againstTable, sc.keyCols)
@@ -586,10 +598,13 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           c.commit() // the atomic point — data + state + marker together
         } catch { case e: Throwable => c.rollback(); throw e }
       }
-      collected.foreach { case (table, slotCol, _, rows, _) =>
-        if (rows.nonEmpty) {
-          ensureIndexes(table, slotCol); registerSlotCol(table, slotCol)
-        }
+      // register EVERY collected table, rows or not: ensureTable just
+      // created it either way, and a later subset-registered runner's
+      // rollback resolves slot columns through graft_tables — a
+      // created-but-still-empty table missing from the registry would
+      // make that rollback guess (or fail on) its retraction column
+      collected.foreach { case (table, slotCol, _, _, _) =>
+        ensureIndexes(table, slotCol); registerSlotCol(table, slotCol)
       }
       return true
     }

@@ -302,16 +302,36 @@ object Dedup extends QueryModule {
       .orderBy(col("n_shared_bands").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** C4-style content-normalization key — case-fold, collapse
+    * non-alphanumerics, md5 — THE exact-dup identity shared by q61,
+    * q69's incremental index, q79's audit bit and both StreamingCurate
+    * legs. One spelling per engine: an edit here (e.g. unicode classes)
+    * moves every consumer together instead of silently forking the
+    * canonical-survivor decision between them.
+    */
+  private[graft] def normMd5(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  private[graft] def normMd5Sql(expr: String): String =
+    s"md5(trim(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g')))"
+
+  /** The MinHash-signature and band-key SQL fragments every
+    * LSH-family oracle shares (q32/q38/q39/q55/q67/q69) — ONE spelling,
+    * so a change to H, the seeds, or the band digest cannot silently
+    * fork one entry's oracle from the others.
+    */
+  private val sigSql = (0 until H).map(k =>
+    s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
+  private val bandsSql = (0 until Bands).map(b =>
+    s"md5('$b|' || " +
+      (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
+    .mkString("[", ", ", "]")
+
   private def q32(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d))
 
   private val q32Sql = {
-    val sigSql = (0 until H).map(k =>
-      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
-    val bandsSql = (0 until Bands).map(b =>
-      s"md5('$b|' || " +
-        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
-      .mkString("[", ", ", "]")
     s"""WITH docs AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
@@ -519,12 +539,6 @@ object Dedup extends QueryModule {
       .orderBy(col("band_key"), col("doc_id"))
 
   private val q38Sql = {
-    val sigSql = (0 until H).map(k =>
-      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
-    val bandsSql = (0 until Bands).map(b =>
-      s"md5('$b|' || " +
-        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
-      .mkString("[", ", ", "]")
     s"""WITH docs AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
@@ -597,12 +611,6 @@ object Dedup extends QueryModule {
   }
 
   private val q39Sql = {
-    val sigSql = (0 until H).map(k =>
-      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
-    val bandsSql = (0 until Bands).map(b =>
-      s"md5('$b|' || " +
-        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
-      .mkString("[", ", ", "]")
     s"""WITH RECURSIVE docs AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
@@ -717,7 +725,7 @@ object Dedup extends QueryModule {
   private def q61(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        normMd5(col("text"))
           .as("norm_md5"))
       .groupBy(col("norm_md5"))
       .agg(min(col("doc_id")).as("keeper_doc_id"),
@@ -726,7 +734,7 @@ object Dedup extends QueryModule {
       .orderBy(col("norm_md5"))
 
   private val q61Sql =
-    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    s"""SELECT ${normMd5Sql("text")}
       |    AS norm_md5,
       |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
       |FROM documents
@@ -804,8 +812,14 @@ object Dedup extends QueryModule {
   private def q80(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
-      .select(col("s")).distinct()
+    // materialized: the count, the bloom build and the exact-confirm
+    // join each consume the eval gram relation — without this the
+    // tokenize+explode+distinct subtree runs three times, on the very
+    // shard q80 premises to be too large for comfort
+    val ev = Scratch.materialize(
+      ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
+        .select(col("s")).distinct(),
+      "q80_ev")
     val nEv = math.max(ev.count(), 1L)
     val bf = s.sparkContext.broadcast(
       ev.stat.bloomFilter("s", nEv, 0.03))
@@ -845,12 +859,6 @@ object Dedup extends QueryModule {
   }
 
   private val q55Sql = {
-    val sigSql = (0 until H).map(k =>
-      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
-    val bandsSql = (0 until Bands).map(b =>
-      s"md5('$b|' || " +
-        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
-      .mkString("[", ", ", "]")
     s"""WITH RECURSIVE docs AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
@@ -1143,12 +1151,6 @@ object Dedup extends QueryModule {
   }
 
   private val q67Sql = {
-    val sigSql = (0 until H).map(k =>
-      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
-    val bandsSql = (0 until Bands).map(b =>
-      s"md5('$b|' || " +
-        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
-      .mkString("[", ", ", "]")
     s"""WITH RECURSIVE qual AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE LENGTH(text) >= 100
@@ -1340,7 +1342,7 @@ object Dedup extends QueryModule {
     val isFrozen = col("doc_id") % 10 < 3
     val docs = Tables.documents(s, d)
     val norm = docs.select(col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      normMd5(col("text"))
         .as("norm_md5"))
     val exactIdx = norm.filter(isFrozen)
       .groupBy(col("norm_md5")).agg(min(col("doc_id")).as("idx_doc"))
@@ -1366,12 +1368,6 @@ object Dedup extends QueryModule {
   }
 
   private val q69Sql = {
-    val sigSql = (0 until H).map(k =>
-      s"MIN(xor(h, ${Seeds(k)})) AS m$k").mkString(", ")
-    val bandsSql = (0 until Bands).map(b =>
-      s"md5('$b|' || " +
-        (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ',' || ") + ")")
-      .mkString("[", ", ", "]")
     s"""WITH docs AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
@@ -1382,7 +1378,7 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
        |norm AS (
        |  SELECT doc_id,
-       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |    ${normMd5Sql("text")}
        |      AS norm_md5
        |  FROM documents),
        |exact_idx AS (

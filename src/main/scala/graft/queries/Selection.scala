@@ -86,11 +86,16 @@ object Selection extends QueryModule {
   private[graft] def dsirSelect(docs: DataFrame, selectN: Int)
       : DataFrame = {
     val occ = Scratch.materialize(dsirOcc(docs), "q74_occ")
-    val model = occ.groupBy(col("b")).agg(
-      sum(when(col("doc_id") % 10 === DsirTargetMod, 1L).otherwise(0L))
-        .as("t"),
-      sum(when(col("doc_id") % 10 =!= DsirTargetMod, 1L).otherwise(0L))
-        .as("r"))
+    // the 256-row model is materialized so `tot` and the broadcast join
+    // both read ONE aggregation of occ, not three (tot and the join leg
+    // would otherwise each re-run the corpus-scale groupBy)
+    val model = Scratch.materialize(
+      occ.groupBy(col("b")).agg(
+        sum(when(col("doc_id") % 10 === DsirTargetMod, 1L).otherwise(0L))
+          .as("t"),
+        sum(when(col("doc_id") % 10 =!= DsirTargetMod, 1L).otherwise(0L))
+          .as("r")),
+      "q74_model")
     val tot = model.agg(sum(col("t")).as("tt"), sum(col("r")).as("rt"))
     occ.filter(col("doc_id") % 10 =!= DsirTargetMod)
       .join(broadcast(model), Seq("b"))
@@ -639,7 +644,7 @@ object Selection extends QueryModule {
     val fQual = docs.select(col("doc_id"),
       qualityFail(col("text")).cast("int").as("f_qual"))
     val norm = docs.select(col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      Dedup.normMd5(col("text"))
         .as("norm_md5"))
     val fExact = norm
       .join(norm.groupBy(col("norm_md5")).agg(min(col("doc_id")).as("keeper")),
@@ -689,7 +694,7 @@ object Selection extends QueryModule {
        |  FROM documents),
        |nrm AS (
        |  SELECT doc_id,
-       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |    ${Dedup.normMd5Sql("text")}
        |      AS norm_md5
        |  FROM documents),
        |fe AS (
@@ -789,16 +794,25 @@ object Selection extends QueryModule {
   private def q87(s: SparkSession, d: String): DataFrame = {
     val packed = bestFitPack(Dedup.packToks(Tables.documents(s, d)))
     val budget = Dedup.PackBudget
-    val bins = packed.groupBy(col("shard"), col("bin_id"))
+    // per-bin contiguity via ADJACENCY, not endpoints: min_off==0 &&
+    // max_end==fill would pass a bin whose overlap is compensated by an
+    // equal-sized gap — the exact class of offset bug this certificate
+    // exists to catch. Here every placement must start exactly where
+    // the previous one ended (first at 0), which forbids gap AND
+    // overlap individually.
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bin_id")).orderBy(col("bin_off"))
+    val adj = packed.withColumn("prev_end",
+        lag(col("bin_off") + col("n_tok"), 1, 0L).over(wb))
+      .withColumn("adj", (col("bin_off") === col("prev_end")).cast("int"))
+    val bins = adj.groupBy(col("shard"), col("bin_id"))
       .agg(sum(col("n_tok")).as("fill"),
-        min(col("bin_off")).as("min_off"),
-        max(col("bin_off") + col("n_tok")).as("max_end"))
+        min(col("adj")).as("bin_tiled"))
     bins.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_bins"),
         sum(col("fill")).as("total_toks"),
         max(col("fill")).as("max_fill"),
-        min((col("min_off") === 0 && col("max_end") === col("fill"))
-          .cast("int")).as("all_tiled"))
+        min(col("bin_tiled")).as("all_tiled"))
       .join(packed.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs")), "shard")
       .withColumn("min_bins",

@@ -188,7 +188,7 @@ object StreamingCurate {
     docs.select(col("doc_id").cast("long"),
         col("text"),
         Selection.qualityFail(col("text")).cast("int").as("f_qual"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        Dedup.normMd5(col("text"))
           .as("norm_md5"))
       .as[(Long, String, Int, String)]
       .mapPartitions { it =>
@@ -287,7 +287,7 @@ object StreamingCurate {
     val sigs = docs.select(col("doc_id").cast("long"),
         col("text"),
         Selection.qualityFail(col("text")).cast("int").as("f_qual"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        Dedup.normMd5(col("text"))
           .as("norm_md5"),
         col("event_time").cast("timestamp"))
       .as[(Long, String, Int, String, java.sql.Timestamp)]

@@ -116,6 +116,39 @@ class GraphRunnerSpec extends SparkSpec {
     assert(tip == oracle.last._2)
   }
 
+  test("resume lowers its replay floor past an in-stream rollback: replacement blocks below the checkpoint are processed") {
+    // the chain reorged WHILE the runner was down: the resume feed opens
+    // with a rollback below the safe slot, and the replacement branch
+    // carries slots at or below it — a static replay-trim floor would
+    // drop them, sealing a permanent gap behind the next checkpoint
+    val main = ChainGen.generate(20, seed = 42L)
+    val root = tmpDir("resume-reorg")
+    def mkReducers = Seq(
+      new BlockSummaryReducer, new TxIndexReducer,
+      new WalletUtxoReducer(ChainGen.Watched),
+      new BalanceSnapshotReducer(ChainGen.Watched))
+    val store1 = new StateStore(root, spark)
+    new GraphRunner(spark, store1, mkReducers, batchSize = 5)
+      .processEvents(main.map(RollForward.apply))
+    // reorg point: keep the first 8 blocks, replace the rest with a fork
+    // whose slots START BELOW the committed checkpoint
+    val keep = main.take(8)
+    val fork = ChainGen.generate(12, seed = 99L,
+      startSlot = keep.last.slot, tag = "f")
+    val store2 = new StateStore(root, spark)
+    val runner2 = new GraphRunner(spark, store2, mkReducers, batchSize = 5)
+    assert(runner2.latestCheckpointSlot >= fork.head.slot,
+      "precondition: the fork begins below the safe slot")
+    runner2.resume(
+      Iterator.single[BlockEvent](
+        RollBack(Point(keep.last.hash, keep.last.slot), Exclusive)) ++
+        fork.map(RollForward.apply))
+    val got = store2.read("blocks", mkReducers.head.tables.head.schema)
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == (keep ++ fork).map(_.hash).sorted,
+      "replacement blocks below the old floor must not be dropped")
+  }
+
   test("EngineShuffle: nested entrants with UNEQUAL widths restore the outer width on inner exit") {
     val key = "spark.sql.shuffle.partitions"
     val user = spark.conf.get(key)
