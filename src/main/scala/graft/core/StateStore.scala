@@ -200,7 +200,11 @@ final class StateStore(val root: String, spark: SparkSession,
     val stats = obs.get
     stats.get("lo").filter(_ != null) match {
       case Some(lo) =>
-        Some(Segment(id, lo.asInstanceOf[Long], stats("hi").asInstanceOf[Long]))
+        // Number, not Long: a TableDef may declare its slot column as
+        // INT — min/max then observe boxed Integers, and a hard Long
+        // cast would throw mid-commit after segment files landed
+        Some(Segment(id, lo.asInstanceOf[Number].longValue(),
+          stats("hi").asInstanceOf[Number].longValue()))
       case None =>
         deleteDir(segPath(table, id)) // empty append: keep nothing
         None

@@ -203,10 +203,18 @@ object Similarity extends QueryModule {
         explode(array((0 until L).flatMap(t =>
           probesFor(t, col(s"sig$t"))): _*)).as("bkt"))
     val n = sigd.count().toDouble
-    val probed = broadcast(q).join(cand, "bkt")
+    // honest denominator: the query's own vector is not a probed
+    // CANDIDATE, and a query whose every probe bucket is empty probed
+    // ~0 of the corpus — it must average in as 0, not vanish from the
+    // mean (left join from the query list, coalesce missing to 0)
+    val perQuery = broadcast(q).join(cand, "bkt")
+      .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id")).distinct()
       .groupBy(col("query_id")).count()
-      .agg(avg(col("count"))).head().getDouble(0)
+    val probed = sigd.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"))
+      .join(perQuery, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("count"), lit(0L)))).head().getDouble(0)
     probed / n
   }
 
@@ -250,6 +258,18 @@ object Similarity extends QueryModule {
   private val NProbe = 2 // probed lists per query
   private[graft] val CentBase = 100L // centroid seed vectors: vec_id 100..107
 
+  /** The SEEDED coarse-quantizer relation (vec_id ∈ [CentBase,
+    * CentBase+NCent) with norms) — ONE definition consumed by q37's
+    * IVF build and q70/q79's semantic clustering, for the same reason
+    * centroidRanks is shared: a hand-copy of the seed range or column
+    * naming silently diverges the cluster assignment the entries are
+    * documented to share.
+    */
+  private def seededCent(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= CentBase && col("vec_id") < CentBase + NCent)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+
   /** IVF-style ANN (q37): the other standard scale path besides sign-LSH.
     * Coarse quantizer = NCent deterministic seed vectors (vec_id
     * 100..107 — a k-means iteration would refine them, but seeded
@@ -264,10 +284,7 @@ object Similarity extends QueryModule {
     * on DataFrames.
     */
   private def q37(s: SparkSession, d: String): DataFrame =
-    ivfQuery(s, d, e => e.filter(col("vec_id") >= CentBase &&
-        col("vec_id") < CentBase + NCent)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm")))
+    ivfQuery(s, d, seededCent)
 
   /** The IVF build+probe with a pluggable coarse quantizer: `mkCent`
     * receives the normalized corpus and returns the centroid table
@@ -507,13 +524,14 @@ object Similarity extends QueryModule {
     * for the LSH twin).
     */
   private[graft] def ivfProbedFraction(s: SparkSession, d: String,
-      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe): Double = {
+      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe,
+      nq: Long = NQ): Double = {
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
     val cent = mkCent(e)
     val scoredCent = centroidRanks(e, cent)
     val sizes = scoredCent.filter(col("crank") === 1).groupBy("cid").count()
     val probes = scoredCent
-      .filter(col("vec_id") < NQ && col("crank") <= nProbe)
+      .filter(col("vec_id") < nq && col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
     val n = e.count().toDouble
     probes.join(sizes, "cid")
@@ -677,10 +695,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def semanticDupOf(s: SparkSession, d: String): DataFrame = {
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q70_e")
-    val cent = e.filter(col("vec_id") >= CentBase &&
-        col("vec_id") < CentBase + NCent)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
+    val cent = seededCent(e)
     val assign = centroidRanks(e, cent)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
@@ -767,8 +782,10 @@ object Similarity extends QueryModule {
     * round: the exhaustive-assignment count (every vector assigned
     * exactly once — the oracle re-derives the corpus count
     * independently) and the monotone-descent flag (this round's
-    * objective strictly improved on the previous round's), pinned TRUE
-    * by the oracle. A regression in the update step — a dropped
+    * objective did not INCREASE — Lloyd's true invariant: a converged
+    * run legitimately plateaus bit-exactly, so strict descent would
+    * fail a perfectly correct training run at its fixed point), pinned
+    * TRUE by the oracle. A regression in the update step — a dropped
     * cluster, a raised objective, a lost vector — breaks this row's
     * hash even though the centroids themselves are unoracleable.
     */
@@ -777,7 +794,7 @@ object Similarity extends QueryModule {
     val nAssigned = assign.count()
     import s.implicits._
     wcss.indices.map { r =>
-      (r.toLong, nAssigned, r == 0 || wcss(r) < wcss(r - 1))
+      (r.toLong, nAssigned, r == 0 || wcss(r) <= wcss(r - 1))
     }.toDF("round", "n_assigned", "improved")
       .orderBy(col("round"))
   }
@@ -889,6 +906,7 @@ object Similarity extends QueryModule {
       .orderBy(col("rrf").desc, col("doc_id")).limit(20)
       .withColumn("fused_rank",
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .orderBy(col("fused_rank")) // explicit total order (Conventions)
   }
 
   private val q94Sql =

@@ -44,24 +44,34 @@ object TextAnalysis extends QueryModule {
     * length — integer counts combined in one fixed-shape double expression
     * (identical IEEE evaluation order in both engines).
     */
-  private def q21(s: SparkSession, d: String): DataFrame = {
-    val doc = Tables.documents(s, d)
-    val words = rxCount(col("text"), "[A-Za-z]+")
-    val punct = rxCount(col("text"), "[^\\w\\s]")
-    val stop = rxCount(col("text"),
-      "\\b(the|a|an|of|and|to|in|is|it|that)\\b")
+  /** The q21 heuristic's raw counts over a `text` column — ONE
+    * spelling shared with [[clsLabels]], whose training labels are
+    * documented as "the q21 heuristic's verdicts distilled": a tuned
+    * threshold or regex here must move the classifier's labels with it,
+    * not silently leave them on the stale definition.
+    */
+  private def qualityCounts(doc: DataFrame): DataFrame =
     doc.select(
-        col("doc_id"), length(col("text")).as("len"),
-        words.as("n_words"), punct.as("n_punct"), stop.as("n_stop"))
+      col("doc_id"), length(col("text")).as("len"),
+      rxCount(col("text"), "[A-Za-z]+").as("n_words"),
+      rxCount(col("text"), "[^\\w\\s]").as("n_punct"),
+      rxCount(col("text"),
+        "\\b(the|a|an|of|and|to|in|is|it|that)\\b").as("n_stop"))
+
+  /** The verdict over [[qualityCounts]] output columns. */
+  private def qualityOk: org.apache.spark.sql.Column =
+    col("len") >= 100 &&
+      col("n_punct").cast("double") / greatest(col("len"), lit(1)) < 0.1 &&
+      col("n_stop").cast("double") / greatest(col("n_words"), lit(1)) > 0.01
+
+  private def q21(s: SparkSession, d: String): DataFrame =
+    qualityCounts(Tables.documents(s, d))
       .withColumn("punct_ratio",
         col("n_punct").cast("double") / greatest(col("len"), lit(1)))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / greatest(col("n_words"), lit(1)))
-      .withColumn("quality_ok",
-        col("len") >= 100 && col("punct_ratio") < lit(0.1) &&
-          col("stop_ratio") > lit(0.01))
+      .withColumn("quality_ok", qualityOk)
       .orderBy(col("doc_id"))
-  }
 
   private val q21Sql =
     s"""SELECT doc_id, LENGTH(text) AS len,
@@ -443,12 +453,16 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
-    uni.join(bg, "doc_id")
+    // LEFT join: a 0/1-word document has no bigram rows, and an inner
+    // join would emit NO verdict for exactly the near-empty documents a
+    // repetition filter most needs to judge — they pass with a 0
+    // bigram fraction instead of vanishing (oracle mirrors the join)
+    uni.join(bg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_uniq"),
         ((col("n_words") - col("n_uniq")).cast("double") / col("n_words"))
           .as("dup_word_frac"),
-        (col("top_bigram").cast("double") / col("n_bigrams"))
-          .as("top_bigram_frac"))
+        coalesce(col("top_bigram").cast("double") / col("n_bigrams"),
+          lit(0.0)).as("top_bigram_frac"))
       .withColumn("rep_ok",
         col("dup_word_frac") <= lit(0.5) && col("top_bigram_frac") <= lit(0.1))
       .orderBy(col("doc_id"))
@@ -475,10 +489,12 @@ object TextAnalysis extends QueryModule {
       |  GROUP BY doc_id)
       |SELECT doc_id, n_words, n_uniq,
       |  CAST(n_words - n_uniq AS DOUBLE) / n_words AS dup_word_frac,
-      |  CAST(top_bigram AS DOUBLE) / n_bigrams AS top_bigram_frac,
+      |  COALESCE(CAST(top_bigram AS DOUBLE) / n_bigrams, 0.0)
+      |    AS top_bigram_frac,
       |  CAST(n_words - n_uniq AS DOUBLE) / n_words <= 0.5
-      |    AND CAST(top_bigram AS DOUBLE) / n_bigrams <= 0.1 AS rep_ok
-      |FROM uni JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin
+      |    AND COALESCE(CAST(top_bigram AS DOUBLE) / n_bigrams, 0.0) <= 0.1
+      |    AS rep_ok
+      |FROM uni LEFT JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Sketch-based corpus profile (q56): per-language vocabulary size and
     * distinct-document count via HyperLogLog++ (`approx_count_distinct`)
@@ -632,7 +648,13 @@ object TextAnalysis extends QueryModule {
     // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
     // v(k) referencing v(k-1) twice (pair counting + merge apply) would
     // expand v0 2^16 times — materialization keeps each layer computed
-    // exactly once, so the oracle is 16 linear passes over the vocab
+    // exactly once, so the oracle is 16 linear passes over the vocab.
+    // The merge application is a LEFT JOIN ON TRUE, not a cross join:
+    // when pairs EXHAUST before round 16 (degenerate vocab), b$k is
+    // empty and a cross join would collapse v$k — and every later
+    // layer — to zero rows, silently emptying q71/q75's oracle while
+    // the Spark trainer handles exhaustion; the left join degrades
+    // each exhausted layer to identity instead, matching the engine.
     b ++= s"""WITH words AS (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |  FROM documents),
@@ -651,9 +673,10 @@ object TextAnalysis extends QueryModule {
          |b$k AS MATERIALIZED (
          |  SELECT l, r, pf FROM p$k ORDER BY pf DESC, l, r LIMIT 1),
          |v$k AS MATERIALIZED (SELECT w,
-         |  replace(syms, ',' || b.l || ',,' || b.r || ',',
-         |          ',' || b.l || b.r || ',') AS syms,
-         |  freq FROM v${k - 1}, b$k b)""".stripMargin
+         |  CASE WHEN b.l IS NULL THEN syms
+         |       ELSE replace(syms, ',' || b.l || ',,' || b.r || ',',
+         |                    ',' || b.l || b.r || ',') END AS syms,
+         |  freq FROM v${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     b.result()
   }
@@ -830,19 +853,9 @@ object TextAnalysis extends QueryModule {
   }
 
   /** The q21 heuristic verdict as a training label. */
-  private[graft] def clsLabels(docs: DataFrame): DataFrame = {
-    val words = rxCount(col("text"), "[A-Za-z]+")
-    val punct = rxCount(col("text"), "[^\\w\\s]")
-    val stop = rxCount(col("text"),
-      "\\b(the|a|an|of|and|to|in|is|it|that)\\b")
-    docs.select(col("doc_id"), length(col("text")).as("len"),
-        words.as("n_words"), punct.as("n_punct"), stop.as("n_stop"))
-      .select(col("doc_id"),
-        (col("len") >= 100 &&
-          col("n_punct").cast("double") / greatest(col("len"), lit(1)) < 0.1 &&
-          col("n_stop").cast("double") / greatest(col("n_words"), lit(1)) > 0.01)
-          .cast("double").as("y"))
-  }
+  private[graft] def clsLabels(docs: DataFrame): DataFrame =
+    qualityCounts(docs)
+      .select(col("doc_id"), qualityOk.cast("double").as("y"))
 
   /** In-engine logistic-regression training (the q73 kernel): full-batch
     * gradient descent with BACKTRACKING line search on the hashed
@@ -928,8 +941,13 @@ object TextAnalysis extends QueryModule {
     var w = Array.fill(ClsD + 2)(0.0)
     // closed-form optimum of the bias-only model: GD starts AT the
     // majority plateau and spends every round on the discriminative
-    // features instead of walking the bias there first
-    w(ClsD) = math.log(nPos / (n - nPos))
+    // features instead of walking the bias there first. A ONE-CLASS
+    // label distribution has no finite optimum (log(0) = -Inf would
+    // poison every loss probe into NaN and stall training at garbage);
+    // start at 0 there and let the rounds walk the bias.
+    w(ClsD) =
+      if (nPos <= 0.0 || nPos >= n) 0.0
+      else math.log(nPos / (n - nPos))
     var loss = lossesOf(Seq(w, w, w, w)).head
     val losses = Seq.newBuilder[Double]
     losses += loss

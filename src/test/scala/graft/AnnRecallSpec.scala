@@ -131,8 +131,8 @@ class AnnRecallSpec extends SparkSpec {
           .as("cent_nrm"))
     val rs = recall50(top5Of(S.ivfQuery(spark, sf, seedCent, 2, 50)))
     val rt = recall50(top5Of(S.ivfQuery(spark, sf, trainedCent, 2, 50)))
-    val fs = S.ivfProbedFraction(spark, sf, seedCent)
-    val ft = S.ivfProbedFraction(spark, sf, trainedCent)
+    val fs = S.ivfProbedFraction(spark, sf, seedCent, nq = 50)
+    val ft = S.ivfProbedFraction(spark, sf, trainedCent, nq = 50)
     info(f"50-query recall@5: trained=$rt%.2f (probing $ft%.3f) " +
       f"seeded=$rs%.2f (probing $fs%.3f)")
     assert(ft <= fs + 0.05, f"trained quantizer probes more: $ft%.3f vs $fs%.3f")
