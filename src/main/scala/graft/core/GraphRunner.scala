@@ -329,8 +329,7 @@ final class GraphRunner(
             import scala.concurrent.duration.Duration
             Await.result(Future.sequence(built.map { case (name, out) =>
               Future(name -> out.map { case (t, df) =>
-                t -> spark.createDataFrame(
-                  java.util.Arrays.asList(df.collect(): _*), df.schema)
+                t -> BatchContext.localized(spark, df)
               })
             }), Duration.Inf)
           } else built.map { case (name, out) =>

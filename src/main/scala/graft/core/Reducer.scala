@@ -93,8 +93,7 @@ final class BatchContext(
   private[core] val staged = scala.collection.mutable.ArrayBuffer[DataFrame]()
   def stage(df: DataFrame): DataFrame =
     if (store.preferLocalOutputs)
-      spark.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      BatchContext.localized(spark, df)
     else {
       val c = df.cache()
       staged += c
@@ -125,4 +124,16 @@ trait ChainReducer {
     * commit deferral is the runner's job).
     */
   def rollForward(blocks: DataFrame, ctx: BatchContext): Map[String, DataFrame]
+}
+
+object BatchContext {
+  /** Collect `df` into a LOCAL relation (its later collect/scan is a
+    * free LocalTableScan) — the driver-commit materialization idiom
+    * shared by `stage` and GraphRunner's output localization, factored
+    * so a memory-safety change (e.g. toLocalIterator) reaches both.
+    */
+  private[core] def localized(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 }

@@ -67,9 +67,20 @@ object Multimodal {
       lit("text/plain").as("mime"),
       col("text").cast("binary").as("payload"))
 
-  private def sha256Hex(payload: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-256")
-      .digest(payload).map("%02x".format(_)).mkString
+  // per-thread digest instance: getInstance per ROW on the
+  // mapPartitions hot path is the allocation the extractFeatures
+  // comment reserves for per-partition init (the Dedup.bandEntries
+  // hoist, in ThreadLocal form since decodeAny is called per row)
+  private val Sha256 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-256")
+  }
+
+  private def sha256Hex(payload: Array[Byte]): String = {
+    val md = Sha256.get()
+    md.reset()
+    md.digest(payload).map("%02x".format(_)).mkString
+  }
 
   /** STUB: deterministic fake decode for mimes with no offline codec
     * (jpeg/png/mp4...). Swapping in a real decoder (JNI/ffmpeg/javacv)
@@ -312,6 +323,34 @@ object Multimodal {
     * GIF frames beyond the first).
     */
   private def decodeImageIO(r: MediaRow): Option[MediaFeatures] = {
+    // DIMENSION PRECHECK before any pixel allocation: ImageIO.read
+    // allocates the full claimed-dimension BufferedImage up front, so a
+    // 33-byte header claiming 100000x100000 would OOM the executor —
+    // an Error the Try/NonFatal fence around decodeAny cannot catch,
+    // turning one crafted blob into the task-retry storm the decode
+    // contract forbids. ImageReader yields width/height from the
+    // header without touching pixels; anything claiming more than
+    // MaxRawBytes/4 ARGB pixels degrades to the stub like any other
+    // undecodable payload.
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    if (iis == null) return None
+    val claimed =
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            Some((rd.getWidth(0).toLong, rd.getHeight(0).toLong))
+          } finally rd.dispose()
+        }
+      } finally iis.close()
+    claimed match {
+      case Some((w, h)) if w > 0 && h > 0 && w * h <= MaxRawBytes / 4 => ()
+      case _ => return None
+    }
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.payload))
     if (img == null) return None
@@ -514,7 +553,9 @@ object Multimodal {
     * partition, so decode memory is bounded regardless of row-size skew.
     */
   def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
-    val total = media.agg(sum(octet_length(col("payload")))).head().getLong(0)
+    // sum() over zero rows is NULL — an empty relation repartitions to 1
+    val total = Option(media.agg(sum(octet_length(col("payload"))))
+      .head().get(0)).fold(0L)(_.asInstanceOf[Number].longValue())
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     media.repartition(parts)
   }

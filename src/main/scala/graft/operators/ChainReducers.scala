@@ -106,10 +106,8 @@ final class WalletUtxoReducer(watched: Map[String, String]) extends ChainReducer
       compactWith = Some(Compaction.DropUnmatched(
         "utxo_created", Seq("txHash", "txIndex"), "spentSlot"))))
 
-  private def watchedDf(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    watched.toSeq.toDF("address", "addressName")
-  }
+  private def watchedDf(spark: SparkSession): DataFrame =
+    ChainReducers.watchedDf(spark, watched)
 
   def rollForward(blocks: DataFrame, ctx: BatchContext): Map[String, DataFrame] = {
     // O6: tx → created outputs with positional index; O2: watched filter
@@ -165,6 +163,14 @@ object WalletUtxoReducer {
   * batch's block grid. Work per batch is O(batch), not O(history).
   */
 final class BalanceSnapshotReducer(watched: Map[String, String]) extends ChainReducer {
+  // one name per address, ONE ADDRESS PER NAME: the snapshot grid keys
+  // on addressName while carrying one row per address, so two addresses
+  // sharing a name would double-join every delta and assign the running
+  // sums nondeterministically between them — corrupt balances that the
+  // prior-snapshot read then compounds forever. The reference's config
+  // is name-keyed (one address per name); fail loudly on anything else.
+  require(watched.values.toSet.size == watched.size,
+    s"watched address names must be unique: ${watched.values.toSeq.sorted}")
   val name = "balance_by_address"
   override val dependsOn = Some("wallet_utxo")
   val tables = Seq(TableDef("balance_snapshots", StructType(Seq(
@@ -199,7 +205,7 @@ final class BalanceSnapshotReducer(watched: Map[String, String]) extends ChainRe
       .groupBy(col("addressName"))
       .agg(max_by(col("balance"), col("slot")).as("prior"))
     val grid = blocks.select(col("slot")).distinct()
-      .crossJoin(broadcast(watched.toSeq.toDF("address", "addressName")))
+      .crossJoin(broadcast(ChainReducers.watchedDf(spark, watched)))
     val w = Window.partitionBy(col("addressName")).orderBy(col("slot"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val snaps = grid
@@ -211,5 +217,18 @@ final class BalanceSnapshotReducer(watched: Map[String, String]) extends ChainRe
       .select(lit(name).as("reducer"), col("addressName"), col("address"),
         col("slot"), col("balance"))
     Map("balance_snapshots" -> snaps)
+  }
+}
+
+/** Shared helpers for the reducer family. */
+object ChainReducers {
+  /** The watched-address relation BOTH watched reducers join against —
+    * one spelling, so the two reducers' views of the watched set cannot
+    * drift (column naming, normalization) independently.
+    */
+  def watchedDf(spark: SparkSession,
+      watched: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    watched.toSeq.toDF("address", "addressName")
   }
 }

@@ -30,6 +30,19 @@ final case class PackAssignment(doc_id: Long, shard: Long, seq_no: Long,
   * (the offset state makes each batch an exact continuation). A source
   * that delivers documents in doc_id order therefore reproduces batch
   * q62's assignment exactly — StreamingPackSpec pins that convergence.
+  *
+  * Replay contract (at-least-once sources): under the in-order
+  * delivery the convergence contract already assumes, a REDELIVERED
+  * document arrives with an id at or below its shard's high-water
+  * mark. Such rows are DROPPED — emitting them again would both
+  * duplicate the training stream and advance the offset state,
+  * permanently shifting every later document's slot (the corruption
+  * StreamingDedup's seen-set guards against, achieved here with one
+  * extra long of state instead of a set: (next offset, max doc_id)
+  * per shard). The trade, stated: a replayed doc does not get its
+  * original assignment re-emitted — a sink needing per-row redelivery
+  * idempotence dedupes on doc_id, which the q62 determinism makes
+  * exact.
   */
 object StreamingPack {
 
@@ -45,17 +58,21 @@ object StreamingPack {
       budget: Long = 2048L): Dataset[PackAssignment] = {
     import toks.sparkSession.implicits._
     toks.groupByKey(_.shard)
-      .flatMapGroupsWithState[Long, PackAssignment](
+      .flatMapGroupsWithState[(Long, Long), PackAssignment](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (shard, chunk, state) =>
-          var off = state.getOption.getOrElse(0L)
-          val out = chunk.toSeq.sortBy(_.doc_id).map { p =>
-            val start = off
-            off += p.n_tok
-            PackAssignment(p.doc_id, shard, start / budget, start % budget,
-              p.n_tok)
+          var (off, hiId) = state.getOption.getOrElse((0L, Long.MinValue))
+          val out = chunk.toSeq.sortBy(_.doc_id).flatMap { p =>
+            if (p.doc_id <= hiId) None // replayed under in-order delivery
+            else {
+              val start = off
+              off += p.n_tok
+              hiId = p.doc_id
+              Some(PackAssignment(p.doc_id, shard, start / budget,
+                start % budget, p.n_tok))
+            }
           }
-          state.update(off)
+          state.update((off, hiId))
           out.iterator
       }
   }

@@ -113,6 +113,21 @@ object Worker {
     // and silently skip its own blocks
     require(roots.map(_.checkpointDir).distinct.size == roots.size,
       "multi-root worker requires one distinct checkpointDir per root")
+    // the worker-level telemetry fallback keys rows by REDUCER NAME:
+    // two roots without their own instance running same-named reducers
+    // would interleave slots/timings under one key — progress rows that
+    // LOOK right (the name filter passes) while carrying the other
+    // chain's values. Reject the configuration loudly; per-root
+    // Telemetry instances attribute correctly.
+    telemetry.foreach { _ =>
+      val dup = roots.filter(_.telemetry.isEmpty)
+        .flatMap(_.runner.reducerNames)
+        .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+      require(dup.isEmpty,
+        "worker-level telemetry cannot attribute same-named reducers " +
+          s"across roots (${dup.toSeq.sorted.mkString(", ")}); give each " +
+          "root its own Telemetry")
+    }
     val started = mutable.ArrayBuffer[(Root, StreamingQuery)]()
     try
       roots.foreach { r =>

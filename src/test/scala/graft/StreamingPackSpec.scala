@@ -77,4 +77,34 @@ class StreamingPackSpec extends SparkSpec {
       assert(first._2 == 0L && first._3 == 0L, rows.toString)
     } finally q.stop()
   }
+
+  test("replayed documents are dropped: offsets never shift under at-least-once delivery") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[graft.streaming.PackInput]
+    val q = graft.streaming.StreamingPack.assignments(mem.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("pack_replay")
+      .outputMode("append").start()
+    def rows() = sp.table("pack_replay")
+      .as[graft.streaming.PackAssignment].collect().sortBy(_.doc_id).toSeq
+    try {
+      mem.addData(Seq(
+        graft.streaming.PackInput(1L, 30L, 0L),
+        graft.streaming.PackInput(2L, 30L, 0L)))
+      q.processAllAvailable()
+      // the source redelivers doc 2, then continues with doc 3
+      mem.addData(Seq(
+        graft.streaming.PackInput(2L, 30L, 0L),
+        graft.streaming.PackInput(3L, 30L, 0L)))
+      q.processAllAvailable()
+      val got = rows()
+      assert(got.map(_.doc_id) == Seq(1L, 2L, 3L),
+        s"replay must emit nothing, not a duplicate: $got")
+      // doc 3's slot is as if the replay never happened: offset 60
+      val d3 = got.find(_.doc_id == 3L).get
+      assert(d3.seq_no == 0L && d3.seq_off == 60L,
+        s"replay shifted the offset state: $d3")
+    } finally q.stop()
+  }
 }

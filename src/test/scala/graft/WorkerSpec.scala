@@ -118,23 +118,35 @@ class WorkerSpec extends SparkSpec {
     } finally h.requestStop()
   }
 
-  test("shared worker telemetry is attributed per root, not duplicated") {
+  test("per-root telemetry attributes correctly; a conflating shared fallback is rejected") {
     import graft.streaming.Telemetry
-    // both roots fall back to the ONE worker-level telemetry; each must
-    // report only its OWN reducers' rows (summing per-root rows must not
-    // double-count — ADVICE r4)
-    val shared = new Telemetry(
+    // two roots running SAME-NAMED reducers: per-root instances keep
+    // each chain's slots/timings separate...
+    val telA = new Telemetry(Map("block_summary" -> None))
+    val telB = new Telemetry(
       Map("block_summary" -> None, "tx_index" -> Some("block_summary")))
-    val (rA, _) = root("ta", ChainGen.generate(6, seed = 51L),
+    val (rA0, _) = root("ta", ChainGen.generate(6, seed = 51L),
       Seq(new BlockSummaryReducer))
-    val (rB, _) = root("tb", ChainGen.generate(9, seed = 52L, tag = "r2"),
+    val (rB0, _) = root("tb", ChainGen.generate(9, seed = 52L, tag = "r2"),
       Seq(new BlockSummaryReducer, new TxIndexReducer))
-    val h = Worker.start(spark, Seq(rA, rB), telemetry = Some(shared))
+    val rA = rA0.copy(telemetry = Some(telA))
+    val rB = rB0.copy(telemetry = Some(telB))
+    val h = Worker.start(spark, Seq(rA, rB))
     h.await()
     val pA = h.progress(rA.runner.store.root).map(_.reducer)
     val pB = h.progress(rB.runner.store.root).map(_.reducer).sorted
     assert(pA == Seq("block_summary"), s"root A rows: $pA")
     assert(pB == Seq("block_summary", "tx_index"), s"root B rows: $pB")
+    // ...while the SHARED worker-level fallback cannot separate them:
+    // name-keyed rows would interleave both chains' values, so the
+    // configuration is rejected up front, not silently corrupted
+    val (rA2, _) = root("ta2", ChainGen.generate(6, seed = 53L),
+      Seq(new BlockSummaryReducer))
+    val (rB2, _) = root("tb2", ChainGen.generate(9, seed = 54L, tag = "r3"),
+      Seq(new BlockSummaryReducer, new TxIndexReducer))
+    val e = intercept[IllegalArgumentException](
+      Worker.start(spark, Seq(rA2, rB2), telemetry = Some(telB)))
+    assert(e.getMessage.contains("block_summary"), e.getMessage)
   }
 
   test("distinct-store requirement is enforced up front") {
