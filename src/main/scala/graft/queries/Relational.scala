@@ -723,13 +723,18 @@ object Relational extends QueryModule {
     * revenue by customer): three-way fact join, dim broadcast by
     * Catalyst, one partial-aggregated shuffle, TakeOrdered(20).
     */
-  private val q95Text =
+  /** The query text over a view-name prefix: the ORACLE uses the plain
+    * table names ([[q95Text]]); the Spark side registers PREFIXED temp
+    * views so it can never clobber a caller's same-named view in the
+    * shared session (ADVICE r06) — identical text otherwise.
+    */
+  private def q95TextOn(p: String) =
     s"""SELECT c_custkey, c_name, n_name,
        |  ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
-       |FROM customer
-       |JOIN orders ON c_custkey = o_custkey
-       |JOIN lineitem ON l_orderkey = o_orderkey
-       |JOIN nation ON c_nationkey = n_nationkey
+       |FROM ${p}customer
+       |JOIN ${p}orders ON c_custkey = o_custkey
+       |JOIN ${p}lineitem ON l_orderkey = o_orderkey
+       |JOIN ${p}nation ON c_nationkey = n_nationkey
        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
        |  AND o_orderdate < TIMESTAMP '1996-07-01'
        |  AND l_returnflag = 'R'
@@ -737,10 +742,18 @@ object Relational extends QueryModule {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
 
+  private val q95Text = q95TextOn("")
+
   private def q95(s: SparkSession, d: String): DataFrame = {
+    val p = "graft_q95_"
     Seq("customer", "orders", "lineitem", "nation").foreach(t =>
-      Tables.load(s, d, t).createOrReplaceTempView(t))
-    s.sql(q95Text)
+      Tables.load(s, d, t).createOrReplaceTempView(p + t))
+    // spark.sql analyzes eagerly, so the views can drop immediately:
+    // the analyzed plan holds the resolved relations, and the session
+    // is left exactly as the caller had it
+    try s.sql(q95TextOn(p))
+    finally Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => s.catalog.dropTempView(p + t))
   }
 
   override def entries: Seq[CatalogEntry] = Seq(

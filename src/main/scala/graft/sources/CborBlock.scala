@@ -141,11 +141,18 @@ final class CborReader(buf: Array[Byte]) {
           readBreak()
         }
       case 4 =>
-        if (arg >= 0) skipItems(arg.toInt)
-        else { while (!atBreak) skipItem(); readBreak() }
+        // arg.toInt on a count > Int.MaxValue would overflow NEGATIVE,
+        // skip zero elements, and keep parsing misaligned — fail loudly
+        // like readArrayHeader does (ADVICE r06)
+        if (arg >= 0) {
+          if (arg > Int.MaxValue) fail(s"array too large: $arg")
+          skipItems(arg.toInt)
+        } else { while (!atBreak) skipItem(); readBreak() }
       case 5 =>
-        if (arg >= 0) skipItems(2 * arg.toInt)
-        else { while (!atBreak) { skipItem(); skipItem() }; readBreak() }
+        if (arg >= 0) {
+          if (arg > Int.MaxValue / 2) fail(s"map too large: $arg")
+          skipItems(2 * arg.toInt)
+        } else { while (!atBreak) { skipItem(); skipItem() }; readBreak() }
       case 6 => skipItem() // tag wraps exactly one item
       case 7 =>
         // simple values / floats: payload width is encoded in the head

@@ -133,6 +133,7 @@ final class ChainSyncServer(
     var cursor = 0
     var pendingRollback: Option[Option[Point]] = None
     var pendingRequests = 0
+    var firstBurst = true
 
     def tipTo(w: CborWriter): Unit = pointCbor(w, Some(tipPoint))
 
@@ -196,6 +197,22 @@ final class ChainSyncServer(
             // the pipelining high-water mark is the client's true
             // in-flight window
             pendingRequests += 1
+            // the client's OPENING window goes out in one flush, but on
+            // a loaded host loopback delivery can lag this read — settle
+            // until available() stops growing (bounded ~100ms, once per
+            // connection) so the spec's high-water observation is not a
+            // timing race (ADVICE r06); later rounds keep the fast path
+            if (firstBurst) {
+              firstBurst = false
+              var last = -1
+              var stable = 0
+              val deadline = System.nanoTime() + 100L * 1000 * 1000
+              while (stable < 3 && System.nanoTime() < deadline) {
+                val a = in.available()
+                if (a == last) stable += 1 else { stable = 0; last = a }
+                Thread.sleep(2)
+              }
+            }
             // drain only COMPLETE frames: a RequestNext is exactly 6
             // bytes (4-byte length + [0]), so >= 6 available means one
             // can be read without blocking mid-frame. On a chunking
@@ -275,11 +292,18 @@ final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20)
         throw new IllegalStateException(s"unexpected reply $other")
     }
 
-    new Iterator[BlockEvent] {
+    // AutoCloseable so an early-abandoning consumer can release the
+    // socket (and the server's handler thread); pull() also closes on
+    // ANY exception — an unexpected message or a frame-length failure
+    // must not leak the connection (ADVICE r06)
+    new Iterator[BlockEvent] with AutoCloseable {
       private var inflight = 0
       private var drained = false
       private var lastSlot = -1L
       private var nextEvent: Option[BlockEvent] = None
+
+      def close(): Unit =
+        try sock.close() catch { case _: Exception => () }
 
       private def topUp(): Unit = {
         val gap = math.max(tipSlot - lastSlot, 0L)
@@ -295,7 +319,7 @@ final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20)
         if (sent) out.flush()
       }
 
-      private def pull(): Unit = {
+      private def pull(): Unit = try {
         while (nextEvent.isEmpty && !(drained && inflight == 0)) {
           topUp()
           val r = new CborReader(readFrame(in))
@@ -327,7 +351,7 @@ final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20)
           }
         }
         if (drained && inflight == 0 && nextEvent.isEmpty) sock.close()
-      }
+      } catch { case e: Throwable => close(); throw e }
 
       def hasNext: Boolean = {
         pull()
