@@ -660,9 +660,48 @@ object Similarity extends QueryModule {
     (assign, cent, wcss.result())
   }
 
+  /** Driver-side k-means model — centroid arrays (KmK × Dim floats),
+    * the accepted WCSS trace, and the assignment count: everything the
+    * certificate (q85) and the trained-IVF entries (q88/q96) need,
+    * bounded by MODEL size so it can live in [[ModelCache]] (the r06
+    * duplicated-training fix — the certificates used to re-run the full
+    * Lloyd loop).
+    */
+  private[graft] final case class KmModel(cent: Seq[(Long, Seq[Float])],
+      wcss: Seq[Double], nAssigned: Long)
+
+  /** Train (full Lloyd loop), collect the model-sized outputs, refresh
+    * the shared cache, and hand back the assignment relation for q59's
+    * own summary. Training entries ALWAYS come through here — their
+    * bench cost stays honest, and the cache can't serve a stale model.
+    */
+  private def kmeansTrainRefresh(s: SparkSession, d: String)
+      : (KmModel, DataFrame) = {
+    val (assign, cent, wcss) = kmeans(s, d)
+    import s.implicits._
+    val rows = cent.select(col("cid"), col("cent"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1) // KmK rows
+    val m = ModelCache.put("kmeans", d,
+      KmModel(rows, wcss, assign.count()))
+    (m, assign)
+  }
+
+  private def kmeansModelCached(s: SparkSession, d: String): KmModel =
+    ModelCache.getOrCompute("kmeans", d)(kmeansTrainRefresh(s, d)._1)
+
+  /** The cached model back as the (cid, cent) relation [[kmeans]]
+    * returns — collected floats round-trip exactly, so a consumer sees
+    * bit-identical centroids either way.
+    */
+  private def centOf(s: SparkSession, m: KmModel): DataFrame = {
+    import s.implicits._
+    m.cent.toDF("cid", "cent")
+      .select(col("cid"), col("cent").cast("array<float>").as("cent"))
+  }
+
   /** Per-cluster training summary of [[kmeans]]. */
   private def q59(s: SparkSession, d: String): DataFrame = {
-    val (assign, _, _) = kmeans(s, d)
+    val (_, assign) = kmeansTrainRefresh(s, d)
     assign.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"),
         round(sum(col("d2")), 2).as("sum_dissim"))
@@ -769,8 +808,8 @@ object Similarity extends QueryModule {
     * ABOVE the seeded q37's, plus determinism via KMeansSpec.
     */
   private def q88(s: SparkSession, d: String): DataFrame = {
-    val (_, trained, _) = kmeans(s, d)
-    ivfQuery(s, d, _ => trained.select(col("cid"),
+    val m = kmeansModelCached(s, d)
+    ivfQuery(s, d, _ => centOf(s, m).select(col("cid"),
       col("cent").as("cent_emb"),
       sqrt(dot(col("cent"), col("cent"))).as("cent_nrm")))
   }
@@ -790,11 +829,10 @@ object Similarity extends QueryModule {
     * hash even though the centroids themselves are unoracleable.
     */
   private def q85(s: SparkSession, d: String): DataFrame = {
-    val (assign, _, wcss) = kmeans(s, d)
-    val nAssigned = assign.count()
+    val m = kmeansModelCached(s, d)
     import s.implicits._
-    wcss.indices.map { r =>
-      (r.toLong, nAssigned, r == 0 || wcss(r) <= wcss(r - 1))
+    m.wcss.indices.map { r =>
+      (r.toLong, m.nAssigned, r == 0 || m.wcss(r) <= m.wcss(r - 1))
     }.toDF("round", "n_assigned", "improved")
       .orderBy(col("round"))
   }

@@ -1006,22 +1006,51 @@ object TextAnalysis extends QueryModule {
   /** Train + score: `(doc_id, y, margin)` with the 4-dp-rounded margin,
     * plus the accepted-loss trace — the shared back half of q73/q86.
     */
-  private[graft] def clsScored(s: SparkSession, d: String)
-      : (DataFrame, Seq[Double]) = {
+  /** Driver-side classifier model — the (ClsD+2)-vector of weights and
+    * the accepted-loss trace: everything q86's certificate needs,
+    * model-sized, so it lives in [[ModelCache]] (the r06 duplicated-
+    * training fix — q86 used to re-run q73's full GD loop).
+    */
+  private[graft] final case class ClsModel(w: IndexedSeq[Double],
+      losses: Seq[Double])
+
+  private def clsModel(s: SparkSession, d: String): ClsModel = {
     val docs = Tables.documents(s, d)
-    val feats = clsFeatures(docs)
-    val labels = clsLabels(docs)
-    val (w, losses) = clsTrain(feats, labels)
+    val (w, losses) = clsTrain(clsFeatures(docs), clsLabels(docs))
+    ClsModel(w.toIndexedSeq, losses)
+  }
+
+  /** Score the corpus with the given weights — ONE broadcast-join pass
+    * producing `(doc_id, margin, y)`; identical arithmetic whether the
+    * weights were just trained or came from the cache.
+    */
+  private def clsScoreWith(s: SparkSession, d: String,
+      w: IndexedSeq[Double]): DataFrame = {
+    val docs = Tables.documents(s, d)
     import s.implicits._
     val wDf = broadcast(
-      w.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("idx", "wv"))
-    val scored = feats.join(wDf, "idx")
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "wv"))
+    clsFeatures(docs).join(wDf, "idx")
       .groupBy(col("doc_id"))
       .agg(round(sum((col("x") * col("wv")).cast("decimal(30,15)"))
         .cast("double"), 4).as("margin"))
-      .join(labels, "doc_id")
-    (scored, losses)
+      .join(clsLabels(docs), "doc_id")
+  }
+
+  private[graft] def clsScored(s: SparkSession, d: String)
+      : (DataFrame, Seq[Double]) = {
+    // TRAINING path: always retrain, refresh the shared model
+    val m = ModelCache.put("cls", d, clsModel(s, d))
+    (clsScoreWith(s, d, m.w), m.losses)
+  }
+
+  /** Certificate path: reuse the session's trained model if one exists
+    * (training is deterministic — identical results either way).
+    */
+  private def clsScoredCached(s: SparkSession, d: String)
+      : (DataFrame, Seq[Double]) = {
+    val m = ModelCache.getOrCompute("cls", d)(clsModel(s, d))
+    (clsScoreWith(s, d, m.w), m.losses)
   }
 
   /** Training-set-optimal decision threshold over the rounded margins —
@@ -1171,7 +1200,7 @@ object TextAnalysis extends QueryModule {
     * row's hash even though the weights themselves are unoracleable.
     */
   private def q86(s: SparkSession, d: String): DataFrame = {
-    val (scored0, losses) = clsScored(s, d)
+    val (scored0, losses) = clsScoredCached(s, d)
     val scored = Scratch.materialize(scored0, "q86_scored")
     val thr = clsBestThr(scored)
     import s.implicits._
