@@ -843,6 +843,80 @@ object Similarity extends QueryModule {
        |  TRUE AS improved
        |ORDER BY round""".stripMargin
 
+  private[graft] val NQc = 50L // certificate query set (AnnRecallSpec's width)
+  private[graft] val CertRecallFloor = 0.40 // measured minus slack, see q96 doc
+  private[graft] val CertProbeCap = 0.40 // ~NProbe/NCent plus skew allowance
+
+  /** Trained-IVF CERTIFICATE (q96) — the driver-verifiable projection of
+    * the rows-only q88, closing the catalog's last oracle gap (r06
+    * verdict #1): trained centroids are float means and can never hash
+    * cross-engine, but the RETRIEVAL CLAIMS can. The entry emits the
+    * EXACT brute-force top-5 relation for the 50-query certificate set
+    * — which DuckDB re-derives independently, a real parity check on
+    * the ground-truth leg — and rides two oracle-pinned booleans along
+    * every row: recall@5 of the trained-IVF shortlist against that
+    * exact top-5 stayed at or above `CertRecallFloor`, and the probed
+    * fraction stayed at or under `CertProbeCap` (recall alone can be
+    * gamed — probe everything and recall is 1, brute force wearing an
+    * index). A regression in the training, the assignment, or the probe
+    * flips a boolean and breaks the row hash, even though the centroids
+    * themselves are unoracleable. Floors from measured values minus
+    * slack: recall@5 0.51/0.50/0.48 and probed 0.254/0.253/0.250 at
+    * sf0.001/sf0.01/sf0.1 (printed to stderr each run for drift
+    * visibility).
+    */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val m = kmeansModelCached(s, d)
+    def trainedCent(e: DataFrame): DataFrame = centOf(s, m)
+      .select(col("cid"), col("cent").as("cent_emb"),
+        sqrt(dot(col("cent"), col("cent"))).as("cent_nrm"))
+    val shortlist = ivfQuery(s, d, trainedCent, nProbe = NProbe, nq = NQc)
+      .select(col("query_id"), col("cand_id"))
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") < NQc)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val exact = Scratch.materialize(
+      broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          round(dot(col("q_emb"), col("c_emb")) /
+            (col("q_nrm") * col("c_nrm")), 4).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5), "q96_exact")
+    // bounded driver probes — certificate-set sized, never corpus rows
+    val nq = exact.select(col("query_id")).distinct().count()
+    val hits = exact.join(shortlist, Seq("query_id", "cand_id")).count()
+    val recall = if (nq == 0) 0.0 else hits.toDouble / (5.0 * nq)
+    val frac = ivfProbedFraction(s, d, trainedCent, nq = NQc)
+    System.err.println(
+      f"[q96] trained-IVF recall@5=$recall%.3f probed=$frac%.3f " +
+        f"(floors: >=$CertRecallFloor%.2f, <=$CertProbeCap%.2f)")
+    exact.select(col("query_id"), col("cand_id"), col("cosine"), col("rank"),
+      lit(recall >= CertRecallFloor).as("recall_floor_met"),
+      lit(frac <= CertProbeCap).as("probed_capped"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q96Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 4) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < $NQc AND q.vec_id <> c.vec_id)
+       |SELECT query_id, cand_id, cosine, rank,
+       |  TRUE AS recall_floor_met, TRUE AS probed_capped FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Semantic threshold for eval-vs-train EMBEDDING contamination
     * (q89): data-calibrated for the synthetic corpus, where the
     * train-side max-cos-to-eval distribution tops out at ~0.45
@@ -985,6 +1059,7 @@ object Similarity extends QueryModule {
     CatalogEntry("q70_semantic_dedup", q70, Some(q70Sql)),
     CatalogEntry("q85_kmeans_certificate", q85, Some(q85Sql)),
     CatalogEntry("q88_ann_ivf_trained", q88, None),
+    CatalogEntry("q96_ann_certificate", q96, Some(q96Sql)),
     CatalogEntry("q89_semantic_decontaminate", q89, Some(q89Sql)),
     CatalogEntry("q94_hybrid_rrf", q94, Some(q94Sql)),
   )

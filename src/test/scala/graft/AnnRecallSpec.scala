@@ -140,6 +140,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(rt >= 0.45, f"trained-IVF recall collapsed: $rt%.2f")
   }
 
+  test("q96 certificate: floor booleans hold and the exact leg covers every query") {
+    // the driver pins the VALUES against DuckDB; this gate catches a
+    // recall/probed-fraction regression (boolean flip) pre-driver, and
+    // pins the shape: 5 exact rows for each of the NQc certificate
+    // queries, ranks 1..5
+    val rows = SparkEntry.queries("q96_ann_certificate")(spark, sf).collect()
+    assert(rows.length == graft.queries.Similarity.NQc * 5,
+      s"expected ${graft.queries.Similarity.NQc * 5} exact rows, got ${rows.length}")
+    assert(rows.forall(r => r.getBoolean(r.fieldIndex("recall_floor_met"))),
+      "trained-IVF recall@5 fell below the certificate floor")
+    assert(rows.forall(r => r.getBoolean(r.fieldIndex("probed_capped"))),
+      "trained-IVF probed fraction exceeded the certificate cap")
+  }
+
   test("q57 PQ-ADC with exact rerank reaches useful recall@5") {
     val exact = top5("q35_topk_cosine")
     val pq = recallAt5(top5("q57_ann_pq"), exact)
