@@ -20,6 +20,7 @@ object SparkEntry {
     Media,
     Selection,
     Chain,
+    Ingest,
   )
 
   private lazy val catalog: Seq[CatalogEntry] = modules.flatMap(_.entries)

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.DocIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated JSONL front door (q97) — the r06 verdict's #7: DocIngest
+  * was spec-only, but DuckDB parses newline-delimited JSON natively, so
+  * the docs+quarantine split can be hash-gated end to end.
+  *
+  * The entry materializes a deterministic JSONL dump of the `documents`
+  * table with three injected fault classes (pure functions of doc_id —
+  * no randomness, no timestamps), runs [[DocIngest.jsonl]] over it, and
+  * emits ONE relation covering both sides of the split:
+  *
+  *   - `doc` rows: parsed doc_id/lang/source/n_chars plus md5(text) —
+  *     the oracle RE-PARSES THE SAME FILE with DuckDB's own
+  *     `read_json` (an independent JSON parser) and re-applies the
+  *     default rules, so field extraction, defaulting, and the
+  *     validity predicate are all cross-engine checked;
+  *   - `quarantine` rows: md5 of the VERBATIM rejected line — the two
+  *     corrupt classes are builder-constructed escape-free strings, so
+  *     the oracle reconstructs the exact bytes from `documents` and
+  *     must land on the same digests (lossless quarantine, proven by
+  *     value, not by count).
+  *
+  * Fault classes (disjoint by CASE order):
+  *   doc_id % 17 == 3 → malformed JSON (unterminated string; Spark's
+  *     from_json nulls the struct, DuckDB's ignore_errors yields an
+  *     all-NULL row — both classify it rejected);
+  *   doc_id % 13 == 7 → valid JSON with doc_id MISSING (the typo'd-
+  *     field case `_corrupt_record` would lose — quarantined verbatim);
+  *   doc_id % 11 == 5 → lang and source dropped → defaults 'und' /
+  *     'unknown' exercise the coalesce path.
+  *
+  * Scale note: the fixture WRITE is harness-only (the corpus plays the
+  * role of an arriving dump); the measured shape is DocIngest's — one
+  * text scan, one from_json pass, no shuffle (PlanAudit: the split is
+  * a narrow filter over the scan). Quarantine digests are row-local.
+  */
+object Ingest extends QueryModule {
+
+  /** Fixed fixture path — the oracle SQL is static text, so the dump
+    * location must be stable across invocations; each run overwrites.
+    */
+  private val Q97Dir = "/tmp/graft_q97_jsonl"
+
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val line =
+      when(col("doc_id") % 17 === 3,
+        concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+          lit(", \"text\": \"unterminated")))
+      .when(col("doc_id") % 13 === 7,
+        concat(lit("{\"id\": "), col("doc_id").cast("string"),
+          lit(", \"note\": \"missing doc_id\"}")))
+      .when(col("doc_id") % 11 === 5,
+        to_json(struct(col("doc_id"), col("text"), col("n_chars"))))
+      .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))))
+    docs.select(line.as("value")).write.mode("overwrite").text(Q97Dir)
+    val ing = DocIngest.jsonl(s, Q97Dir)
+    // sentinel -1/'' instead of NULLs: a nullable BIGINT arrives in the
+    // driver's pandas compare as float64 on BOTH sides, but sentinels
+    // keep the column int64 and the stringified hash trivially stable
+    val docRows = ing.docs.select(lit("doc").as("kind"), col("doc_id"),
+      col("lang"), col("source"), col("n_chars"), md5(col("text")).as("sig"))
+    val qRows = ing.quarantine.select(lit("quarantine").as("kind"),
+      lit(-1L).as("doc_id"), lit("").as("lang"), lit("").as("source"),
+      lit(-1L).as("n_chars"), md5(col("line")).as("sig"))
+    docRows.unionByName(qRows)
+      .orderBy(col("kind"), col("doc_id"), col("sig"))
+  }
+
+  private val q97Sql =
+    s"""WITH parsed AS (
+       |  SELECT doc_id, text, lang, source, n_chars
+       |  FROM read_json('$Q97Dir/*.txt', format='newline_delimited',
+       |    columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
+       |             'source':'VARCHAR','n_chars':'BIGINT'},
+       |    ignore_errors=true)),
+       |docrows AS (
+       |  SELECT 'doc' AS kind, doc_id,
+       |    COALESCE(lang, 'und') AS lang,
+       |    COALESCE(source, 'unknown') AS source,
+       |    COALESCE(n_chars, CAST(LENGTH(text) AS BIGINT)) AS n_chars,
+       |    md5(text) AS sig
+       |  FROM parsed
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |qrows AS (
+       |  SELECT 'quarantine' AS kind, CAST(-1 AS BIGINT) AS doc_id,
+       |    '' AS lang, '' AS source, CAST(-1 AS BIGINT) AS n_chars,
+       |    md5(CASE WHEN doc_id % 17 = 3
+       |      THEN '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+       |        || ', "text": "unterminated'
+       |      ELSE '{"id": ' || CAST(doc_id AS VARCHAR)
+       |        || ', "note": "missing doc_id"}' END) AS sig
+       |  FROM documents
+       |  WHERE doc_id % 17 = 3 OR doc_id % 13 = 7)
+       |SELECT * FROM docrows
+       |UNION ALL SELECT * FROM qrows
+       |ORDER BY kind, doc_id, sig""".stripMargin
+
+  override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q97_jsonl_ingest", q97, Some(q97Sql)),
+  )
+}
