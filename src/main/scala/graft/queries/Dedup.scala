@@ -1110,7 +1110,16 @@ object Dedup extends QueryModule {
     * not just each stage's. The survivors relation feeds three
     * downstream consumers — materialized once.
     */
-  private def q67(s: SparkSession, d: String): DataFrame = {
+  /** The quality+decontamination front half shared by q67 and the
+    * suffix-composed q98 (one definition — a hand-copy of the quality
+    * thresholds or the gram rule would silently diverge the two
+    * composed oracles): q21-threshold quality filter, then drop the
+    * eval shard and any training doc sharing > DecontMax of its
+    * 8-grams with the eval shard's broadcast gram set. Returns the
+    * materialized `(doc_id, text)` survivors.
+    */
+  private[graft] def dekOf(s: SparkSession, d: String,
+      scratchName: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val qual = docs.filter(
       length(col("text")) >= 100 &&
@@ -1130,14 +1139,18 @@ object Dedup extends QueryModule {
       .join(broadcast(ev), "s")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_hits"))
-    val dek = Scratch.materialize(
+    Scratch.materialize(
       trx.select(col("doc_id"), col("text"))
         .join(hits.select(col("doc_id"), col("n_hits"), col("n_shingles")),
           Seq("doc_id"), "left")
         .filter(col("n_hits").isNull ||
           col("n_hits").cast("double") / col("n_shingles") <= DecontMax)
         .select(col("doc_id"), col("text")),
-      "q67_dek")
+      scratchName)
+  }
+
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val dek = dekOf(s, d, "q67_dek")
     val pairs = minhashPairs(dek)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = connectedComponents(pairs)
@@ -1150,8 +1163,12 @@ object Dedup extends QueryModule {
     packFromToks(canon)
   }
 
-  private val q67Sql = {
-    s"""WITH RECURSIVE qual AS (
+  /** The q67/q98 quality+decont front half as DuckDB CTE text (`qual`/
+    * `evd`/`ev`/`trxd`/`hits`/`dek`) — the oracle twin of [[dekOf]],
+    * shared so both composed pipelines pin the SAME survivor set.
+    */
+  private[graft] val dekSqlCtes =
+    s"""qual AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE LENGTH(text) >= 100
        |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
@@ -1178,7 +1195,10 @@ object Dedup extends QueryModule {
        |  FROM qual q LEFT JOIN hits h ON h.doc_id = q.doc_id
        |  WHERE q.doc_id % 10 <> 3
        |    AND (h.n_hits IS NULL
-       |         OR CAST(h.n_hits AS DOUBLE) / h.n_shingles <= $DecontMax)),
+       |         OR CAST(h.n_hits AS DOUBLE) / h.n_shingles <= $DecontMax))""".stripMargin
+
+  private val q67Sql = {
+    s"""WITH RECURSIVE $dekSqlCtes,
        |mh AS (SELECT doc_id, $shinglesSql AS sh FROM dek),
        |mex AS (SELECT doc_id, unnest(sh) AS s FROM mh),
        |mhs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h

@@ -185,10 +185,10 @@ object SuffixDedup extends QueryModule {
     * within-gram pair join (independent of the Spark recurrence), then
     * the interval union.
     */
-  private val ellSqlCtes = {
+  private def ellSqlCtesOn(src: String) = {
     s"""docs AS (
        |  SELECT doc_id, regexp_extract_all(text, '[^\\s\\x00-\\x1f]+') AS ws
-       |  FROM documents),
+       |  FROM $src),
        |sfx AS (
        |  SELECT doc_id, i - 1 AS pos,
        |    list_slice(ws, i, least(i + $MaxSpan - 1, len(ws))) AS toks
@@ -225,6 +225,8 @@ object SuffixDedup extends QueryModule {
        |  FROM grps GROUP BY doc_id, grp)""".stripMargin
   }
 
+  private val ellSqlCtes = ellSqlCtesOn("documents")
+
   private val q82Sql =
     s"""WITH $ellSqlCtes
        |SELECT doc_id, span_start, span_toks FROM spans
@@ -252,7 +254,14 @@ object SuffixDedup extends QueryModule {
     cutsOf(Tables.documents(s, d))
 
   /** The q83 kernel over an arbitrary `(doc_id, text)` relation. */
-  private[graft] def cutsOf(docs: DataFrame): DataFrame = {
+  private[graft] def cutsOf(docs: DataFrame): DataFrame =
+    cutsRelation(docs).orderBy(col("doc_id"))
+
+  /** [[cutsOf]] without the presentation sort — the composable form
+    * (q98 materializes it once and feeds two consumers; a trailing
+    * global sort would force a range exchange carrying clean_text).
+    */
+  private[graft] def cutsRelation(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sfx = Scratch.materialize(suffixEntries(docs), "q83_sfx")
@@ -291,7 +300,6 @@ object SuffixDedup extends QueryModule {
         (id, cutSeq.size.toLong, kept.mkString(" "))
       }
       .toDF("doc_id", "n_cut", "clean_text")
-      .orderBy(col("doc_id"))
   }
 
   /** The LCP scans over a materialized suffix table (q83 shares the
@@ -314,10 +322,16 @@ object SuffixDedup extends QueryModule {
       .filter(col("ell") >= MinSpan)
   }
 
-  private val q83Sql = {
+  /** The full cut-position CTE stack over an arbitrary source relation
+    * (`$src` must expose doc_id, text): [[ellSqlCtesOn]]'s suffix/LCP/
+    * span stack plus gram ownership, cut spans, the covered-position
+    * set, and the kept-token relation — shared by q83 (src=documents)
+    * and the composed q98 (src=dek).
+    */
+  private def cutSqlCtesOn(src: String): String = {
     val gramParts = (0 until MinSpan).map(j => s"ws[i + $j]")
       .mkString(" || ' ' || ")
-    s"""WITH $ellSqlCtes,
+    s"""${ellSqlCtesOn(src)},
        |grams AS (
        |  SELECT doc_id, i - 1 AS pos, md5($gramParts) AS dg
        |  FROM (SELECT doc_id, ws,
@@ -344,7 +358,11 @@ object SuffixDedup extends QueryModule {
        |  SELECT t.doc_id, t.i, t.ws[t.i] AS w
        |  FROM toks t LEFT JOIN cover c
        |    ON c.doc_id = t.doc_id AND c.tpos = t.i - 1
-       |  WHERE c.doc_id IS NULL)
+       |  WHERE c.doc_id IS NULL)""".stripMargin
+  }
+
+  private val q83Sql =
+    s"""WITH ${cutSqlCtesOn("documents")}
        |SELECT d.doc_id,
        |  COALESCE((SELECT COUNT(*) FROM cover c WHERE c.doc_id = d.doc_id),
        |    0) AS n_cut,
@@ -352,10 +370,73 @@ object SuffixDedup extends QueryModule {
        |    WHERE k.doc_id = d.doc_id), '') AS clean_text
        |FROM documents d
        |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q98
+
+  /** Suffix-composed pipeline manifest (q98) — r06 verdict #5: q67's
+    * capstone composition with the STRONGER dedup leg. Same quality +
+    * decontamination front half (ONE definition, [[Dedup.dekOf]] /
+    * [[Dedup.dekSqlCtes]] — shared with q67 so the two composed oracles
+    * pin the same survivor set), but instead of dropping whole MinHash
+    * near-dup documents, every cross-document duplicated token run
+    * ≥ MinSpan is CUT at exact length (the q83 kernel over the
+    * survivors, canonical copy kept verbatim), and the CLEANED text is
+    * packed into training sequences (q62's windows).
+    *
+    * Proves the suffix pipeline composes with quality/decont/packing:
+    * the bounded-suffix exchange is the only place text moves by value
+    * (its audited design), the rewrite join is the one corpus-linear
+    * doc_id-keyed join, and the packing path sees only token counts —
+    * clean_text never crosses an exchange in the final plan
+    * (PlanAuditSpec pins it). Oracle: the q67-style unrolled CTE
+    * composition — dek front half + the independent quadratic cut
+    * stack + packing windows — pins end-to-end VALUES.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val dek = Dedup.dekOf(s, d, "q98_dek")
+    // materialized once: feeds the token-count leg AND the n_cut leg —
+    // and cuts the lineage so the final plan's exchanges carry only
+    // integers past this point
+    val cut = Scratch.materialize(cutsRelation(dek), "q98_cut")
+    val toks = Dedup.packToks(
+      cut.select(col("doc_id"), col("clean_text").as("text")))
+    Dedup.packFromToks(toks)
+      .join(cut.select(col("doc_id"), col("n_cut")), "doc_id")
+      .orderBy(col("doc_id"))
   }
+
+  private val q98Sql =
+    s"""WITH ${Dedup.dekSqlCtes},
+       |${cutSqlCtesOn("dek")},
+       |clean AS (
+       |  SELECT d.doc_id,
+       |    COALESCE((SELECT COUNT(*) FROM cover c WHERE c.doc_id = d.doc_id),
+       |      0) AS n_cut,
+       |    COALESCE((SELECT string_agg(w, ' ' ORDER BY i) FROM kept k
+       |      WHERE k.doc_id = d.doc_id), '') AS clean_text
+       |  FROM dek d),
+       |ptoks AS (
+       |  SELECT doc_id, n_cut,
+       |    CAST(len(regexp_extract_all(clean_text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |    ${Dedup.hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
+       |      % ${Dedup.PackShards} AS shard
+       |  FROM clean),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tok, n_cut,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS start_off
+       |  FROM ptoks)
+       |SELECT doc_id, shard,
+       |  CAST(start_off // ${Dedup.PackBudget} AS BIGINT) AS seq_no,
+       |  CAST(start_off % ${Dedup.PackBudget} AS BIGINT) AS seq_off,
+       |  n_tok, n_cut
+       |FROM offs ORDER BY doc_id""".stripMargin
 
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q82_exactsubstr_any", q82, Some(q82Sql)),
     CatalogEntry("q83_cut_any_spans", q83, Some(q83Sql)),
+    CatalogEntry("q98_pipeline_suffix", q98, Some(q98Sql)),
   )
 }

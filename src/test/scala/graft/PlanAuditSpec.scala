@@ -247,6 +247,23 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q98: the suffix-composed pipeline packs on integers — no text in any final exchange") {
+    // quality/decont → any-length suffix cut → pack: the cut relation
+    // materializes once, so every exchange in the FINAL plan (packing
+    // windows + the n_cut join) must carry token counts and ids only —
+    // neither the original text nor the rewritten clean_text may cross
+    // a wire there (the bounded-suffix exchange lives behind the
+    // scratch barrier and is audited by its own design bound)
+    val p = planOf("q98_pipeline_suffix")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(a => a.name == "text" || a.name == "clean_text"),
+      s"text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q59: k-means assignment broadcasts the centroid model, never a cartesian") {
     // the catalog entry's final plan reads checkpointed scratch (which
     // hides subplans), so audit the assignment stage itself: the
