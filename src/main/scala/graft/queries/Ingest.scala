@@ -15,15 +15,25 @@ import org.apache.spark.sql.functions._
   * emits ONE relation covering both sides of the split:
   *
   *   - `doc` rows: parsed doc_id/lang/source/n_chars plus md5(text) —
-  *     the oracle RE-PARSES THE SAME FILE with DuckDB's own
-  *     `read_json` (an independent JSON parser) and re-applies the
-  *     default rules, so field extraction, defaulting, and the
-  *     validity predicate are all cross-engine checked;
+  *     the oracle re-derives the expected values from `documents`
+  *     (fault classes + default rules re-applied in SQL), so a lossy
+  *     to_json→from_json round trip, a wrong validity predicate, or a
+  *     broken default breaks the hash;
   *   - `quarantine` rows: md5 of the VERBATIM rejected line — the two
   *     corrupt classes are builder-constructed escape-free strings, so
   *     the oracle reconstructs the exact bytes from `documents` and
   *     must land on the same digests (lossless quarantine, proven by
   *     value, not by count).
+  *
+  * The oracle deliberately does NOT read the fixture file (DuckDB's
+  * `read_json` could — it was prototyped and classifies identically):
+  * the oracle SQL is static text, so a file path in it cannot be
+  * dataset-keyed, and any interleaving of runs at different SFs
+  * (verify sf0.01, bench sf0.1, THEN the DuckDB compare — an ordering
+  * outside this repo's control) would decouple the compared corpora.
+  * Deriving from `documents` keeps oracle and query pinned to the
+  * same dataset by construction; the file write + text scan +
+  * from_json parse remain fully on the measured Spark path.
   *
   * Fault classes (disjoint by CASE order):
   *   doc_id % 17 == 3 → malformed JSON (unterminated string; Spark's
@@ -74,20 +84,14 @@ object Ingest extends QueryModule {
   }
 
   private val q97Sql =
-    s"""WITH parsed AS (
-       |  SELECT doc_id, text, lang, source, n_chars
-       |  FROM read_json('$Q97Dir/*.txt', format='newline_delimited',
-       |    columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
-       |             'source':'VARCHAR','n_chars':'BIGINT'},
-       |    ignore_errors=true)),
-       |docrows AS (
+    s"""WITH docrows AS (
        |  SELECT 'doc' AS kind, doc_id,
-       |    COALESCE(lang, 'und') AS lang,
-       |    COALESCE(source, 'unknown') AS source,
-       |    COALESCE(n_chars, CAST(LENGTH(text) AS BIGINT)) AS n_chars,
+       |    CASE WHEN doc_id % 11 = 5 THEN 'und' ELSE lang END AS lang,
+       |    CASE WHEN doc_id % 11 = 5 THEN 'unknown' ELSE source END AS source,
+       |    n_chars,
        |    md5(text) AS sig
-       |  FROM parsed
-       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |  FROM documents
+       |  WHERE doc_id % 17 <> 3 AND doc_id % 13 <> 7),
        |qrows AS (
        |  SELECT 'quarantine' AS kind, CAST(-1 AS BIGINT) AS doc_id,
        |    '' AS lang, '' AS source, CAST(-1 AS BIGINT) AS n_chars,

@@ -356,6 +356,47 @@ object Similarity extends QueryModule {
        |  FROM pairs)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** [[ivfQuery]] plus its probed fraction from ONE materialized
+    * centroid-ranking pass — q96 needs both, and calling ivfQuery and
+    * ivfProbedFraction separately re-ran the corpus × NCent ranking
+    * (and its scratch materialization) twice per invocation (r07
+    * review). Same subplans — centroidRanks is the one shared spelling
+    * — so the result is bit-identical to the separate calls.
+    */
+  private[graft] def ivfQueryWithFraction(s: SparkSession, d: String,
+      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe,
+      nq: Long = NQ): (DataFrame, Double) = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q96_e")
+    val cent = mkCent(e)
+    val scoredCent = Scratch.materialize(
+      centroidRanks(e, cent).select(col("vec_id"), col("embedding"),
+        col("nrm"), col("cid"), col("crank")), "q96_sc")
+    val assign = scoredCent.filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    val probes = scoredCent
+      .filter(col("vec_id") < nq && col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val res = broadcast(probes).join(assign
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"), col("cid")), "cid")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("cid"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+    val sizes = assign.groupBy("cid").count()
+    val n = e.count().toDouble
+    val frac = probes.select(col("query_id"), col("cid")).join(sizes, "cid")
+      .groupBy(col("query_id")).agg(sum(col("count")).as("p"))
+      .agg(avg(col("p"))).head().getDouble(0) / n
+    (res, frac)
+  }
+
   private val M = 8 // PQ subspaces
   private val SubDim = Dim / M // dims per subspace
   private val KCodes = 32 // centroids per subspace codebook
@@ -870,8 +911,9 @@ object Similarity extends QueryModule {
     def trainedCent(e: DataFrame): DataFrame = centOf(s, m)
       .select(col("cid"), col("cent").as("cent_emb"),
         sqrt(dot(col("cent"), col("cent"))).as("cent_nrm"))
-    val shortlist = ivfQuery(s, d, trainedCent, nProbe = NProbe, nq = NQc)
-      .select(col("query_id"), col("cand_id"))
+    val (short0, frac) =
+      ivfQueryWithFraction(s, d, trainedCent, nProbe = NProbe, nq = NQc)
+    val shortlist = short0.select(col("query_id"), col("cand_id"))
     val e = withNorm(Tables.embeddings(s, d))
     val q = e.filter(col("vec_id") < NQc)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -891,7 +933,6 @@ object Similarity extends QueryModule {
     val nq = exact.select(col("query_id")).distinct().count()
     val hits = exact.join(shortlist, Seq("query_id", "cand_id")).count()
     val recall = if (nq == 0) 0.0 else hits.toDouble / (5.0 * nq)
-    val frac = ivfProbedFraction(s, d, trainedCent, nq = NQc)
     System.err.println(
       f"[q96] trained-IVF recall@5=$recall%.3f probed=$frac%.3f " +
         f"(floors: >=$CertRecallFloor%.2f, <=$CertProbeCap%.2f)")

@@ -185,6 +185,16 @@ object ProviderSync {
       .take(CheckpointWindow.DefaultMaxCount)
   }
 
-  def run(runner: GraphRunner, provider: ChainProvider): Unit =
-    runner.processEvents(provider.startChainSync(safeCandidates(runner)))
+  def run(runner: GraphRunner, provider: ChainProvider): Unit = {
+    val events = provider.startChainSync(safeCandidates(runner))
+    // engine-side failures (a reducer bug, a store write error) abandon
+    // the stream OUTSIDE the provider's own pull loop — release the
+    // bearer's socket if the iterator holds one (the other half of the
+    // r06 socket-leak fix; a plain in-memory iterator is untouched)
+    try runner.processEvents(events)
+    finally events match {
+      case c: AutoCloseable => c.close()
+      case _ => ()
+    }
+  }
 }

@@ -114,7 +114,11 @@ final class ChainSyncServer(
         val t = new Thread(() => handle(sock), "chainsync-conn")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Exception => () }
+      } catch {
+        // backoff on a persistent accept failure (e.g. fd exhaustion):
+        // a tight retry loop would pin a core and starve the recovery
+        case _: Exception => if (running) Thread.sleep(50)
+      }
     }
   }, "chainsync-accept")
   acceptor.setDaemon(true)

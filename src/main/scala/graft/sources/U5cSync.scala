@@ -110,12 +110,19 @@ object ProtoWire {
       r
     }
 
-    /** Skip one field of the given wire type (unknown-field rule). */
+    /** Skip one field of the given wire type (unknown-field rule).
+      * Fixed-width skips are bounds-checked like every other read — a
+      * truncated frame must fail loudly, not parse to defaults.
+      */
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 2 => readBytes()
-      case 5 => pos += 4
-      case 1 => pos += 8
+      case 5 =>
+        require(pos + 4 <= buf.length, "truncated fixed32")
+        pos += 4
+      case 1 =>
+        require(pos + 8 <= buf.length, "truncated fixed64")
+        pos += 8
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }
@@ -147,7 +154,12 @@ object U5cWire {
   }
 
   def blockRef(p: Point): Writer =
-    new Writer().uint64(1, p.slot).bytes(2, CborBlock.unhex(p.hash))
+    // symmetric with readBlockRef: the "origin" sentinel travels as an
+    // empty hash (unhex("origin") would throw — the codec must be able
+    // to round-trip every Point the engine itself produces)
+    new Writer().uint64(1, p.slot).bytes(2,
+      if (p.hash == "origin") Array.emptyByteArray
+      else CborBlock.unhex(p.hash))
 
   def readBlockRef(b: Array[Byte]): Point = {
     val r = new Reader(b)
@@ -250,7 +262,11 @@ final class U5cServer(
         val t = new Thread(() => handle(sock), "u5c-conn")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Exception => () }
+      } catch {
+        // backoff on a persistent accept failure (e.g. fd exhaustion):
+        // a tight retry loop would pin a core and starve the recovery
+        case _: Exception => if (running) Thread.sleep(50)
+      }
     }
   }, "u5c-accept")
   acceptor.setDaemon(true)

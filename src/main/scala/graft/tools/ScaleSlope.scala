@@ -1,0 +1,146 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale-slope validation (r06 verdict #3): the engine's 100 TB
+  * claims rest on plan-SHAPE audits; this tool adds the measured check.
+  * It synthesizes a FACTOR× corpus from sf0.1 by replication with
+  * shifted ids, times the expensive catalog entries at 1× and FACTOR×,
+  * and reports s(FACTOR×)/s(1×) per query — near-linear operators land
+  * at ≲ FACTOR (plus constant overhead), a quadratic one explodes.
+  *
+  * Replication is ARTIFACT-AWARE, not naive:
+  *   - documents: copy k > 0 rewrites every token with an `x<k>` suffix
+  *     — verbatim copies would put each doc in a FACTOR-clique of exact
+  *     dups, and every banded/bucketed candidate join would measure the
+  *     replication artifact (bucket size × FACTOR ⇒ pairs × FACTOR²),
+  *     not data scaling. Suffixed copies keep each copy's INTERNAL
+  *     duplicate/quality structure while making copies disjoint in
+  *     gram/shingle space — duplicate density per unit of corpus stays
+  *     constant, the realistic scale-up.
+  *   - embeddings: ids shift by copy; vectors keep their values. The
+  *     model stays anchored (centroid seeds 100..107, queries < 50 are
+  *     copy-0 ids) — fixed model, FACTOR× corpus, the production shape.
+  *   - orders/lineitem: join keys shift consistently per copy, so the
+  *     q93 graph becomes FACTOR disjoint components (block-diagonal
+  *     scale-up; edges × FACTOR, iterations fixed).
+  *
+  * Run: SCALE_FACTOR=10 sbt 'runMain graft.tools.ScaleSlope'
+  *      [SPARK_GRAFT_ONLY=q73,q82 to restrict]
+  * Writes SCALE_SLOPE.json; slope table to stderr.
+  */
+object ScaleSlope {
+
+  private val Off = 10000000L // id shift per copy
+
+  // the r06 top-expensive set + the verdict's watch list (q82 suffix
+  // shuffle, q93 iteration rounds, q73 probe loop) + the round-7
+  // composed q98; q60 is excluded — its scale law (flat per-batch cost
+  // at 3x chain length) is proven by its own harness, and it reads no
+  // corpus table
+  private val Defaults = Seq(
+    "q39_dup_clusters", "q55_dedup_survivors", "q59_kmeans_train",
+    "q66_bpe_train", "q67_pipeline_manifest", "q73_quality_classifier",
+    "q75_train_sequences", "q82_exactsubstr_any", "q86_classifier_certificate",
+    "q88_ann_ivf_trained", "q93_pagerank", "q98_pipeline_suffix")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SCALE_FACTOR", "10").toInt
+    // floor of 2: with a single rep the ModelCache makes the 1x side
+    // cache-hot (the warmup pre-trains) while the FACTORx first rep
+    // pays full training — min() over >= 2 reps sees the cache-warm
+    // execution on BOTH dirs, so the slope measures data scaling
+    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val out = s"/tmp/graft_scale$factor"
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildCorpus(spark, base, out, factor)
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val names = Defaults.filter(n => only.forall(_.exists(n.startsWith)))
+
+    def settle(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      settle()
+      dt
+    }
+    val rows = names.map { name =>
+      System.err.println(s"[slope] $name ...")
+      time(name, base) // warmup: codegen + JIT for the plan shape
+      val t1 = (1 to reps).map(_ => time(name, base)).min
+      val tN = (1 to reps).map(_ => time(name, out)).min
+      val slope = tN / t1
+      System.err.println(
+        f"[slope] $name%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$slope%5.2f")
+      (name, t1, tN, slope)
+    }
+    val json = rows.map { case (n, t1, tN, sl) =>
+      f""""$n":{"t1":$t1%.3f,"t$factor":$tN%.3f,"slope":$sl%.3f}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALE_SLOPE.json"),
+      s"""{"base":"$base","factor":$factor,"reps":$reps,"queries":$json}""")
+    spark.stop()
+    rows.foreach { case (n, t1, tN, sl) =>
+      println(f"$n%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$sl%5.2f")
+    }
+  }
+
+  /** Write the FACTOR× replicated corpus (idempotent overwrite). */
+  private def buildCorpus(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val copies = spark.range(factor).select(col("id").as("k"))
+    def load(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    write(load("documents").crossJoin(broadcast(copies)).select(
+      (col("doc_id") + col("k") * Off).as("doc_id"),
+      when(col("k") === 0, col("text")).otherwise(
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), col("k")))).as("text"),
+      col("lang"), col("source"), col("n_chars")), "documents")
+
+    write(load("embeddings").crossJoin(broadcast(copies)).select(
+      (col("vec_id") + col("k") * Off).as("vec_id"),
+      col("embedding"), col("label")), "embeddings")
+
+    write(load("orders").crossJoin(broadcast(copies)).select(
+      (col("o_orderkey") + col("k") * Off).as("o_orderkey"),
+      (col("o_custkey") + col("k") * Off).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders")
+
+    write(load("lineitem").crossJoin(broadcast(copies)).select(
+      (col("l_orderkey") + col("k") * Off).as("l_orderkey"),
+      col("l_partkey"),
+      (col("l_suppkey") + col("k") * Off).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem")
+
+    // dims + events pass through unchanged (fixed model side)
+    Seq("region", "nation", "customer", "supplier", "part", "events")
+      .foreach(t => write(load(t), t))
+  }
+}
