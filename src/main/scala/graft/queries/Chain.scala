@@ -64,8 +64,25 @@ object Chain extends QueryModule {
     val cut = blocks(9)
     runner.applyRollback(Point(cut.hash, cut.slot), Exclusive)
     runner.processEvents(blocks.drop(10).map(RollForward.apply))
-    store.read("balance_snapshots", reducers(3).tables.head.schema)
+    // schema located by TABLE NAME, not positional index — reducers(3)
+    // silently broke on any reorder of ReducerGraphs.default (r07
+    // review)
+    val snapSchema = reducers.flatMap(_.tables)
+      .find(_.name == "balance_snapshots")
+      .getOrElse(throw new IllegalStateException(
+        "balance_snapshots table missing from the default graph"))
+      .schema
+    // eager localCheckpoint pins the (bounded, 15-block) result rows so
+    // the scratch store can be deleted NOW — each invocation previously
+    // left a full state-store tree in /tmp forever (r07 review)
+    val out = store.read("balance_snapshots", snapSchema)
       .orderBy(col("slot"), col("addressName"))
+      .localCheckpoint()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    finally walk.close()
+    out
   }
 
   override def entries: Seq[CatalogEntry] = Seq(

@@ -126,11 +126,19 @@ object Events extends QueryModule {
   private def q45(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    // v and c each feed multiple legs (the next stage AND the final
+    // join) — unmaterialized, the expanded tree re-ran the events scan
+    // six times per execution (r07 review; the q31/q74 multi-leg
+    // discipline)
+    val v = Scratch.materialize(
+      ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts")),
+      "q45_v")
+    val c = Scratch.materialize(
+      ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts")),
+      "q45_c")
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("ts") > col("c_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))

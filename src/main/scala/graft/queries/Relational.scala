@@ -310,9 +310,14 @@ object Relational extends QueryModule {
   private def q15(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
+    // INTERVAL, not date_add: date_add truncates the order timestamp to
+    // DATE while the oracle's `+ INTERVAL 30 DAY` preserves time-of-day
+    // — identical on the current all-midnight testdata, divergent the
+    // day a regenerated corpus carries sub-day order timestamps
+    // (r07 review)
     l.join(o, l("l_orderkey") === o("o_orderkey") &&
         l("l_shipdate") >= o("o_orderdate") &&
-        l("l_shipdate") <= date_add(o("o_orderdate"), 30))
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_fast_items"))
       .orderBy(col("o_orderpriority"))
@@ -464,12 +469,19 @@ object Relational extends QueryModule {
     * the plain join (bucketing is physical layout only), which is what
     * the DuckDB oracle checks.
     */
-  private val bucketedFor = scala.collection.mutable.Set[String]()
+  // keyed by (session, dir): the bucketed tables live in ONE session's
+  // catalog — a dir-only key would make a second SparkSession in the
+  // same JVM skip the write and hit TABLE_OR_VIEW_NOT_FOUND (r07
+  // review); the md5 tag is collision-free where String.hashCode (and
+  // math.abs(Int.MinValue) < 0) was not
+  private val bucketedFor =
+    scala.collection.mutable.Set[(SparkSession, String)]()
   private def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
     synchronized {
-      val tag = math.abs(d.hashCode).toString
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
-      if (!bucketedFor.contains(d)) {
+      if (!bucketedFor.contains((s, d))) {
         val root = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), "graft-bucketed").toString
         Tables.orders(s, d)
@@ -482,7 +494,7 @@ object Relational extends QueryModule {
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$root/$tl").saveAsTable(tl)
-        bucketedFor += d
+        bucketedFor += ((s, d))
       }
       (s.table(to), s.table(tl))
     }
@@ -608,10 +620,16 @@ object Relational extends QueryModule {
     */
   private def q92(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.orders(s, d)
-      .groupBy(col("o_orderpriority").as("pri"),
-        to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    // materialized: the daily aggregate feeds THREE legs (calendar
+    // min/max, distinct-pri grid, join probe) — static plans don't
+    // dedupe aliased subtrees, so the unmaterialized spelling re-ran
+    // the orders scan + groupBy three times (r07 review)
+    val daily = Scratch.materialize(
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      "q92_daily")
     val cal = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val grid = daily.select(col("pri")).distinct()
