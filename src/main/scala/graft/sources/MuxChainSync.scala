@@ -1,0 +1,569 @@
+package graft.sources
+
+import graft.core._
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.mutable
+
+/** The MULTIPLEXED N2N bearer — the residual the round-6 TCP work left
+  * open ("no full mux"): the reference's N2N source does NOT stream
+  * whole blocks over chain-sync; it runs TWO mini-protocols over ONE
+  * bearer — chain-sync serves HEADERS, BlockFetch fetches the BODIES
+  * for each contiguous header run as one range — multiplexed by the
+  * Ouroboros mux (`N2NProvider.cs:89-215`). This file re-expresses that
+  * shape over a real loopback socket, from the PUBLIC specs:
+  *
+  *   - mux frame (network-mux spec): 4-byte transmission timestamp
+  *     (lower 32 bits of microseconds), 2-byte mini-protocol id (bit 15
+  *     = responder direction), 2-byte payload length, payload. A
+  *     message larger than the segment limit is SPLIT across frames;
+  *     the receiver reassembles per protocol and re-derives message
+  *     boundaries from CBOR item completeness — exactly how the real
+  *     demuxer's consumers work (the spec-pinned segmentation test
+  *     shrinks the limit to force multi-frame messages).
+  *   - chain-sync messages reuse [[ChainSyncWire]]'s public CDDL
+  *     constructor indices; RollForward here carries the HEADER POINT
+  *     (slot + hash — the fields `TryExtractHeaderPoint` consumes), not
+  *     the block.
+  *   - BlockFetch (public CDDL): msgRequestRange = [0, point, point],
+  *     msgClientDone = [1], msgStartBatch = [2], msgNoBlocks = [3],
+  *     msgBlock = [4, blockBytes], msgBatchDone = [5].
+  *
+  * The DEADLOCK-AVOIDANCE DISCIPLINE is the load-bearing part and is
+  * enforced in code exactly as the reference documents it: each
+  * iteration sends a batch of RequestNexts sized by the adaptive depth,
+  * drains ALL of them to zero (buffering header runs and rollback
+  * markers in order), and only then opens BlockFetch for the collected
+  * runs — the two mini-protocols share one demuxer, so the client must
+  * never hold the BlockFetch stream open while chain-sync responses
+  * are still arriving. A rollback closes the current run first, so the
+  * pre-rollback run is fetched and yielded before the rollback event
+  * (the reference's ChainEvent buffering).
+  *
+  * Offline simplifications, stated: no handshake mini-protocol and no
+  * live node (the same caveat as the TCP bearer); MsgAwaitReply is
+  * treated as batch-terminal (AvailableNow catch-up semantics, where
+  * the reference keeps following the live tip).
+  */
+object Mux {
+  val ProtoChainSync = 2 // node-to-node chain-sync mini-protocol id
+  val ProtoBlockFetch = 3 // block-fetch mini-protocol id
+  val ResponderBit = 0x8000
+  val MaxSegment = 0xffff // spec maximum payload per frame
+
+  def writeMsg(out: DataOutputStream, proto: Int, responder: Boolean,
+      payload: Array[Byte], maxSeg: Int = MaxSegment): Unit = {
+    val id = if (responder) proto | ResponderBit else proto
+    var off = 0
+    // a zero-length message still sends one frame
+    do {
+      val n = math.min(maxSeg, payload.length - off)
+      out.writeInt((System.nanoTime() / 1000L).toInt) // wrapping u32 µs
+      out.writeShort(id)
+      out.writeShort(n)
+      out.write(payload, off, n)
+      off += n
+    } while (off < payload.length)
+  }
+
+  /** One raw frame: (protocolId, responderFlag, bytes). */
+  def readFrame(in: DataInputStream): (Int, Boolean, Array[Byte]) = {
+    in.readInt() // timestamp: load-bearing only for tracing, skipped
+    val id = in.readUnsignedShort()
+    val n = in.readUnsignedShort()
+    val buf = new Array[Byte](n)
+    in.readFully(buf)
+    (id & ~ResponderBit, (id & ResponderBit) != 0, buf)
+  }
+
+  /** Byte length of the first COMPLETE CBOR item in `b`, if any.
+    * Truncation ⇒ None (wait for more frames); any other parse failure
+    * ⇒ corrupt stream, fail loudly.
+    */
+  def completeItemLength(b: Array[Byte]): Option[Int] = {
+    if (b.isEmpty) return None
+    val r = new CborReader(b)
+    try {
+      r.skipItem()
+      Some(r.pos)
+    } catch {
+      case e: RuntimeException
+          if e.getMessage != null && e.getMessage.startsWith("truncated") =>
+        None
+    }
+  }
+}
+
+/** Per-protocol reassembly over one mux bearer: frames append to their
+  * protocol's buffer; `nextMessage(proto)` blocks until that protocol's
+  * buffer holds a complete CBOR item (frames for OTHER protocols keep
+  * accumulating in their own buffers — the demux half of the mux).
+  */
+final class MuxDemux(in: DataInputStream) {
+  private val bufs = mutable.Map[Int, ByteArrayOutputStream]()
+
+  private def bufFor(proto: Int): ByteArrayOutputStream =
+    bufs.getOrElseUpdate(proto, new ByteArrayOutputStream())
+
+  private def takeComplete(proto: Int): Option[Array[Byte]] = {
+    val b = bufFor(proto).toByteArray
+    Mux.completeItemLength(b).map { n =>
+      val msg = java.util.Arrays.copyOf(b, n)
+      val rest = new ByteArrayOutputStream()
+      rest.write(b, n, b.length - n)
+      bufs(proto) = rest
+      msg
+    }
+  }
+
+  private def pullFrame(): Unit = {
+    bufs.values.foreach(b =>
+      require(b.size <= 64 * 1024 * 1024, "reassembly buffer overflow"))
+    val (p, _, frame) = Mux.readFrame(in)
+    bufFor(p).write(frame, 0, frame.length)
+  }
+
+  def nextMessage(proto: Int): Array[Byte] = {
+    var msg = takeComplete(proto)
+    while (msg.isEmpty) {
+      pullFrame()
+      msg = takeComplete(proto)
+    }
+    msg.get
+  }
+
+  /** Non-blocking variant: a complete `proto` message from the buffer,
+    * pulling further frames only while at least `minAvailable` bytes
+    * are already on the socket (a complete small frame — the same
+    * lower-bound drain heuristic as the TCP bearer: exact on loopback,
+    * never blocks mid-frame on a chunking bearer).
+    */
+  def tryNextMessage(proto: Int, minAvailable: Int): Option[Array[Byte]] = {
+    var m = takeComplete(proto)
+    while (m.isEmpty && in.available() >= minAvailable) {
+      pullFrame()
+      m = takeComplete(proto)
+    }
+    m
+  }
+
+  def availableBytes: Int = in.available()
+
+  /** Next complete message from WHICHEVER protocol completes first —
+    * the server's read loop (a mux server listens on all of them).
+    */
+  def pollAny(): (Int, Array[Byte]) = {
+    while (true) {
+      bufs.keys.toSeq.sorted.foreach { p =>
+        takeComplete(p) match {
+          case Some(m) => return (p, m)
+          case None => ()
+        }
+      }
+      pullFrame()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object BlockFetchWire {
+  val MsgRequestRange = 0L
+  val MsgClientDone = 1L
+  val MsgStartBatch = 2L
+  val MsgNoBlocks = 3L
+  val MsgBlock = 4L
+  val MsgBatchDone = 5L
+}
+
+/** Loopback mux SERVER: the node side of headers-over-chain-sync +
+  * bodies-over-BlockFetch. Chain-sync RollForward carries the header
+  * point; RequestRange serves the scripted run between its endpoints
+  * as real CBOR block bodies. Records per-protocol frame counts and
+  * the chain-sync pipelining high-water mark so the spec can prove
+  * both protocols actually multiplexed over one socket.
+  */
+final class MuxChainSyncServer(
+    chain: Seq[(Array[Byte], Block)],
+    script: Option[Seq[ServedEvent]] = None,
+    maxSegment: Int = Mux.MaxSegment) {
+  import ChainSyncWire._
+  import BlockFetchWire._
+
+  require(chain.nonEmpty, "server needs a non-empty chain")
+  private val server =
+    new ServerSocket(0, 4, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  @volatile var maxInflight: Int = 0
+  @volatile var chainSyncFrames: Int = 0
+  @volatile var blockFetchFrames: Int = 0
+  @volatile var rangeRequests: Int = 0
+  @volatile private var running = true
+
+  private val bySlot = chain.map { case (_, b) => b.slot -> b.hash }.toMap
+  private def tipPoint = Point(chain.last._2.hash, chain.last._2.slot)
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "mux-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Exception => if (running) Thread.sleep(50)
+      }
+    }
+  }, "mux-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = {
+    running = false
+    server.close()
+  }
+
+  private def handle(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val events0 = script.getOrElse(
+      chain.map { case (wire, b) => ServeForward(wire, b) })
+    // body lookup for BlockFetch: every scripted forward, by hash
+    val forwards = events0.collect { case f: ServeForward => f }.toVector
+    val idxByHash = forwards.zipWithIndex
+      .map { case (f, i) => f.block.hash -> i }.toMap
+    var events: Seq[ServedEvent] = Seq.empty
+    var cursor = 0
+    var pendingRollback: Option[Option[Point]] = None
+    var pending = 0
+    var firstBurst = true
+
+    def send(proto: Int, payload: Array[Byte]): Unit = {
+      if (proto == Mux.ProtoChainSync) chainSyncFrames += 1
+      else blockFetchFrames += 1
+      Mux.writeMsg(out, proto, responder = true, payload, maxSegment)
+    }
+    def tipTo(w: CborWriter): Unit = pointCbor(w, Some(tipPoint))
+
+    def respondOne(): Unit = {
+      val w = new CborWriter
+      pendingRollback match {
+        case Some(p) =>
+          w.arrayHeader(3); w.uint(MsgRollBackward)
+          pointCbor(w, p); tipTo(w)
+          pendingRollback = None
+        case None if cursor < events.size =>
+          events(cursor) match {
+            case ServeForward(_, b) =>
+              // HEADER, not body: the point the reference's
+              // TryExtractHeaderPoint pulls from the header payload
+              w.arrayHeader(3); w.uint(MsgRollForward)
+              pointCbor(w, Some(Point(b.hash, b.slot))); tipTo(w)
+            case ServeBack(p) =>
+              w.arrayHeader(3); w.uint(MsgRollBackward)
+              pointCbor(w, Some(p)); tipTo(w)
+          }
+          cursor += 1
+        case None =>
+          w.arrayHeader(1); w.uint(MsgAwaitReply)
+      }
+      send(Mux.ProtoChainSync, w.result())
+    }
+
+    try {
+      val demux = new MuxDemux(in)
+      var open = true
+      while (open) {
+        // a mux server reads from BOTH mini-protocols; message arrival
+        // order decides which one speaks (readFrame inside the demux)
+        val (proto, msg) = demux.pollAny()
+        val r = new CborReader(msg)
+        r.readArrayHeader()
+        (proto, r.readUInt()) match {
+          case (Mux.ProtoChainSync, MsgFindIntersect) =>
+            val n = r.readArrayHeader()
+            val candidates = (0 until n).map(_ => readPoint(r))
+            val specific = candidates.flatten
+            val agreed = specific.sortBy(-_.slot)
+              .find(p => bySlot.get(p.slot).contains(p.hash))
+            val hasOrigin = candidates.contains(None)
+            val w = new CborWriter
+            if (agreed.isDefined || hasOrigin) {
+              w.arrayHeader(3); w.uint(MsgIntersectFound)
+              pointCbor(w, agreed); tipTo(w)
+              pendingRollback = Some(agreed)
+              val from = agreed.map(_.slot).getOrElse(-1L)
+              events =
+                if (script.isDefined) events0
+                else events0.collect {
+                  case f: ServeForward if f.block.slot > from => f
+                }
+              cursor = 0
+            } else {
+              w.arrayHeader(2); w.uint(MsgIntersectNotFound); tipTo(w)
+            }
+            send(Mux.ProtoChainSync, w.result())
+            out.flush()
+          case (Mux.ProtoChainSync, MsgRequestNext) =>
+            pending += 1
+            // settle once per connection so the opening burst's
+            // high-water mark is observed reliably (the TCP bearer's
+            // r06-advice fix applied here from the start)
+            if (firstBurst) {
+              firstBurst = false
+              var last = -1
+              var stable = 0
+              val deadline = System.nanoTime() + 100L * 1000 * 1000
+              while (stable < 3 && System.nanoTime() < deadline) {
+                val a = demux.availableBytes
+                if (a == last) stable += 1 else { stable = 0; last = a }
+                Thread.sleep(2)
+              }
+            }
+            // drain every RequestNext already on the wire: a mux
+            // RequestNext frame is 8-byte header + [0] = 10 bytes
+            var m = demux.tryNextMessage(Mux.ProtoChainSync, 10)
+            while (m.isDefined) {
+              val rr = new CborReader(m.get)
+              rr.readArrayHeader()
+              require(rr.readUInt() == MsgRequestNext)
+              pending += 1
+              m = demux.tryNextMessage(Mux.ProtoChainSync, 10)
+            }
+            maxInflight = math.max(maxInflight, pending)
+            while (pending > 0) {
+              respondOne()
+              pending -= 1
+            }
+            out.flush()
+          case (Mux.ProtoBlockFetch, MsgRequestRange) =>
+            rangeRequests += 1
+            val first = readPoint(r).getOrElse(
+              throw new IllegalArgumentException("range from origin"))
+            val last = readPoint(r).getOrElse(
+              throw new IllegalArgumentException("range to origin"))
+            (idxByHash.get(first.hash), idxByHash.get(last.hash)) match {
+              case (Some(i), Some(j)) if i <= j =>
+                val w0 = new CborWriter
+                w0.arrayHeader(1); w0.uint(MsgStartBatch)
+                send(Mux.ProtoBlockFetch, w0.result())
+                (i to j).foreach { k =>
+                  val wb = new CborWriter
+                  wb.arrayHeader(2); wb.uint(MsgBlock)
+                  wb.bytes(forwards(k).wire)
+                  send(Mux.ProtoBlockFetch, wb.result())
+                }
+                val wd = new CborWriter
+                wd.arrayHeader(1); wd.uint(MsgBatchDone)
+                send(Mux.ProtoBlockFetch, wd.result())
+              case _ =>
+                val w0 = new CborWriter
+                w0.arrayHeader(1); w0.uint(MsgNoBlocks)
+                send(Mux.ProtoBlockFetch, w0.result())
+            }
+            out.flush()
+          case (Mux.ProtoBlockFetch, MsgClientDone) =>
+            open = false
+          case (p, m) =>
+            throw new IllegalArgumentException(s"unexpected ($p, $m)")
+        }
+      }
+    } catch {
+      case _: EOFException | _: java.net.SocketException => () // client left
+      case e: Exception => if (running) throw e
+    } finally sock.close()
+  }
+
+}
+
+/** Mux client behind the [[ChainProvider]] seam — the reference's N2N
+  * pipelined loop: per iteration, a batch of `adaptivePipelineDepth`
+  * RequestNexts goes out, EVERYTHING drains to zero (header runs and
+  * rollbacks buffered in order, a rollback closing the current run
+  * first), and only then each contiguous run's bodies are fetched as
+  * ONE BlockFetch range over the same socket and yielded in chain
+  * order. The drain-to-zero precondition is asserted in code before
+  * every RequestRange — the documented deadlock-freedom discipline.
+  */
+final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
+    extends ChainProvider {
+  import ChainSyncWire._
+  import BlockFetchWire._
+
+  def startChainSync(candidates: Seq[Point]): Iterator[BlockEvent] = {
+    val sock = new Socket(InetAddress.getByName(host), port)
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val demux = new MuxDemux(in)
+
+    def sendCs(payload: Array[Byte]): Unit =
+      Mux.writeMsg(out, Mux.ProtoChainSync, responder = false, payload)
+    def sendBf(payload: Array[Byte]): Unit =
+      Mux.writeMsg(out, Mux.ProtoBlockFetch, responder = false, payload)
+
+    val w = new CborWriter
+    w.arrayHeader(2); w.uint(MsgFindIntersect)
+    if (candidates.isEmpty) { w.arrayHeader(1); pointCbor(w, None) }
+    else {
+      w.arrayHeader(candidates.size)
+      candidates.sortBy(-_.slot).foreach(p => pointCbor(w, Some(p)))
+    }
+    sendCs(w.result()); out.flush()
+    val r0 = new CborReader(demux.nextMessage(Mux.ProtoChainSync))
+    r0.readArrayHeader()
+    var tipSlot = 0L
+    r0.readUInt() match {
+      case MsgIntersectFound =>
+        readPoint(r0) // opening MsgRollBackward re-delivers it
+        tipSlot = readPoint(r0).map(_.slot).getOrElse(0L)
+      case MsgIntersectNotFound =>
+        sock.close()
+        throw new IllegalStateException(
+          s"Failed to find any valid intersection point. All " +
+            s"${candidates.size} saved intersection(s) have been rolled " +
+            "back. Consider resetting the reducer state or increasing " +
+            "the rollback buffer size.")
+      case other =>
+        sock.close()
+        throw new IllegalStateException(s"unexpected reply $other")
+    }
+
+    new Iterator[BlockEvent] with AutoCloseable {
+      private var drained = false
+      private var lastSlot = -1L
+      private val queue = mutable.Queue[BlockEvent]()
+
+      def close(): Unit =
+        try sock.close() catch { case _: Exception => () }
+
+      /** One reference-shaped iteration: batch → drain to zero →
+        * fetch runs → enqueue events in chain order.
+        */
+      private def refill(): Unit = {
+        if (drained) return
+        val gap = math.max(tipSlot - lastSlot, 0L)
+        val target = ChainProvider.adaptivePipelineDepth(maxDepth, gap)
+        var inflight = 0
+        (1 to target).foreach { _ =>
+          val rq = new CborWriter
+          rq.arrayHeader(1); rq.uint(MsgRequestNext)
+          sendCs(rq.result())
+          inflight += 1
+        }
+        out.flush()
+        // drain ALL chain-sync responses before any BlockFetch
+        var events = Vector.empty[Either[Vector[Point], BlockEvent]]
+        var run = Vector.empty[Point]
+        while (inflight > 0) {
+          val r = new CborReader(demux.nextMessage(Mux.ProtoChainSync))
+          r.readArrayHeader()
+          r.readUInt() match {
+            case MsgRollForward =>
+              inflight -= 1
+              val hp = readPoint(r).getOrElse(
+                throw new IllegalStateException("headerless roll-forward"))
+              tipSlot = readPoint(r).map(_.slot).getOrElse(tipSlot)
+              run :+= hp
+              lastSlot = hp.slot
+            case MsgRollBackward =>
+              inflight -= 1
+              // close the contiguous run BEFORE the rollback so it is
+              // fetched and yielded first (the reference's ordering)
+              if (run.nonEmpty) { events :+= Left(run); run = Vector.empty }
+              val p = readPoint(r)
+              tipSlot = readPoint(r).map(_.slot).getOrElse(tipSlot)
+              events :+= Right(p match {
+                case Some(pt) => lastSlot = pt.slot; RollBack(pt, Exclusive)
+                case None =>
+                  lastSlot = -1L; RollBack(Point("origin", 0L), Inclusive)
+              })
+            case MsgAwaitReply =>
+              inflight -= 1
+              drained = true // catch-up complete: AvailableNow semantics
+            case other =>
+              throw new IllegalStateException(s"unexpected message $other")
+          }
+        }
+        if (run.nonEmpty) events :+= Left(run)
+        // batch fully drained — NOW BlockFetch each run (discipline)
+        require(inflight == 0, "BlockFetch with chain-sync outstanding")
+        events.foreach {
+          case Right(ev) => queue += ev
+          case Left(points) =>
+            val rq = new CborWriter
+            rq.arrayHeader(3); rq.uint(MsgRequestRange)
+            pointCbor(rq, Some(points.head)); pointCbor(rq, Some(points.last))
+            sendBf(rq.result()); out.flush()
+            val s0 = new CborReader(demux.nextMessage(Mux.ProtoBlockFetch))
+            s0.readArrayHeader()
+            s0.readUInt() match {
+              case MsgStartBatch =>
+                var more = true
+                while (more) {
+                  val rb = new CborReader(
+                    demux.nextMessage(Mux.ProtoBlockFetch))
+                  rb.readArrayHeader()
+                  rb.readUInt() match {
+                    case MsgBlock =>
+                      CborBlock.decode(rb.readBytes()) match {
+                        case Some((_, b)) => queue += RollForward(b)
+                        case None => () // undecodable: null-and-skip
+                      }
+                    case MsgBatchDone => more = false
+                    case other =>
+                      throw new IllegalStateException(s"batch msg $other")
+                  }
+                }
+              case MsgNoBlocks =>
+                throw new IllegalStateException(
+                  s"server has no bodies for run ${points.head}..${points.last}")
+              case other =>
+                throw new IllegalStateException(s"range reply $other")
+            }
+        }
+      }
+
+      private def pump(): Unit = try {
+        while (queue.isEmpty && !drained) refill()
+        if (queue.isEmpty && drained) {
+          val done = new CborWriter
+          done.arrayHeader(1); done.uint(MsgClientDone)
+          sendBf(done.result()); out.flush()
+          close()
+        }
+      } catch { case e: Throwable => close(); throw e }
+
+      def hasNext: Boolean = {
+        pump()
+        queue.nonEmpty
+      }
+
+      def next(): BlockEvent = {
+        pump()
+        if (queue.isEmpty) throw new NoSuchElementException
+        queue.dequeue()
+      }
+    }
+  }
+
+  def tip: Option[Point] = {
+    val sock = new Socket(InetAddress.getByName(host), port)
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val w = new CborWriter
+      w.arrayHeader(2); w.uint(MsgFindIntersect)
+      w.arrayHeader(1); pointCbor(w, None)
+      Mux.writeMsg(out, Mux.ProtoChainSync, responder = false, w.result())
+      out.flush()
+      val demux = new MuxDemux(in)
+      val r = new CborReader(demux.nextMessage(Mux.ProtoChainSync))
+      r.readArrayHeader()
+      r.readUInt()
+      readPoint(r) // intersection (origin)
+      readPoint(r) // tip
+    } finally sock.close()
+  }
+}
