@@ -397,6 +397,94 @@ object Similarity extends QueryModule {
     (res, frac)
   }
 
+  private[graft] val DeltaMax = 100L // q99 delta batch: vec_id < DeltaMax
+
+  /** INCREMENTAL semantic dedup (q99) — the operational 100 TB shape
+    * for embeddings, the q69/StreamingProbe discipline applied to the
+    * semantic family: a DELTA batch of newly arrived vectors (vec_id <
+    * DeltaMax) is checked against the FROZEN indexed corpus (vec_id ≥
+    * DeltaMax, assigned once to the coarse quantizer), not against
+    * itself and not all-pairs. Each delta vector probes exactly its
+    * own nearest inverted list; a frozen neighbor at cosine ≥ SemTau
+    * makes it a duplicate of the LOWEST such index id, else it is
+    * novel (`dup_of` = −1). `max_cos` (−1 when the probed list is
+    * empty) makes near-threshold drift visible.
+    *
+    * Scale shape: centroids broadcast (model-sized); the frozen side
+    * is hash-partitioned inverted lists built once and reused across
+    * delta batches; per batch the join cost is |delta| × its probed
+    * lists' sizes — independent of corpus², and the corpus text/
+    * vectors never reshuffle for a new batch. Deterministic seeded
+    * quantizer ⇒ fully oracle-checkable (q59-trained centroids slot in
+    * operationally exactly as q88 does for retrieval).
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q99_e")
+    val cent = seededCent(e)
+    val assign = centroidRanks(e, cent)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    val delta = assign.filter(col("vec_id") < DeltaMax)
+      .select(col("vec_id"), col("cid"), col("embedding").as("d_emb"),
+        col("nrm").as("d_nrm"))
+    val index = assign.filter(col("vec_id") >= DeltaMax)
+      .select(col("vec_id").as("idx_id"), col("cid"),
+        col("embedding").as("i_emb"), col("nrm").as("i_nrm"))
+    val probed = delta.join(index, "cid")
+      .select(col("vec_id"), col("cid"), col("idx_id"),
+        round(dot(col("d_emb"), col("i_emb")) /
+          (col("d_nrm") * col("i_nrm")), 4).as("cos"))
+    val verdicts = probed.groupBy(col("vec_id"), col("cid"))
+      .agg(max(col("cos")).as("max_cos"),
+        min(when(col("cos") >= SemTau, col("idx_id"))).as("dup"))
+    delta.select(col("vec_id"), col("cid"))
+      .join(verdicts, Seq("vec_id", "cid"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup"), lit(-1L)).as("dup_of"),
+        coalesce(col("max_cos"), lit(-1.0)).as("max_cos"),
+        (coalesce(col("dup"), lit(-1L)) === -1L).as("novel"))
+      .orderBy(col("vec_id"))
+  }
+
+  // lazy: interpolates SemTau, declared LATER in this object — an
+  // eager val here runs before SemTau's initializer and bakes 0.0 into
+  // the oracle text (caught by the hash gate: every delta row became a
+  // "duplicate" of its own cluster seed)
+  private lazy val q99Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id >= $CentBase AND vec_id < ${CentBase + NCent}),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dotSql("e.embedding", "cent.cent_emb")} /
+       |          (e.nrm * cent.cent_nrm), 4) DESC, cent.cid) AS crank
+       |    FROM e CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |probed AS (
+       |  SELECT dl.vec_id, dl.cid, ix.vec_id AS idx_id,
+       |    round(${dotSql("dl.embedding", "ix.embedding")} /
+       |      (dl.nrm * ix.nrm), 4) AS cos
+       |  FROM assign dl JOIN assign ix
+       |    ON dl.cid = ix.cid AND dl.vec_id < $DeltaMax
+       |   AND ix.vec_id >= $DeltaMax),
+       |verdicts AS (
+       |  SELECT vec_id, cid, MAX(cos) AS max_cos,
+       |    MIN(CASE WHEN cos >= $SemTau THEN idx_id END) AS dup
+       |  FROM probed GROUP BY vec_id, cid)
+       |SELECT d.vec_id, d.cid,
+       |  COALESCE(v.dup, -1) AS dup_of,
+       |  COALESCE(v.max_cos, -1.0) AS max_cos,
+       |  COALESCE(v.dup, -1) = -1 AS novel
+       |FROM (SELECT vec_id, cid FROM assign WHERE vec_id < $DeltaMax) d
+       |LEFT JOIN verdicts v ON v.vec_id = d.vec_id AND v.cid = d.cid
+       |ORDER BY d.vec_id""".stripMargin
+
   private val M = 8 // PQ subspaces
   private val SubDim = Dim / M // dims per subspace
   private val KCodes = 32 // centroids per subspace codebook
@@ -1101,6 +1189,7 @@ object Similarity extends QueryModule {
     CatalogEntry("q85_kmeans_certificate", q85, Some(q85Sql)),
     CatalogEntry("q88_ann_ivf_trained", q88, None),
     CatalogEntry("q96_ann_certificate", q96, Some(q96Sql)),
+    CatalogEntry("q99_incremental_semantic", q99, Some(q99Sql)),
     CatalogEntry("q89_semantic_decontaminate", q89, Some(q89Sql)),
     CatalogEntry("q94_hybrid_rrf", q94, Some(q94Sql)),
   )
