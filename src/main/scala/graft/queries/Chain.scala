@@ -55,34 +55,33 @@ object Chain extends QueryModule {
 
   private def q60(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("q60chain").toString
-    val reducers = ReducerGraphs.default(ChainGen.Watched)
-    val store = new StateStore(root, s)
-    val runner = new GraphRunner(s, store, reducers, batchSize = 5)
-    val blocks = ChainGen.generate(15, seed = 42L)
-    runner.processEvents(blocks.map(RollForward.apply))
-    // exercise the retraction path inside the artifact too
-    val cut = blocks(9)
-    runner.applyRollback(Point(cut.hash, cut.slot), Exclusive)
-    runner.processEvents(blocks.drop(10).map(RollForward.apply))
-    // schema located by TABLE NAME, not positional index — reducers(3)
-    // silently broke on any reorder of ReducerGraphs.default (r07
-    // review)
-    val snapSchema = reducers.flatMap(_.tables)
-      .find(_.name == "balance_snapshots")
-      .getOrElse(throw new IllegalStateException(
-        "balance_snapshots table missing from the default graph"))
-      .schema
-    // eager localCheckpoint pins the (bounded, 15-block) result rows so
-    // the scratch store can be deleted NOW — each invocation previously
-    // left a full state-store tree in /tmp forever (r07 review)
-    val out = store.read("balance_snapshots", snapSchema)
-      .orderBy(col("slot"), col("addressName"))
-      .localCheckpoint()
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-    finally walk.close()
-    out
+    // try/finally: a reducer or store failure must not leak the scratch
+    // store either — each invocation previously left a full state-store
+    // tree in /tmp forever (r07 review, exception path included)
+    try {
+      val reducers = ReducerGraphs.default(ChainGen.Watched)
+      val store = new StateStore(root, s)
+      val runner = new GraphRunner(s, store, reducers, batchSize = 5)
+      val blocks = ChainGen.generate(15, seed = 42L)
+      runner.processEvents(blocks.map(RollForward.apply))
+      // exercise the retraction path inside the artifact too
+      val cut = blocks(9)
+      runner.applyRollback(Point(cut.hash, cut.slot), Exclusive)
+      runner.processEvents(blocks.drop(10).map(RollForward.apply))
+      // schema located by TABLE NAME, not positional index — reducers(3)
+      // silently broke on any reorder of ReducerGraphs.default (r07
+      // review)
+      val snapSchema = reducers.flatMap(_.tables)
+        .find(_.name == "balance_snapshots")
+        .getOrElse(throw new IllegalStateException(
+          "balance_snapshots table missing from the default graph"))
+        .schema
+      // eager localCheckpoint pins the (bounded, 15-block) result rows
+      // so the scratch store can be deleted in the finally
+      store.read("balance_snapshots", snapSchema)
+        .orderBy(col("slot"), col("addressName"))
+        .localCheckpoint()
+    } finally Scratch.deleteTree(root)
   }
 
   override def entries: Seq[CatalogEntry] = Seq(

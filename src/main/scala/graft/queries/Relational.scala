@@ -469,19 +469,27 @@ object Relational extends QueryModule {
     * the plain join (bucketing is physical layout only), which is what
     * the DuckDB oracle checks.
     */
-  // keyed by (session, dir): the bucketed tables live in ONE session's
-  // catalog — a dir-only key would make a second SparkSession in the
-  // same JVM skip the write and hit TABLE_OR_VIEW_NOT_FOUND (r07
-  // review); the md5 tag is collision-free where String.hashCode (and
-  // math.abs(Int.MinValue) < 0) was not
+  // keyed by session THEN dir: the bucketed tables live in ONE
+  // session's catalog — a dir-only key would make a second
+  // SparkSession in the same JVM skip the write and hit
+  // TABLE_OR_VIEW_NOT_FOUND; a WeakHashMap so a stopped session (and
+  // its context/catalog) stays GC-able instead of pinned forever by
+  // this module-level cache (r07 review); the md5 tag is
+  // collision-free where String.hashCode (and math.abs(Int.MinValue)
+  // < 0) was not
   private val bucketedFor =
-    scala.collection.mutable.Set[(SparkSession, String)]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
   private def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
     synchronized {
+      val done = Option(bucketedFor.get(s)).getOrElse {
+        val ns = scala.collection.mutable.Set[String]()
+        bucketedFor.put(s, ns)
+        ns
+      }
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
-      if (!bucketedFor.contains((s, d))) {
+      if (!done.contains(d)) {
         val root = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), "graft-bucketed").toString
         Tables.orders(s, d)
@@ -494,7 +502,7 @@ object Relational extends QueryModule {
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$root/$tl").saveAsTable(tl)
-        bucketedFor += ((s, d))
+        done += d
       }
       (s.table(to), s.table(tl))
     }

@@ -30,21 +30,28 @@ object Scratch {
       .getOrElse(Paths.get(System.getProperty("java.io.tmpdir"),
         "graft-scratch").toString)
 
+  /** Best-effort recursive delete — ONE spelling of the walk/reverse/
+    * delete idiom, shared by the scratch shutdown hook and callers
+    * cleaning their own scratch trees (q60). Missing root is a no-op;
+    * a file vanishing mid-walk is tolerated.
+    */
+  def deleteTree(root: String): Unit = {
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      catch { case _: Exception => () }
+      finally walk.close()
+    }
+  }
+
   @volatile private var hookInstalled = false
 
   private def installCleanup(root: String): Unit = synchronized {
     if (!hookInstalled) {
       hookInstalled = true
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val p = Paths.get(root)
-        if (Files.exists(p)) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => { Files.deleteIfExists(f); () })
-          catch { case _: Exception => () }
-          finally walk.close()
-        }
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
     }
   }
 

@@ -421,9 +421,13 @@ object Similarity extends QueryModule {
   private def q99(s: SparkSession, d: String): DataFrame = {
     val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q99_e")
     val cent = seededCent(e)
-    val assign = centroidRanks(e, cent)
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    // materialized: the ranking pass feeds THREE legs (delta → probed
+    // + final join, index) — the q96/q92 multi-leg discipline
+    val assign = Scratch.materialize(
+      centroidRanks(e, cent)
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid")),
+      "q99_assign")
     val delta = assign.filter(col("vec_id") < DeltaMax)
       .select(col("vec_id"), col("cid"), col("embedding").as("d_emb"),
         col("nrm").as("d_nrm"))

@@ -240,8 +240,12 @@ final class MuxChainSyncServer(
     var firstBurst = true
 
     def send(proto: Int, payload: Array[Byte]): Unit = {
-      if (proto == Mux.ProtoChainSync) chainSyncFrames += 1
-      else blockFetchFrames += 1
+      // count actual FRAMES on the wire, not messages — under a small
+      // segment limit one message emits many frames (r07 review)
+      val frames = math.max(1,
+        (payload.length + maxSegment - 1) / maxSegment)
+      if (proto == Mux.ProtoChainSync) chainSyncFrames += frames
+      else blockFetchFrames += frames
       Mux.writeMsg(out, proto, responder = true, payload, maxSegment)
     }
     def tipTo(w: CborWriter): Unit = pointCbor(w, Some(tipPoint))
@@ -432,6 +436,7 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
 
     new Iterator[BlockEvent] with AutoCloseable {
       private var drained = false
+      private var finished = false // ClientDone sent, socket closed
       private var lastSlot = -1L
       private val queue = mutable.Queue[BlockEvent]()
 
@@ -526,14 +531,18 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
       }
 
       private def pump(): Unit = try {
+        if (finished) return // idempotent past exhaustion: a second
+        // hasNext()/next() must answer from state, not write on the
+        // closed socket (r07 review; the TCP bearer's guard)
         while (queue.isEmpty && !drained) refill()
         if (queue.isEmpty && drained) {
+          finished = true
           val done = new CborWriter
           done.arrayHeader(1); done.uint(MsgClientDone)
           sendBf(done.result()); out.flush()
           close()
         }
-      } catch { case e: Throwable => close(); throw e }
+      } catch { case e: Throwable => finished = true; close(); throw e }
 
       def hasNext: Boolean = {
         pump()
