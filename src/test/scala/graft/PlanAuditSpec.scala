@@ -264,6 +264,19 @@ class PlanAuditSpec extends SparkSpec {
       s"text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q99: delta probes hash-join the frozen lists — no cartesian, no all-pairs") {
+    // the delta-vs-frozen-index join must stay keyed on the list id
+    // (cid): a cartesian or nested-loop here is the all-pairs shape
+    // the inverted lists exist to avoid (the centroid assignment's own
+    // broadcast is audited at the q59 kernel; it sits behind the
+    // scratch barrier in this entry's final plan)
+    val p = planOf("q99_incremental_semantic")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
+      s.contains("ShuffledHashJoin"), s)
+  }
+
   test("q59: k-means assignment broadcasts the centroid model, never a cartesian") {
     // the catalog entry's final plan reads checkpointed scratch (which
     // hides subplans), so audit the assignment stage itself: the
