@@ -32,12 +32,8 @@ object Blake2b {
 
   def hash256(msg: Array[Byte]): Array[Byte] = hash(msg, 32)
 
-  def hash256Hex(msg: Array[Byte]): String = {
-    val d = hash256(msg)
-    val sb = new java.lang.StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  def hash256Hex(msg: Array[Byte]): String =
+    CborBlock.hex(hash256(msg)) // one hex spelling in the package
 
   def hash(msg: Array[Byte], outLen: Int): Array[Byte] = {
     require(outLen >= 1 && outLen <= 64, s"digest length $outLen")

@@ -84,11 +84,16 @@ object BlockCodec {
   def decode(bytes: Array[Byte]): Option[(Int, Block)] =
     try {
       val bb = ByteBuffer.wrap(bytes)
-      // optional tag-24-style wrap
+      // optional tag-24-style wrap. Sniffing is ambiguous in one
+      // corner: an UNWRAPPED body with era byte 0xD8 whose hash-length
+      // short happens to have high byte 0x18 also matches the marker
+      // (r07 review) — so a failed wrap-length check FALLS BACK to the
+      // unwrapped parse instead of rejecting a block the encoder can
+      // legitimately produce.
       if (bytes.length >= 6 && bytes(0) == TagByte0 && bytes(1) == TagByte1) {
         bb.position(2)
         val len = bb.getInt
-        if (len != bb.remaining()) return None
+        if (len != bb.remaining()) bb.position(0) // not a wrap after all
       }
       val era = bb.get().toInt & 0xFF
       // era pass-through (`Era.cs:6-24`): the reference's `(Era)value`
@@ -105,9 +110,14 @@ object BlockCodec {
       if (nTx < 0 || nTx > 1000000) return None
       val txs = (0 until nTx).map { _ =>
         val txHash = getStr(bb)
+        // negative inner counts must REJECT like nTx does: `0 until -1`
+        // is silently empty, so a corrupt count would decode as a valid
+        // block with zero entries instead of None (r07 review)
         val nIn = bb.getInt
+        if (nIn < 0 || nIn > 1000000) throw new IllegalArgumentException
         val ins = (0 until nIn).map(_ => TxInput(getStr(bb), bb.getInt))
         val nOut = bb.getInt
+        if (nOut < 0 || nOut > 1000000) throw new IllegalArgumentException
         val outs = (0 until nOut).map(_ => TxOutput(getStr(bb), bb.getLong))
         Tx(txHash, ins, outs)
       }
@@ -144,7 +154,14 @@ object BlockCodec {
     import org.apache.spark.sql.functions.{coalesce, col, from_json, lit}
     implicit val enc = Encoders.product[Block]
     raw.select(from_json(col(column), enc.schema).as("b"))
-      .filter(col("b").isNotNull && col("b.hash").isNotNull)
+      // height/slot/transactions must be present too: Block's primitive
+      // fields make the typed deserializer THROW on a null (killing the
+      // job on one incomplete line — the FAILFAST failure mode this
+      // path exists to avoid), and a null transactions Seq NPEs
+      // downstream (r07 review)
+      .filter(col("b").isNotNull && col("b.hash").isNotNull &&
+        col("b.height").isNotNull && col("b.slot").isNotNull &&
+        col("b.transactions").isNotNull)
       .select(col("b.hash"), col("b.height"), col("b.slot"),
         col("b.transactions"),
         // era optional in JSON (pre-era producers) → Babbage; unknown

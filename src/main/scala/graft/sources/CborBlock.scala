@@ -58,7 +58,13 @@ final class CborReader(buf: Array[Byte]) {
         var v = 0L
         var i = 0
         while (i < 8) { v = (v << 8) | byteAt(pos + i); i += 1 }
-        pos += 8; v
+        pos += 8
+        // a uint64 ≥ 2^63 reads as NEGATIVE and would collide with the
+        // indefinite-length sentinel (-1), silently switching a
+        // definite item to indefinite parsing and misaligning the
+        // stream (r07 review) — no legitimate length/slot needs it
+        if (v < 0) fail("uint64 argument out of range")
+        v
       } else if (info == 31 && major >= 2 && major <= 5) -1L
       else fail(s"bad additional info $info for major $major")
     (major, arg)
@@ -128,14 +134,19 @@ final class CborReader(buf: Array[Byte]) {
     major match {
       case 0 | 1 => () // value lives in the head
       case 2 | 3 =>
+        // guard ORDER matters (r07 review): `pos + arg` with a huge
+        // Long arg overflows NEGATIVE and passes the length check,
+        // then `arg.toInt` truncation could move pos BACKWARD — an
+        // infinite loop inside an enclosing indefinite container on
+        // crafted network bytes. Bound arg first, like readRawN.
         if (arg >= 0) {
-          if (pos + arg > buf.length) fail("truncated")
+          if (arg > Int.MaxValue || pos + arg > buf.length) fail("truncated")
           pos += arg.toInt
         } else {
           while (!atBreak) {
             val (cm, cn) = readHead()
             if (cm != major || cn < 0) fail("bad indefinite chunk")
-            if (pos + cn > buf.length) fail("truncated")
+            if (cn > Int.MaxValue || pos + cn > buf.length) fail("truncated")
             pos += cn.toInt
           }
           readBreak()
@@ -273,7 +284,11 @@ object CborBlock {
           val tag = outer.readTags().getOrElse(-1L)
           if (tag != 24) return None
           outer.readBytes() // fresh array — the defensive copy
-        } else java.util.Arrays.copyOf(bytes, bytes.length)
+        } else bytes // no copy needed: every extracted value is fresh
+        // (readBytes/rawItem copy, hashes are strings) and decode is
+        // fully eager, so nothing in the returned Block aliases the
+        // caller's buffer — the full-buffer copyOf here was pure
+        // memcpy on the ingest hot path (r07 review)
       val r = new CborReader(inner)
       val top = r.readArrayHeader()
       if (top != 2) return None
@@ -301,8 +316,7 @@ object CborBlock {
       val nTx = r.readArrayHeader()
       val txs = Vector.newBuilder[Tx]
       var i = 0
-      var ok = true
-      while (ok && (if (nTx >= 0) i < nTx else !r.atBreak)) {
+      while (if (nTx >= 0) i < nTx else !r.atBreak) {
         txs += decodeTxBody(r, inner)
         i += 1
       }
@@ -402,10 +416,22 @@ object CborBlock {
       coin
     }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** THE byte→hex spelling (Blake2b.hash256Hex delegates here) —
+    * nibble lookup, not per-byte format interpolation, which allocated
+    * a Formatter per byte on the per-block/per-tx hash path.
+    */
   private[sources] def hex(b: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(b.length * 2)
-    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(2 * i) = HexChars(v >> 4)
+      out(2 * i + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   // ---- encode (test/fixture side): the §1.2 subset back to real CBOR ----

@@ -26,17 +26,27 @@ object CborChainGen {
     var prev = "00" * 32
     var height = 100L
     var slot = 1000L
+    var txNonce = 0L
     (0 until n).map { _ =>
       slot += 1 + rnd.nextInt(3)
       height += 1
       val txs = (0 until rnd.nextInt(3)).map { _ =>
         val nSpend = rnd.nextInt(3).min(live.size)
         val spends = (0 until nSpend).map(_ => live.remove(rnd.nextInt(live.size)))
+        // the first output carries a strictly increasing nonce: two
+        // zero-input txs could otherwise draw byte-identical bodies
+        // (same address, same amount) → identical content-derived
+        // hashes → a DUPLICATE (txHash, 0) outpoint in the live pool,
+        // double-spendable and oracle-ambiguous (r07 review). Real
+        // chains get this uniqueness from witnesses/fees; the fixture
+        // gets it from the amount.
+        txNonce += 1
         Tx("tmp",
           spends.map { case (h, i, _, _) => TxInput(h, i) },
-          (0 to rnd.nextInt(2)).map(_ =>
+          (0 to rnd.nextInt(2)).map(oi =>
             TxOutput(Addresses(rnd.nextInt(Addresses.size)),
-              1000L + rnd.nextInt(9000))))
+              1000L + rnd.nextInt(9000) +
+                (if (oi == 0) 10000L * txNonce else 0L))))
       }
       val (bytes, real) = CborBlock.encode(
         Block("tmp", height, slot, txs, Era.Conway), prevHash = prev)

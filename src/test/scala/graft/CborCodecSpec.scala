@@ -89,6 +89,37 @@ class CborCodecSpec extends SparkSpec {
     assert(CborBlock.unsupportedEraCount.sum() == before + 1)
   }
 
+  test("adversarial length vectors: overflow skips and the uint64 sentinel terminate as failures") {
+    // r07 review regression vectors. (1) A byte-string head claiming
+    // length 0x7FFFFFFFFFFFFFF7 inside an indefinite array: pos + arg
+    // overflowed Long past the bounds check and arg.toInt (= -9) moved
+    // pos BACKWARD onto the same head — an infinite skip loop on
+    // crafted network bytes. Must now fail (None), and must RETURN.
+    def arr(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    val bomb = new graft.sources.CborWriter
+    bomb.tag(24)
+    // the bomb must sit where skipItem actually walks: the HEADER item
+    // that rawItem() skips. content = [era, [<header = 9f (indefinite
+    // array) 5b <huge len> ...>, bodies...]] — the old code's
+    // `while (!atBreak) skipItem()` re-read the same head forever
+    val inner = new graft.sources.CborWriter
+    inner.arrayHeader(2); inner.uint(Era.Conway.toLong)
+    inner.arrayHeader(2) // block = [header, bodies]
+    inner.raw(arr(0x9f, 0x5b, 0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xf7, 0xff))
+    inner.arrayHeader(0) // bodies
+    bomb.bytes(inner.result())
+    val t0 = System.nanoTime()
+    assert(CborBlock.decode(bomb.result()).isEmpty)
+    assert((System.nanoTime() - t0) < 5L * 1000 * 1000 * 1000,
+      "decode must terminate, not loop")
+    // (2) an 8-byte uint argument >= 2^63 read as NEGATIVE and collided
+    // with the indefinite-length sentinel, flipping a definite item to
+    // indefinite parsing; the reader must reject it outright
+    val r = new graft.sources.CborReader(
+      arr(0x5b, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff))
+    intercept[RuntimeException](r.readBytes())
+  }
+
   test("FileChainProvider reads a .cbor directory, distributed-decoded and slot-ordered") {
     val dir = tmpDir("cbor-blocks")
     var prev = "00" * 32
