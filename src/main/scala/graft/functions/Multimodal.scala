@@ -409,7 +409,13 @@ object Multimodal {
     val b = r.payload
     if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
     var ts = 0L; var dur = -1L; var w = 0; var h = 0
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // depth bound (r07 review): a crafted payload nesting thousands
+      // of moov/trak boxes would StackOverflowError — an Error, which
+      // escapes decodeAny's NonFatal fence and kills the TASK (the
+      // retry storm one corrupt blob must never cause). Real files
+      // nest a handful of levels.
+      if (depth > 16) return
       var off = start
       while (off + 8 <= end) {
         var size = be32L(b, off)
@@ -419,19 +425,23 @@ object Multimodal {
         else if (size == 0) size = (end - off).toLong
         if (size < hdr || size > end - off) return // malformed: stop walking
         val p = off + hdr
+        // field reads bound by the BOX'S OWN extent, not the parent's
+        // end — a truncated mvhd/tkhd otherwise reads sibling bytes as
+        // timescale/duration/dimensions (r07 review)
+        val boxEnd = off + size.toInt
         typ match {
-          case "moov" | "trak" => walk(p, off + size.toInt)
+          case "moov" | "trak" => walk(p, boxEnd, depth + 1)
           case "mvhd" =>
             val v = b(p) & 0xff
-            if (v == 1 && p + 32 <= end) {
+            if (v == 1 && p + 32 <= boxEnd) {
               ts = be32L(b, p + 20); dur = be64L(b, p + 24)
-            } else if (v == 0 && p + 20 <= end) {
+            } else if (v == 0 && p + 20 <= boxEnd) {
               ts = be32L(b, p + 12); dur = be32L(b, p + 16)
             }
           case "tkhd" if w == 0 =>
             val v = b(p) & 0xff
             val wOff = p + (if (v == 1) 88 else 76)
-            if (wOff + 8 <= end) {
+            if (wOff + 8 <= boxEnd) {
               val tw = (be32L(b, wOff) >> 16).toInt
               val th = (be32L(b, wOff + 4) >> 16).toInt
               if (tw > 0 && th > 0) { w = tw; h = th }
@@ -441,7 +451,7 @@ object Multimodal {
         off += size.toInt
       }
     }
-    walk(0, b.length)
+    walk(0, b.length, 0)
     if (ts <= 0 || dur < 0) return None
     Some(decodeStub(r).copy(
       width = if (w > 0) Some(w) else None,

@@ -28,6 +28,25 @@ final class Telemetry(
     startSlots: Map[String, Long] = Map.empty,
     bufferSize: Int = 32) {
 
+  // acyclic by construction: progressPct recurses parent links, and a
+  // cycle (or self-reference) in a caller-built map would otherwise
+  // StackOverflowError inside the telemetry lock (r07 review) —
+  // GraphRunner validates ITS graphs, but Telemetry is also built
+  // directly (Dashboard)
+  locally {
+    reducerDependency.keys.foreach { k =>
+      var seen = Set.empty[String]
+      var cur: Option[String] = Some(k)
+      while (cur.isDefined) {
+        val c = cur.get
+        require(!seen.contains(c),
+          s"cyclic reducer dependency through '$c'")
+        seen += c
+        cur = reducerDependency.getOrElse(c, None)
+      }
+    }
+  }
+
   private val timings = mutable.Map[String, mutable.Queue[Double]]()
   private val batchCounts = mutable.Map[String, Long]().withDefaultValue(0L)
   private val latestSlots = mutable.Map[String, Long]()
@@ -37,15 +56,23 @@ final class Telemetry(
     * `bufferSize * 32` entries) so a long-running stream cannot grow
     * driver memory without limit.
     */
-  val streamBatches: mutable.ArrayBuffer[(Long, Long, Double)] =
+  private val streamBatchLog: mutable.ArrayBuffer[(Long, Long, Double)] =
     mutable.ArrayBuffer.empty // (batchId, numInputRows, procSec)
 
   def recordStreamBatch(batchId: Long, rows: Long, procSec: Double): Unit =
-    streamBatches.synchronized {
-      streamBatches += ((batchId, rows, procSec))
-      if (streamBatches.size > bufferSize * 32)
-        streamBatches.remove(0, streamBatches.size - bufferSize * 32)
+    streamBatchLog.synchronized {
+      streamBatchLog += ((batchId, rows, procSec))
+      if (streamBatchLog.size > bufferSize * 32)
+        streamBatchLog.remove(0, streamBatchLog.size - bufferSize * 32)
     }
+
+  /** Immutable snapshot — the ONE read surface. The buffer itself is
+    * private: a live reader iterating while the listener thread
+    * appends/compacts would see torn state (every other Telemetry
+    * surface is lock-safe; this was the one racy field — r07 review).
+    */
+  def streamBatches: Seq[(Long, Long, Double)] =
+    streamBatchLog.synchronized { streamBatchLog.toVector }
 
   /** Record one reducer's batch work (reference `RecordTelemetry`). */
   def record(reducer: String, elapsedSec: Double, slot: Long): Unit =

@@ -185,10 +185,17 @@ object StreamingCurate {
   def signals(docs: DataFrame,
       evalIdx: Broadcast[EvalGramIndex]): Dataset[DocSignals] = {
     import docs.sparkSession.implicits._
+    // coalesce null text to "": the ingest front door (DocIngest's
+    // okCond) quarantines null-text rows before the pipeline, so this
+    // is defense-in-depth against a bypassing producer — a null here
+    // otherwise NPEs the typed deserializer (f_qual Int) and the gram
+    // kernel, crash-looping the query on checkpoint replay (r07
+    // review). "" yields a deterministic quality-fail verdict instead.
     docs.select(col("doc_id").cast("long"),
-        col("text"),
-        Selection.qualityFail(col("text")).cast("int").as("f_qual"),
-        Dedup.normMd5(col("text"))
+        coalesce(col("text"), lit("")).as("text"),
+        Selection.qualityFail(coalesce(col("text"), lit("")))
+          .cast("int").as("f_qual"),
+        Dedup.normMd5(coalesce(col("text"), lit("")))
           .as("norm_md5"))
       .as[(Long, String, Int, String)]
       .mapPartitions { it =>
@@ -284,12 +291,20 @@ object StreamingCurate {
       evalIdx: Broadcast[EvalGramIndex],
       horizon: java.time.Duration): Dataset[CurateVerdict] = {
     import docs.sparkSession.implicits._
+    // null-text defense as in signals(); and a NULL event_time (which
+    // cast('timestamp') manufactures from any unparseable value) has
+    // no event-time position — it is not late-filtered (null <
+    // watermark is null) and would NPE the stateful pass, crash-looping
+    // on checkpoint replay (r07 review). Dropping it is the
+    // watermark-consistent semantic; the batch re-audit is its record.
     val sigs = docs.select(col("doc_id").cast("long"),
-        col("text"),
-        Selection.qualityFail(col("text")).cast("int").as("f_qual"),
-        Dedup.normMd5(col("text"))
+        coalesce(col("text"), lit("")).as("text"),
+        Selection.qualityFail(coalesce(col("text"), lit("")))
+          .cast("int").as("f_qual"),
+        Dedup.normMd5(coalesce(col("text"), lit("")))
           .as("norm_md5"),
-        col("event_time").cast("timestamp"))
+        col("event_time").cast("timestamp").as("event_time"))
+      .filter(col("event_time").isNotNull)
       .as[(Long, String, Int, String, java.sql.Timestamp)]
       .mapPartitions { it =>
         val ev = evalIdx.value

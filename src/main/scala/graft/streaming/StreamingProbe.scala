@@ -27,5 +27,12 @@ object StreamingProbe {
     Dedup.bandEntries(deltaDocs)
       .join(frozenBands.select(col("band_key"),
         col("doc_id").as("idx_doc")), "band_key")
+      // self-match guard (r07 review): under at-least-once redelivery
+      // (or an index rebuilt from already-ingested docs) a document
+      // meets ITSELF in the frozen index — every band collides and the
+      // downstream min-per-doc verdict would flag the original as a
+      // duplicate of itself. Batch q69 never sees this only because
+      // its delta/frozen sets are disjoint by construction
+      .filter(col("doc_id") =!= col("idx_doc"))
       .select(col("doc_id"), col("idx_doc"))
 }

@@ -119,14 +119,19 @@ object Worker {
     // LOOK right (the name filter passes) while carrying the other
     // chain's values. Reject the configuration loudly; per-root
     // Telemetry instances attribute correctly.
-    telemetry.foreach { _ =>
-      val dup = roots.filter(_.telemetry.isEmpty)
-        .flatMap(_.runner.reducerNames)
-        .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
-      require(dup.isEmpty,
-        "worker-level telemetry cannot attribute same-named reducers " +
-          s"across roots (${dup.toSeq.sorted.mkString(", ")}); give each " +
-          "root its own Telemetry")
+    // group by the EFFECTIVE instance: roots that explicitly share one
+    // Telemetry bypass a fallback-only check (r07 review) — the
+    // mis-attribution is a property of the shared INSTANCE, however it
+    // was shared
+    roots.groupBy(r => r.telemetry.orElse(telemetry)).foreach {
+      case (Some(_), rs) if rs.size > 1 =>
+        val dup = rs.flatMap(_.runner.reducerNames)
+          .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+        require(dup.isEmpty,
+          "a shared Telemetry cannot attribute same-named reducers " +
+            s"across roots (${dup.toSeq.sorted.mkString(", ")}); give " +
+            "each root its own Telemetry")
+      case _ => ()
     }
     val started = mutable.ArrayBuffer[(Root, StreamingQuery)]()
     try
