@@ -36,8 +36,25 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    // the legacy nanos conf is set ONLY when the footer actually
+    // carries TIMESTAMP(NANOS) (the load fails loudly without it) —
+    // unconditionally flipping it was a hidden session-wide side
+    // effect of a table reader (r07 review). In a nanos round it
+    // deliberately STAYS set: execution re-derives the parquet schema
+    // from the session conf, so restoring it would break the very
+    // plans this reader returned. Truncation note: Spark lands on
+    // micros (`ts div 1000`); if a nanos round ever ships, the
+    // gap/order-sensitive event oracles (q42 sessions, q46 as-of)
+    // need date_trunc('microseconds', ts) on the DuckDB side too —
+    // recent DuckDB reads TIMESTAMP_NS ns-preserving.
+    val df =
+      try load(s, d, "events")
+      catch {
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
     df.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) read as raw nanos
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

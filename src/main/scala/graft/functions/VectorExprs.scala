@@ -46,6 +46,23 @@ case class FloatDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
+  /** True when either array schema admits null ELEMENTS. */
+  private def elemsNullable: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+
+  // result can be null even when both ARRAYS are non-null (a null
+  // element propagates) — without this override, non-nullable inputs
+  // make ev.isNull the FALSE literal and the codegen assignment below
+  // fails to compile
+  override def nullable: Boolean = super.nullable || elemsNullable
+
+  // NULL elements propagate to a NULL result — ArrayData.getFloat on a
+  // null slot silently reads 0.0f, which would diverge from the
+  // aggregate(zip_with(...)) spelling this expression documents as its
+  // bit-identical twin (the lambda nulls the whole fold) — r07 review
   override protected def nullSafeEval(x: Any, y: Any): Any = {
     val a = x.asInstanceOf[ArrayData]
     val b = y.asInstanceOf[ArrayData]
@@ -53,6 +70,7 @@ case class FloatDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -64,10 +82,18 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      // the element null-check is emitted only when the schema admits
+      // null elements — otherwise ev.isNull is the FALSE literal (not
+      // an lvalue) and the hot loop stays branch-free
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $acc;
@@ -87,12 +113,12 @@ object VectorFunctions {
     GraftSqlBridge.column(FloatDot(GraftSqlBridge.expression(x),
       GraftSqlBridge.expression(y)))
 
-  private val info = new ExpressionInfo(
+  private[functions] val info = new ExpressionInfo(
     classOf[FloatDot].getCanonicalName, null, "float_dot",
     "float_dot(x, y) - ordered-fold dot product of two float arrays in double precision.",
     "")
 
-  private def builder(children: Seq[Expression]): Expression = {
+  private[functions] def builder(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       s"float_dot expects 2 arguments, got ${children.length}")
     FloatDot(children.head, children(1))
@@ -104,14 +130,14 @@ object VectorFunctions {
 }
 
 /** `SparkSessionExtensions` hook: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * makes `float_dot` available to pure-SQL users cluster-wide.
+  * makes `float_dot` available to pure-SQL users cluster-wide. Reuses
+  * the ONE validated builder: the previous inline copy had no arity
+  * check, so `float_dot(a, b, c)` silently dotted the first two and
+  * `float_dot(a)` threw a raw IndexOutOfBounds (r07 review).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectFunction(
-      (FunctionIdentifier("float_dot"),
-        new ExpressionInfo(classOf[FloatDot].getCanonicalName, null, "float_dot",
-          "float_dot(x, y) - ordered-fold dot product of two float arrays in double precision.",
-          ""),
-        (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+      (FunctionIdentifier("float_dot"), VectorFunctions.info,
+        VectorFunctions.builder _))
 }

@@ -28,10 +28,14 @@ object Conventions {
   def dsumSql(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
 
-  /** Deterministic average: exact decimal sum divided by count, in DOUBLE. */
+  /** Deterministic average: exact decimal sum divided by count, in
+    * DOUBLE — COMPOSED from dsum so the exactness-critical idiom has
+    * one spelling (two inline copies could drift under a future dsum
+    * fix, breaking only the averaging oracles — r07 review).
+    */
   def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+    dsum(c, scale) / count(lit(1))
 
   def davgSql(expr: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT(*)"
+    s"${dsumSql(expr, scale)} / COUNT(*)"
 }

@@ -41,6 +41,28 @@ class VectorExprsSpec extends SparkSpec {
     assert(out(0).getDouble(1) == 11.0)
     assert(out(1).isNullAt(1))
     assert(out(2).getDouble(1) == 0.0)
+    // null ELEMENTS propagate to a null result — matching the
+    // aggregate(zip_with(...)) lambda twin, whose fold nulls out;
+    // ArrayData.getFloat would otherwise silently read a 0.0f (r07
+    // review). Exercised through BOTH paths: a local relation
+    // (interpreted eval) and a range-based plan (codegen).
+    val withNullElem = Seq(
+      (1L, Seq(Some(1f), None), Seq(Some(2f), Some(3f))))
+      .toDF("id", "x", "y")
+      .select(VectorFunctions.floatDot(col("x"), col("y")).as("d"))
+      .collect()
+    assert(withNullElem(0).isNullAt(0),
+      "a null element must null the dot product, not read as 0")
+    val codegenNull = spark.range(3)
+      .select(
+        array(when(col("id") === 1, lit(null).cast("float"))
+          .otherwise(col("id").cast("float"))).as("x"),
+        array(col("id").cast("float")).as("y"))
+      .select(col("x"), VectorFunctions.floatDot(col("x"), col("y")).as("d"))
+      .orderBy(col("d").asc_nulls_first)
+      .collect()
+    assert(codegenNull(0).isNullAt(1), "codegen path must null-propagate too")
+    assert(codegenNull.count(_.isNullAt(1)) == 1)
   }
 
   test("FloatDot is a real codegen expression, not CodegenFallback") {
