@@ -22,6 +22,19 @@ class ObservabilitySpec extends SparkSpec {
 
   private def depMap = reducers.map(r => r.name -> r.dependsOn).toMap
 
+  test("cyclic reducer-dependency maps are rejected at construction") {
+    // progressPct recurses parent links; a caller-built cycle (or
+    // self-reference) would StackOverflowError inside the telemetry
+    // lock (r07 review regression)
+    import graft.streaming.Telemetry
+    intercept[IllegalArgumentException](
+      new Telemetry(Map("a" -> Some("b"), "b" -> Some("a"))))
+    intercept[IllegalArgumentException](
+      new Telemetry(Map("a" -> Some("a"))))
+    // acyclic chains still construct
+    new Telemetry(Map("a" -> Some("b"), "b" -> None))
+  }
+
   test("progress advances across batches; formula and inheritance match the reference") {
     val blocks = ChainGen.generate(20, seed = 42L)
     val tel = new Telemetry(depMap)

@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
 class StreamingCurateSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.01"
 
+  test("poison rows: null text yields a quality-fail verdict, never a crash") {
+    // a null-text row (bypassing DocIngest's front-door guarantee)
+    // previously NPE'd the typed deserializer / gram kernel, and on a
+    // stream would crash-loop forever on checkpoint replay (r07
+    // review regression). It must now produce a deterministic
+    // quality-fail signal like the empty document it is treated as.
+    val sp = spark
+    import sp.implicits._
+    val ev = sp.sparkContext.broadcast(graft.streaming.EvalGramIndex.empty)
+    val df = Seq((1L, "short"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sigs = StreamingCurate.signals(df, ev).collect().sortBy(_.doc_id)
+    assert(sigs.length == 2)
+    assert((sigs(1).base & 1) == 1, // quality-fail bit set
+      s"null text must fail quality deterministically: ${sigs(1)}")
+  }
+
   test("streamed verdicts equal batch q79 reasons & 15 under doc_id-order arrival") {
     val sp = spark
     import sp.implicits._

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
 class StreamingProbeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("a redelivered original never flags itself: self-collisions are filtered") {
+    // at-least-once redelivery (or an index rebuilt from ingested
+    // docs) sends a document through the probe while the frozen index
+    // already contains it: every band collides with itself, and the
+    // downstream min-per-doc verdict would mark the original a
+    // duplicate of ITSELF (r07 review regression)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(20)
+    val frozen = graft.queries.Dedup.bandEntries(docs)
+    val hits = StreamingProbe.probe(docs, frozen) // same docs both sides
+    assert(hits.filter(col("doc_id") === col("idx_doc")).count() == 0,
+      "self-collisions must be filtered")
+  }
+
   test("streamed probe collisions aggregate to exactly batch q69's near verdicts") {
     val sp = spark
     import sp.implicits._

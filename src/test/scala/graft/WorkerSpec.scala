@@ -147,6 +147,19 @@ class WorkerSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Worker.start(spark, Seq(rA2, rB2), telemetry = Some(telB)))
     assert(e.getMessage.contains("block_summary"), e.getMessage)
+    // roots EXPLICITLY sharing one instance must be rejected the same
+    // way — the mis-attribution is a property of the shared INSTANCE,
+    // not of how it was shared (r07 review regression: the guard
+    // previously checked only fallback users)
+    val tShared = new Telemetry(Map("block_summary" -> None))
+    val (rA3, _) = root("ta3", ChainGen.generate(6, seed = 55L),
+      Seq(new BlockSummaryReducer))
+    val (rB3, _) = root("tb3", ChainGen.generate(9, seed = 56L, tag = "r4"),
+      Seq(new BlockSummaryReducer, new TxIndexReducer))
+    val e2 = intercept[IllegalArgumentException](
+      Worker.start(spark, Seq(rA3.copy(telemetry = Some(tShared)),
+        rB3.copy(telemetry = Some(tShared)))))
+    assert(e2.getMessage.contains("block_summary"), e2.getMessage)
   }
 
   test("distinct-store requirement is enforced up front") {
