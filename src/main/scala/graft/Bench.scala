@@ -39,25 +39,11 @@ object Bench {
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    // Per-EXECUTION cleanup, run OUTSIDE the timed region: a rep must
-    // not inherit the previous execution's localCheckpoint-pinned
-    // scratch RDDs (warmup + 3 reps of e.g. q75 otherwise hold 4
-    // generations of pinned partitions at once — old-gen pressure that
-    // surfaces as the 3-4x single-rep tails in BENCH_r05's driver run,
-    // e.g. q75 reps [3.87, 3.29, 14.30]), nor its uncollected garbage.
-    // blocking=true: async removal would overlap the next timed rep.
-    def settle(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-    }
-    // SPARK_GRAFT_ONLY=q31,q37 restricts to matching prefixes (local
-    // iteration); the driver runs the full catalog (env unset)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.exists(n.startsWith)))
+    // settle + only-filter live in graft.Harness (one spelling across
+    // Bench/Verify/ScaleSlope — the r05 blocking=true tail lesson must
+    // not diverge between the tools)
+    def settle(): Unit = Harness.settle(spark)
+    val names = Harness.onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
     val results = names.map { name =>
       System.err.println(s"[bench] $name ...")
       try {

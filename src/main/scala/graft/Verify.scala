@@ -16,12 +16,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // builder pre-flight: SPARK_GRAFT_ONLY=q53,q54 limits the dump to
-    // name prefixes (same contract as Bench); unset = the full catalog.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith))
-    }
+    // name prefixes (same contract as Bench, via the shared Harness).
+    val keep = Harness.onlyFilter(SparkEntry.queries.keys.toSeq).toSet
+    val selected = SparkEntry.queries.filter { case (name, _) => keep(name) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -88,6 +88,19 @@ final class Telemetry(
   def observeTip(tipSlot: Long): Unit =
     synchronized { effectiveTip = math.max(effectiveTip, tipSlot) }
 
+  /** Slot-only observation for pollers that READ state rather than do
+    * batch work (Dashboard's store-polling mode): advances progress
+    * without fabricating batch counts or zero timings — polling via
+    * record(r, 0.0, slot) made the rendered table claim one
+    * instantaneous batch per refresh (r07 review).
+    */
+  def observeSlot(reducer: String, slot: Long): Unit =
+    synchronized {
+      latestSlots(reducer) =
+        math.max(latestSlots.getOrElse(reducer, -1L), slot)
+      effectiveTip = math.max(effectiveTip, slot)
+    }
+
   /** Port of `CalculateReducerProgress` (Dashboard.cs:318-355):
     * dependents inherit the root's progress recursively; roots report
     * `(current − start) / (tip − start)`, clamped to 99.99 unless

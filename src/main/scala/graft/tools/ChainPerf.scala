@@ -49,19 +49,23 @@ object ChainPerf {
     // (the two store modes produce different plan shapes)
     locally {
       val wroot = java.nio.file.Files.createTempDirectory("perfw").toString
-      val wstore: Store =
-        if (useJdbc) new JdbcStore(wroot, spark) else new StateStore(wroot, spark)
-      val w = new GraphRunner(spark, wstore, reducers, batchSize = 100)
-      w.processEvents(events.take(200))
+      try {
+        val wstore: Store =
+          if (useJdbc) new JdbcStore(wroot, spark) else new StateStore(wroot, spark)
+        val w = new GraphRunner(spark, wstore, reducers, batchSize = 100)
+        w.processEvents(events.take(200))
+      } finally graft.queries.Scratch.deleteTree(wroot)
     }
     // median-of-N (default 3): ChainPerf run-to-run spread spans ~2×, so
     // single-shot numbers are not comparable round-over-round
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     batchSizes.foreach { bs =>
       val backend = (if (useJdbc) "jdbc" else "segments") +
         (if (light) "-light" else "")
       val runs = (1 to reps).map { rep =>
         val root = java.nio.file.Files.createTempDirectory(s"perf$bs").toString
+        try {
         val store: Store =
           if (useJdbc) new JdbcStore(root, spark) else new StateStore(root, spark)
         val rs = reducers
@@ -84,6 +88,10 @@ object ChainPerf {
         tel.snapshot.foreach(p =>
           println(f"[chainperf]   ${p.reducer}%-20s meanWrite=${p.meanBatchSec}%.3fs over ${p.batches} batches"))
         (dt, ratio)
+        // each rep's store is a full nBlocks ingest — left behind, the
+        // per-round perf workflow accumulates gigabytes in /tmp until
+        // a later bench dies on a full disk (r07 review)
+        } finally graft.queries.Scratch.deleteTree(root)
       }
       val dts = runs.map(_._1).sorted
       val ratios = runs.map(_._2).sorted

@@ -46,7 +46,9 @@ object Dashboard {
     def refresh(): Unit = {
       val cps = store.checkpoints
       cps.foreach { case (r, w) =>
-        CheckpointWindow.latest(w).foreach(p => tel.record(r, 0.0, p.slot))
+        // slot-only: record() would count each poll as a zero-second
+        // batch and render "N batches, mean 0.000s" for idle stores
+        CheckpointWindow.latest(w).foreach(p => tel.observeSlot(r, p.slot))
       }
       println(render(tel))
     }

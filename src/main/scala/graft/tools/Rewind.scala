@@ -20,9 +20,17 @@ object Rewind {
     require(args.length >= 2, "usage: Rewind <storeRoot> <slot> [inclusive|exclusive] [jdbc]")
     val root = args(0)
     val slot = args(1).toLong
+    // a DESTRUCTIVE maintenance tool must reject unrecognized words,
+    // not default them: 'Rewind <root> <slot> jdbc' previously consumed
+    // 'jdbc' as the mode (→ Exclusive) and rewound the WRONG backend
+    // while printing success (r07 review)
+    val extra = args.drop(2).map(_.toLowerCase)
+    extra.foreach(a => require(
+      a == "inclusive" || a == "exclusive" || a == "jdbc",
+      s"unrecognized argument '$a' — usage: Rewind <storeRoot> <slot> " +
+        "[inclusive|exclusive] [jdbc]"))
     val mode: RollbackMode =
-      if (args.length > 2 && args(2).equalsIgnoreCase("inclusive")) Inclusive
-      else Exclusive
+      if (extra.contains("inclusive")) Inclusive else Exclusive
     val spark = SparkSession.builder()
       .master(sys.props.getOrElse("spark.master", "local[8]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,8 +38,7 @@ object Rewind {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val store: Store =
-      if (args.length > 3 && args(3).equalsIgnoreCase("jdbc"))
-        new JdbcStore(root, spark)
+      if (extra.contains("jdbc")) new JdbcStore(root, spark)
       else new StateStore(root, spark)
     val runner = new GraphRunner(spark, store,
       ReducerGraphs.default(ChainGen.Watched))

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.SparkEntry
+import graft.{Harness, SparkEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,30 +66,32 @@ object ScaleSlope {
 
     buildCorpus(spark, base, out, factor)
 
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = Defaults.filter(n => only.forall(_.exists(n.startsWith)))
+    val names = Harness.onlyFilter(Defaults)
 
-    def settle(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-    }
-    def time(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      settle()
-      dt
-    }
+    // per-query failure RECORDS a -1 data point instead of aborting:
+    // the tool exists to catch a blow-up at scale, and a blow-up must
+    // not destroy the 11 slopes already measured (r07 review; Bench's
+    // own try/catch discipline)
+    def time(name: String, dir: String): Double =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Harness.settle(spark)
+        dt
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[slope] $name FAILED: ${e.getMessage}")
+          Harness.settle(spark)
+          -1.0
+      }
     val rows = names.map { name =>
       System.err.println(s"[slope] $name ...")
       time(name, base) // warmup: codegen + JIT for the plan shape
       val t1 = (1 to reps).map(_ => time(name, base)).min
       val tN = (1 to reps).map(_ => time(name, out)).min
-      val slope = tN / t1
+      val slope = if (t1 > 0 && tN > 0) tN / t1 else -1.0
       System.err.println(
         f"[slope] $name%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$slope%5.2f")
       (name, t1, tN, slope)
@@ -100,6 +102,10 @@ object ScaleSlope {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALE_SLOPE.json"),
       s"""{"base":"$base","factor":$factor,"reps":$reps,"queries":$json}""")
+    // the replicated corpus is factor x sf0.1 on disk — leaving it
+    // behind accumulates gigabytes per factor across rounds (r07
+    // review); a repeat run rebuilds it in ~a minute
+    graft.queries.Scratch.deleteTree(out)
     spark.stop()
     rows.foreach { case (n, t1, tN, sl) =>
       println(f"$n%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$sl%5.2f")
@@ -139,8 +145,12 @@ object ScaleSlope {
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate")), "lineitem")
 
-    // dims + events pass through unchanged (fixed model side)
-    Seq("region", "nation", "customer", "supplier", "part", "events")
+    // dims pass through unchanged (fixed model side); events goes
+    // through Tables.events — a raw read would crash on a
+    // TIMESTAMP(NANOS) round, the exact footer case that reader
+    // normalizes (r07 review)
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(load(t), t))
+    write(Tables.events(spark, base), "events")
   }
 }

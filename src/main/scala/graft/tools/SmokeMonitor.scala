@@ -28,7 +28,13 @@ object SmokeMonitor {
     spark.sparkContext.setLogLevel("ERROR")
     val store = new StateStore(root, spark)
     val reducers: Seq[ChainReducer] = ReducerGraphs.default(ChainGen.Watched)
-    val blocksSchema = reducers.head.tables.head.schema
+    // by TABLE NAME, not position — reducers.head silently broke on any
+    // reorder of ReducerGraphs.default (r07 review; the q60 fix applied
+    // here too)
+    val blocksSchema = reducers.flatMap(_.tables)
+      .find(_.name == "blocks")
+      .getOrElse(throw new IllegalStateException(
+        "blocks table missing from the default graph")).schema
     val deadline = System.currentTimeMillis() + timeoutSec * 1000L
     var ok = false
     while (!ok && System.currentTimeMillis() < deadline) {

@@ -38,6 +38,17 @@ object StreamPerf {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // the per-rep replay shifts ids by 1e7 per rep to keep reps
+    // distinct in keyed state — ids at or above the shift would make
+    // reps COLLIDE and silently measure a different state shape (e.g.
+    // pointing this tool at a ScaleSlope output dir, whose minted ids
+    // reach factor*1e7 — r07 review)
+    val shift = 10000000L
+    require(docs.nonEmpty && vecs.nonEmpty, s"empty corpus at $sfDir")
+    require(docs.last._1 + (reps + 2) * shift > 0 &&
+      docs.last._1 < shift && vecs.last._1 < shift,
+      s"corpus ids must stay below the per-rep shift $shift " +
+        s"(max doc=${docs.last._1}, max vec=${vecs.last._1})")
     val ev = StreamingCurate.frozenEvalIndex(
       docsDf.filter(col("doc_id") % 10 === 3)
         .select(col("doc_id"), col("text")))
