@@ -38,6 +38,15 @@ object Dedup extends QueryModule {
             element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
         .otherwise(array().cast("array<string>")))
 
+  /** The word token class of the whole dedup family (MinHash shingles,
+    * SimHash, 8-gram decontamination). KNOWN cross-engine edge, masked
+    * on the pinned corpus: Java's `\s` includes U+000B (vertical tab),
+    * RE2's (DuckDB) does not — a corpus containing one would tokenize
+    * differently between engine and oracle. If a future generator
+    * emits control characters, replace `\S+` with the EXPLICIT class
+    * `[^ \t\n\x0B\f\r]+` on the ORACLE side (Java semantics) in every
+    * oracle twin — or adopt SuffixDedup's printable-range class.
+    */
   private val wordsCol: Column =
     regexp_extract_all(col("text"), lit("\\S+"), lit(0))
 
@@ -164,6 +173,11 @@ object Dedup extends QueryModule {
   private val Seeds: Seq[Long] =
     (1 to H).map(k => (0x9E3779B97F4A7C15L * k) & 0xFFFFFFFFFFFFL)
 
+  // primitive copy for the per-shingle JVM loop: Seeds(k) on a Seq is
+  // a boxed Vector apply, paid H times per shingle on the hot path the
+  // surrounding code exists to keep cheap (r07 review)
+  private val SeedsArr: Array[Long] = Seeds.toArray
+
   /** First 6 md5 bytes of `s`, big-endian — the JVM twin of the
     * engine-side `hex12ToLong(md5(...))` convention, shared by every
     * driver/executor-side consumer (bandKeysOf, StreamingMix) so the
@@ -232,6 +246,11 @@ object Dedup extends QueryModule {
     */
   private def bandKeysOf(md: java.security.MessageDigest,
       text: String): Seq[String] = {
+    // null-tolerant like the codegen'd column paths (SQL null in,
+    // null/empty out): WordRe.findAllIn(null) would NPE inside
+    // mapPartitions and kill a streaming consumer on one poison row
+    // (r07 review; StreamingCurate guards the same hazard)
+    if (text == null) return Seq.empty
     val words = WordRe.findAllIn(text).toArray
     if (words.length < 3) return Seq.empty
     val shingles = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -244,7 +263,7 @@ object Dedup extends QueryModule {
       val h = md5Prefix48(md, s)
       var k = 0
       while (k < H) {
-        val v = h ^ Seeds(k); if (v < mins(k)) mins(k) = v; k += 1
+        val v = h ^ SeedsArr(k); if (v < mins(k)) mins(k) = v; k += 1
       }
     }
     (0 until Bands).map { b =>
@@ -371,9 +390,11 @@ object Dedup extends QueryModule {
     * range-partition sort per run for nothing.
     */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    // wordsCol, not a re-spelled \S+: SimHash must tokenize with the
+    // same word class as the MinHash family or an edit to one silently
+    // forks the two near-dup definitions (r07 review)
     val words = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+      .select(col("doc_id"), explode(wordsCol).as("w"))
       .withColumn("h", md5(col("w")))
     val withDigits = (0 until 16).foldLeft(words) { (df, j) =>
       df.withColumn(s"v$j", hexVal(substring(col("h"), j + 1, 1)))
@@ -699,6 +720,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def gramsOf(text: String, n: Int)
       : scala.collection.Set[String] = {
+    if (text == null) return scala.collection.Set.empty // see bandKeysOf
     val words = WordRe.findAllIn(text).toArray
     val grams = scala.collection.mutable.LinkedHashSet.empty[String]
     var i = 0
@@ -889,6 +911,14 @@ object Dedup extends QueryModule {
     * output file (tens of thousands) — the parameter scales the
     * parallelism, not the algorithm.
     */
+  /** THE training-token regex (q20's "BPE-ish" class) — one spelling
+    * shared by packing (q62/q67/q87/q98), mixture budgets (q68),
+    * tensors (q75), token counts (q20), and the streaming twins: a
+    * tokenizer tweak must move every n_tok consumer together (r07
+    * review: eight hand-copies across four files).
+    */
+  private[graft] val PackTokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
   private[graft] val PackBudget = 2048L
   private[graft] val PackShards = 8L
 
@@ -917,7 +947,7 @@ object Dedup extends QueryModule {
   private[graft] def packToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"),
-        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        lit(PackTokRe), lit(0)))
         .cast("long").as("n_tok"),
       (hex12ToLong(md5(concat(lit("pack|"), col("doc_id").cast("string"))))
         % PackShards).as("shard"))
@@ -950,7 +980,7 @@ object Dedup extends QueryModule {
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text,
-       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |      '$PackTokRe')) AS BIGINT) AS n_tok,
        |    ${hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
        |      % $PackShards AS shard
        |  FROM documents),
@@ -1121,15 +1151,7 @@ object Dedup extends QueryModule {
   private[graft] def dekOf(s: SparkSession, d: String,
       scratchName: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val qual = docs.filter(
-      length(col("text")) >= 100 &&
-        (size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0)))
-          .cast("double") / greatest(length(col("text")), lit(1))) < 0.1 &&
-        (size(regexp_extract_all(col("text"),
-          lit("\\b(the|a|an|of|and|to|in|is|it|that)\\b"), lit(0)))
-          .cast("double") /
-          greatest(size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+"), lit(0))), lit(1))) > 0.01)
+    val qual = docs.filter(TextAnalysis.qualityOkOn(col("text")))
     // eval grams come from the UNFILTERED eval shard (the benchmark is
     // external — quality filtering does not apply to it)
     val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
@@ -1170,13 +1192,7 @@ object Dedup extends QueryModule {
   private[graft] val dekSqlCtes =
     s"""qual AS (
        |  SELECT doc_id, text FROM documents
-       |  WHERE LENGTH(text) >= 100
-       |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-       |      / GREATEST(LENGTH(text), 1) < 0.1
-       |    AND CAST(len(regexp_extract_all(text,
-       |        '\\b(the|a|an|of|and|to|in|is|it|that)\\b')) AS DOUBLE)
-       |      / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1)
-       |      > 0.01),
+       |  WHERE ${TextAnalysis.qualityOkSql("text")}),
        |evd AS (
        |  SELECT doc_id, ${ngramsSql(DecontN)} AS sh
        |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
@@ -1224,7 +1240,7 @@ object Dedup extends QueryModule {
        |ptoks AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text,
-       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |      '$PackTokRe')) AS BIGINT) AS n_tok,
        |    ${hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
        |      % $PackShards AS shard
        |  FROM canon),
@@ -1258,7 +1274,7 @@ object Dedup extends QueryModule {
   def mixTokEntries(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
       size(regexp_extract_all(col("text"),
-        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        lit(PackTokRe), lit(0)))
         .cast("long").as("n_tok"),
       hex12ToLong(md5(concat(lit("mix|"), col("doc_id").cast("string"))))
         .as("h"))
@@ -1324,7 +1340,7 @@ object Dedup extends QueryModule {
        |toks AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text,
-       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |      '$PackTokRe')) AS BIGINT) AS n_tok,
        |    ${hex12ToLongSql("md5('mix|' || CAST(doc_id AS VARCHAR))")} AS h
        |  FROM documents),
        |offs AS (

@@ -402,7 +402,7 @@ object Selection extends QueryModule {
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text,
-       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |      '${Dedup.PackTokRe}')) AS BIGINT) AS n_tok,
        |    ${Dedup.hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
        |      % ${Dedup.PackShards} AS shard
        |  FROM documents),
@@ -630,14 +630,7 @@ object Selection extends QueryModule {
     * threshold or a regex.
     */
   private[graft] def qualityFail(text: Column): Column =
-    !(length(text) >= 100 &&
-      (size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
-        .cast("double") / greatest(length(text), lit(1))) < 0.1 &&
-      (size(regexp_extract_all(text,
-        lit("\\b(the|a|an|of|and|to|in|is|it|that)\\b"), lit(0)))
-        .cast("double") /
-        greatest(size(regexp_extract_all(text,
-          lit("[A-Za-z]+"), lit(0))), lit(1))) > 0.01)
+    !TextAnalysis.qualityOkOn(text) // ONE spelling of the q21 verdict
 
   private def q79(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -832,7 +825,7 @@ object Selection extends QueryModule {
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    LEAST(CAST(len(regexp_extract_all(text,
-       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT),
+       |      '${Dedup.PackTokRe}')) AS BIGINT),
        |      ${Dedup.PackBudget}) AS n_tok,
        |    ${Dedup.hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
        |      % ${Dedup.PackShards} AS shard

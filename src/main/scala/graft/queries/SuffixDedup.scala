@@ -418,7 +418,7 @@ object SuffixDedup extends QueryModule {
        |ptoks AS (
        |  SELECT doc_id, n_cut,
        |    CAST(len(regexp_extract_all(clean_text,
-       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+       |      '${Dedup.PackTokRe}')) AS BIGINT) AS n_tok,
        |    ${Dedup.hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
        |      % ${Dedup.PackShards} AS shard
        |  FROM clean),

@@ -24,6 +24,33 @@ object TextAnalysis extends QueryModule {
   private def rxCountSql(expr: String, rx: String): String =
     s"len(regexp_extract_all($expr, '$rx'))"
 
+  // ---- the q21 quality heuristic: ONE spelling of the regexes,
+  // thresholds, predicate, and its SQL twin — consumed by q21/q86 here,
+  // clsLabels (the classifier's training labels), Selection.qualityFail
+  // (q79's audit + streaming curate), and Dedup.dekOf (q67/q98's
+  // composed front half). A tuned threshold must move ALL of them
+  // together; hand-copies previously risked a silent fork between the
+  // composed pipelines and the verdict they cite (r07 review).
+  private[graft] val QualityPunctRe = "[^\\w\\s]"
+  private[graft] val QualityWordRe = "[A-Za-z]+"
+  private[graft] val QualityStopRe = "\\b(the|a|an|of|and|to|in|is|it|that)\\b"
+
+  /** The q21 verdict as one predicate over a text column. */
+  private[graft] def qualityOkOn(text: Column): Column =
+    length(text) >= 100 &&
+      (rxCount(text, QualityPunctRe).cast("double") /
+        greatest(length(text), lit(1))) < 0.1 &&
+      (rxCount(text, QualityStopRe).cast("double") /
+        greatest(rxCount(text, QualityWordRe), lit(1))) > 0.01
+
+  /** The identical predicate as DuckDB SQL over a text expression. */
+  private[graft] def qualityOkSql(t: String): String =
+    s"""LENGTH($t) >= 100
+       |    AND CAST(${rxCountSql(t, QualityPunctRe)} AS DOUBLE)
+       |      / GREATEST(LENGTH($t), 1) < 0.1
+       |    AND CAST(${rxCountSql(t, QualityStopRe)} AS DOUBLE)
+       |      / GREATEST(${rxCountSql(t, QualityWordRe)}, 1) > 0.01""".stripMargin
+
   /** Whitespace tokens + BPE-ish regex tokens + char count per doc. */
   private def q20(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -31,13 +58,13 @@ object TextAnalysis extends QueryModule {
         col("doc_id"),
         length(col("text")).as("n_chars_m"),
         rxCount(col("text"), "\\S+").as("n_ws_tokens"),
-        rxCount(col("text"), "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]").as("n_bpe_tokens"))
+        rxCount(col("text"), Dedup.PackTokRe).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   private val q20Sql =
     s"""SELECT doc_id, LENGTH(text) AS n_chars_m,
        |  ${rxCountSql("text", "\\S+")} AS n_ws_tokens,
-       |  ${rxCountSql("text", "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")} AS n_bpe_tokens
+       |  ${rxCountSql("text", Dedup.PackTokRe)} AS n_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
@@ -53,10 +80,9 @@ object TextAnalysis extends QueryModule {
   private def qualityCounts(doc: DataFrame): DataFrame =
     doc.select(
       col("doc_id"), length(col("text")).as("len"),
-      rxCount(col("text"), "[A-Za-z]+").as("n_words"),
-      rxCount(col("text"), "[^\\w\\s]").as("n_punct"),
-      rxCount(col("text"),
-        "\\b(the|a|an|of|and|to|in|is|it|that)\\b").as("n_stop"))
+      rxCount(col("text"), QualityWordRe).as("n_words"),
+      rxCount(col("text"), QualityPunctRe).as("n_punct"),
+      rxCount(col("text"), QualityStopRe).as("n_stop"))
 
   /** The verdict over [[qualityCounts]] output columns. */
   private def qualityOk: org.apache.spark.sql.Column =
@@ -1233,12 +1259,7 @@ object TextAnalysis extends QueryModule {
   }
 
   private val q86Sql = {
-    val ok =
-      s"""LENGTH(text) >= 100
-         |    AND CAST(${rxCountSql("text", "[^\\w\\s]")} AS DOUBLE)
-         |      / GREATEST(LENGTH(text), 1) < 0.1
-         |    AND CAST(${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS DOUBLE)
-         |      / GREATEST(${rxCountSql("text", "[A-Za-z]+")}, 1) > 0.01""".stripMargin
+    val ok = qualityOkSql("text")
     s"""SELECT ($ok) AS label,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  TRUE AS loss_monotone, TRUE AS acc_beats_majority,
