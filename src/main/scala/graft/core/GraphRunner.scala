@@ -55,6 +55,14 @@ final class GraphRunner(
   require(reducers.map(_.name).distinct.size == reducers.size,
     s"duplicate reducer names: ${reducers.map(_.name)
       .groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", ")}")
+  // a misspelled configured-start key would silently fall back to
+  // origin, count the intended reducer as a FRESH root, and trigger a
+  // destructive genesis rebuild on a populated store — reject typos
+  // with the same strictness names and dependencies already get (r07
+  // review)
+  require(configuredStarts.keySet.subsetOf(reducers.map(_.name).toSet),
+    s"configuredStarts for unknown reducer(s): ${
+      (configuredStarts.keySet -- reducers.map(_.name)).mkString(", ")}")
   locally {
     val allTables = reducers.flatMap(r => r.tables.map(t => t.name -> r.name))
     val dups = allTables.groupBy(_._1).collect {
@@ -446,10 +454,25 @@ final class GraphRunner(
         s"rollback to $delSlot exceeds MaxRollbackSlots=$maxRollbackSlots " +
           s"behind current $current")
     val stored = store.checkpoints
+    // an EXCLUSIVE rollback's point SURVIVES on-chain by definition —
+    // keep it in each window. Without this, a rollback deeper than the
+    // ~10-slot window depth (any real Rewind, any deep reorg) emptied
+    // every window while the tables kept their rows below delSlot; the
+    // next restart then saw "no checkpoints", replayed from genesis,
+    // and silently DUPLICATED the whole retained prefix (r07 review).
+    // Sentinel points (resume/rebuild/origin) are not chain positions
+    // and are never persisted; Inclusive destroys its point, so an
+    // emptied window there is handled by reconcileStartup's
+    // data-without-checkpoints rebuild.
+    val keepPoint = mode == Exclusive && point.slot >= 0 &&
+      !Seq("resume", "rebuild", "origin").contains(point.hash)
     val newCps = reducers.map { r =>
       val prior = pendingPoints.getOrElse(r.name,
         stored.getOrElse(r.name, Seq.empty))
-      r.name -> CheckpointWindow.applyRollback(prior, delSlot)
+      val trimmed = CheckpointWindow.applyRollback(prior, delSlot)
+      r.name -> (if (keepPoint && !trimmed.exists(_.slot == point.slot))
+        CheckpointWindow.normalize(point +: trimmed)
+      else trimmed)
     }.toMap
     store.rollback(delSlot, slotCols, newCps)
     pendingPoints = Map.empty
@@ -513,6 +536,14 @@ final class GraphRunner(
       if (safe >= 0) applyRollback(Point("resume", safe), Exclusive,
         guarded = false)
       else applyRollback(Point("rebuild", 0L), Inclusive, guarded = false)
+    } else if (store.batchId >= 0) {
+      // SECOND line of defense: committed data with ZERO checkpoint
+      // points anywhere (a legacy deep rollback, or an Inclusive one
+      // that legitimately emptied the windows). Treating it as a fresh
+      // store would replay from genesis OVER the retained rows,
+      // duplicating them — rebuild instead: wipe and replay clean
+      // (r07 review).
+      applyRollback(Point("rebuild", 0L), Inclusive, guarded = false)
     }
     diags
   }

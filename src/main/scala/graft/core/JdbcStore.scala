@@ -136,6 +136,21 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
   }
 
   private val registeredCols = mutable.Map[String, String]()
+
+  /** In-transaction registration on the CALLER'S connection — the
+    * driver-commit path, where the INSERT must commit atomically with
+    * the data it describes. Duplicate key = already registered.
+    */
+  private def registerSlotColIn(c: Connection, table: String,
+      slotCol: String): Unit =
+    if (!registeredCols.contains(table)) {
+      val ps = c.prepareStatement(
+        s"INSERT INTO ${q("graft_tables")} VALUES (?, ?)")
+      try { ps.setString(1, table); ps.setString(2, slotCol); ps.executeUpdate() }
+      catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+      finally ps.close()
+    }
+
   private def registerSlotCol(table: String, slotCol: String): Unit =
     if (!registeredCols.contains(table)) {
       withConn { c =>
@@ -370,13 +385,15 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     }
 
   private def ensureTable(c: Connection, table: String,
-      schema: StructType): Unit =
+      schema: StructType,
+      created: mutable.Buffer[String] = mutable.Buffer.empty): Unit =
     if (!tableExists(table)) {
       val st = c.createStatement()
       try st.executeUpdate(dialect.createUserTable(table, schema))
       finally st.close()
       knownTables += table
       userTableCache += table
+      created += table // caller repairs the caches if its txn rolls back
     }
 
   private def insertRows(c: Connection, table: String, schema: StructType,
@@ -573,6 +590,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       if (collected.forall(_._4.isEmpty)) return false
       withConn { c =>
         c.setAutoCommit(false)
+        val createdThisTxn = mutable.Buffer[String]()
         try {
           // retried-batch cleanup joins the same txn: orphans can only
           // exist from a crashed EXECUTOR-mode attempt at this id
@@ -582,10 +600,16 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
               s"DELETE FROM ${q(t)} WHERE ${q("_batch")} >= $batchId")
             finally st.close()
           }
-          collected.foreach { case (table, _, schema, rows, collectSec) =>
+          collected.foreach { case (table, slotCol, schema, rows, collectSec) =>
             val t1 = System.nanoTime()
-            ensureTable(c, table, schema)
+            ensureTable(c, table, schema, createdThisTxn)
             if (rows.nonEmpty) insertRows(c, table, schema, rows, _ => batchId)
+            // the graft_tables registration JOINS the commit txn: a
+            // crash between commit and a post-commit INSERT left a
+            // durable data-bearing table unregistered, making a later
+            // subset-registered rollback guess (or fail on) its
+            // retraction column (r07 review)
+            registerSlotColIn(c, table, slotCol)
             onSegment(table, collectSec + (System.nanoTime() - t1) / 1e9)
           }
           if (compactEvery > 0 && batchId % compactEvery == 0)
@@ -596,20 +620,38 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
             s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")
           finally st.close()
           c.commit() // the atomic point — data + state + marker together
-        } catch { case e: Throwable => c.rollback(); throw e }
+        } catch {
+          case e: Throwable =>
+            c.rollback()
+            // Derby DDL is transactional: the rollback just UNDID any
+            // CREATE TABLE from this txn, so the existence caches must
+            // forget them — a poisoned cache made every later commit
+            // DELETE from a phantom table forever (r07 review)
+            createdThisTxn.foreach { t =>
+              knownTables -= t; userTableCache -= t
+            }
+            throw e
+        }
       }
-      // register EVERY collected table, rows or not: ensureTable just
-      // created it either way, and a later subset-registered runner's
-      // rollback resolves slot columns through graft_tables — a
-      // created-but-still-empty table missing from the registry would
-      // make that rollback guess (or fail on) its retraction column
+      // indexes + caches only after the durable commit
       collected.foreach { case (table, slotCol, _, _, _) =>
-        ensureIndexes(table, slotCol); registerSlotCol(table, slotCol)
+        ensureIndexes(table, slotCol)
+        registeredCols += table -> slotCol
       }
       return true
     }
     // executor-parallel mode: data rows land outside the txn, invisible
-    // until the marker (two-phase; see class header)
+    // until the marker (two-phase; see class header). NOT idempotent
+    // under task RE-execution: a speculative duplicate of a partition
+    // that already committed its JDBC txn inserts its rows twice under
+    // this batch's own tag, and the orphan cleanup never removes rows
+    // of a SUCCESSFUL batch — refuse the configuration outright (r07
+    // review)
+    require(!spark.conf.getOption("spark.speculation")
+        .exists(_.equalsIgnoreCase("true")),
+      "executor-parallel JDBC mode is not idempotent under speculative " +
+        "task re-execution; disable spark.speculation or use " +
+        "driver-commit mode")
     withConn { c =>
       userTables(c).foreach { t =>
         val st = c.createStatement()

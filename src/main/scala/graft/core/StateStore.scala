@@ -106,6 +106,13 @@ final class StateStore(val root: String, spark: SparkSession,
   }
 
   private def parseManifest(bytes: Array[Byte]): Manifest = {
+    // an EXISTING but empty manifest is a torn write, not a fresh
+    // store: parsing it as batchId -1 would pass the idempotency guard
+    // and reuse segment ids over committed data (r07 review). Only
+    // file ABSENCE means fresh (see manifest()).
+    require(bytes.nonEmpty,
+      s"manifest at $manifestPath exists but is empty — torn write; " +
+        "refusing to treat a populated store as fresh")
     val p = new Properties()
     val in = new java.io.ByteArrayInputStream(bytes)
     try p.load(in) finally in.close()
@@ -158,9 +165,25 @@ final class StateStore(val root: String, spark: SparkSession,
     p.store(buf, null)
     val bytes = buf.toByteArray
     val tmp = Paths.get(root, s"manifest.tmp")
-    Files.write(tmp, bytes)
+    // fsync the tmp file AND the directory before the atomic move: a
+    // power/OS crash after the rename is journaled but before the data
+    // blocks flush would otherwise read back an empty manifest — which
+    // must also be a hard error below, never "fresh store" (r07
+    // review: a truncated manifest parsing as batchId -1 restarts ids
+    // at 0 and clobbers committed segments)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val dir = java.nio.channels.FileChannel.open(Paths.get(root),
+        java.nio.file.StandardOpenOption.READ)
+      try dir.force(true) finally dir.close()
+    } catch { case _: Exception => () } // dir-fsync unsupported on some FS
     cachedManifest = (bytes, m)
   }
 

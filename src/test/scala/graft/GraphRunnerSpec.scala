@@ -116,6 +116,51 @@ class GraphRunnerSpec extends SparkSpec {
     assert(tip == oracle.last._2)
   }
 
+  test("deep rewind beyond the checkpoint window: restart replays WITHOUT duplicating retained rows") {
+    // r07 review regression: the checkpoint window holds only ~10
+    // newest distinct slots, and applyRollback used to merely TRIM it
+    // — a rewind deeper than the window emptied every window while the
+    // tables kept their rows below the rewind slot; the next restart
+    // then saw "no checkpoints", replayed from genesis, and silently
+    // DOUBLED the retained prefix. Exclusive rollbacks now persist
+    // their surviving point; reconcileStartup additionally rebuilds
+    // when data exists with zero checkpoints.
+    val blocks = ChainGen.generate(40, seed = 7L)
+    val oracle = ChainGen.balanceOracle(blocks)
+    val root = tmpDir("deep-rewind")
+    def mkReducers = Seq(
+      new BlockSummaryReducer, new TxIndexReducer,
+      new WalletUtxoReducer(ChainGen.Watched),
+      new BalanceSnapshotReducer(ChainGen.Watched))
+    val store1 = new StateStore(root, spark)
+    new GraphRunner(spark, store1, mkReducers, batchSize = 10)
+      .processEvents(blocks.map(RollForward.apply))
+    // rewind FAR below the window (keep 5 of 40 blocks)
+    val cut = blocks(4)
+    val runner1b = new GraphRunner(spark, store1, mkReducers, batchSize = 10)
+    runner1b.forceRollback(Point(cut.hash, cut.slot), Exclusive)
+    assert(runner1b.maxCheckpointSlot == cut.slot,
+      "the surviving rewind point must remain checkpointed — an empty " +
+        "window is the genesis-replay duplication hazard")
+    // restart: resume must replay ONLY blocks after the rewind point
+    val store2 = new StateStore(root, spark)
+    val runner2 = new GraphRunner(spark, store2, mkReducers, batchSize = 10)
+    runner2.resume(blocks.map(RollForward.apply))
+    val got = store2.read("blocks", mkReducers.head.tables.head.schema)
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == blocks.map(_.hash).sorted,
+      "no duplicates, no gaps after a deep rewind + restart")
+    val snaps = store2.read("balance_snapshots",
+      mkReducers(3).tables.head.schema)
+    assert(snaps.groupBy("slot", "addressName").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0,
+      "retained prefix must not be double-applied")
+    val tip = snaps.filter(
+        org.apache.spark.sql.functions.col("slot") === blocks.last.slot)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(tip == oracle.last._2)
+  }
+
   test("resume lowers its replay floor past an in-stream rollback: replacement blocks below the checkpoint are processed") {
     // the chain reorged WHILE the runner was down: the resume feed opens
     // with a rollback below the safe slot, and the replacement branch
