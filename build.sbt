@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." epilogue after runMain output: the
+// bench driver tail-parses the LAST stdout line for Bench's JSON
+// summary, and sbt's own success message has displaced it in every
+// prior round ("parsed": null). Cosmetic for compile/test.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked run output goes straight to stdout/stderr instead of through
+// sbt's logger: no "[info] " prefix on Bench's JSON line (the driver
+// tail-parses it) and no logger buffering between child and pipe.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

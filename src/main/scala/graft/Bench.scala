@@ -84,11 +84,21 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"sf":"$sfDir","reps":$reps,"queries":$detail}""")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    // File-based contract (survives ANY stdout mangling): the same
+    // one-line summary lands in BENCH_SUMMARY.json in the repo root.
+    // sbt's "[success] Total time" epilogue has beaten the stdout line
+    // in seven straight rounds; build.sbt now sets showSuccess := false
+    // so the println below is genuinely last, and this file is the
+    // belt-and-suspenders copy either way.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
     // stop FIRST, print LAST: anything Spark logs during shutdown must
     // land before the one JSON line the driver tail-parses, never after
     spark.stop()
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(summary)
     System.out.flush()
   }
 }

@@ -51,12 +51,23 @@ import org.apache.spark.sql.functions._
   */
 object Ingest extends QueryModule {
 
-  /** Fixed fixture path — the oracle SQL is static text, so the dump
-    * location must be stable across invocations; each run overwrites.
+  /** Fixture path, keyed by a digest of the dataset dir (r07 verdict
+    * "what's wrong" #1): two JVMs running the catalog concurrently at
+    * DIFFERENT SFs (driver verify at sf0.01 while a builder bench runs
+    * sf0.1) would otherwise interleave write/read on one fixed path —
+    * a latent race producing a spurious hash mismatch at best and a
+    * silently-consistent wrong corpus at worst. The oracle never
+    * references the path (it derives from `documents`), so keying it is
+    * free; same-SF runs still share (and each overwrite) one dump.
     */
-  private val Q97Dir = "/tmp/graft_q97_jsonl"
+  private[graft] def q97Dir(datasetDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "/tmp/graft_q97_jsonl_" + d.take(6).map(b => f"$b%02x").mkString
+  }
 
   private def q97(s: SparkSession, d: String): DataFrame = {
+    val Q97Dir = q97Dir(d)
     val docs = Tables.documents(s, d)
     val line =
       when(col("doc_id") % 17 === 3,

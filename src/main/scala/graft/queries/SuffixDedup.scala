@@ -44,10 +44,11 @@ import org.apache.spark.sql.functions._
   *      ends), the islands-and-gaps trick generalized to intervals.
   *
   * Scale shape: the one wide exchange carries (gram-hash, ≤ MaxSpan
-  * tokens, doc_id, pos) rows — suffix text must move because suffix
-  * ORDER is the algorithm, but the payload is bounded at MaxSpan tokens
-  * per row (Lee et al.'s own distributed variant shuffles suffixes the
-  * same way). Everything after the scans is narrow integer triples.
+  * TOKEN-ID ints, doc_id, pos) rows — suffix content must move because
+  * suffix ORDER is the algorithm, but the payload is bounded at
+  * MaxSpan × 4 bytes per row after dictionary encoding (Lee et al.'s
+  * own distributed variant shuffles suffixes the same way, as
+  * strings). Everything after the scans is narrow integer triples.
   * Skew: one mega-hot gram lands its group in one task, but the scans
   * are O(group) streaming with O(1) state, not O(group) memory.
   *
@@ -62,49 +63,90 @@ object SuffixDedup extends QueryModule {
   private[graft] val MaxSpan = 16 // bounded suffix window (memory cap)
 
   /** Token class: runs of non-whitespace PRINTABLE-RANGE characters —
-    * control chars (< 0x20) separate tokens exactly like whitespace.
-    * This is load-bearing for step 2's sort-contiguity: every character
-    * a token may contain is > ' ' (0x20), so the space-joined suffix of
-    * a position is always IMMEDIATELY adjacent to its extensions in
-    * lexicographic order (nothing can sort strictly between "g1 .. g6"
-    * and "g1 .. g6 t7" — that would need a 6th token continuing with a
-    * char below 0x20). With plain \S+, a token like "g6\u0001y" could
-    * wedge between the two, break the LCP-interval min, and silently
-    * drop a real cross-document span. q64/q72 keep \S+ (their fixed-k
-    * gram equality never relies on sort order); the oracle here uses
-    * the same class.
+    * control chars (< 0x20) separate tokens exactly like whitespace,
+    * the same class the oracle uses. (When suffixes were shipped as
+    * space-JOINED STRINGS this was also load-bearing for sort
+    * contiguity — a "token" continuing with a char below 0x20 could
+    * wedge between a suffix and its extension in string order and break
+    * the LCP-interval min. With dictionary-encoded int arrays the wedge
+    * is structurally impossible — comparison is element-wise over exact
+    * token ids — but the class stays so Spark and the oracle tokenize
+    * identically; the adversarial spec still pins the behavior.)
     */
   private val WordRe = "[^\\s\\x00-\\x1f]+".r
 
-  /** (doc_id, pos, sfx, gh): every position's bounded suffix (space-
-    * joined, lossless for the separator-free token class) and its
-    * MinSpan-prefix hash.
+  /** (doc_id, pos, sfx: array<int>, gh): every position's bounded
+    * suffix as TOKEN-ID ints plus a 64-bit routing hash of its
+    * MinSpan-id prefix.
+    *
+    * Dictionary encoding (r07 verdict #1): the suffix exchange is the
+    * engine's widest shuffle — corpus tokens × MaxSpan blowup, shipped
+    * TWICE (ascending + descending scan) — and it used to carry token
+    * STRINGS. Tokens now map to dense int ids through an exact
+    * distinct-token dictionary built in the same pass, so the wide
+    * exchanges carry `array<int>` (≤ MaxSpan × 4 bytes, dictionary-
+    * friendly in the scratch parquet too) and every downstream compare
+    * is an int compare, not a string compare. The algorithm is
+    * ORDER-AGNOSTIC in the token alphabet: lexicographic order over id
+    * sequences is a valid suffix order for ANY token→id bijection (the
+    * shared-prefix convexity argument needs only element-wise
+    * comparison), and LCPs depend on id EQUALITY alone, so arbitrary id
+    * assignment changes no output value. Decoding never happens: the
+    * rewrite edge (q83) re-reads original text by position.
+    *
+    * Encode cost is two narrow-payload corpus-linear shuffles (the
+    * token join — AQE broadcasts the dictionary when it fits, skew-
+    * joins hot tokens when not — and the per-doc regroup of int pairs)
+    * traded against shrinking the MaxSpan-wide exchanges; the measured
+    * 30× slope is the receipt (SCALE_SLOPE_30x.json / BASELINE.md).
     */
   private def suffixEntries(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          val ws = WordRe.findAllIn(text).toArray
-          (0 to ws.length - MinSpan).iterator.map { i =>
-            val sfx = ws.slice(i, math.min(i + MaxSpan, ws.length))
-              .mkString(" ")
-            val gram = ws.slice(i, i + MinSpan).mkString(" ")
-            val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            var h = 0L
-            var j = 0
-            while (j < 6) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-            (id, i.toLong, sfx, h)
-          }
+      .flatMap { case (id, text) =>
+        WordRe.findAllIn(text).zipWithIndex.map { case (t, i) => (id, i, t) }
+      }
+      .toDF("doc_id", "pos", "tok")
+    // exact dictionary: distinct token → dense int id (zipWithIndex is
+    // the distributed dense-id assignment — no single-partition window)
+    val dict = toks.select(col("tok")).distinct().rdd.map(_.getString(0))
+      .zipWithIndex()
+      .map { case (t, i) =>
+        // Heaps-law vocab stays far below 2^31 even at 100 TB; if a
+        // pathological corpus breaks that, fail loud — a silent wrap
+        // would alias distinct tokens
+        if (i >= Int.MaxValue)
+          throw new IllegalStateException(s"token vocabulary overflows Int: $i")
+        (t, i.toInt)
+      }
+      .toDF("tok", "tid")
+    toks.join(dict, "tok")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("tid"))).as("pts"))
+      .select(col("doc_id"),
+        expr("transform(array_sort(pts), x -> x.tid)").as("tids"))
+      .as[(Long, Seq[Int])]
+      .flatMap { case (id, tidSeq) =>
+        val arr = tidSeq.toArray
+        (0 to arr.length - MinSpan).iterator.map { i =>
+          val sfx = java.util.Arrays.copyOfRange(arr,
+            i, math.min(i + MaxSpan, arr.length))
+          // FNV-1a over the MinSpan-id gram: routing only (equal grams
+          // must collide; unequal grams colliding merely shares a
+          // partition) — gram IDENTITY downstream is the exact slice
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < MinSpan) { h ^= arr(i + j); h *= 0x100000001b3L; j += 1 }
+          (id, i.toLong, sfx, h)
         }
       }
       .toDF("doc_id", "pos", "sfx", "gh")
   }
 
-  /** Token-level longest common prefix of two space-joined suffixes. */
-  private def tokenLcp(a: Array[String], b: Array[String]): Long = {
+  /** Token-level longest common prefix of two id-encoded suffixes. */
+  private def tokenLcp(a: Array[Int], b: Array[Int]): Long = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n && a(i) == b(i)) i += 1
@@ -120,13 +162,12 @@ object SuffixDedup extends QueryModule {
   private def directionalLcp(sorted: DataFrame): DataFrame = {
     import sorted.sparkSession.implicits._
     sorted.select(col("doc_id"), col("pos"), col("sfx"))
-      .as[(Long, Long, String)]
+      .as[(Long, Long, Array[Int])]
       .mapPartitions { it =>
         var prevDoc = Long.MinValue
-        var prevToks: Array[String] = null
+        var prevToks: Array[Int] = null
         var run = -1L
-        it.map { case (doc, pos, sfx) =>
-          val toks = sfx.split(' ')
+        it.map { case (doc, pos, toks) =>
           if (prevToks == null) run = -1L
           else {
             val adj = tokenLcp(prevToks, toks)
@@ -265,9 +306,15 @@ object SuffixDedup extends QueryModule {
     val s = docs.sparkSession
     import s.implicits._
     val sfx = Scratch.materialize(suffixEntries(docs), "q83_sfx")
-    // per-gram canonical owner (48-bit gram hash — narrow, like q64)
-    val gmin = sfx.groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc"))
-    val pmin = sfx.join(gmin, "gh")
+    // per-gram canonical owner, keyed by the EXACT MinSpan id slice
+    // (narrow int arrays; the pre-dictionary design keyed a 48-bit gram
+    // hash, whose collisions could merge two grams' owners — the exact
+    // slice matches the oracle's full-md5 gram identity by construction)
+    val gram = slice(col("sfx"), 1, MinSpan).as("gram")
+    val gmin = sfx.select(col("doc_id"), gram)
+      .groupBy(col("gram")).agg(min(col("doc_id")).as("min_doc"))
+    val pmin = sfx.select(col("doc_id"), col("pos"), gram)
+      .join(gmin, "gram")
       .select(col("doc_id"), col("pos"), col("min_doc"))
     val ell = positionLcpFrom(sfx)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -311,10 +358,18 @@ object SuffixDedup extends QueryModule {
     * partitions, silently breaking the recurrence chain.
     */
   private def positionLcpFrom(sfx: DataFrame): DataFrame = {
+    // leading packed (tid0, tid1) long: the sorter gets a radix-friendly
+    // fixed-width prefix key (ArrayType has no sort prefix, so sorting
+    // on the array alone falls back to full record compares per pair);
+    // pk orders exactly like the first two array elements, so
+    // (pk, sfx, ...) is the same total order as (sfx, ...) — every row
+    // has ≥ MinSpan ≥ 2 elements, and tid < 2^31 keeps pk overflow-free
+    val pk = element_at(col("sfx"), 1).cast("long") * lit(1L << 32) +
+      element_at(col("sfx"), 2)
     val up = directionalLcp(sfx.repartition(col("gh"))
-      .sortWithinPartitions(col("sfx"), col("doc_id"), col("pos")))
+      .sortWithinPartitions(pk, col("sfx"), col("doc_id"), col("pos")))
     val down = directionalLcp(sfx.repartition(col("gh"))
-      .sortWithinPartitions(col("sfx").desc, col("doc_id").desc,
+      .sortWithinPartitions(pk.desc, col("sfx").desc, col("doc_id").desc,
         col("pos").desc))
     up.unionByName(down)
       .groupBy(col("doc_id"), col("pos"))

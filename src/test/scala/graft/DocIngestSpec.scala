@@ -64,6 +64,26 @@ class DocIngestSpec extends SparkSpec {
     assert(distinctContents.count() == 20)
   }
 
+  test("q97 fixture dumps are dataset-keyed: interleaved SFs cannot clobber") {
+    import graft.queries.Ingest
+    val sfA = "/root/testdata/sf0.001"
+    val sfB = "/root/testdata/sf0.01"
+    // keyed and stable: different datasets → different dumps, same
+    // dataset → the same dump (runs legitimately share + overwrite it)
+    assert(Ingest.q97Dir(sfA) != Ingest.q97Dir(sfB))
+    assert(Ingest.q97Dir(sfA) == Ingest.q97Dir(sfA))
+    // the r07-verdict race: A materializes its dump, B (another SF)
+    // runs the same entry, THEN A's result is read. With one fixed
+    // path, B's overwrite lands between A's write and read and A
+    // silently reads B's corpus; with keyed paths A is unaffected.
+    val q = SparkEntry.queries("q97_jsonl_ingest")
+    val a = q(spark, sfA) // dump for A written eagerly here
+    q(spark, sfB).write.format("noop").mode("overwrite").save() // interleaver
+    val interleaved = a.collect().toSeq
+    val fresh = q(spark, sfA).collect().toSeq
+    assert(interleaved == fresh, "interleaved read diverged from a clean run")
+  }
+
   test("writeSplit materializes both relations in one partitioned job") {
     val sp = spark
     import sp.implicits._
