@@ -307,14 +307,21 @@ object SuffixDedup extends QueryModule {
     import s.implicits._
     val sfx = Scratch.materialize(suffixEntries(docs), "q83_sfx")
     // per-gram canonical owner, keyed by the EXACT MinSpan id slice
-    // (narrow int arrays; the pre-dictionary design keyed a 48-bit gram
-    // hash, whose collisions could merge two grams' owners — the exact
-    // slice matches the oracle's full-md5 gram identity by construction)
-    val gram = slice(col("sfx"), 1, MinSpan).as("gram")
-    val gmin = sfx.select(col("doc_id"), gram)
-      .groupBy(col("gram")).agg(min(col("doc_id")).as("min_doc"))
-    val pmin = sfx.select(col("doc_id"), col("pos"), gram)
-      .join(gmin, "gram")
+    // packed into MinSpan/2 longs — collision-FREE gram identity (the
+    // pre-dictionary design keyed a 48-bit hash whose collisions could
+    // merge two grams' owners; the packing matches the oracle's
+    // full-md5 gram identity by construction) and, unlike grouping on
+    // the array slice itself, plain long columns keep the aggregation
+    // and join inside codegen'd hash operators
+    val gramKeys = (0 until MinSpan by 2).map { j =>
+      (element_at(col("sfx"), j + 1).cast("long") * lit(1L << 32) +
+        element_at(col("sfx"), j + 2)).as(s"g$j")
+    }
+    val gramNames = (0 until MinSpan by 2).map(j => s"g$j")
+    val gmin = sfx.select(col("doc_id") +: gramKeys: _*)
+      .groupBy(gramNames.map(col): _*).agg(min(col("doc_id")).as("min_doc"))
+    val pmin = sfx.select(Seq(col("doc_id"), col("pos")) ++ gramKeys: _*)
+      .join(gmin, gramNames)
       .select(col("doc_id"), col("pos"), col("min_doc"))
     val ell = positionLcpFrom(sfx)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -76,6 +76,29 @@ final class CborReader(buf: Array[Byte]) {
     v
   }
 
+  def readBool(): Boolean = {
+    val (m, v) = readHead()
+    if (m != 7 || (v != 20 && v != 21)) fail(s"expected bool, major $m/$v")
+    v == 21
+  }
+
+  /** Definite or indefinite UTF-8 text string. */
+  def readText(): String = {
+    val (m, n) = readHead()
+    if (m != 3) fail(s"expected text, major $m")
+    if (n >= 0) new String(readRawN(n), java.nio.charset.StandardCharsets.UTF_8)
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      while (!atBreak) {
+        val (cm, cn) = readHead()
+        if (cm != 3 || cn < 0) fail("bad indefinite text chunk")
+        out.write(readRawN(cn))
+      }
+      readBreak()
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   /** Definite or indefinite byte string, as a FRESH array (the S6
     * defensive-copy contract: decoded values never alias the input).
     */
@@ -551,6 +574,12 @@ final class CborWriter {
   }
 
   def uint(v: Long): Unit = head(0, v)
+  def bool(b: Boolean): Unit = out.write(if (b) 0xf5 else 0xf4)
+  def text(s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    head(3, b.length.toLong)
+    out.write(b)
+  }
   def bytes(b: Array[Byte]): Unit = { head(2, b.length.toLong); out.write(b) }
   def arrayHeader(n: Int): Unit = head(4, n.toLong)
   def mapHeader(n: Int): Unit = head(5, n.toLong)
