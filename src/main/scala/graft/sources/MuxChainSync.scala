@@ -40,10 +40,16 @@ import scala.collection.mutable
   * pre-rollback run is fetched and yielded before the rollback event
   * (the reference's ChainEvent buffering).
   *
-  * Offline simplifications, stated: no handshake mini-protocol and no
-  * live node (the same caveat as the TCP bearer); MsgAwaitReply is
-  * treated as batch-terminal (AvailableNow catch-up semantics, where
-  * the reference keeps following the live tip).
+  * Round 8 closed two of the former offline simplifications: the
+  * HANDSHAKE mini-protocol (id 0, [[HandshakeWire]]) now negotiates
+  * version + networkMagic before chain-sync may speak, and
+  * MsgAwaitReply is NON-TERMINAL when the server is `followable` and
+  * the client `followTip` — a request that reaches the tip is answered
+  * with AwaitReply and then its REAL header reply when the chain grows
+  * (`append`), the reference's keep-following semantics
+  * (`N2NProvider.cs:141-143`). Default mode stays batch-terminal
+  * (AvailableNow catch-up). Remaining irreducible residual: no live
+  * node to dial.
   */
 object Mux {
   val ProtoChainSync = 2 // node-to-node chain-sync mini-protocol id
@@ -185,7 +191,10 @@ object BlockFetchWire {
 final class MuxChainSyncServer(
     chain: Seq[(Array[Byte], Block)],
     script: Option[Seq[ServedEvent]] = None,
-    maxSegment: Int = Mux.MaxSegment) {
+    maxSegment: Int = Mux.MaxSegment,
+    networkMagic: Long = ChainSyncServer.DefaultMagic,
+    versions: Seq[Long] = HandshakeWire.DefaultVersions,
+    followable: Boolean = false) {
   import ChainSyncWire._
   import BlockFetchWire._
 
@@ -197,11 +206,44 @@ final class MuxChainSyncServer(
   @volatile var maxInflight: Int = 0
   @volatile var chainSyncFrames: Int = 0
   @volatile var blockFetchFrames: Int = 0
+  @volatile var handshakeFrames: Int = 0
   @volatile var rangeRequests: Int = 0
+  @volatile var negotiatedVersion: Long = -1L // spec observability
   @volatile private var running = true
 
-  private val bySlot = chain.map { case (_, b) => b.slot -> b.hash }.toMap
-  private def tipPoint = Point(chain.last._2.hash, chain.last._2.slot)
+  private val bySlot =
+    scala.collection.concurrent.TrieMap(
+      chain.map { case (_, b) => b.slot -> b.hash }: _*)
+  @volatile private var tipPt = Point(chain.last._2.hash, chain.last._2.slot)
+  private def tipPoint = tipPt
+
+  // the scripted forward set, shared by every connection; live appends
+  // extend it so BlockFetch can serve the new bodies too
+  private val events0: Seq[ServedEvent] = script.getOrElse(
+    chain.map { case (wire, b) => ServeForward(wire, b) })
+  private val forwardsAll = scala.collection.mutable.ArrayBuffer[ServeForward](
+    events0.collect { case f: ServeForward => f }: _*)
+  private val idxByHash = scala.collection.concurrent.TrieMap(
+    forwardsAll.zipWithIndex.map { case (f, i) => f.block.hash -> i }.toSeq: _*)
+
+  // live-tip feed: blocks appended after a follower reaches the tip
+  // answer its awaited RequestNext (non-terminal MsgAwaitReply — the
+  // reference's keep-following semantics, N2NProvider.cs:141-143)
+  private val live =
+    new java.util.concurrent.LinkedBlockingQueue[ServedEvent]()
+
+  /** Extend the canonical chain while follower(s) await at the tip. */
+  def append(wire: Array[Byte], block: Block): Unit = {
+    require(followable, "append on a non-followable server")
+    bySlot.put(block.slot, block.hash)
+    tipPt = Point(block.hash, block.slot)
+    val f = ServeForward(wire, block)
+    forwardsAll.synchronized {
+      idxByHash.put(block.hash, forwardsAll.size)
+      forwardsAll += f
+    }
+    live.put(f)
+  }
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -227,28 +269,42 @@ final class MuxChainSyncServer(
     sock.setTcpNoDelay(true)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-    val events0 = script.getOrElse(
-      chain.map { case (wire, b) => ServeForward(wire, b) })
-    // body lookup for BlockFetch: every scripted forward, by hash
-    val forwards = events0.collect { case f: ServeForward => f }.toVector
-    val idxByHash = forwards.zipWithIndex
-      .map { case (f, i) => f.block.hash -> i }.toMap
     var events: Seq[ServedEvent] = Seq.empty
     var cursor = 0
     var pendingRollback: Option[Option[Point]] = None
     var pending = 0
     var firstBurst = true
+    // requests answered MsgAwaitReply whose REAL reply is still owed;
+    // the pump thread pays them from the live queue in FIFO order
+    val owed = new java.util.concurrent.atomic.AtomicInteger(0)
 
-    def send(proto: Int, payload: Array[Byte]): Unit = {
+    // every message writes atomically under the out lock: in follow
+    // mode TWO threads write — the reader (bursts, BlockFetch batches)
+    // and the live pump (owed replies). Message-level interleaving
+    // across protocols is legal mux behavior (the demux reassembles
+    // per protocol); torn frames are not.
+    def send(proto: Int, payload: Array[Byte]): Unit = out.synchronized {
       // count actual FRAMES on the wire, not messages — under a small
       // segment limit one message emits many frames (r07 review)
       val frames = math.max(1,
         (payload.length + maxSegment - 1) / maxSegment)
       if (proto == Mux.ProtoChainSync) chainSyncFrames += frames
-      else blockFetchFrames += frames
+      else if (proto == Mux.ProtoBlockFetch) blockFetchFrames += frames
+      else handshakeFrames += frames
       Mux.writeMsg(out, proto, responder = true, payload, maxSegment)
     }
     def tipTo(w: CborWriter): Unit = pointCbor(w, Some(tipPoint))
+
+    def serveEvent(w: CborWriter, ev: ServedEvent): Unit = ev match {
+      case ServeForward(_, b) =>
+        // HEADER, not body: the point the reference's
+        // TryExtractHeaderPoint pulls from the header payload
+        w.arrayHeader(3); w.uint(MsgRollForward)
+        pointCbor(w, Some(Point(b.hash, b.slot))); tipTo(w)
+      case ServeBack(p) =>
+        w.arrayHeader(3); w.uint(MsgRollBackward)
+        pointCbor(w, Some(p)); tipTo(w)
+    }
 
     def respondOne(): Unit = {
       val w = new CborWriter
@@ -258,25 +314,71 @@ final class MuxChainSyncServer(
           pointCbor(w, p); tipTo(w)
           pendingRollback = None
         case None if cursor < events.size =>
-          events(cursor) match {
-            case ServeForward(_, b) =>
-              // HEADER, not body: the point the reference's
-              // TryExtractHeaderPoint pulls from the header payload
-              w.arrayHeader(3); w.uint(MsgRollForward)
-              pointCbor(w, Some(Point(b.hash, b.slot))); tipTo(w)
-            case ServeBack(p) =>
-              w.arrayHeader(3); w.uint(MsgRollBackward)
-              pointCbor(w, Some(p)); tipTo(w)
-          }
+          serveEvent(w, events(cursor))
           cursor += 1
+        case None if followable =>
+          // live tip: AwaitReply now; the SAME request's real header
+          // reply is OWED and goes out from the pump thread when the
+          // chain grows (MustReply semantics). The reader thread must
+          // NOT park here — BlockFetch ranges for already-delivered
+          // runs still arrive on this socket and must be served while
+          // chain-sync awaits; interleaving them is what the mux is for
+          w.arrayHeader(1); w.uint(MsgAwaitReply)
+          out.synchronized {
+            send(Mux.ProtoChainSync, w.result()); out.flush()
+            owed.incrementAndGet()
+          }
+          return
         case None =>
           w.arrayHeader(1); w.uint(MsgAwaitReply)
       }
-      send(Mux.ProtoChainSync, w.result())
+      out.synchronized(send(Mux.ProtoChainSync, w.result()))
     }
 
     try {
       val demux = new MuxDemux(in)
+      // handshake FIRST, on its own mini-protocol id (0): chain-sync
+      // and BlockFetch may not speak before version+magic agreement
+      val (p0, proposal) = demux.pollAny()
+      require(p0 == HandshakeWire.ProtoHandshake,
+        s"first message must be handshake, got protocol $p0")
+      val (reply, agreedVersion) =
+        try HandshakeWire.negotiate(proposal, versions, networkMagic)
+        catch {
+          case e: Exception =>
+            (HandshakeWire.refuseDecodeError(versions.max,
+              String.valueOf(e.getMessage)), None)
+        }
+      send(HandshakeWire.ProtoHandshake, reply); out.flush()
+      if (agreedVersion.isEmpty) return // refused: connection is over
+      negotiatedVersion = agreedVersion.get
+
+      if (followable) {
+        // live pump: pays owed (awaited) chain-sync replies as the
+        // chain grows, while the reader thread keeps serving BlockFetch
+        val pump = new Thread(() => {
+          try {
+            while (running && !sock.isClosed) {
+              if (owed.get > 0) {
+                val ev = live.poll(50,
+                  java.util.concurrent.TimeUnit.MILLISECONDS)
+                if (ev != null) {
+                  out.synchronized {
+                    val w = new CborWriter
+                    serveEvent(w, ev)
+                    send(Mux.ProtoChainSync, w.result())
+                    out.flush()
+                  }
+                  owed.decrementAndGet()
+                }
+              } else Thread.sleep(10)
+            }
+          } catch { case _: Exception => () } // connection gone
+        }, "mux-live-pump")
+        pump.setDaemon(true)
+        pump.start()
+      }
+
       var open = true
       while (open) {
         // a mux server reads from BOTH mini-protocols; message arrival
@@ -355,7 +457,7 @@ final class MuxChainSyncServer(
                 (i to j).foreach { k =>
                   val wb = new CborWriter
                   wb.arrayHeader(2); wb.uint(MsgBlock)
-                  wb.bytes(forwards(k).wire)
+                  wb.bytes(forwardsAll.synchronized(forwardsAll(k)).wire)
                   send(Mux.ProtoBlockFetch, wb.result())
                 }
                 val wd = new CborWriter
@@ -390,10 +492,26 @@ final class MuxChainSyncServer(
   * order. The drain-to-zero precondition is asserted in code before
   * every RequestRange — the documented deadlock-freedom discipline.
   */
-final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
+final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20,
+    networkMagic: Long = ChainSyncServer.DefaultMagic,
+    proposeVersions: Seq[Long] = HandshakeWire.DefaultVersions,
+    followTip: Boolean = false)
     extends ChainProvider {
   import ChainSyncWire._
   import BlockFetchWire._
+
+  /** Version agreed on the most recent connection (spec observability). */
+  @volatile var lastNegotiatedVersion: Long = -1L
+
+  private def handshake(out: DataOutputStream, demux: MuxDemux): Unit =
+    lastNegotiatedVersion = HandshakeWire.clientHandshake(
+      p => {
+        Mux.writeMsg(out, HandshakeWire.ProtoHandshake,
+          responder = false, p)
+        out.flush()
+      },
+      () => demux.nextMessage(HandshakeWire.ProtoHandshake),
+      networkMagic, proposeVersions)
 
   def startChainSync(candidates: Seq[Point]): Iterator[BlockEvent] = {
     val sock = new Socket(InetAddress.getByName(host), port)
@@ -401,6 +519,8 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val demux = new MuxDemux(in)
+    try handshake(out, demux)
+    catch { case e: Throwable => sock.close(); throw e }
 
     def sendCs(payload: Array[Byte]): Unit =
       Mux.writeMsg(out, Mux.ProtoChainSync, responder = false, payload)
@@ -439,34 +559,49 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
       private var finished = false // ClientDone sent, socket closed
       private var lastSlot = -1L
       private val queue = mutable.Queue[BlockEvent]()
+      // carried across refills in follow mode: requests outstanding on
+      // the wire, and how many of them the server has answered
+      // MsgAwaitReply (their REAL reply arrives when the tip grows)
+      private var inflight = 0
+      private var awaits = 0
 
       def close(): Unit =
         try sock.close() catch { case _: Exception => () }
 
-      /** One reference-shaped iteration: batch → drain to zero →
-        * fetch runs → enqueue events in chain order.
+      /** One reference-shaped iteration: batch → drain → fetch runs →
+        * enqueue events in chain order. Batch mode drains to ZERO
+        * before any BlockFetch; follow mode drains until every
+        * remaining outstanding request is AWAITED at the tip (their
+        * replies arrive only when the chain grows — that is the
+        * condition under which a live N2N client opens BlockFetch).
         */
       private def refill(): Unit = {
         if (drained) return
         val gap = math.max(tipSlot - lastSlot, 0L)
         val target = ChainProvider.adaptivePipelineDepth(maxDepth, gap)
-        var inflight = 0
-        (1 to target).foreach { _ =>
+        var toSend = math.max(0, target - inflight)
+        (1 to toSend).foreach { _ =>
           val rq = new CborWriter
           rq.arrayHeader(1); rq.uint(MsgRequestNext)
           sendCs(rq.result())
           inflight += 1
         }
         out.flush()
-        // drain ALL chain-sync responses before any BlockFetch
         var events = Vector.empty[Either[Vector[Point], BlockEvent]]
         var run = Vector.empty[Point]
-        while (inflight > 0) {
+        // follow mode stops when all outstanding requests are awaited
+        // AND there is something to yield; a refill entered with
+        // everything awaited and nothing buffered BLOCKS here until
+        // the server's live pump answers (the keep-following shape)
+        def followStop: Boolean = followTip && inflight == awaits &&
+          (run.nonEmpty || events.nonEmpty)
+        while (inflight > awaits || (followTip && inflight > 0 && !followStop)) {
           val r = new CborReader(demux.nextMessage(Mux.ProtoChainSync))
           r.readArrayHeader()
           r.readUInt() match {
             case MsgRollForward =>
               inflight -= 1
+              if (awaits > 0) awaits -= 1 // the oldest awaited is paid
               val hp = readPoint(r).getOrElse(
                 throw new IllegalStateException("headerless roll-forward"))
               tipSlot = readPoint(r).map(_.slot).getOrElse(tipSlot)
@@ -474,6 +609,7 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
               lastSlot = hp.slot
             case MsgRollBackward =>
               inflight -= 1
+              if (awaits > 0) awaits -= 1
               // close the contiguous run BEFORE the rollback so it is
               // fetched and yielded first (the reference's ordering)
               if (run.nonEmpty) { events :+= Left(run); run = Vector.empty }
@@ -485,15 +621,26 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
                   lastSlot = -1L; RollBack(Point("origin", 0L), Inclusive)
               })
             case MsgAwaitReply =>
-              inflight -= 1
-              drained = true // catch-up complete: AvailableNow semantics
+              if (followTip)
+                // live mode: the awaited request's real header reply is
+                // still owed (MustReply); the server's pump answers
+                // when the tip grows
+                awaits += 1
+              else {
+                inflight -= 1
+                drained = true // catch-up complete: AvailableNow semantics
+              }
             case other =>
               throw new IllegalStateException(s"unexpected message $other")
           }
         }
         if (run.nonEmpty) events :+= Left(run)
-        // batch fully drained — NOW BlockFetch each run (discipline)
-        require(inflight == 0, "BlockFetch with chain-sync outstanding")
+        // drained to the mode's bar — NOW BlockFetch each run: zero
+        // outstanding in batch mode; only AWAITED outstanding in follow
+        // mode (the server's reader thread serves ranges while its pump
+        // owes those replies — mux interleaving, the point of the mux)
+        require(inflight == (if (followTip) awaits else 0),
+          "BlockFetch with answerable chain-sync outstanding")
         events.foreach {
           case Right(ev) => queue += ev
           case Left(points) =>
@@ -562,12 +709,13 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20)
     try {
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val demux = new MuxDemux(in)
+      handshake(out, demux) // every connection negotiates first
       val w = new CborWriter
       w.arrayHeader(2); w.uint(MsgFindIntersect)
       w.arrayHeader(1); pointCbor(w, None)
       Mux.writeMsg(out, Mux.ProtoChainSync, responder = false, w.result())
       out.flush()
-      val demux = new MuxDemux(in)
       val r = new CborReader(demux.nextMessage(Mux.ProtoChainSync))
       r.readArrayHeader()
       r.readUInt()

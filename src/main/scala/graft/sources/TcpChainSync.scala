@@ -93,7 +93,10 @@ final case class ServeBack(point: Point) extends ServedEvent
   */
 final class ChainSyncServer(
     chain: Seq[(Array[Byte], Block)],
-    script: Option[Seq[ServedEvent]] = None) {
+    script: Option[Seq[ServedEvent]] = None,
+    networkMagic: Long = ChainSyncServer.DefaultMagic,
+    versions: Seq[Long] = HandshakeWire.DefaultVersions,
+    followable: Boolean = false) {
   import ChainSyncWire._
 
   require(chain.nonEmpty, "server needs a non-empty chain")
@@ -102,10 +105,28 @@ final class ChainSyncServer(
   def port: Int = server.getLocalPort
 
   @volatile var maxInflight: Int = 0
+  @volatile var negotiatedVersion: Long = -1L // spec observability
   @volatile private var running = true
 
-  private val bySlot = chain.map { case (_, b) => b.slot -> b.hash }.toMap
-  private def tipPoint = Point(chain.last._2.hash, chain.last._2.slot)
+  private val bySlot =
+    scala.collection.concurrent.TrieMap(
+      chain.map { case (_, b) => b.slot -> b.hash }: _*)
+  @volatile private var tipPt = Point(chain.last._2.hash, chain.last._2.slot)
+  private def tipPoint = tipPt
+
+  // live-tip feed (non-terminal MsgAwaitReply): blocks appended here
+  // after a follower reaches the tip answer its awaited RequestNext —
+  // the reference's keep-following semantics (N2NProvider.cs:141-143)
+  private val live =
+    new java.util.concurrent.LinkedBlockingQueue[ServedEvent]()
+
+  /** Extend the canonical chain while follower(s) await at the tip. */
+  def append(wire: Array[Byte], block: Block): Unit = {
+    require(followable, "append on a non-followable server")
+    bySlot.put(block.slot, block.hash)
+    tipPt = Point(block.hash, block.slot)
+    live.put(ServeForward(wire, block))
+  }
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -141,6 +162,15 @@ final class ChainSyncServer(
 
     def tipTo(w: CborWriter): Unit = pointCbor(w, Some(tipPoint))
 
+    def serveEvent(w: CborWriter, ev: ServedEvent): Unit = ev match {
+      case ServeForward(wire, _) =>
+        w.arrayHeader(3); w.uint(MsgRollForward)
+        w.bytes(wire); tipTo(w)
+      case ServeBack(p) =>
+        w.arrayHeader(3); w.uint(MsgRollBackward)
+        pointCbor(w, Some(p)); tipTo(w)
+    }
+
     def respondOne(): Unit = {
       val w = new CborWriter
       pendingRollback match {
@@ -149,15 +179,23 @@ final class ChainSyncServer(
           pointCbor(w, p); tipTo(w)
           pendingRollback = None
         case None if cursor < events.size =>
-          events(cursor) match {
-            case ServeForward(wire, _) =>
-              w.arrayHeader(3); w.uint(MsgRollForward)
-              w.bytes(wire); tipTo(w)
-            case ServeBack(p) =>
-              w.arrayHeader(3); w.uint(MsgRollBackward)
-              pointCbor(w, Some(p)); tipTo(w)
-          }
+          serveEvent(w, events(cursor))
           cursor += 1
+        case None if followable =>
+          // live tip: this request cannot be answered yet — AwaitReply
+          // goes out NOW, and the SAME request's real reply follows when
+          // the chain grows (the protocol's MustReply state; the
+          // batch-terminal treatment below is the AvailableNow mode)
+          w.arrayHeader(1); w.uint(MsgAwaitReply)
+          writeFrame(out, w.result()); out.flush()
+          var ev: ServedEvent = null
+          while (ev == null && running && !sock.isClosed)
+            ev = live.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (ev == null) throw new EOFException("closed while awaiting")
+          val w2 = new CborWriter
+          serveEvent(w2, ev)
+          writeFrame(out, w2.result())
+          return
         case None =>
           w.arrayHeader(1); w.uint(MsgAwaitReply)
       }
@@ -165,6 +203,20 @@ final class ChainSyncServer(
     }
 
     try {
+      // handshake FIRST: chain-sync may not speak before version +
+      // networkMagic agreement (every real peer enforces this)
+      val proposal = readFrame(in)
+      val (reply, agreedVersion) =
+        try HandshakeWire.negotiate(proposal, versions, networkMagic)
+        catch {
+          case e: Exception =>
+            (HandshakeWire.refuseDecodeError(versions.max,
+              String.valueOf(e.getMessage)), None)
+        }
+      writeFrame(out, reply); out.flush()
+      if (agreedVersion.isEmpty) return // refused: connection is over
+      negotiatedVersion = agreedVersion.get
+
       var open = true
       while (open) {
         val frame = readFrame(in)
@@ -247,6 +299,14 @@ final class ChainSyncServer(
   }
 }
 
+object ChainSyncServer {
+  /** Loopback networkMagic both sides default to — any value works as
+    * long as initiator and responder agree; disagreement is the refuse
+    * path the spec exercises.
+    */
+  val DefaultMagic = 42L
+}
+
 /** TCP chain-sync CLIENT behind the [[ChainProvider]] seam — the S2
   * pipelined source with the pieces the reference implements: newest-
   * first intersection via MsgFindIntersect (all-rolled-back fails with
@@ -259,15 +319,28 @@ final class ChainSyncServer(
   * exactly the reference's `N2NProvider` step function, and the spec
   * reads the server's observed high-water mark to prove it.
   */
-final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20)
+final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20,
+    networkMagic: Long = ChainSyncServer.DefaultMagic,
+    proposeVersions: Seq[Long] = HandshakeWire.DefaultVersions,
+    followTip: Boolean = false)
     extends ChainProvider {
   import ChainSyncWire._
+
+  /** Version agreed on the most recent connection (spec observability). */
+  @volatile var lastNegotiatedVersion: Long = -1L
+
+  private def handshake(in: DataInputStream, out: DataOutputStream): Unit =
+    lastNegotiatedVersion = HandshakeWire.clientHandshake(
+      p => { writeFrame(out, p); out.flush() },
+      () => readFrame(in), networkMagic, proposeVersions)
 
   def startChainSync(candidates: Seq[Point]): Iterator[BlockEvent] = {
     val sock = new Socket(InetAddress.getByName(host), port)
     sock.setTcpNoDelay(true)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try handshake(in, out)
+    catch { case e: Throwable => sock.close(); throw e }
 
     val w = new CborWriter
     w.arrayHeader(2); w.uint(MsgFindIntersect)
@@ -349,7 +422,13 @@ final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20)
                 case None => lastSlot = -1L; RollBack(Point("origin", 0L), Inclusive)
               })
             case MsgAwaitReply =>
-              drained = true // catch-up complete: AvailableNow semantics
+              if (followTip)
+                // live mode: the awaited request's REAL reply is still
+                // owed (MustReply) — keep its slot in the window and
+                // keep reading; the server answers when the tip grows
+                inflight += 1
+              else
+                drained = true // catch-up complete: AvailableNow semantics
             case other =>
               throw new IllegalStateException(s"unexpected message $other")
           }
@@ -376,6 +455,7 @@ final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20)
     try {
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      handshake(in, out) // every connection negotiates first
       val w = new CborWriter
       w.arrayHeader(2); w.uint(MsgFindIntersect)
       w.arrayHeader(1); pointCbor(w, None)

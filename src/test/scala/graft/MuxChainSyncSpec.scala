@@ -135,4 +135,28 @@ class MuxChainSyncSpec extends SparkSpec {
       }
     } finally server.close()
   }
+
+  test("live tip over the mux: awaited headers arrive when the chain grows, bodies fetch from the extended index") {
+    val full = CborChainGen.generate(14, seed = 8)
+    val (chain, ext) = full.splitAt(10)
+    val server = new MuxChainSyncServer(chain, followable = true)
+    try {
+      val it = new MuxChainProvider("127.0.0.1", server.port,
+        followTip = true).startChainSync(Seq.empty)
+      val catchUp = (0 to 10).map(_ => it.next())
+      assert(catchUp.head.isInstanceOf[RollBack])
+      assert(catchUp.collect { case RollForward(b) => b } == chain.map(_._2))
+      val ranges0 = server.rangeRequests
+      ext.foreach { case (w, b) => server.append(w, b) }
+      // each live block takes the full two-protocol round trip:
+      // awaited header reply over chain-sync, then its BODY over a new
+      // BlockFetch range against the appended index
+      val live = (0 until 4).map(_ => it.next())
+      assert(live.collect { case RollForward(b) => b } == ext.map(_._2),
+        "appended blocks must flow headers-then-bodies through the mux")
+      assert(server.rangeRequests > ranges0,
+        "live bodies must have been range-fetched, not replayed")
+      it.asInstanceOf[AutoCloseable].close()
+    } finally server.close()
+  }
 }

@@ -111,4 +111,27 @@ class TcpChainSyncSpec extends SparkSpec {
       }
     } finally server.close()
   }
+
+  test("live tip: MsgAwaitReply is non-terminal — blocks appended after the tip keep flowing") {
+    // generate(14) extends generate(10) exactly (sequential RNG), so the
+    // appended blocks continue the chain with real prev-hash linkage
+    val full = CborChainGen.generate(14, seed = 7)
+    val (chain, ext) = full.splitAt(10)
+    val server = new ChainSyncServer(chain, followable = true)
+    try {
+      val it = new TcpChainProvider("127.0.0.1", server.port,
+        followTip = true).startChainSync(Seq.empty)
+      // catch-up phase: opening rollback + the 10 scripted blocks
+      val catchUp = (0 to 10).map(_ => it.next())
+      assert(catchUp.head.isInstanceOf[RollBack])
+      assert(catchUp.collect { case RollForward(b) => b } == chain.map(_._2))
+      // live phase: the tip request was answered MsgAwaitReply (not
+      // terminal); appending answers the SAME outstanding request
+      ext.foreach { case (w, b) => server.append(w, b) }
+      val live = (0 until 4).map(_ => it.next())
+      assert(live.collect { case RollForward(b) => b } == ext.map(_._2),
+        "appended blocks must flow through the awaited request")
+      it.asInstanceOf[AutoCloseable].close()
+    } finally server.close()
+  }
 }
