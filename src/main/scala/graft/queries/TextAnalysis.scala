@@ -913,20 +913,39 @@ object TextAnalysis extends QueryModule {
     // run the loop narrow and restore (the GraphRunner discipline)
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
-    s.conf.set(key, "4")
+    s.conf.set(key, s.conf.getOption("graft.q73.par").getOrElse("4"))
     try {
       clsTrainNarrow(s, feats, labels)
     } finally s.conf.set(key, saved)
   }
 
+  /** Opt-in phase timing (`graft.engine.timing=true`, the GraphRunner
+    * convention): wall time per training phase to stderr. Measured
+    * attribution lives in BASELINE.md (r07 verdict #7): the loop is
+    * job-fixed-cost-bound — a 4/8/16/32 partition sweep is flat-to-
+    * worse, and fusing the per-round gradient into the line-search job
+    * (4 decimal gradients per probe) was measured SLOWER than the
+    * split shape, so this spelling is the floor.
+    */
+  private def clsTimed[A](s: SparkSession, phase: String)(f: => A): A =
+    if (!s.conf.getOption("graft.engine.timing").exists(_.toBoolean)) f
+    else {
+      val t0 = System.nanoTime()
+      try f
+      finally System.err.println(
+        f"[q73-timing] $phase ${(System.nanoTime() - t0) / 1e9}%.3fs")
+    }
+
   private def clsTrainNarrow(s: SparkSession, feats: DataFrame,
       labels: DataFrame): (Array[Double], Seq[Double]) = {
     import s.implicits._
-    val f = Scratch.materialize(
-      feats.join(labels, "doc_id").repartition(4), "q73_feats")
-    val Seq((n, nPos)) = labels
+    val f = clsTimed(s, "feats-materialize")(Scratch.materialize(
+      feats.join(labels, "doc_id").repartition(
+        s.conf.getOption("graft.q73.par").map(_.toInt).getOrElse(4)),
+      "q73_feats"))
+    val Seq((n, nPos)) = clsTimed(s, "label-counts")(labels
       .agg(count(lit(1)).cast("double"), sum(col("y")).cast("double"))
-      .as[(Double, Double)].collect().toSeq
+      .as[(Double, Double)].collect().toSeq)
 
     def docOf(w: Array[Double]) = {
       val wDf = broadcast(
@@ -974,13 +993,13 @@ object TextAnalysis extends QueryModule {
     w(ClsD) =
       if (nPos <= 0.0 || nPos >= n) 0.0
       else math.log(nPos / (n - nPos))
-    var loss = lossesOf(Seq(w, w, w, w)).head
+    var loss = clsTimed(s, "probe0")(lossesOf(Seq(w, w, w, w)).head)
     val losses = Seq.newBuilder[Double]
     losses += loss
     var lr = ClsLr
     var stalled = false
     for (_ <- 1 to ClsRounds if !stalled) {
-      val grad = f.join(docOf(w)
+      val grad = clsTimed(s, "grad")(f.join(docOf(w)
           .select(col("doc_id"), col("p"), col("y").as("yd")), "doc_id")
         .groupBy(col("idx"))
         .agg(sum((col("x") * (col("p") - col("yd"))).cast("decimal(30,15)"))
@@ -988,14 +1007,14 @@ object TextAnalysis extends QueryModule {
         .as[(Int, Double)].collect() // bounded: ClsD+2 rows
         .foldLeft(Array.fill(ClsD + 2)(0.0)) {
           case (acc, (i, g)) => acc(i) = g / n; acc
-        }
+        })
       def candAt(step: Double) =
         Array.tabulate(ClsD + 2)(i => w(i) - step * grad(i))
       var tries = 0
       var accepted = false
       while (!accepted && tries < 3) {
         val steps = Seq(lr * 4, lr * 1.5, lr, lr / 4)
-        val ls = lossesOf(steps.map(candAt))
+        val ls = clsTimed(s, "linesearch")(lossesOf(steps.map(candAt)))
         // 1e-9 acceptance margin: the probe losses are double sums
         // (shuffle-order jitter ~1e-15 relative), so require a real
         // improvement — the trajectory then depends only on the
