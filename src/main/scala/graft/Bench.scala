@@ -43,6 +43,11 @@ object Bench {
     // Bench/Verify/ScaleSlope — the r05 blocking=true tail lesson must
     // not diverge between the tools)
     def settle(): Unit = Harness.settle(spark)
+    // clear the file-based summary FIRST: a crashed run must leave a
+    // missing file (unambiguously "did not complete"), never a stale
+    // previous summary for the file contract to misattribute
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"))
     val names = Harness.onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
     val results = names.map { name =>
       System.err.println(s"[bench] $name ...")

@@ -103,6 +103,14 @@ object SuffixDedup extends QueryModule {
   private def suffixEntries(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // NOTE the toks lineage is evaluated twice (once for the
+    // dictionary's distinct pass — the RDD zipWithIndex boundary
+    // defeats exchange reuse — once for the encode join). Measured
+    // (r08 review follow-up): materializing it to kill the duplicate
+    // pass costs MORE than the recompute at sf0.1 (q82 1.90→2.30 s —
+    // checkpointing corpus-token rows outweighs a narrow re-tokenize),
+    // and on a cluster the recompute is a cheap columnar re-scan of
+    // the docs parquet; the double evaluation is the right trade.
     val toks = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>

@@ -226,23 +226,26 @@ final class MuxChainSyncServer(
   private val idxByHash = scala.collection.concurrent.TrieMap(
     forwardsAll.zipWithIndex.map { case (f, i) => f.block.hash -> i }.toSeq: _*)
 
-  // live-tip feed: blocks appended after a follower reaches the tip
-  // answer its awaited RequestNext (non-terminal MsgAwaitReply — the
-  // reference's keep-following semantics, N2NProvider.cs:141-143)
-  private val live =
-    new java.util.concurrent.LinkedBlockingQueue[ServedEvent]()
+  // live-tip feeds (non-terminal MsgAwaitReply — the reference's
+  // keep-following semantics, N2NProvider.cs:141-143), ONE QUEUE PER
+  // CONNECTION: registered at FindIntersect under the server lock,
+  // atomically with the replay snapshot — a block appended before the
+  // snapshot is IN it (forwardsAll extends the replay source, not just
+  // the body index), one appended after arrives on that connection's
+  // own queue; a dead connection can neither steal nor lose another
+  // follower's events (r08 review)
+  private val followers = scala.collection.mutable.Buffer[
+    java.util.concurrent.LinkedBlockingQueue[ServedEvent]]()
 
-  /** Extend the canonical chain while follower(s) await at the tip. */
-  def append(wire: Array[Byte], block: Block): Unit = {
+  /** Extend the canonical chain; followers at the tip are fed live. */
+  def append(wire: Array[Byte], block: Block): Unit = synchronized {
     require(followable, "append on a non-followable server")
     bySlot.put(block.slot, block.hash)
     tipPt = Point(block.hash, block.slot)
     val f = ServeForward(wire, block)
-    forwardsAll.synchronized {
-      idxByHash.put(block.hash, forwardsAll.size)
-      forwardsAll += f
-    }
-    live.put(f)
+    idxByHash.put(block.hash, forwardsAll.size)
+    forwardsAll += f
+    followers.foreach(_.put(f))
   }
 
   private val acceptor = new Thread(() => {
@@ -277,6 +280,9 @@ final class MuxChainSyncServer(
     // requests answered MsgAwaitReply whose REAL reply is still owed;
     // the pump thread pays them from the live queue in FIFO order
     val owed = new java.util.concurrent.atomic.AtomicInteger(0)
+    // this connection's live feed (see `followers`)
+    val myLive = new java.util.concurrent.LinkedBlockingQueue[ServedEvent]()
+    var registered = false
 
     // every message writes atomically under the out lock: in follow
     // mode TWO threads write — the reader (bursts, BlockFetch batches)
@@ -360,7 +366,7 @@ final class MuxChainSyncServer(
           try {
             while (running && !sock.isClosed) {
               if (owed.get > 0) {
-                val ev = live.poll(50,
+                val ev = myLive.poll(50,
                   java.util.concurrent.TimeUnit.MILLISECONDS)
                 if (ev != null) {
                   out.synchronized {
@@ -400,11 +406,19 @@ final class MuxChainSyncServer(
               pointCbor(w, agreed); tipTo(w)
               pendingRollback = Some(agreed)
               val from = agreed.map(_.slot).getOrElse(-1L)
-              events =
-                if (script.isDefined) events0
-                else events0.collect {
-                  case f: ServeForward if f.block.slot > from => f
+              // snapshot + follower registration are ATOMIC vs append:
+              // an appended block lands either in this snapshot (via
+              // forwardsAll) or on myLive, never both, never neither
+              events = MuxChainSyncServer.this.synchronized {
+                if (followable && !registered) {
+                  followers += myLive
+                  registered = true
                 }
+                if (script.isDefined) events0
+                else forwardsAll.toVector.collect {
+                  case f if f.block.slot > from => f
+                }
+              }
               cursor = 0
             } else {
               w.arrayHeader(2); w.uint(MsgIntersectNotFound); tipTo(w)
@@ -457,7 +471,8 @@ final class MuxChainSyncServer(
                 (i to j).foreach { k =>
                   val wb = new CborWriter
                   wb.arrayHeader(2); wb.uint(MsgBlock)
-                  wb.bytes(forwardsAll.synchronized(forwardsAll(k)).wire)
+                  wb.bytes(
+                    MuxChainSyncServer.this.synchronized(forwardsAll(k)).wire)
                   send(Mux.ProtoBlockFetch, wb.result())
                 }
                 val wd = new CborWriter
@@ -478,7 +493,10 @@ final class MuxChainSyncServer(
     } catch {
       case _: EOFException | _: java.net.SocketException => () // client left
       case e: Exception => if (running) throw e
-    } finally sock.close()
+    } finally {
+      MuxChainSyncServer.this.synchronized { followers -= myLive }
+      sock.close()
+    }
   }
 
 }
@@ -627,8 +645,14 @@ final class MuxChainProvider(host: String, port: Int, maxDepth: Int = 20,
                 // when the tip grows
                 awaits += 1
               else {
-                inflight -= 1
-                drained = true // catch-up complete: AvailableNow semantics
+                // catch-up complete: AvailableNow semantics. The FIRST
+                // await ends the whole batch (a followable server pays
+                // the rest only as the chain grows — draining them
+                // would deadlock a batch client); stale await replies
+                // die with the connection after ClientDone
+                inflight = 0
+                awaits = 0
+                drained = true
               }
             case other =>
               throw new IllegalStateException(s"unexpected message $other")

@@ -114,18 +114,28 @@ final class ChainSyncServer(
   @volatile private var tipPt = Point(chain.last._2.hash, chain.last._2.slot)
   private def tipPoint = tipPt
 
-  // live-tip feed (non-terminal MsgAwaitReply): blocks appended here
-  // after a follower reaches the tip answer its awaited RequestNext —
-  // the reference's keep-following semantics (N2NProvider.cs:141-143)
-  private val live =
-    new java.util.concurrent.LinkedBlockingQueue[ServedEvent]()
+  // the canonical chain, EXTENDED by append: a connection arriving
+  // after an append replays the appended blocks too — the tip the
+  // server advertises is always servable (r08 review)
+  @volatile private var canonical = chain.toVector
 
-  /** Extend the canonical chain while follower(s) await at the tip. */
-  def append(wire: Array[Byte], block: Block): Unit = {
+  // live-tip feeds (non-terminal MsgAwaitReply), ONE QUEUE PER
+  // CONNECTION: registered at FindIntersect under the server lock,
+  // atomically with the replay snapshot — a block appended before the
+  // snapshot is IN it, one appended after arrives on this connection's
+  // own queue; every connection sees every block exactly once, and a
+  // dead connection can neither steal nor lose another follower's
+  // events (r08 review)
+  private val followers = scala.collection.mutable.Buffer[
+    java.util.concurrent.LinkedBlockingQueue[ServedEvent]]()
+
+  /** Extend the canonical chain; followers at the tip are fed live. */
+  def append(wire: Array[Byte], block: Block): Unit = synchronized {
     require(followable, "append on a non-followable server")
+    canonical :+= ((wire, block))
     bySlot.put(block.slot, block.hash)
     tipPt = Point(block.hash, block.slot)
-    live.put(ServeForward(wire, block))
+    followers.foreach(_.put(ServeForward(wire, block)))
   }
 
   private val acceptor = new Thread(() => {
@@ -159,6 +169,9 @@ final class ChainSyncServer(
     var pendingRollback: Option[Option[Point]] = None
     var pendingRequests = 0
     var firstBurst = true
+    // this connection's live feed (see `followers`)
+    val myLive = new java.util.concurrent.LinkedBlockingQueue[ServedEvent]()
+    var registered = false
 
     def tipTo(w: CborWriter): Unit = pointCbor(w, Some(tipPoint))
 
@@ -190,7 +203,7 @@ final class ChainSyncServer(
           writeFrame(out, w.result()); out.flush()
           var ev: ServedEvent = null
           while (ev == null && running && !sock.isClosed)
-            ev = live.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+            ev = myLive.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
           if (ev == null) throw new EOFException("closed while awaiting")
           val w2 = new CborWriter
           serveEvent(w2, ev)
@@ -238,10 +251,19 @@ final class ChainSyncServer(
               pointCbor(w, agreed); tipTo(w)
               pendingRollback = Some(agreed)
               val from = agreed.map(_.slot).getOrElse(-1L)
-              events = script.getOrElse(
-                chain.collect { case (wire, b) if b.slot > from =>
-                  ServeForward(wire, b)
-                })
+              // snapshot + follower registration are ATOMIC vs append:
+              // an appended block lands either in this snapshot or on
+              // myLive, never both, never neither
+              events = ChainSyncServer.this.synchronized {
+                if (followable && !registered) {
+                  followers += myLive
+                  registered = true
+                }
+                script.getOrElse(
+                  canonical.collect { case (wire, b) if b.slot > from =>
+                    ServeForward(wire, b)
+                  })
+              }
               cursor = 0
             } else {
               w.arrayHeader(2); w.uint(MsgIntersectNotFound); tipTo(w)
@@ -295,7 +317,10 @@ final class ChainSyncServer(
     } catch {
       case _: EOFException | _: java.net.SocketException => () // client left
       case e: Exception => if (running) throw e
-    } finally sock.close()
+    } finally {
+      ChainSyncServer.this.synchronized { followers -= myLive }
+      sock.close()
+    }
   }
 }
 
@@ -427,8 +452,15 @@ final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20,
                 // owed (MustReply) — keep its slot in the window and
                 // keep reading; the server answers when the tip grows
                 inflight += 1
-              else
-                drained = true // catch-up complete: AvailableNow semantics
+              else {
+                // catch-up complete: AvailableNow semantics. The FIRST
+                // await ends the whole batch — replies to the other
+                // pipelined requests are abandoned with the socket
+                // (a followable server answers them only as the chain
+                // grows; waiting on them would deadlock a batch client)
+                drained = true
+                inflight = 0
+              }
             case other =>
               throw new IllegalStateException(s"unexpected message $other")
           }

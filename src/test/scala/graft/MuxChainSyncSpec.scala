@@ -159,4 +159,27 @@ class MuxChainSyncSpec extends SparkSpec {
       it.asInstanceOf[AutoCloseable].close()
     } finally server.close()
   }
+
+  test("a batch (AvailableNow) client terminates cleanly against a FOLLOWABLE mux server") {
+    val chain = CborChainGen.generate(10, seed = 77)
+    val server = new MuxChainSyncServer(chain, followable = true)
+    try {
+      val events = new MuxChainProvider("127.0.0.1", server.port)
+        .startChainSync(Seq.empty).toVector // followTip = false
+      assert(events.collect { case RollForward(b) => b } == chain.map(_._2))
+    } finally server.close()
+  }
+
+  test("a follower connecting AFTER appends replays them, bodies included") {
+    val full = CborChainGen.generate(14, seed = 79)
+    val (chain, ext) = full.splitAt(10)
+    val server = new MuxChainSyncServer(chain, followable = true)
+    try {
+      ext.foreach { case (w, b) => server.append(w, b) }
+      val events = new MuxChainProvider("127.0.0.1", server.port)
+        .startChainSync(Seq.empty).toVector
+      assert(events.collect { case RollForward(b) => b } == full.map(_._2),
+        "appended blocks must replay with headers AND range-fetched bodies")
+    } finally server.close()
+  }
 }

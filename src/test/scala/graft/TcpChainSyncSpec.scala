@@ -134,4 +134,34 @@ class TcpChainSyncSpec extends SparkSpec {
       it.asInstanceOf[AutoCloseable].close()
     } finally server.close()
   }
+
+  test("a batch (AvailableNow) client terminates cleanly against a FOLLOWABLE server") {
+    // mixed mode (r08 review): the server awaits requests it cannot
+    // answer, so the batch client must treat its FIRST AwaitReply as
+    // terminal for the whole pipelined batch — waiting on the rest
+    // would deadlock against the parked live path
+    val chain = CborChainGen.generate(10, seed = 71)
+    val server = new ChainSyncServer(chain, followable = true)
+    try {
+      val events = new TcpChainProvider("127.0.0.1", server.port)
+        .startChainSync(Seq.empty).toVector // followTip = false
+      assert(events.collect { case RollForward(b) => b } == chain.map(_._2))
+    } finally server.close()
+  }
+
+  test("a follower connecting AFTER appends replays them: the advertised tip is always servable") {
+    // r08 review: appends extend the canonical replay chain, not just
+    // a live queue — a reconnecting client must not hang waiting for a
+    // block the tip advertises but the replay omits
+    val full = CborChainGen.generate(14, seed = 73)
+    val (chain, ext) = full.splitAt(10)
+    val server = new ChainSyncServer(chain, followable = true)
+    try {
+      ext.foreach { case (w, b) => server.append(w, b) }
+      val events = new TcpChainProvider("127.0.0.1", server.port)
+        .startChainSync(Seq.empty).toVector // batch client, full replay
+      assert(events.collect { case RollForward(b) => b } == full.map(_._2),
+        "appended blocks must be part of a later connection's replay")
+    } finally server.close()
+  }
 }
