@@ -80,6 +80,18 @@ object Similarity extends QueryModule {
     * in both engines; ascii-based hex-digit decoding keeps it lambda-safe.
     */
   private val Dim = 64 // embedding width of the testdata corpus
+  // shared numeric thresholds live HERE, above every SQL val that
+  // interpolates them: an eager val interpolating a later-declared
+  // constant runs before its initializer and silently bakes 0.0 into
+  // the oracle (the q99Sql incident — r08 review moved the whole
+  // hazard class to the top of the object)
+  private[graft] val SemTau = 0.35 // intra-cluster cosine drop threshold
+  // semantic-decontamination threshold for eval-vs-train EMBEDDING
+  // contamination (q89): data-calibrated for the synthetic corpus,
+  // where the train-side max-cos-to-eval distribution tops out at
+  // ~0.45 (p99 ≈ 0.40) — high enough that only genuine geometric
+  // neighbors of the held-out shard flag, low enough to be non-vacuous
+  private[graft] val CosDecontTau = 0.40
 
   private val L = 5 // LSH tables (each its own plane family)
   private val PT = 7 // hyperplane bits per table
@@ -293,14 +305,15 @@ object Similarity extends QueryModule {
     * probes at EQUAL probed fraction (recall alone rewards skewed
     * lists — a huge probed list is brute force wearing an index).
     */
-  private[graft] def ivfQuery(s: SparkSession, d: String,
-      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe,
-      nq: Long = NQ): DataFrame = {
-    // e feeds the centroid scan AND the full assignment pass — a store-
-    // backed temp table, not an executor cache (see Scratch.materialize)
-    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
-    val cent = mkCent(e)
-    val scoredCent = centroidRanks(e, cent)
+  /** The probe→score→rank tail shared by [[ivfQuery]] and
+    * [[ivfQueryWithFraction]] — ONE spelling of the inverted lists,
+    * the probe set, the rounded cosine, and the (cosine desc, cand_id)
+    * tie-break, so the q96 certificate can never grade a different
+    * probe than q37/q88 execute (r08 review: the tail was previously
+    * hand-copied in both). Returns (top5, assign, probes).
+    */
+  private def ivfRanked(scoredCent: DataFrame, nProbe: Int, nq: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     // inverted lists: every vector in exactly its nearest list
     val assign = scoredCent.filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
@@ -311,7 +324,7 @@ object Similarity extends QueryModule {
         col("nrm").as("q_nrm"), col("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    broadcast(probes).join(assign
+    val top5 = broadcast(probes).join(assign
         .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
           col("nrm").as("c_nrm"), col("cid")), "cid")
       .filter(col("query_id") =!= col("cand_id"))
@@ -321,6 +334,34 @@ object Similarity extends QueryModule {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .orderBy(col("query_id"), col("rank"))
+    (top5, assign, probes)
+  }
+
+  /** Mean probed-list size over the query set as a fraction of the
+    * corpus, EXCLUDING the query's own row (its crank-1 list always
+    * contains itself; the LSH twin's probedFraction already excludes
+    * self, and the two ride side by side as matched-cost metrics —
+    * r08 review).
+    */
+  private def probedFracOf(assign: DataFrame, probes: DataFrame,
+      n: Double): Double = {
+    val sizes = assign.groupBy("cid").count()
+    probes.select(col("query_id"), col("cid")).join(sizes, "cid")
+      .groupBy(col("query_id")).agg((sum(col("count")) - 1).as("p"))
+      .agg(avg(col("p"))).head().getDouble(0) / n
+  }
+
+  private[graft] def ivfQuery(s: SparkSession, d: String,
+      mkCent: DataFrame => DataFrame, nProbe: Int = NProbe,
+      nq: Long = NQ, tag: String = "q37"): DataFrame = {
+    // e feeds the centroid scan AND the full assignment pass — a store-
+    // backed temp table, not an executor cache (see Scratch.materialize).
+    // The scratch name is CALL-SITE-keyed: q37 and q88 both route here,
+    // and in parquet-scratch mode a shared fixed name would let the
+    // second call overwrite files a still-lazy first result reads
+    // (r08 review)
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), s"${tag}_e")
+    ivfRanked(centroidRanks(e, mkCent(e)), nProbe, nq)._1
   }
 
   private val q37Sql =
@@ -371,30 +412,8 @@ object Similarity extends QueryModule {
     val scoredCent = Scratch.materialize(
       centroidRanks(e, cent).select(col("vec_id"), col("embedding"),
         col("nrm"), col("cid"), col("crank")), "q96_sc")
-    val assign = scoredCent.filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-    val probes = scoredCent
-      .filter(col("vec_id") < nq && col("crank") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cid"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    val res = broadcast(probes).join(assign
-        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm"), col("cid")), "cid")
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("cid"),
-        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .orderBy(col("query_id"), col("rank"))
-    val sizes = assign.groupBy("cid").count()
-    val n = e.count().toDouble
-    val frac = probes.select(col("query_id"), col("cid")).join(sizes, "cid")
-      .groupBy(col("query_id")).agg(sum(col("count")).as("p"))
-      .agg(avg(col("p"))).head().getDouble(0) / n
-    (res, frac)
+    val (res, assign, probes) = ivfRanked(scoredCent, nProbe, nq)
+    (res, probedFracOf(assign, probes, e.count().toDouble))
   }
 
   private[graft] val DeltaMax = 100L // q99 delta batch: vec_id < DeltaMax
@@ -658,18 +677,11 @@ object Similarity extends QueryModule {
     */
   private[graft] def ivfProbedFraction(s: SparkSession, d: String,
       mkCent: DataFrame => DataFrame, nProbe: Int = NProbe,
-      nq: Long = NQ): Double = {
-    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q37_e")
-    val cent = mkCent(e)
-    val scoredCent = centroidRanks(e, cent)
-    val sizes = scoredCent.filter(col("crank") === 1).groupBy("cid").count()
-    val probes = scoredCent
-      .filter(col("vec_id") < nq && col("crank") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cid"))
-    val n = e.count().toDouble
-    probes.join(sizes, "cid")
-      .groupBy(col("query_id")).agg(sum(col("count")).as("p"))
-      .agg(avg(col("p"))).head().getDouble(0) / n
+      nq: Long = NQ, tag: String = "q37frac"): Double = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), s"${tag}_e")
+    val scoredCent = centroidRanks(e, mkCent(e))
+    val (_, assign, probes) = ivfRanked(scoredCent, nProbe, nq)
+    probedFracOf(assign, probes, e.count().toDouble)
   }
 
   private val KmK = 8 // clusters (the IVF list count)
@@ -678,9 +690,11 @@ object Similarity extends QueryModule {
   /** In-engine SPHERICAL k-means (q59): trains the coarse quantizer
     * that q37/q57 deliberately seed (their cross-engine oracles need
     * seeded determinism; a real deployment trains). Spherical = assign
-    * by cosine, update = per-dimension mean (the mean's direction is
-    * what matters); the objective Σ(1 − cos) decreases monotonically
-    * exactly like Lloyd's WCSS. Distributed shape per round: centroids
+    * by cosine, update = per-dimension mean of NORMALIZED vectors
+    * (only the mean's direction matters, and the unit-vector mean is
+    * the fixed-assignment optimum — a raw mean is norm-weighted and
+    * loses the descent guarantee); the objective Σ(1 − cos) then
+    * decreases monotonically exactly like Lloyd's WCSS. Distributed shape per round: centroids
     * are a broadcast 8-row model, assignment is a narrow argmin pass
     * (BroadcastNestedLoop over KmK rows × N, window argmin), the update
     * is posexplode → per-(cid, dim) partial-agg means — work ∝ N·K·Dim,
@@ -766,10 +780,17 @@ object Similarity extends QueryModule {
       if (round < iters) {
         // update step: per-(cluster, dim) means — posexplode keeps the
         // shuffle at (cid, dim, partial sum/count) granularity
-        val updated = assign.select(col("cid"),
+        // mean of NORMALIZED vectors: the objective is Σ(1 − cos),
+        // and for a fixed assignment the optimal centroid DIRECTION is
+        // Σ(x/‖x‖) — a raw-vector mean is norm-weighted, and one
+        // large-norm outlier could tilt the update enough to RAISE the
+        // objective, breaking the monotone-descent invariant q85 pins
+        // TRUE (r08 review; guaranteed descent needs the unit-vector
+        // mean)
+        val updated = assign.select(col("cid"), col("nrm"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy(col("cid"), col("dim"))
-          .agg(avg(col("v")).as("m"))
+          .agg(avg(col("v") / col("nrm")).as("m"))
           .groupBy(col("cid"))
           .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
             .as("dm"))
@@ -840,8 +861,6 @@ object Similarity extends QueryModule {
         round(sum(col("d2")), 2).as("sum_dissim"))
       .orderBy(col("cid"))
   }
-
-  private[graft] val SemTau = 0.35 // intra-cluster cosine drop threshold
 
   /** SemDeDup-style semantic dedup (q70, Abbas et al. 2023): cluster the
     * embedding space with the coarse quantizer, then WITHIN each cluster
@@ -1049,14 +1068,6 @@ object Similarity extends QueryModule {
        |    ORDER BY cosine DESC, cand_id) AS rank
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  /** Semantic threshold for eval-vs-train EMBEDDING contamination
-    * (q89): data-calibrated for the synthetic corpus, where the
-    * train-side max-cos-to-eval distribution tops out at ~0.45
-    * (p99 ≈ 0.40) — high enough that only genuine geometric neighbors
-    * of the held-out shard flag, low enough to be non-vacuous.
-    */
-  private[graft] val CosDecontTau = 0.40
 
   /** SEMANTIC decontamination (q89) — the third leg of the
     * decontamination family: q54 removes exact lexical overlap, q80
