@@ -43,8 +43,9 @@ object ScaleSlope {
   private val Defaults = Seq(
     "q39_dup_clusters", "q55_dedup_survivors", "q59_kmeans_train",
     "q66_bpe_train", "q67_pipeline_manifest", "q73_quality_classifier",
-    "q75_train_sequences", "q82_exactsubstr_any", "q86_classifier_certificate",
-    "q88_ann_ivf_trained", "q93_pagerank", "q98_pipeline_suffix")
+    "q75_train_sequences", "q82_exactsubstr_any", "q83_cut_any_spans",
+    "q86_classifier_certificate", "q88_ann_ivf_trained", "q93_pagerank",
+    "q98_pipeline_suffix")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
