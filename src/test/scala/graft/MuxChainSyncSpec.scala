@@ -182,4 +182,44 @@ class MuxChainSyncSpec extends SparkSpec {
         "appended blocks must replay with headers AND range-fetched bodies")
     } finally server.close()
   }
+
+  test("LIVE indexing over the mux: headers+bodies follow the tip into the UTxO graph") {
+    val sp = spark
+    val full = CborChainGen.generate(18, seed = 89)
+    val (chain, ext) = full.splitAt(11)
+    val watched = CborChainGen.Watched
+    val oracle = CborChainGen.balanceOracle(full, watched)
+    val server = new MuxChainSyncServer(chain, followable = true)
+    try {
+      val reducers = Seq(
+        new graft.operators.BlockSummaryReducer,
+        new graft.operators.TxIndexReducer,
+        new graft.operators.WalletUtxoReducer(watched),
+        new graft.operators.BalanceSnapshotReducer(watched))
+      val store = new graft.core.StateStore(tmpDir("live-mux-store"), sp)
+      val runner = new graft.core.GraphRunner(sp, store, reducers,
+        batchSize = 1)
+      @volatile var err: Throwable = null
+      val worker = new Thread(() =>
+        try ProviderSync.run(runner,
+          new MuxChainProvider("127.0.0.1", server.port, followTip = true))
+        catch { case t: Throwable => err = t }, "live-mux-worker")
+      worker.start()
+      ext.foreach { case (w, b) => server.append(w, b) }
+      val lastSlot = full.last._2.slot
+      val want = oracle.toMap.apply(lastSlot)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var got: Map[String, Long] = Map.empty
+      while (got != want && System.nanoTime() < deadline && err == null) {
+        got = store.read("balance_snapshots",
+            reducers(3).tables.head.schema)
+          .filter(org.apache.spark.sql.functions.col("slot") === lastSlot)
+          .collect()
+          .map(r => r.getString(1) -> r.getLong(4)).toMap
+        if (got != want) Thread.sleep(200)
+      }
+      if (err != null) throw err
+      assert(got == want, s"live mux tip never converged: $got vs $want")
+    } finally server.close()
+  }
 }

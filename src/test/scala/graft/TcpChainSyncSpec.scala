@@ -164,4 +164,52 @@ class TcpChainSyncSpec extends SparkSpec {
         "appended blocks must be part of a later connection's replay")
     } finally server.close()
   }
+
+  test("LIVE indexing end to end: the engine follows the tip to oracle balances while the chain grows") {
+    // the deployment shape the reference runs 24/7: ProviderSync +
+    // followTip never drains — blocks appended AFTER the worker caught
+    // up flow through the awaited request, the micro-batch engine, and
+    // the transactional store, and the balances keep converging to the
+    // oracle at the moving tip
+    val sp = spark
+    val full = CborChainGen.generate(20, seed = 83)
+    val (chain, ext) = full.splitAt(12)
+    val watched = CborChainGen.Watched
+    val oracle = CborChainGen.balanceOracle(full, watched)
+    val server = new ChainSyncServer(chain, followable = true)
+    try {
+      val reducers = Seq(
+        new graft.operators.BlockSummaryReducer,
+        new graft.operators.TxIndexReducer,
+        new graft.operators.WalletUtxoReducer(watched),
+        new graft.operators.BalanceSnapshotReducer(watched))
+      val store = new graft.core.StateStore(tmpDir("live-store"), sp)
+      val runner = new graft.core.GraphRunner(sp, store, reducers,
+        batchSize = 1) // commit per block: the live cadence
+      @volatile var err: Throwable = null
+      val worker = new Thread(() =>
+        try ProviderSync.run(runner,
+          new TcpChainProvider("127.0.0.1", server.port, followTip = true))
+        catch { case t: Throwable => err = t }, "live-worker")
+      worker.start()
+      ext.foreach { case (w, b) => server.append(w, b) }
+      val lastSlot = full.last._2.slot
+      val want = oracle.toMap.apply(lastSlot)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var got: Map[String, Long] = Map.empty
+      while (got != want && System.nanoTime() < deadline && err == null) {
+        got = store.read("balance_snapshots",
+            reducers(3).tables.head.schema)
+          .filter(org.apache.spark.sql.functions.col("slot") === lastSlot)
+          .collect()
+          .map(r => r.getString(1) -> r.getLong(4)).toMap
+        if (got != want) Thread.sleep(200)
+      }
+      if (err != null) throw err
+      assert(got == want,
+        s"live tip never converged: $got vs $want")
+    } finally {
+      server.close() // ends the follow stream; the worker thread is daemon-less but JVM exits tests fine
+    }
+  }
 }
