@@ -327,6 +327,16 @@ object Dedup extends QueryModule {
     * legs. One spelling per engine: an edit here (e.g. unicode classes)
     * moves every consumer together instead of silently forking the
     * canonical-survivor decision between them.
+    *
+    * KNOWN cross-engine edge (r08 review, the wordsCol discipline):
+    * `lower()` on a row containing NON-ASCII bytes takes Spark's
+    * String.toLowerCase slow path, which is JVM-default-locale
+    * sensitive (the Turkish-I case maps 'I' to a dotless form DuckDB's
+    * locale-independent utf8proc lower never produces) — norm_md5
+    * could then differ between engine and oracle for such rows. The
+    * corpus here is ASCII (the fast path, locale-free); a deployment
+    * ingesting mixed-script text should pin the JVM locale (or fold
+    * case upstream) before trusting cross-engine hash parity.
     */
   private[graft] def normMd5(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
@@ -538,8 +548,7 @@ object Dedup extends QueryModule {
   }
 
   private val q34Sql = {
-    def dotSql(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    import Similarity.dotSql // the ONE cosine-oracle spelling (r08 review)
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -584,13 +593,17 @@ object Dedup extends QueryModule {
     * convergence probe is a bounded driver boolean per round.
     */
   private[graft] def connectedComponents(pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, tag: String = "cc"): DataFrame = {
+    // scratch names are CALLER-keyed (r08 review, the dekOf
+    // discipline): four entry points route here, and in durable-
+    // scratch mode a shared fixed name would let a later invocation's
+    // loop overwrite the labels a still-lazy earlier result reads
     val edges = Scratch.materialize(
       pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-        .distinct(), "cc_edges")
+        .distinct(), s"${tag}_edges")
     var labels = Scratch.materialize(
       edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")), "cc_labels0")
+        .withColumn("cluster_id", col("doc_id")), s"${tag}_labels0")
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
@@ -609,7 +622,7 @@ object Dedup extends QueryModule {
           .select(prop("doc_id"), col("old"),
             least(col("mid"), coalesce(col("jl"), col("mid")))
               .as("cluster_id")),
-        s"cc_labels${(iter + 1) % 2 + 1}") // ping-pong scratch names
+        s"${tag}_labels${(iter + 1) % 2 + 1}") // ping-pong scratch names
       converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
@@ -624,7 +637,7 @@ object Dedup extends QueryModule {
   /** Duplicate clustering (q39): see [[connectedComponents]]. */
   private def q39(s: SparkSession, d: String): DataFrame = {
     val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val labels = connectedComponents(pairs)
+    val labels = connectedComponents(pairs, tag = "q39cc")
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
@@ -870,7 +883,7 @@ object Dedup extends QueryModule {
     */
   private def q55(s: SparkSession, d: String): DataFrame = {
     val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val labels = connectedComponents(pairs)
+    val labels = connectedComponents(pairs, tag = "q55cc")
       .withColumnRenamed("cluster_id", "label")
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -1008,7 +1021,11 @@ object Dedup extends QueryModule {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val words = WordRe.findAllIn(text).toArray
+          // null text: emit nothing, like the oracle's regexp_extract_all
+          // (bandKeysOf's r07 poison-row guard, applied here too — r08)
+          val words =
+            if (text == null) Array.empty[String]
+            else WordRe.findAllIn(text).toArray
           (0 to words.length - n).iterator.map(i =>
             (id, i.toLong, words.slice(i, i + n).mkString(" ")))
         }
@@ -1156,7 +1173,17 @@ object Dedup extends QueryModule {
     // external — quality filtering does not apply to it)
     val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
       .select(col("s")).distinct()
-    val trx = qual.filter(col("doc_id") % 10 =!= 3)
+    // materialized: feeds the gram/hits leg AND the survivor join —
+    // without the barrier the three quality regexes re-run over the
+    // full corpus once per leg (r08 review; the q31 multi-leg
+    // discipline). Measured perf-neutral at sf0.1 (regex recompute ≈
+    // survivor-text checkpoint cost locally); kept for the cluster
+    // shape, where one columnar re-read beats a second full regex pass
+    // over corpus text
+    val trx = Scratch.materialize(
+      qual.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("text")),
+      scratchName + "_trx")
     val hits = ngramEntries(trx, DecontN)
       .join(broadcast(ev), "s")
       .groupBy(col("doc_id"), col("n_shingles"))
@@ -1175,7 +1202,7 @@ object Dedup extends QueryModule {
     val dek = dekOf(s, d, "q67_dek")
     val pairs = minhashPairs(dek)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val labels = connectedComponents(pairs)
+    val labels = connectedComponents(pairs, tag = "dekcc")
       .withColumnRenamed("cluster_id", "label")
     // token counts project out BEFORE the label join, so text is gone
     // by the first exchange of the canonical/packing path
@@ -1478,7 +1505,12 @@ object Dedup extends QueryModule {
         coalesce(col("cut_pos"), array().cast("array<long>")).as("cut_pos"))
       .as[(Long, String, Seq[Long])]
       .map { case (id, text, cutSeq) =>
-        val words = WordRe.findAllIn(text).toArray
+        // null text rewrites to the empty document, like the oracle's
+        // COALESCE legs (r08 review: the NPE would kill the job where
+        // the oracle returns normally)
+        val words =
+          if (text == null) Array.empty[String]
+          else WordRe.findAllIn(text).toArray
         val cut = cutSeq.toSet
         val kept = words.iterator.zipWithIndex
           .filterNot { case (_, i) => cut(i.toLong) }.map(_._1)

@@ -33,7 +33,14 @@ object Similarity extends QueryModule {
   private def dot(x: Column, y: Column): Column =
     graft.functions.VectorFunctions.floatDot(x, y)
 
-  private def dotSql(x: String, y: String): String =
+  /** The ONE DuckDB spelling of the float dot product — private[graft]
+    * so q34's oracle (Dedup) shares it instead of hand-copying (r08
+    * review): a precision/cast change must reach every embedding
+    * oracle or none. The lambda variable is `i` — callers must not use
+    * 1-letter table aliases named `i` near it (DuckDB silently
+    * captures the alias; the r07 q99 lesson).
+    */
+  private[graft] def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
   private def withNorm(e: DataFrame): DataFrame =
