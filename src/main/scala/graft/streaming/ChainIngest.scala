@@ -39,7 +39,8 @@ object ChainIngest {
       runner: GraphRunner, trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
       lockWaitMs: Long = 15000L,
-      telemetry: Option[Telemetry] = None): StreamingQuery = {
+      telemetry: Option[Telemetry] = None,
+      wireFormat: Option[String] = None): StreamingQuery = {
     val lock = new SingleInstanceLock(runner.store.root)
     if (!lock.waitAcquire(lockWaitMs)) {
       lock.close()
@@ -50,38 +51,53 @@ object ChainIngest {
     // and trim to the graph-safe slot before any batch flows.
     try runner.reconcileStartup()
     catch { case e: Throwable => lock.close(); throw e }
-    // Wire-format switch, mirroring FileChainProvider: a directory of
-    // real `.cbor` blocks streams through the binaryFile source with
-    // EXECUTOR-SIDE CborBlock decode (undecodable files skip — the
-    // reference's null-and-skip), parquet block rows otherwise. Either
-    // way the micro-batch carries the same Block schema downstream.
-    val hasCbor = graft.sources.CborBlock.isCborDir(blocksDir)
-    val src =
-      if (hasCbor) {
-        import spark.implicits._
-        import org.apache.spark.sql.types._
-        // binaryFile's fixed schema, stated explicitly (streaming file
-        // sources don't self-describe)
-        val binSchema = StructType(Seq(
-          StructField("path", StringType),
-          StructField("modificationTime", TimestampType),
-          StructField("length", LongType),
-          StructField("content", BinaryType)))
-        val r = spark.readStream.format("binaryFile").schema(binSchema)
-        maxFilesPerTrigger
-          .fold(r)(n => r.option("maxFilesPerTrigger", n))
-          .load(s"$blocksDir/*.cbor")
-          .select(col("content")).as[Array[Byte]]
-          .flatMap(b => graft.sources.CborBlock.decode(b).map(_._2))
-          .toDF()
-      } else {
-        val reader = spark.readStream.schema(blockSchema)
-        maxFilesPerTrigger
-          .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-          .parquet(blocksDir)
-      }
     val query =
       try {
+        // Wire-format switch, mirroring FileChainProvider: a directory of
+        // real `.cbor` blocks streams through the binaryFile source with
+        // EXECUTOR-SIDE CborBlock decode (undecodable files skip — the
+        // reference's null-and-skip), parquet block rows otherwise. Either
+        // way the micro-batch carries the same Block schema downstream.
+        //
+        // The format is resolved ONCE, here (r08 review): pass `wireFormat`
+        // explicitly for a follow-the-tip deployment whose directory may be
+        // EMPTY at start — sniffing an empty dir locks in the parquet
+        // reader and the first .cbor file then kills the query. A MIXED
+        // directory fails loudly rather than silently never indexing the
+        // minority format.
+        val hasCbor = graft.sources.CborBlock.isCborDir(blocksDir)
+        val hasParquet = Option(new java.io.File(blocksDir).listFiles)
+          .exists(_.exists(f => f.getName.endsWith(".parquet")))
+        if (wireFormat.isEmpty && hasCbor && hasParquet)
+          throw new IllegalArgumentException(
+            s"$blocksDir holds BOTH .cbor and .parquet blocks — the sniffed " +
+              "reader would silently drop one format; pass wireFormat")
+        val fmt = wireFormat.getOrElse(if (hasCbor) "cbor" else "parquet")
+        require(fmt == "cbor" || fmt == "parquet", s"wireFormat $fmt")
+        val src =
+          if (fmt == "cbor") {
+            import spark.implicits._
+            import org.apache.spark.sql.types._
+            // binaryFile's fixed schema, stated explicitly (streaming file
+            // sources don't self-describe)
+            val binSchema = StructType(Seq(
+              StructField("path", StringType),
+              StructField("modificationTime", TimestampType),
+              StructField("length", LongType),
+              StructField("content", BinaryType)))
+            val r = spark.readStream.format("binaryFile").schema(binSchema)
+            maxFilesPerTrigger
+              .fold(r)(n => r.option("maxFilesPerTrigger", n))
+              .load(s"$blocksDir/*.cbor")
+              .select(col("content")).as[Array[Byte]]
+              .flatMap(b => graft.sources.CborBlock.decode(b).map(_._2))
+              .toDF()
+          } else {
+            val reader = spark.readStream.schema(blockSchema)
+            maxFilesPerTrigger
+              .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+              .parquet(blocksDir)
+          }
         src.writeStream
           .trigger(trigger)
           .option("checkpointLocation", checkpointDir)
@@ -107,8 +123,14 @@ object ChainIngest {
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
         if (e.progress.id == query.id) telemetry.foreach(
+          // triggerExecution already ENCOMPASSES the other durationMs
+          // components (addBatch/getBatch/walCommit...); summing them
+          // double-counted the batch time ~2x (r08 review)
           _.recordStreamBatch(e.progress.batchId, e.progress.numInputRows,
-            e.progress.durationMs.asScala.values.map(_.toDouble).sum / 1e3))
+            e.progress.durationMs.asScala.get("triggerExecution")
+              .map(_.toDouble / 1e3)
+              .getOrElse(
+                e.progress.durationMs.asScala.values.map(_.toDouble).sum / 1e3)))
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == query.id) {

@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * stream length.
   */
 final case class BinPackState(nextBin: Long, binIds: Array[Long],
-    used: Array[Long])
+    used: Array[Long], hiTok: Long = Long.MaxValue,
+    hiDoc: Long = Long.MinValue)
 
 /** A document's slot in the packed output: bin `bin_id` of its shard,
   * starting at `bin_off`, never straddling a bin boundary.
@@ -36,6 +37,14 @@ final case class BinPlacement(doc_id: Long, shard: Long, bin_id: Long,
   * count descending, then doc_id) reproduces batch q77's placements
   * EXACTLY across any chunking of that order — StreamingBinPackSpec
   * pins the convergence.
+  *
+  * Replay contract (at-least-once sources — r08 review, the
+  * StreamingPack discipline): under the in-order delivery the
+  * convergence contract already assumes, a REDELIVERED document
+  * arrives with a (capped-tokens-desc, doc_id) scan key at or below
+  * its shard's high-water mark and is DROPPED — re-placing it would
+  * emit a second conflicting BinPlacement and double-consume bin
+  * capacity. Costs two longs of state per shard.
   */
 object StreamingBinPack {
 
@@ -51,16 +60,28 @@ object StreamingBinPack {
           val bins = new Selection.BestFitBins(st.nextBin,
             scala.collection.mutable.ArrayBuffer
               .from(st.binIds.zip(st.used)))
+          var hiTok = st.hiTok
+          var hiDoc = st.hiDoc
           val out = chunk.toSeq
             .sortBy(p => (-math.min(p.n_tok, budget), p.doc_id))
-            .map { p =>
+            .flatMap { p =>
               val n = math.min(p.n_tok, budget)
-              val (binId, off) = bins.place(n, budget)
-              BinPlacement(p.doc_id, shard, binId, off, n,
-                p.n_tok > budget)
+              // scan key (-n, doc_id): at or below the high-water mark
+              // = replayed under in-order delivery — drop, never
+              // re-place (hiTok stores the capped count, so the test
+              // is n > hiTok-is-ahead, i.e. key (-n, id) > (-hiTok, hiDoc))
+              if (n > hiTok || (n == hiTok && p.doc_id <= hiDoc)) None
+              else {
+                hiTok = n
+                hiDoc = p.doc_id
+                val (binId, off) = bins.place(n, budget)
+                Some(BinPlacement(p.doc_id, shard, binId, off, n,
+                  p.n_tok > budget))
+              }
             }
           state.update(BinPackState(bins.nextBin,
-            bins.open.map(_._1).toArray, bins.open.map(_._2).toArray))
+            bins.open.map(_._1).toArray, bins.open.map(_._2).toArray,
+            hiTok, hiDoc))
           out.iterator
       }
   }

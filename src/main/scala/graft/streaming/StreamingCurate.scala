@@ -191,12 +191,7 @@ object StreamingCurate {
     // otherwise NPEs the typed deserializer (f_qual Int) and the gram
     // kernel, crash-looping the query on checkpoint replay (r07
     // review). "" yields a deterministic quality-fail verdict instead.
-    docs.select(col("doc_id").cast("long"),
-        coalesce(col("text"), lit("")).as("text"),
-        Selection.qualityFail(coalesce(col("text"), lit("")))
-          .cast("int").as("f_qual"),
-        Dedup.normMd5(coalesce(col("text"), lit("")))
-          .as("norm_md5"))
+    docs.select(signalCols: _*)
       .as[(Long, String, Int, String)]
       .mapPartitions { it =>
         val ev = evalIdx.value
@@ -205,6 +200,20 @@ object StreamingCurate {
         }
       }
   }
+
+  /** The ONE spelling of the per-document signal projection (null-text
+    * defense + quality + norm digest) shared by [[signals]] and the
+    * event-time audit — two hand-copies previously risked the two
+    * audit surfaces silently forking on a defense/cast fix (r08
+    * review).
+    */
+  private def signalCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("doc_id").cast("long"),
+    coalesce(col("text"), lit("")).as("text"),
+    Selection.qualityFail(coalesce(col("text"), lit("")))
+      .cast("int").as("f_qual"),
+    Dedup.normMd5(coalesce(col("text"), lit("")))
+      .as("norm_md5"))
 
   private def baseBits(id: Long, text: String, fQual: Int,
       ev: EvalGramIndex): Int = {
@@ -297,13 +306,8 @@ object StreamingCurate {
     // watermark is null) and would NPE the stateful pass, crash-looping
     // on checkpoint replay (r07 review). Dropping it is the
     // watermark-consistent semantic; the batch re-audit is its record.
-    val sigs = docs.select(col("doc_id").cast("long"),
-        coalesce(col("text"), lit("")).as("text"),
-        Selection.qualityFail(coalesce(col("text"), lit("")))
-          .cast("int").as("f_qual"),
-        Dedup.normMd5(coalesce(col("text"), lit("")))
-          .as("norm_md5"),
-        col("event_time").cast("timestamp").as("event_time"))
+    val sigs = docs.select(signalCols :+
+        col("event_time").cast("timestamp").as("event_time"): _*)
       .filter(col("event_time").isNotNull)
       .as[(Long, String, Int, String, java.sql.Timestamp)]
       .mapPartitions { it =>

@@ -36,6 +36,15 @@ final case class MixVerdict(doc_id: Long, source: String,
   * per-document start offsets exactly, under ANY chunking —
   * StreamingMixSpec pins that convergence (which also pins the JVM
   * hash here against the engine's `hex12ToLong(md5(...))` spelling).
+  *
+  * Replay contract (at-least-once sources — r08 review, the
+  * StreamingPack discipline): under the in-order delivery the
+  * convergence contract already assumes, a REDELIVERED document
+  * arrives with a canonical (salt, h, doc_id) key at or below its
+  * source's high-water mark. Such rows are DROPPED — re-admitting one
+  * would advance the spent counter a second time and permanently
+  * shrink the admitted set vs q68. State stays bounded: the spent
+  * long plus the three-long high-water key per source.
   */
 object StreamingMix {
 
@@ -63,20 +72,29 @@ object StreamingMix {
       : Dataset[MixVerdict] = {
     import in.sparkSession.implicits._
     in.groupByKey(_.source)
-      .flatMapGroupsWithState[Long, MixVerdict](
+      .flatMapGroupsWithState[(Long, (Long, Long, Long)), MixVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (src, chunk, state) =>
-          var spent = state.getOption.getOrElse(0L)
+          var (spent, hi) = state.getOption
+            .getOrElse((0L, (Long.MinValue, Long.MinValue, Long.MinValue)))
           val budget = budgets.getOrElse(src, 0L)
           val md = java.security.MessageDigest.getInstance("MD5")
-          val out = chunk.toSeq
-            .sortBy(m => (mixKey(md, m.doc_id), m.doc_id)).map { m =>
-            val admit = spent < budget
-            val v = MixVerdict(m.doc_id, src, admit, spent)
-            if (admit) spent += m.n_tok
-            v
+          val keyed = chunk.toSeq
+            .map(m => (mixKey(md, m.doc_id), m))
+            .sortBy { case ((salt, h), m) => (salt, h, m.doc_id) }
+          val out = keyed.flatMap { case ((salt, h), m) =>
+            val key = (salt, h, m.doc_id)
+            if (Ordering[(Long, Long, Long)].lteq(key, hi))
+              None // replayed under in-order delivery
+            else {
+              hi = key
+              val admit = spent < budget
+              val v = MixVerdict(m.doc_id, src, admit, spent)
+              if (admit) spent += m.n_tok
+              Some(v)
+            }
           }
-          state.update(spent)
+          state.update((spent, hi))
           out.iterator
       }
   }

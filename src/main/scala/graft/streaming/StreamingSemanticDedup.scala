@@ -83,6 +83,14 @@ object StreamingSemanticDedup {
       .as[(Long, Array[Float])]
       .collect().toSeq.sortBy(_._1)
       .map { case (id, emb) => (id, emb, math.sqrt(dotD(emb, emb))) }
+    // an empty model would silently funnel EVERY vector into one
+    // pseudo-cluster (bestCid -1) and cross-compare unrelated vectors
+    // — verdicts batch q70 never produces. Fail fast instead (r08
+    // review): the caller pointed at the wrong relation or filtered
+    // the seed range away
+    require(cents.nonEmpty,
+      s"no centroid rows in [${Similarity.CentBase}, " +
+        s"${Similarity.CentBase + Similarity.NCent}) — wrong embeddings relation?")
     embeddings.sparkSession.sparkContext.broadcast(cents)
   }
 

@@ -93,4 +93,33 @@ class StreamingBinPackSpec extends SparkSpec {
         s"second batch did not continue the open bin: $rows")
     } finally q.stop()
   }
+
+  test("redelivered documents are dropped: placements survive at-least-once replay") {
+    // r08 review: re-placing a replayed doc emitted a second
+    // conflicting placement and double-consumed bin capacity
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[graft.streaming.PackInput]
+    val q = StreamingBinPack.placements(mem.toDS(), budget = 1000L)
+      .writeStream.format("memory").queryName("binpack_replay")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        graft.streaming.PackInput(7L, 500L, 0L),
+        graft.streaming.PackInput(9L, 400L, 0L))
+      mem.addData(rows.toIndexedSeq); q.processAllAvailable()
+      mem.addData(rows.toIndexedSeq); q.processAllAvailable() // replay
+      mem.addData(Seq(graft.streaming.PackInput(11L, 100L, 0L)))
+      q.processAllAvailable()
+      val got = sp.table("binpack_replay")
+        .as[graft.streaming.BinPlacement].collect().sortBy(_.doc_id)
+      assert(got.map(_.doc_id).toSeq == Seq(7L, 9L, 11L),
+        s"replay re-placed rows: ${got.toSeq}")
+      // capacity was not double-consumed: all three fit bin 0
+      assert(got.forall(_.bin_id == 0L), s"${got.toSeq}")
+      assert(got.map(p => p.doc_id -> p.bin_off).toMap ==
+        Map(7L -> 0L, 9L -> 500L, 11L -> 900L), s"${got.toSeq}")
+    } finally q.stop()
+  }
 }

@@ -64,17 +64,59 @@ class StreamingMixSpec extends SparkSpec {
     try {
       // 6 tokens admitted (spent 0), then 6 more in a later batch:
       // starts at spent=6 < 10 so admitted; a third doc starts at 12
-      // >= 10 and must be rejected — state, not a reset, decides
-      mem.addData(graft.streaming.MixInput(1L, "s", 6L))
-      q.processAllAvailable()
-      mem.addData(graft.streaming.MixInput(2L, "s", 6L))
-      q.processAllAvailable()
-      mem.addData(graft.streaming.MixInput(3L, "s", 1L))
-      q.processAllAvailable()
-      val rows = sp.table("mix_small")
-        .as[graft.streaming.MixVerdict].collect().sortBy(_.doc_id)
-      assert(rows.map(v => (v.admitted, v.spent_before)).toSeq ==
+      // >= 10 and must be rejected — state, not a reset, decides.
+      // Delivery follows the documented canonical (salt, h, doc_id)
+      // order (the replay guard keys on it — r08), so the token
+      // amounts 6/6/1 attach to the docs in THAT order.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val canonical = Seq(1L, 2L, 3L).sortBy(id =>
+        (graft.queries.Dedup.md5Prefix48(md, s"mix|$id") %
+          graft.queries.Dedup.MixSalts,
+          graft.queries.Dedup.md5Prefix48(md, s"mix|$id"), id))
+      val toks = Seq(6L, 6L, 1L)
+      canonical.zip(toks).foreach { case (id, n) =>
+        mem.addData(graft.streaming.MixInput(id, "s", n))
+        q.processAllAvailable()
+      }
+      val byDoc = sp.table("mix_small")
+        .as[graft.streaming.MixVerdict].collect()
+        .map(v => v.doc_id -> v).toMap
+      val rows = canonical.map(byDoc)
+      assert(rows.map(v => (v.admitted, v.spent_before)) ==
         Seq((true, 0L), (true, 6L), (false, 12L)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
+  test("redelivered documents are dropped: admission state survives at-least-once replay") {
+    // r08 review: re-admitting a replayed doc advanced the spent
+    // counter twice, permanently shrinking the admitted set vs q68
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[graft.streaming.MixInput]
+    val q = StreamingMix.verdicts(mem.toDS(), Map("web" -> 100L))
+      .writeStream.format("memory").queryName("mix_replay")
+      .outputMode("append").start()
+    try {
+      val docs = Seq(
+        graft.streaming.MixInput(1L, "web", 60L),
+        graft.streaming.MixInput(2L, "web", 30L))
+      val ordered = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        docs.sortBy(m =>
+          (graft.queries.Dedup.md5Prefix48(md, s"mix|${m.doc_id}") %
+            graft.queries.Dedup.MixSalts, m.doc_id))
+      }
+      mem.addData(ordered.toIndexedSeq); q.processAllAvailable()
+      // the at-least-once source redelivers the SAME rows
+      mem.addData(ordered.toIndexedSeq); q.processAllAvailable()
+      val got = sp.table("mix_replay")
+        .as[graft.streaming.MixVerdict].collect()
+      assert(got.length == 2, s"replay re-emitted verdicts: ${got.toSeq}")
+      assert(got.forall(_.admitted), s"${got.toSeq}")
+      assert(got.map(_.spent_before).sorted.toSeq == Seq(0L, 60L).sorted ||
+        got.map(_.spent_before).sorted.toSeq == Seq(0L, 30L).sorted,
+        s"spent advanced twice: ${got.toSeq}")
     } finally q.stop()
   }
 }
