@@ -249,9 +249,18 @@ object Events extends QueryModule {
     * PlanAuditSpec asserts the exchanges actually partition on the
     * salt.
     */
-  private val SaltR = 8
+  /** Salt replication derived from the session (never a literal core
+    * count — the Scratch.par discipline, r08 review): each hot key
+    * spreads over the actual reducer width, floored at 8 so the
+    * technique stays observable on tiny test sessions. The result is
+    * salt-invariant (the oracle joins unsalted).
+    */
+  private def saltR(s: SparkSession): Int =
+    math.max(8, s.conf.getOption("graft.par").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism))
 
   private def q52(s: SparkSession, d: String): DataFrame = {
+    val SaltR = saltR(s)
     val ev = Tables.events(s, d)
     // deterministic dim derived from the key itself (mirrored in SQL):
     // weight = len(event_type) / 10.0

@@ -336,8 +336,7 @@ object Relational extends QueryModule {
   private def q16(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val means = o.groupBy(col("o_custkey").as("mk"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
-        count(lit(1))).as("mean_price"))
+      .agg(davg(col("o_totalprice"), 2).as("mean_price"))
     o.join(means, o("o_custkey") === means("mk"))
       .filter(col("o_totalprice") > col("mean_price") * 1.5)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -411,9 +410,8 @@ object Relational extends QueryModule {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .agg((lit(100.0) *
-        sum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0))
-          .cast("decimal(18,4)")).cast("double") /
-        sum(rev.cast("decimal(18,4)")).cast("double")).as("promo_revenue_pct"))
+        dsum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0)), 4) /
+        dsum(rev, 4)).as("promo_revenue_pct"))
   }
 
   private val q19Sql =
@@ -490,8 +488,14 @@ object Relational extends QueryModule {
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val (to, tl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
       if (!done.contains(d)) {
+        // under the (process-keyed) scratch root: the cluster mode
+        // needs bucket files on SHARED storage, and the shutdown hook
+        // removes them with the rest of the scratch tree (r08 review —
+        // a driver-local java.io.tmpdir path is invisible to executors
+        // on a real cluster and accreted across JVM runs locally)
         val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-bucketed").toString
+          Scratch.scratchRoot(s), "graft-bucketed").toString
+        Scratch.installCleanup(Scratch.scratchRoot(s))
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority"))
           .write.mode("overwrite").format("parquet")
@@ -544,12 +548,15 @@ object Relational extends QueryModule {
     * stage, so only real matches ever leave it.
     */
   private def q90(s: SparkSession, d: String): DataFrame = {
-    val names = Tables.part(s, d)
+    // materialized: the distinct-name aggregate feeds BOTH sides of
+    // the self-join (static plans don't dedupe aliased subtrees — the
+    // q31/q45/q92 multi-leg discipline, r08 review)
+    val names = Scratch.materialize(Tables.part(s, d)
       .select(col("p_partkey").as("k"), lower(col("p_name")).as("n"))
       .groupBy(col("n"))
       .agg(count(lit(1)).as("members"), min(col("k")).as("canon"))
       .withColumn("blk_len", floor(length(col("n")) / 4))
-      .withColumn("blk_c", substring(col("n"), 1, 1))
+      .withColumn("blk_c", substring(col("n"), 1, 1)), "q90_names")
     val a = names.select(col("n").as("a_name"), col("members").as("a_members"),
       col("canon").as("a_canon"), col("blk_len"), col("blk_c"))
     val b = names.select(col("n").as("b_name"), col("members").as("b_members"),
@@ -772,13 +779,17 @@ object Relational extends QueryModule {
 
   private def q95(s: SparkSession, d: String): DataFrame = {
     val p = "graft_q95_"
-    Seq("customer", "orders", "lineitem", "nation").foreach(t =>
-      Tables.load(s, d, t).createOrReplaceTempView(p + t))
-    // spark.sql analyzes eagerly, so the views can drop immediately:
-    // the analyzed plan holds the resolved relations, and the session
-    // is left exactly as the caller had it
-    try s.sql(q95TextOn(p))
-    finally Seq("customer", "orders", "lineitem", "nation")
+    // view creation sits INSIDE the cleanup scope (r08 review): a
+    // table-load failure midway must not leak the views already
+    // registered — the "session left exactly as the caller had it"
+    // promise covers the failure path too. spark.sql analyzes eagerly,
+    // so the views can drop immediately: the analyzed plan holds the
+    // resolved relations.
+    try {
+      Seq("customer", "orders", "lineitem", "nation").foreach(t =>
+        Tables.load(s, d, t).createOrReplaceTempView(p + t))
+      s.sql(q95TextOn(p))
+    } finally Seq("customer", "orders", "lineitem", "nation")
       .foreach(t => s.catalog.dropTempView(p + t))
   }
 

@@ -24,11 +24,24 @@ object Scratch {
     * a deployment points `graft.scratch.dir` at durable shared storage
     * (HDFS/S3) — the cluster-scale requirement an executor-local
     * `.cache()` cannot meet.
+    *
+    * The root is PROCESS-keyed (r08 review): two JVMs sharing one
+    * durable scratch dir at different scale factors (driver verify at
+    * sf0.01 while a builder bench runs sf0.1 — orderings outside this
+    * repo's control) would otherwise overwrite each other's
+    * materialized parquet under the same fixed names (q45_v, pr_edges,
+    * ...) between a lazy result's write and its read — the q97 fixture
+    * race, for every materialize site at once. Each process works under
+    * its own subtree; the shutdown hook removes only that subtree.
     */
-  private def scratchRoot(df: DataFrame): String =
-    df.sparkSession.conf.getOption("graft.scratch.dir")
+  private[graft] def scratchRoot(spark: org.apache.spark.sql.SparkSession): String = {
+    val base = spark.conf.getOption("graft.scratch.dir")
       .getOrElse(Paths.get(System.getProperty("java.io.tmpdir"),
         "graft-scratch").toString)
+    Paths.get(base, s"pid-${ProcessHandle.current().pid()}").toString
+  }
+  private def scratchRoot(df: DataFrame): String =
+    scratchRoot(df.sparkSession)
 
   /** Best-effort recursive delete — ONE spelling of the walk/reverse/
     * delete idiom, shared by the scratch shutdown hook and callers
@@ -48,7 +61,7 @@ object Scratch {
 
   @volatile private var hookInstalled = false
 
-  private def installCleanup(root: String): Unit = synchronized {
+  private[graft] def installCleanup(root: String): Unit = synchronized {
     if (!hookInstalled) {
       hookInstalled = true
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
