@@ -83,9 +83,13 @@ object Selection extends QueryModule {
     * assert the SEMANTICS (target-like documents actually get selected),
     * which the value-hash oracle cannot see.
     */
-  private[graft] def dsirSelect(docs: DataFrame, selectN: Int)
-      : DataFrame = {
-    val occ = Scratch.materialize(dsirOcc(docs), "q74_occ")
+  private[graft] def dsirSelect(docs: DataFrame, selectN: Int,
+      tag: String = "q74"): DataFrame = {
+    // caller-keyed scratch (r08 review, the CC discipline): the kernel
+    // is exposed for spec-driven corpora, and a second invocation on a
+    // different input must not overwrite an unconsumed earlier
+    // result's occ/model parquet in durable-scratch mode
+    val occ = Scratch.materialize(dsirOcc(docs), s"${tag}_occ")
     // the 256-row model is materialized so `tot` and the broadcast join
     // both read ONE aggregation of occ, not three (tot and the join leg
     // would otherwise each re-run the corpus-scale groupBy)
@@ -95,7 +99,7 @@ object Selection extends QueryModule {
           .as("t"),
         sum(when(col("doc_id") % 10 =!= DsirTargetMod, 1L).otherwise(0L))
           .as("r")),
-      "q74_model")
+      s"${tag}_model")
     val tot = model.agg(sum(col("t")).as("tt"), sum(col("r")).as("rt"))
     occ.filter(col("doc_id") % 10 =!= DsirTargetMod)
       .join(broadcast(model), Seq("b"))
@@ -212,7 +216,7 @@ object Selection extends QueryModule {
     // ONE corpus word-frequency pass feeds both merge training and the
     // encoder's vocabulary (the scratch pin below)
     val vocab = Scratch.materialize(TextAnalysis.bpeVocab(s, d), "q75_vocab")
-    val rank = TextAnalysis.bpeRank(vocab)
+    val rank = ModelCache.getOrCompute("bpe", d)(TextAnalysis.bpeRank(vocab))
     val ids = tokenIds(rank)
     val wordIds = vocab.as[(String, Long)]
       .map { case (w, _) =>
@@ -639,9 +643,12 @@ object Selection extends QueryModule {
     val norm = docs.select(col("doc_id"),
       Dedup.normMd5(col("text"))
         .as("norm_md5"))
+    // one pass over the normalization chain via a window — the
+    // oracle's own MIN OVER (PARTITION BY norm_md5) shape; the old
+    // self-join evaluated the regex+md5 chain once per leg (r08)
     val fExact = norm
-      .join(norm.groupBy(col("norm_md5")).agg(min(col("doc_id")).as("keeper")),
-        "norm_md5")
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("norm_md5"))))
       .select(col("doc_id"),
         (col("doc_id") =!= col("keeper")).cast("int").as("f_exact"))
     val ev = Dedup.ngramEntries(
@@ -676,14 +683,8 @@ object Selection extends QueryModule {
   private val q79Sql =
     s"""WITH ${Similarity.semanticSqlCtes},
        |fq AS (
-       |  SELECT doc_id, CAST(NOT (
-       |    LENGTH(text) >= 100
-       |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-       |      / GREATEST(LENGTH(text), 1) < 0.1
-       |    AND CAST(len(regexp_extract_all(text,
-       |        '\\b(the|a|an|of|and|to|in|is|it|that)\\b')) AS DOUBLE)
-       |      / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1)
-       |      > 0.01) AS INTEGER) AS f_qual
+       |  SELECT doc_id, CAST(NOT (${TextAnalysis.qualityOkSql("text")}
+       |    ) AS INTEGER) AS f_qual
        |  FROM documents),
        |nrm AS (
        |  SELECT doc_id,
@@ -785,7 +786,11 @@ object Selection extends QueryModule {
     * hash even though the slot assignment itself is unoracleable.
     */
   private def q87(s: SparkSession, d: String): DataFrame = {
-    val packed = bestFitPack(Dedup.packToks(Tables.documents(s, d)))
+    // materialized: the adjacency leg and the per-shard doc-count leg
+    // otherwise both re-run the tokenize + sort + greedy scan (the
+    // multi-leg discipline — r08 review)
+    val packed = Scratch.materialize(
+      bestFitPack(Dedup.packToks(Tables.documents(s, d))), "q87_packed")
     val budget = Dedup.PackBudget
     // per-bin contiguity via ADJACENCY, not endpoints: min_off==0 &&
     // max_end==fill would pass a bin whose overlap is compensated by an

@@ -31,6 +31,16 @@ object TextAnalysis extends QueryModule {
   // composed front half). A tuned threshold must move ALL of them
   // together; hand-copies previously risked a silent fork between the
   // composed pipelines and the verdict they cite (r07 review).
+  //
+  // KNOWN cross-engine edge (r08 review, the normMd5/wordsCol
+  // discipline): \s and \w differ between Spark (Java regex — \s
+  // includes U+000B vertical tab) and DuckDB's RE2 (\s is exactly
+  // [\t\n\f\r ]). Every shared class here and every \S+ tokenizer in
+  // this file inherits the edge: a corpus row containing U+000B would
+  // tokenize differently across the gate. The synthetic corpus emits
+  // none; a deployment ingesting arbitrary bytes should normalize
+  // control characters upstream (the DocIngest front door is the
+  // place) before trusting cross-engine hash parity.
   private[graft] val QualityPunctRe = "[^\\w\\s]"
   private[graft] val QualityWordRe = "[A-Za-z]+"
   private[graft] val QualityStopRe = "\\b(the|a|an|of|and|to|in|is|it|that)\\b"
@@ -101,18 +111,14 @@ object TextAnalysis extends QueryModule {
 
   private val q21Sql =
     s"""SELECT doc_id, LENGTH(text) AS len,
-       |  ${rxCountSql("text", "[A-Za-z]+")} AS n_words,
-       |  ${rxCountSql("text", "[^\\w\\s]")} AS n_punct,
-       |  ${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS n_stop,
-       |  CAST(${rxCountSql("text", "[^\\w\\s]")} AS DOUBLE)
+       |  ${rxCountSql("text", QualityWordRe)} AS n_words,
+       |  ${rxCountSql("text", QualityPunctRe)} AS n_punct,
+       |  ${rxCountSql("text", QualityStopRe)} AS n_stop,
+       |  CAST(${rxCountSql("text", QualityPunctRe)} AS DOUBLE)
        |    / GREATEST(LENGTH(text), 1) AS punct_ratio,
-       |  CAST(${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS DOUBLE)
-       |    / GREATEST(${rxCountSql("text", "[A-Za-z]+")}, 1) AS stop_ratio,
-       |  LENGTH(text) >= 100
-       |    AND CAST(${rxCountSql("text", "[^\\w\\s]")} AS DOUBLE)
-       |      / GREATEST(LENGTH(text), 1) < 0.1
-       |    AND CAST(${rxCountSql("text", "\\b(the|a|an|of|and|to|in|is|it|that)\\b")} AS DOUBLE)
-       |      / GREATEST(${rxCountSql("text", "[A-Za-z]+")}, 1) > 0.01 AS quality_ok
+       |  CAST(${rxCountSql("text", QualityStopRe)} AS DOUBLE)
+       |    / GREATEST(${rxCountSql("text", QualityWordRe)}, 1) AS stop_ratio,
+       |  ${qualityOkSql("text")} AS quality_ok
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Language-ID by stopword-profile hit counts, argmax with a fixed
@@ -468,13 +474,12 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_uniq"))
-    val bigrams = Tables.documents(s, d)
-      .select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"),
-        explode(when(size(col("ws")) >= 2,
-          transform(sequence(lit(1), size(col("ws")) - 1), i =>
-            concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+    // adjacent pairs via the shared plain-JVM extractor (same \S+
+    // class): the transform(sequence, element_at) lambda spelling is
+    // CodegenFallback-interpreted — the q24 lesson measured it 3.5x
+    // slower — and duplicated what bigramEntries already does (r08)
+    val bigrams = bigramEntries(Tables.documents(s, d))
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("g"))
     val bg = bigrams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -843,8 +848,15 @@ object TextAnalysis extends QueryModule {
 
   private def q66(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    bpeTrainOn(bpeVocab(s, d), BpeMerges)
-      .zipWithIndex
+    // TRAINING entry: always retrain, refresh the shared rank map so
+    // the encode consumers (q71/q75) reuse THIS training instead of
+    // re-running the 16 merge rounds — the ModelCache discipline the
+    // classifier/k-means families already follow (r08 review: BPE
+    // trained three times per catalog pass)
+    val merges = bpeTrainOn(bpeVocab(s, d), BpeMerges)
+    ModelCache.put("bpe", d,
+      merges.zipWithIndex.map { case ((l, r, _), i) => (l, r) -> i }.toMap)
+    merges.zipWithIndex
       .map { case ((l, r, pf), i) => (i + 1, l, r, pf) }
       .toDF("rank", "left", "right", "pair_freq")
   }
@@ -1134,7 +1146,14 @@ object TextAnalysis extends QueryModule {
   }
 
   private def q73(s: SparkSession, d: String): DataFrame = {
-    val (scored, _) = clsScored(s, d)
+    val (scored0, _) = clsScored(s, d)
+    // materialized (the q86 discipline — r08 review): clsBestThr's
+    // probe and the returned relation otherwise EXECUTE the scoring
+    // plan twice, and a per-doc double margin summed in two
+    // independently-ordered executions could round differently at a
+    // 4-dp boundary, making `predicted` inconsistent with the
+    // collected threshold within one run
+    val scored = Scratch.materialize(scored0, "q73_scored")
     val thr = clsBestThr(scored)
     scored
       .select(col("doc_id"), col("y").cast("boolean").as("label"),
@@ -1162,7 +1181,7 @@ object TextAnalysis extends QueryModule {
     // one corpus word-frequency pass feeds training AND the encoder
     // table (the q75 fix applied here too)
     val vocab = Scratch.materialize(bpeVocab(s, d), "q71_vocab")
-    val rank = bpeRank(vocab)
+    val rank = ModelCache.getOrCompute("bpe", d)(bpeRank(vocab))
     val wordToks = vocab.as[(String, Long)]
       .map { case (w, _) => (w, bpeEncode(w, rank).length.toLong) }
       .toDF("w", "n_bpe")
