@@ -129,9 +129,13 @@ object Multimodal {
     // All row arithmetic in Long: a 54-byte header can CLAIM any width,
     // and ((3*width+3)/4)*4 overflows Int near width ~715M, which made
     // the bounds check pass on garbage and the pixel reads throw.
+    // non-24bpp forms (32bpp, palettes): return None so decodeAny's
+    // ImageIO fallback produces REAL pixels — a successful-but-
+    // thumbless return here made the fallback unreachable and those
+    // images silently unfingerprintable (r08 review)
+    if (bpp != 24) return None
     val thumb: Option[Array[Double]] =
-      if (bpp != 24) None
-      else {
+      {
         val rowSize = ((3L * width + 3) / 4) * 4
         if (pixelOff + rowSize * height > b.length) None
         else Some((for (ty <- 0 until 4; tx <- 0 until 4) yield {
@@ -161,7 +165,9 @@ object Multimodal {
     var dataOff, dataLen = -1
     while (off + 8 <= b.length) {
       val id = tag(off); val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      // Long arithmetic: a crafted size near Int.MaxValue overflows the
+      // Int sum negative and slips past the guard (r08 review)
+      if (size < 0 || off + 8L + size > b.length) return None
       if (id == "fmt " && size >= 16) {
         sampleRate = le32(b, off + 12); byteRate = le32(b, off + 16)
         bits = le16(b, off + 22)
@@ -256,7 +262,12 @@ object Multimodal {
     try {
       while (produced < filtered.length && !inf.finished()) {
         val n = inf.inflate(filtered, produced, filtered.length - produced)
-        if (n == 0 && inf.needsInput()) return headerOnly // truncated
+        // n == 0 without finishing means the stream cannot progress:
+        // truncated input, an FDICT preset-dictionary demand, or any
+        // other stall — ALL must exit, or a crafted zlib header spins
+        // this loop forever at 100% CPU (r08 review; the CBOR skipItem
+        // remote-DoS class)
+        if (n == 0) return headerOnly
         produced += n
       }
     } catch {
@@ -504,6 +515,11 @@ object Multimodal {
   private def decodeAny(r: MediaRow): MediaFeatures = {
     def safe(f: MediaRow => Option[MediaFeatures]): Option[MediaFeatures] =
       scala.util.Try(f(r)).toOption.flatten
+    // a NULL payload (poison row — the r07 streaming class) degrades to
+    // the zero-length stub instead of NPEing the task outside every
+    // fence (r08 review: one corrupt blob must cost one row)
+    if (r.payload == null)
+      return MediaFeatures(r.doc_id, r.mime, 0L, "", Array.fill(8)(0.0))
     (r.mime match {
       case "image/bmp" => safe(decodeBmp).orElse(safe(decodeImageIO))
       case "image/png" => safe(decodePng) // falls back to ImageIO inside
@@ -548,9 +564,14 @@ object Multimodal {
     */
   def imageDedupPairs(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    val fps = extractFeatures(media)
-      .flatMap(f => contentFingerprint(f).map(fp => (f.doc_id, fp)))
-      .toDF("doc_id", "fingerprint")
+    // materialized: both self-join sides read ONE decode pass — the
+    // full inflate/ImageIO pipeline is the dominant cost and ran twice
+    // (r08 review); the fingerprint relation is ~16 bytes/image
+    val fps = graft.queries.Scratch.materialize(
+      extractFeatures(media)
+        .flatMap(f => contentFingerprint(f).map(fp => (f.doc_id, fp)))
+        .toDF("doc_id", "fingerprint"),
+      "mm_fps")
     fps.as("a").join(fps.as("b"),
         col("a.fingerprint") === col("b.fingerprint") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -563,11 +584,32 @@ object Multimodal {
     * partition, so decode memory is bounded regardless of row-size skew.
     */
   def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
-    // sum() over zero rows is NULL — an empty relation repartitions to 1
-    val total = Option(media.agg(sum(octet_length(col("payload"))))
-      .head().get(0)).fold(0L)(_.asInstanceOf[Number].longValue())
-    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    media.repartition(parts)
+    // TWO-TIER assignment (r08 review): plain repartition(parts) deals
+    // rows out by COUNT, so one 10 GB blob drags its count-share of
+    // small rows into the same partition and the stated bytes-bound
+    // breaks under row-size skew. Rows at or above targetBytes are
+    // split off and spread by id (a single giant row owning its
+    // partition is the irreducible case); the small tier is
+    // count-balanced against ITS OWN byte total, where row sizes are
+    // bounded by targetBytes and the average-based count is a real
+    // bytes bound (≤ 2x target per partition).
+    val sz = octet_length(col("payload")).cast("long")
+    val Seq((smallTotal, nBig)) = {
+      import media.sparkSession.implicits._
+      media.agg(
+        sum(when(sz < targetBytes, sz).otherwise(lit(0L))),
+        sum(when(sz >= targetBytes, 1L).otherwise(lit(0L))))
+        .as[(Option[Long], Option[Long])].collect().toSeq
+        .map { case (s, b) => (s.getOrElse(0L), b.getOrElse(0L)) }
+    }
+    val smallParts = math.max(1,
+      math.ceil(smallTotal.toDouble / targetBytes).toInt)
+    val small = media.filter(sz < targetBytes || sz.isNull)
+      .repartition(smallParts)
+    if (nBig == 0) small
+    else small.unionByName(
+      media.filter(sz >= targetBytes)
+        .repartition(math.max(1, nBig).toInt, col("doc_id")))
   }
 
   /** End-to-end pipeline as a catalog query (oracle-able columns only —

@@ -26,17 +26,21 @@ object Media extends QueryModule {
     */
   private def q51(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.attachPayload(Tables.documents(s, d))
-    val hexp = hex(col("payload"))
     val nFrames = (octet_length(col("payload")) / FrameBytes).cast("long")
+    // frames slice the BINARY payload; only the 256-byte frame is ever
+    // hexed (r08 review: hexing the whole payload built a 2x-size
+    // string per row — past ~1 GiB that hits Spark's 2 GiB value limit
+    // and dies, and byte-exact framing never needed it; hex(frame
+    // bytes) ≡ the old hex-string slice, so values are unchanged)
     media
-      .select(col("doc_id"), nFrames.as("n_frames"), hexp.as("hx"))
+      .select(col("doc_id"), nFrames.as("n_frames"), col("payload"))
       .filter(col("n_frames") > 0)
-      .select(col("doc_id"), col("n_frames"), col("hx"),
+      .select(col("doc_id"), col("n_frames"), col("payload"),
         explode(sequence(lit(0L), col("n_frames") - 1L,
           lit(FrameStride.toLong))).as("frame_idx"))
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-        md5(expr(s"substring(hx, frame_idx * ${2 * FrameBytes} + 1, " +
-          s"${2 * FrameBytes})")).as("frame_md5"))
+        md5(hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, " +
+          s"$FrameBytes)"))).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 

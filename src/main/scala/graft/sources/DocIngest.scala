@@ -47,16 +47,22 @@ object DocIngest {
     col("p").isNotNull &&
       col("p.doc_id").isNotNull && col("p.text").isNotNull
 
+  // the ONE spelling of the parsed-document projection (defaults
+  // included) — shared by `docs` and `writeSplit` so the two output
+  // surfaces cannot silently drift on a default/derivation change
+  // (r08 review)
+  private val docCols = Seq(
+    col("p.doc_id").as("doc_id"), col("p.text").as("text"),
+    coalesce(col("p.lang"), lit("und")).as("lang"),
+    coalesce(col("p.source"), lit("unknown")).as("source"),
+    coalesce(col("p.n_chars"), length(col("p.text")).cast("long"))
+      .as("n_chars"))
+
   final class Ingested private[DocIngest] (raw: DataFrame) {
 
     /** Schema-conforming rows with defaults derived. */
     def docs: DataFrame =
-      raw.filter(okCond)
-        .select(col("p.doc_id").as("doc_id"), col("p.text").as("text"),
-          coalesce(col("p.lang"), lit("und")).as("lang"),
-          coalesce(col("p.source"), lit("unknown")).as("source"),
-          coalesce(col("p.n_chars"), length(col("p.text")).cast("long"))
-            .as("n_chars"))
+      raw.filter(okCond).select(docCols: _*)
 
     /** Rejected rows — ALWAYS the verbatim input line. */
     def quarantine: DataFrame =
@@ -69,15 +75,9 @@ object DocIngest {
       * (verbatim line + file) under `_ok=false`, one job, one read.
       */
     def writeSplit(outDir: String): Unit =
-      raw.select(
-        okCond.as("_ok"),
-        col("p.doc_id").as("doc_id"), col("p.text").as("text"),
-        coalesce(col("p.lang"), lit("und")).as("lang"),
-        coalesce(col("p.source"), lit("unknown")).as("source"),
-        coalesce(col("p.n_chars"), length(col("p.text")).cast("long"))
-          .as("n_chars"),
-        when(!okCond, col("value")).as("line"),
-        when(!okCond, col("_file")).as("file"))
+      raw.select(okCond.as("_ok") +: docCols :+
+          when(!okCond, col("value")).as("line") :+
+          when(!okCond, col("_file")).as("file"): _*)
         .write.mode("overwrite").partitionBy("_ok").parquet(outDir)
   }
 
