@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, min}
+import org.apache.spark.sql.functions.{col, first, min}
 import scala.collection.mutable
 
 /** Dependency-graph batch runner — the Spark re-expression of the
@@ -40,6 +40,16 @@ final case class DependentAhead(dependent: String, parent: String,
 final case class BothInitial(dependent: String, parent: String)
     extends StartDiag
 
+object GraphRunner {
+  /** Hashes that are ENGINE sentinels, not chain positions — never
+    * persisted into a checkpoint window (a fake-hash point would later
+    * be offered as an intersection candidate and can never match a
+    * block, hard-failing the next sync — the r08 Rewind finding).
+    */
+  private[core] val SentinelHashes =
+    Set("resume", "rebuild", "origin", "rewind")
+}
+
 final class GraphRunner(
     val spark: SparkSession,
     val store: Store,
@@ -70,6 +80,15 @@ final class GraphRunner(
         s"$t (declared by ${owners.map(_._2).mkString(", ")})"
     }
     require(dups.isEmpty, s"duplicate table names: ${dups.mkString("; ")}")
+    // the graft_ prefix is RESERVED for engine metadata: the JDBC
+    // backend seeds its user-table registry by filtering it out on
+    // restart, so a user table named graft_* would silently drop out
+    // of rollback/cleanup there (r08 review) — reject loudly instead
+    val reserved = reducers.flatMap(_.tables.map(_.name))
+      .filter(_.startsWith("graft_"))
+    require(reserved.isEmpty,
+      s"table names may not start with the reserved prefix graft_: " +
+        reserved.mkString("; "))
   }
 
   private val byName = reducers.map(r => r.name -> r).toMap
@@ -278,11 +297,17 @@ final class GraphRunner(
   def flush(blocksDf: DataFrame): Unit = {
     val cached = blocksDf.cache()
     try {
+      // distinct-by-slot BEFORE the limit (r08 review): a micro-batch
+      // carrying a duplicate-slot row (at-least-once file delivery)
+      // would otherwise spend window slots on duplicates and persist a
+      // shallower-than-10 resume window — a modest reorg could then
+      // roll past every saved intersection
       val top = cached.select(col("hash"), col("slot"))
+        .groupBy(col("slot")).agg(first(col("hash")).as("hash"))
         .orderBy(col("slot").desc)
         .limit(CheckpointWindow.DefaultMaxCount)
         .collect()
-        .map(r => Point(r.getString(0), r.getLong(1))).toSeq
+        .map(r => Point(r.getString(1), r.getLong(0))).toSeq
       if (top.nonEmpty) {
         val lo = cached.agg(min(col("slot"))).head().getLong(0)
         flushImpl(cached, CheckpointWindow.normalize(top), lo)
@@ -465,7 +490,7 @@ final class GraphRunner(
     // emptied window there is handled by reconcileStartup's
     // data-without-checkpoints rebuild.
     val keepPoint = mode == Exclusive && point.slot >= 0 &&
-      !Seq("resume", "rebuild", "origin").contains(point.hash)
+      !GraphRunner.SentinelHashes.contains(point.hash)
     val newCps = reducers.map { r =>
       val prior = pendingPoints.getOrElse(r.name,
         stored.getOrElse(r.name, Seq.empty))
@@ -533,8 +558,29 @@ final class GraphRunner(
     val safe = latestCheckpointSlot
     val tip = maxCheckpointSlot
     if (tip >= 0) {
-      if (safe >= 0) applyRollback(Point("resume", safe), Exclusive,
-        guarded = false)
+      if (safe >= 0) {
+        // roll back to the REAL chain point at the safe slot whenever
+        // one is known (r08 review): the "resume" sentinel is never
+        // persisted, so when the min-across-graph gap exceeds a
+        // veteran's ~10-slot window depth (a newly registered root with
+        // a configured start far behind the veterans), the sentinel
+        // form EMPTIED those windows while their tables kept rows at
+        // or below the safe slot — latestCheckpointSlot then fell back
+        // below the data frontier and the next resume replayed the
+        // retained prefix from genesis ON TOP of it. The reducer that
+        // DEFINES the safe slot always has its Point (stored window or
+        // configured start), and that point is on-chain — rolling back
+        // to IT lets the Exclusive keep-the-survivor rule anchor every
+        // window at the true data frontier.
+        val cps = store.checkpoints
+        val safePoint = reducers.iterator.map { r =>
+          CheckpointWindow.latest(cps.getOrElse(r.name, Seq.empty))
+            .getOrElse(startPoints(r.name))
+        }.find(p => p.slot == safe &&
+          !GraphRunner.SentinelHashes.contains(p.hash))
+        applyRollback(safePoint.getOrElse(Point("resume", safe)),
+          Exclusive, guarded = false)
+      }
       else applyRollback(Point("rebuild", 0L), Inclusive, guarded = false)
     } else if (store.batchId >= 0) {
       // SECOND line of defense: committed data with ZERO checkpoint

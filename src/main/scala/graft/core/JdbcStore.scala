@@ -153,15 +153,9 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
 
   private def registerSlotCol(table: String, slotCol: String): Unit =
     if (!registeredCols.contains(table)) {
-      withConn { c =>
-        val ps = c.prepareStatement(
-          s"INSERT INTO ${q("graft_tables")} VALUES (?, ?)")
-        try { ps.setString(1, table); ps.setString(2, slotCol); ps.executeUpdate() }
-        // swallow ONLY duplicate-key (already registered); any other
-        // failure must surface AND stay uncached so the next call retries
-        catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
-        finally ps.close()
-      }
+      // ONE spelling of the INSERT + duplicate-key-swallow (r08
+      // review): the driver-commit and standalone paths must not drift
+      withConn(c => registerSlotColIn(c, table, slotCol))
       registeredCols += table -> slotCol
     }
 
@@ -197,15 +191,27 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       e
     }
 
-  def batchId: Long = withConn { c =>
-    val st = c.createStatement()
-    try {
-      val rs = st.executeQuery(
-        s"SELECT MAX(batch_id) FROM ${q("graft_commits")}")
-      rs.next()
-      val v = rs.getLong(1)
-      if (rs.wasNull()) -1L else v
-    } finally st.close()
+  // the committed id can only move at this single-writer store's own
+  // commit/rollback (T13), yet every state read re-probed it — and
+  // graft_commits grows one row per batch forever, so the probe was a
+  // repeated index walk on the hot path (r08 review). Cached between
+  // our own state changes; invalidated, not updated, so a reopen or a
+  // first read always sees the database's truth.
+  @volatile private var cachedBatchId: Option[Long] = None
+
+  def batchId: Long = cachedBatchId.getOrElse {
+    val v = withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MAX(batch_id) FROM ${q("graft_commits")}")
+        rs.next()
+        val got = rs.getLong(1)
+        if (rs.wasNull()) -1L else got
+      } finally st.close()
+    }
+    cachedBatchId = Some(v)
+    v
   }
 
   def checkpoints: Map[String, Seq[Point]] = withConn { c =>
@@ -525,6 +531,18 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           lastCompactionBufferedRows += rows.size()
           val survivors =
             comp.run(spark.createDataFrame(rows, withBatch)).collect()
+          // CROSS-BACKEND CONTRACT (r08 review): on this backend the
+          // custom fn receives — and must PRESERVE — the trailing
+          // _batch column (survivor rows reinsert positionally with
+          // their batch provenance). A fn that projects it away (legal
+          // on the segment store, which passes the bare declared
+          // schema) would previously corrupt positional reads; fail
+          // loudly with the contract instead.
+          survivors.headOption.foreach(rw => require(
+            rw.length == comp.schema.fields.length + 1,
+            s"Compaction.Custom on $table must preserve the _batch " +
+              s"column on the JDBC backend: got ${rw.length} columns, " +
+              s"expected ${comp.schema.fields.length + 1}"))
           if (survivors.length < rows.size()) {
             val st = c.createStatement()
             try st.executeUpdate(s"DELETE FROM ${q(table)}")
@@ -620,6 +638,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
             s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")
           finally st.close()
           c.commit() // the atomic point — data + state + marker together
+          cachedBatchId = None // the committed id just moved
         } catch {
           case e: Throwable =>
             c.rollback()
@@ -700,6 +719,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         st.executeUpdate(
           s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")
         c.commit()
+        cachedBatchId = None // the committed id just moved
       } catch { case e: Throwable => c.rollback(); throw e }
       finally st.close()
     }
@@ -736,6 +756,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         writeCheckpoints(c, checkpoints)
         st.executeUpdate(s"INSERT INTO ${q("graft_commits")} VALUES ($next)")
         c.commit()
+        cachedBatchId = None // the committed id just moved
       } catch { case e: Throwable => c.rollback(); throw e }
       finally st.close()
     }

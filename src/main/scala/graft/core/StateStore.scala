@@ -321,10 +321,19 @@ final class StateStore(val root: String, spark: SparkSession,
     // bulk. The merged segment enters the same manifest swap, so
     // compaction is atomic with the commit and replay-safe.
     val keepRecent = math.max(2, maxSegments / 2)
+    // every oversized table compacts, appended THIS batch or not (r08
+    // review): a reducer may legally skip a declared table in a quiet
+    // batch, and gating on `appends` let such a table's segment list —
+    // and its compactWith-prunable dead rows — grow without bound
+    // while the JDBC backend kept compacting it. The slot column comes
+    // from this batch's append when present, else the persisted
+    // manifest registry.
     val toCompact = tables.toSeq.flatMap { case (table, segs) =>
-      appends.get(table).map(_._2) match {
-        case Some(slotCol) if segs.size > maxSegments =>
-          Some((table, segs, slotCol))
+      val slotCol = appends.get(table).map(_._2)
+        .orElse(m.slotCols.get(table))
+      slotCol match {
+        case Some(sc) if segs.size > maxSegments =>
+          Some((table, segs, sc))
         case _ => None
       }
     }

@@ -255,4 +255,58 @@ class BoundedStateSpec extends SparkSpec {
     val q3 = ChainIngest.start(spark, blocksDir, tmpDir("lock-cp3"), mkRunner())
     q3.awaitTermination(120000)
   }
+
+  test("a far-behind configured ROOT does not empty veteran windows: no genesis replay over retained rows") {
+    // r08 review: the min-across-graph resume used the "resume"
+    // sentinel, which is never persisted — when the newcomer's
+    // configured start sat BELOW the veterans' ~10-slot window depth,
+    // the rollback emptied those windows, latestCheckpointSlot fell
+    // back to -1, and resume replayed the retained prefix from genesis
+    // ON TOP of it. The fix rolls back to the REAL point defining the
+    // safe slot, which the Exclusive keep-the-survivor rule then
+    // anchors in every window.
+    val blocks = ChainGen.generate(40, seed = 9L)
+    val root = tmpDir("farstart")
+    val store1 = new StateStore(root, spark)
+    new GraphRunner(spark, store1, Seq(new BlockSummaryReducer), batchSize = 5)
+      .processEvents(blocks.map(RollForward.apply))
+
+    val cutIdx = 10 // far below the veteran's window floor (newest ~10 of 40)
+    val cut = blocks(cutIdx)
+    val store2 = new StateStore(root, spark)
+    val rs = Seq(new BlockSummaryReducer,
+      new WalletUtxoReducer(ChainGen.Watched))
+    val runner2 = new GraphRunner(spark, store2, rs, batchSize = 5,
+      configuredStarts = Map("wallet_utxo" -> Point(cut.hash, cut.slot)))
+    runner2.resume(blocks.map(RollForward.apply))
+    // veteran prefix NOT duplicated: exactly one row per block
+    assert(store2.read("blocks", rs.head.tables.head.schema).count()
+      == blocks.size, "veteran rows duplicated by a genesis replay")
+    // and the safe point that anchored the windows is a REAL chain point
+    assert(store2.checkpoints.values.flatten
+      .forall(p => p.hash != "resume" && p.hash != "rewind"))
+  }
+
+  test("a deep operator rewind persists NO fake-hash point; the store rebuilds cleanly") {
+    // r08 review: Point("rewind", slot) was not on the sentinel list,
+    // so a deep rewind persisted a fake-hash point that the next
+    // chain-sync would offer as its only intersection candidate — and
+    // no server can ever match it
+    val blocks = ChainGen.generate(20, seed = 11L)
+    val root = tmpDir("rewindsent")
+    val store = new StateStore(root, spark)
+    val r1 = new GraphRunner(spark, store,
+      Seq(new BlockSummaryReducer), batchSize = 5)
+    r1.processEvents(blocks.map(RollForward.apply))
+    r1.forceRollback(Point("rewind", blocks(2).slot), Exclusive)
+    assert(store.checkpoints.values.flatten.forall(_.hash != "rewind"),
+      "the rewind sentinel must never be persisted")
+    // restart converges: empty windows + retained data -> clean rebuild
+    val store2 = new StateStore(root, spark)
+    val r2 = new GraphRunner(spark, store2,
+      Seq(new BlockSummaryReducer), batchSize = 5)
+    r2.resume(blocks.map(RollForward.apply))
+    assert(store2.read("blocks",
+      new BlockSummaryReducer().tables.head.schema).count() == blocks.size)
+  }
 }
