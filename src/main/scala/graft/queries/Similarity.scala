@@ -1172,7 +1172,14 @@ object Similarity extends QueryModule {
       .orderBy(col("fused_rank")) // explicit total order (Conventions)
   }
 
-  private val q94Sql =
+  // lazy (the q99Sql discipline): this val interpolates ANOTHER
+  // OBJECT's val, and the eager-init graph is cyclic — TextAnalysis
+  // touches Dedup.PackTokRe, Dedup's q34Sql touches this object
+  // (dotSql, r08), and an eager read here then sees TextAnalysis
+  // MID-init with bm25SqlCtes still null, baking "WITH null," into
+  // the oracle (caught by the full gate the same day it was
+  // introduced)
+  private lazy val q94Sql =
     s"""WITH ${TextAnalysis.bm25SqlCtes},
        |lex AS (
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
