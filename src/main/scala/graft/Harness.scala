@@ -17,19 +17,26 @@ object Harness {
     * its uncollected garbage. blocking=true: async removal would
     * overlap the next timed rep.
     */
-  def settle(spark: SparkSession): Unit = {
+  def settle(spark: SparkSession, blocking: Boolean = true): Unit = {
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+      .foreach(_.unpersist(blocking = blocking))
     spark.catalog.clearCache()
-    System.gc()
+    // gc only for the TIMED harnesses (blocking mode): an untimed tool
+    // like Verify wants the cheap non-blocking release, not a full gc
+    // per entry (r08 review made this the one spelling Verify uses too)
+    if (blocking) System.gc()
   }
 
   /** SPARK_GRAFT_ONLY=q31,q37 restricts to matching name prefixes
     * (local iteration); unset = everything.
     */
   def onlyFilter(names: Seq[String]): Seq[String] = {
+    // an EMPTY value (wrapper scripts exporting SPARK_GRAFT_ONLY="$X"
+    // with X unset) means "no filter", not "zero queries" — a silent
+    // empty selection would zero a round's bench/correctness (r08)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     names.filter(n => only.forall(_.exists(n.startsWith)))
   }
 }

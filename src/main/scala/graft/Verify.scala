@@ -27,10 +27,10 @@ object Verify {
       } finally {
         // release localCheckpoint-pinned scratch RDDs alongside cached
         // relations — 79 queries in one session otherwise accumulate
-        // every materialized subtree in the block manager (see Bench)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
+        // every materialized subtree in the block manager. ONE settle
+        // spelling with the timed tools (r08 review); non-blocking:
+        // Verify is untimed, the cheap async release suffices
+        Harness.settle(spark, blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -555,6 +555,33 @@ final class GraphRunner(
     */
   def reconcileStartup(): Seq[StartDiag] = {
     val diags = adjustStartPoints()
+    // a parent whose effective start sits AHEAD of a dependent's resume
+    // base would silently lose rows (r08 review): flushImpl filters
+    // each reducer's input by its OWN start, so the dependent processes
+    // blocks the parent skips — the inner parent-output join then drops
+    // them permanently (tx_index) or corrupts running state
+    // (balance snapshots). adjustStartPoints aligns FRESH dependents;
+    // a checkpointed dependent cannot be aligned without data loss, so
+    // the misconfiguration fails loudly here instead.
+    locally {
+      val cps = store.checkpoints
+      reducers.foreach { r =>
+        r.dependsOn.foreach { parent =>
+          val childBase = math.max(
+            CheckpointWindow.latest(cps.getOrElse(r.name, Seq.empty))
+              .map(_.slot).getOrElse(-1L),
+            startPoints(r.name).slot)
+          val pStart = startPoints(parent).slot
+          require(pStart <= childBase || childBase < 0,
+            s"parent $parent starts at slot $pStart, AHEAD of its " +
+              s"checkpointed dependent ${r.name} (resume base " +
+              s"$childBase): the dependent would process blocks the " +
+              "parent skips and silently lose their joined rows. " +
+              "Rewind the dependent or drop the parent's configured " +
+              "start.")
+        }
+      }
+    }
     val safe = latestCheckpointSlot
     val tip = maxCheckpointSlot
     if (tip >= 0) {

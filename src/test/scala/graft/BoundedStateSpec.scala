@@ -309,4 +309,25 @@ class BoundedStateSpec extends SparkSpec {
     assert(store2.read("blocks",
       new BlockSummaryReducer().tables.head.schema).count() == blocks.size)
   }
+
+  test("a parent configured AHEAD of a checkpointed dependent fails loudly, not silently losing rows") {
+    // r08 review: flushImpl filters each reducer by its OWN start, so
+    // a parent skipping blocks its checkpointed dependent still
+    // processes would drop the joined rows permanently
+    val blocks = ChainGen.generate(12, seed = 13L)
+    val root = tmpDir("parentahead")
+    val store1 = new StateStore(root, spark)
+    val both = Seq(new BlockSummaryReducer, new TxIndexReducer)
+    new GraphRunner(spark, store1, both, batchSize = 5)
+      .processEvents(blocks.take(6).map(RollForward.apply))
+
+    val store2 = new StateStore(root, spark)
+    val ahead = blocks.last
+    val runner2 = new GraphRunner(spark, store2,
+      Seq(new BlockSummaryReducer, new TxIndexReducer), batchSize = 5,
+      configuredStarts =
+        Map("block_summary" -> Point(ahead.hash, ahead.slot)))
+    val ex = intercept[IllegalArgumentException](runner2.reconcileStartup())
+    assert(ex.getMessage.contains("AHEAD"), ex.getMessage)
+  }
 }
