@@ -38,32 +38,40 @@ object BlockCodec {
     }
   }
 
-  private def putStr(bb: ByteBuffer, s: String): Unit = {
-    val b = s.getBytes(StandardCharsets.UTF_8)
-    require(b.length <= Short.MaxValue,
-      s"string field exceeds ${Short.MaxValue} bytes") // hashes/addresses only
+  private def putStr(bb: ByteBuffer, b: Array[Byte]): Unit =
     bb.putShort(b.length.toShort).put(b)
-  }
-
-  private def strLen(s: String): Int =
-    2 + s.getBytes(StandardCharsets.UTF_8).length
 
   private def encodeBody(b: Block, era: Int): Array[Byte] = {
-    val size = 1 + strLen(b.hash) + 8 + 8 + 4 +
-      b.transactions.map(t => strLen(t.txHash) + 4 +
-        t.inputs.map(i => strLen(i.txId) + 4).sum + 4 +
-        t.outputs.map(o => strLen(o.address) + 8).sum).sum
+    // every string is UTF-8-encoded ONCE and the byte array reused for
+    // both the size precomputation and the write (r08 review: the
+    // strLen/putStr pair encoded each twice, doubling encode-side
+    // allocation on the generator/perf paths)
+    def enc(s: String): Array[Byte] = {
+      val a = s.getBytes(StandardCharsets.UTF_8)
+      require(a.length <= Short.MaxValue,
+        s"string field exceeds ${Short.MaxValue} bytes") // hashes/addresses
+      a
+    }
+    val hash = enc(b.hash)
+    val txs = b.transactions.map(t => (enc(t.txHash),
+      t.inputs.map(i => (enc(i.txId), i.index)),
+      t.outputs.map(o => (enc(o.address), o.lovelace))))
+    val size = 1 + (2 + hash.length) + 8 + 8 + 4 +
+      txs.map { case (th, ins, outs) => (2 + th.length) + 4 +
+        ins.map(2 + _._1.length + 4).sum + 4 +
+        outs.map(2 + _._1.length + 8).sum
+      }.sum
     val bb = ByteBuffer.allocate(size)
     bb.put(era.toByte)
-    putStr(bb, b.hash)
+    putStr(bb, hash)
     bb.putLong(b.height).putLong(b.slot)
-    bb.putInt(b.transactions.size)
-    b.transactions.foreach { t =>
-      putStr(bb, t.txHash)
-      bb.putInt(t.inputs.size)
-      t.inputs.foreach { i => putStr(bb, i.txId); bb.putInt(i.index) }
-      bb.putInt(t.outputs.size)
-      t.outputs.foreach { o => putStr(bb, o.address); bb.putLong(o.lovelace) }
+    bb.putInt(txs.size)
+    txs.foreach { case (th, ins, outs) =>
+      putStr(bb, th)
+      bb.putInt(ins.size)
+      ins.foreach { case (id, ix) => putStr(bb, id); bb.putInt(ix) }
+      bb.putInt(outs.size)
+      outs.foreach { case (ad, lv) => putStr(bb, ad); bb.putLong(lv) }
     }
     bb.array()
   }
@@ -102,7 +110,6 @@ object BlockCodec {
       // stall ingestion at the fork. Unknown eras decode normally
       // (structural checks below still catch garbage) and are COUNTED
       // so operators can see the fork in telemetry.
-      if (!Era.isKnown(era)) unknownEraCount.increment()
       val hash = getStr(bb)
       val height = bb.getLong
       val slot = bb.getLong
@@ -122,7 +129,14 @@ object BlockCodec {
         Tx(txHash, ins, outs)
       }
       if (bb.hasRemaining) None
-      else Some((era, Block(hash, height, slot, txs, era)))
+      else {
+        // counted only AFTER the structural checks pass (r08 review):
+        // garbage whose first byte happens to be outside 1..7 is data
+        // corruption, not a hard-fork signal — inflating the fork
+        // telemetry with it hides real anomalies behind noise
+        if (!Era.isKnown(era)) unknownEraCount.increment()
+        Some((era, Block(hash, height, slot, txs, era)))
+      }
     } catch { case _: Exception => None }
 
   private def getStr(bb: ByteBuffer): String = {
@@ -162,6 +176,18 @@ object BlockCodec {
       .filter(col("b").isNotNull && col("b.hash").isNotNull &&
         col("b.height").isNotNull && col("b.slot").isNotNull &&
         col("b.transactions").isNotNull)
+      // ... and NESTED nulls (r08 review): Tx/TxInput/TxOutput carry
+      // primitive fields too, so a null txHash/index/lovelace inside a
+      // parsed line throws in the typed deserializer exactly like a
+      // top-level null — the skip contract must cover the whole tree
+      .filter(!org.apache.spark.sql.functions.exists(col("b.transactions"),
+        t => t.getField("txHash").isNull ||
+          t.getField("inputs").isNull || t.getField("outputs").isNull ||
+          org.apache.spark.sql.functions.exists(t.getField("inputs"),
+            i => i.getField("txId").isNull || i.getField("index").isNull) ||
+          org.apache.spark.sql.functions.exists(t.getField("outputs"),
+            o => o.getField("address").isNull ||
+              o.getField("lovelace").isNull)))
       .select(col("b.hash"), col("b.height"), col("b.slot"),
         col("b.transactions"),
         // era optional in JSON (pre-era producers) → Babbage; unknown

@@ -63,18 +63,9 @@ object CborChainGen {
     * balanceOracle discipline, for this generator's watched set).
     */
   def balanceOracle(chain: Seq[(Array[Byte], Block)],
-      watched: Map[String, String] = Watched): Seq[(Long, Map[String, Long])] = {
-    val pool = scala.collection.mutable.Map[(String, Int), (String, Long)]()
-    chain.map { case (_, b) =>
-      b.transactions.foreach { tx =>
-        tx.outputs.zipWithIndex.foreach { case (o, i) =>
-          pool((tx.txHash, i)) = (o.address, o.lovelace)
-        }
-        tx.inputs.foreach(in => pool.remove((in.txId, in.index)))
-      }
-      b.slot -> watched.map { case (addr, name) =>
-        name -> pool.valuesIterator.filter(_._1 == addr).map(_._2).sum
-      }
-    }
-  }
+      watched: Map[String, String] = Watched): Seq[(Long, Map[String, Long])] =
+    // ONE spelling of the imperative pool fold (r08 review): two
+    // hand-copies of the oracle algorithm could silently diverge on a
+    // same-block-ordering change
+    ChainGen.balanceOracle(chain.map(_._2), watched)
 }

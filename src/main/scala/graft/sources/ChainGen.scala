@@ -45,10 +45,11 @@ object ChainGen {
         val txHash = f"tx$tag$bi%06d-$ti"
         // spend up to 2 live outputs with probability
         val nSpend = if (live.nonEmpty) rnd.nextInt(3).min(live.size) else 0
-        val spends = (0 until nSpend).flatMap { _ =>
-          if (live.isEmpty) None
-          else Some(live.remove(rnd.nextInt(live.size)))
-        }
+        // nSpend is clamped to live.size and each draw removes one
+        // element, so the pool can never empty mid-loop (same RNG call
+        // sequence as before — seeds pin fixtures across the suite)
+        val spends = (0 until nSpend).map(_ =>
+          live.remove(rnd.nextInt(live.size)))
         val inputs = spends.map { case (h, i, _, _) => TxInput(h, i) }
         val outputs = (0 to rnd.nextInt(2)).map { oi =>
           TxOutput(Addresses(rnd.nextInt(Addresses.size)),
@@ -68,7 +69,9 @@ object ChainGen {
     * the unspent balance per watched address after every block — the
     * §5.3 oracle discipline (`LovelaceBalanceRollbackTest.cs:60-74`).
     */
-  def balanceOracle(blocks: Seq[Block]): Seq[(Long, Map[String, Long])] = {
+  def balanceOracle(blocks: Seq[Block],
+      watched: Map[String, String] = Watched)
+      : Seq[(Long, Map[String, Long])] = {
     val live = mutable.Map[(String, Int), (String, Long)]() // (tx,i) -> (addr, amt)
     blocks.map { b =>
       b.transactions.foreach { tx =>
@@ -82,7 +85,7 @@ object ChainGen {
         }
         tx.inputs.foreach(in => live.remove((in.txId, in.index)))
       }
-      val bal = Watched.map { case (addr, name) =>
+      val bal = watched.map { case (addr, name) =>
         name -> live.collect { case ((_, _), (a, amt)) if a == addr => amt }.sum
       }
       (b.slot, bal)

@@ -27,6 +27,10 @@ final class Telemetry(
     reducerDependency: Map[String, Option[String]],
     startSlots: Map[String, Long] = Map.empty,
     bufferSize: Int = 32) {
+  require(bufferSize > 0,
+    s"bufferSize must be positive, got $bufferSize: 0 silently disables " +
+      "the timing window and a negative value throws in the listener")
+
 
   // acyclic by construction: progressPct recurses parent links, and a
   // cycle (or self-reference) in a caller-built map would otherwise

@@ -106,12 +106,20 @@ object Worker {
   def start(spark: SparkSession, roots: Seq[Root],
       telemetry: Option[Telemetry] = None, pollMs: Long = 50L): Handle = {
     require(roots.nonEmpty, "no roots to run")
-    require(roots.map(_.runner.store.root).distinct.size == roots.size,
+    // paths compare NORMALIZED (r08 review): "/a/ck" vs "/a/ck/" or a
+    // relative spelling of the same directory would slip past a raw
+    // string distinct and recreate exactly the shared-checkpoint /
+    // shared-store corruption these guards exist to prevent
+    def norm(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(roots.map(r => norm(r.runner.store.root)).distinct.size
+      == roots.size,
       "multi-root worker requires one distinct store per root (T13)")
     // a shared stream checkpoint is as fatal as a shared store: the
     // second root would resume from the first's file-source offset log
     // and silently skip its own blocks
-    require(roots.map(_.checkpointDir).distinct.size == roots.size,
+    require(roots.map(r => norm(r.checkpointDir)).distinct.size
+      == roots.size,
       "multi-root worker requires one distinct checkpointDir per root")
     // the worker-level telemetry fallback keys rows by REDUCER NAME:
     // two roots without their own instance running same-named reducers
@@ -125,12 +133,16 @@ object Worker {
     // was shared
     roots.groupBy(r => r.telemetry.orElse(telemetry)).foreach {
       case (Some(_), rs) if rs.size > 1 =>
-        val dup = rs.flatMap(_.runner.reducerNames)
-          .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
-        require(dup.isEmpty,
-          "a shared Telemetry cannot attribute same-named reducers " +
-            s"across roots (${dup.toSeq.sorted.mkString(", ")}); give " +
-            "each root its own Telemetry")
+        // ANY shared instance across roots is rejected, not just
+        // same-named reducers (r08 review): effectiveTip is
+        // instance-global, so two chains sharing one Telemetry
+        // cross-contaminate tipSlot/progressPct even with disjoint
+        // reducer names — the slower chain reports the faster chain's
+        // tip and never reaches 100%. A dashboard wanting a combined
+        // view aggregates per-root instances instead.
+        require(rs.size <= 1,
+          s"${rs.size} roots share one Telemetry instance: tip/progress " +
+            "attribution is per-instance — give each root its own")
       case _ => ()
     }
     val started = mutable.ArrayBuffer[(Root, StreamingQuery)]()
