@@ -118,8 +118,15 @@ object SuffixDedup extends QueryModule {
       }
       .toDF("doc_id", "pos", "tok")
     // exact dictionary: distinct token → dense int id (zipWithIndex is
-    // the distributed dense-id assignment — no single-partition window)
+    // the distributed dense-id assignment — no single-partition window).
+    // sortBy first makes the assignment DETERMINISTIC under partial
+    // lineage recompute: plain distinct+zipWithIndex is partition-order
+    // dependent, so an executor loss mid-encode could re-derive a
+    // different tok→tid map for the recomputed split and silently break
+    // LCP equality. The sort is vocab-sized (Heaps-law sublinear), not
+    // corpus-sized.
     val dict = toks.select(col("tok")).distinct().rdd.map(_.getString(0))
+      .sortBy(identity)
       .zipWithIndex()
       .map { case (t, i) =>
         // Heaps-law vocab stays far below 2^31 even at 100 TB; if a

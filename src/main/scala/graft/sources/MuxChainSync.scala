@@ -413,6 +413,15 @@ final class MuxChainSyncServer(
                 if (followable && !registered) {
                   followers += myLive
                   registered = true
+                } else if (registered) {
+                  // RE-intersect on a live connection: the new snapshot
+                  // is rebuilt from forwardsAll, which already contains
+                  // any blocks queued on myLive — drain the queue (and
+                  // cancel owed awaits) under the same lock or those
+                  // blocks would be served twice (snapshot replay AND
+                  // pump delivery)
+                  myLive.clear()
+                  owed.set(0)
                 }
                 if (script.isDefined) events0
                 else forwardsAll.toVector.collect {

@@ -202,8 +202,25 @@ final class ChainSyncServer(
           w.arrayHeader(1); w.uint(MsgAwaitReply)
           writeFrame(out, w.result()); out.flush()
           var ev: ServedEvent = null
-          while (ev == null && running && !sock.isClosed)
+          var probeIn = 5
+          while (ev == null && running && !sock.isClosed) {
             ev = myLive.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+            // sock.isClosed only reflects LOCAL close — a disconnected
+            // batch client would otherwise park this handler thread
+            // forever. Probe peer liveness with a TCP urgent byte: the
+            // peer discards OOB data by default (OOBInline off on both
+            // our ends), and a write after the peer's FIN/RST throws
+            // within two probes
+            if (ev == null) {
+              probeIn -= 1
+              if (probeIn == 0) {
+                probeIn = 5
+                try sock.sendUrgentData(0)
+                catch { case _: java.io.IOException =>
+                  throw new EOFException("peer closed while awaiting") }
+              }
+            }
+          }
           if (ev == null) throw new EOFException("closed while awaiting")
           val w2 = new CborWriter
           serveEvent(w2, ev)

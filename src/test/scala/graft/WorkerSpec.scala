@@ -146,7 +146,7 @@ class WorkerSpec extends SparkSpec {
       Seq(new BlockSummaryReducer, new TxIndexReducer))
     val e = intercept[IllegalArgumentException](
       Worker.start(spark, Seq(rA2, rB2), telemetry = Some(telB)))
-    assert(e.getMessage.contains("block_summary"), e.getMessage)
+    assert(e.getMessage.contains("share one Telemetry"), e.getMessage)
     // roots EXPLICITLY sharing one instance must be rejected the same
     // way — the mis-attribution is a property of the shared INSTANCE,
     // not of how it was shared (r07 review regression: the guard
@@ -159,7 +159,7 @@ class WorkerSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Worker.start(spark, Seq(rA3.copy(telemetry = Some(tShared)),
         rB3.copy(telemetry = Some(tShared)))))
-    assert(e2.getMessage.contains("block_summary"), e2.getMessage)
+    assert(e2.getMessage.contains("share one Telemetry"), e2.getMessage)
   }
 
   test("distinct-store requirement is enforced up front") {
