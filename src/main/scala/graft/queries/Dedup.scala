@@ -1463,6 +1463,121 @@ object Dedup extends QueryModule {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** The frozen LEXICAL dedup index as a value: the exact-identity
+    * table (norm_md5 → lowest owning doc) and the MinHash band table
+    * (band_key → doc). q69 probes this shape in-plan; the MERGE API
+    * below is the missing lifecycle operation — promoting a verified
+    * delta batch into the stored index WITHOUT rebuilding it from
+    * corpus text (the operation a rolling 100 TB corpus runs daily).
+    */
+  private[graft] final case class LexIndex(exact: DataFrame, bands: DataFrame)
+
+  /** Build the index from a document relation (per-doc signatures +
+    * one min-aggregate): the from-scratch path, used once at bootstrap
+    * and as the spec's equivalence oracle.
+    */
+  private[graft] def buildLexIndex(docs: DataFrame): LexIndex = LexIndex(
+    docs.select(normMd5(col("text")).as("norm_md5"), col("doc_id"))
+      .groupBy(col("norm_md5")).agg(min(col("doc_id")).as("idx_doc")),
+    bandEntries(docs.select(col("doc_id"), col("text"))))
+
+  /** MERGE a delta batch into a stored index. Cost is |delta| signature
+    * work + an |index|+|delta| state merge — frozen TEXT is never read:
+    * the band table is append-only (band keys are per-document), and
+    * the exact table is a min-mergeable aggregate state, so
+    * `min ∘ union` of partial states equals the aggregate over the
+    * union of documents. Both merged relations stay partitioned by
+    * their probe keys, so a stored (bucketed) index keeps its layout.
+    */
+  private[graft] def mergeLexIndex(idx: LexIndex, deltaDocs: DataFrame)
+      : LexIndex = {
+    val d = buildLexIndex(deltaDocs)
+    LexIndex(
+      idx.exact.union(d.exact)
+        .groupBy(col("norm_md5")).agg(min(col("idx_doc")).as("idx_doc")),
+      idx.bands.union(d.bands))
+  }
+
+  /** q69's probe contract over an explicit index value: every probe doc
+    * reports its exact duplicate, nearest banded near-duplicate, or
+    * `is_new`. Only (hash, id) / (band_key, id) pairs shuffle.
+    */
+  private[graft] def probeLex(idx: LexIndex, probeDocs: DataFrame)
+      : DataFrame = {
+    val exact = probeDocs
+      .select(col("doc_id"), normMd5(col("text")).as("norm_md5"))
+      .join(idx.exact, Seq("norm_md5"), "left")
+      .select(col("doc_id"), col("idx_doc").as("exact_of"))
+    val near = bandEntries(probeDocs.select(col("doc_id"), col("text")))
+      .join(idx.bands.select(col("band_key"), col("doc_id").as("idx_doc")),
+        "band_key")
+      .groupBy(col("doc_id")).agg(min(col("idx_doc")).as("near_of"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_of"), lit(-1L)).as("exact_of"),
+        coalesce(col("near_of"), lit(-1L)).as("near_of"))
+      .withColumn("is_new",
+        col("exact_of") === -1L && col("near_of") === -1L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frozen-index MERGE equivalence (q100): bootstrap the lexical index
+    * over the frozen third (doc_id ≡ 0,1,2 mod 10), STORE it (Scratch
+    * parquet — the stand-in for the bucketed index tables a deployment
+    * keeps), merge the next batch (≡ 3,4,5) into the stored state via
+    * [[mergeLexIndex]], then probe a third batch (≡ 6..9) against the
+    * merged index. The DuckDB oracle answers the same probe against an
+    * index REBUILT from scratch over frozen∪delta — the hash gate IS
+    * the merged ≡ rebuilt proof, which is exactly what lets a 100 TB
+    * deployment promote daily batches without ever re-indexing the
+    * corpus.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = col("doc_id") % 10
+    val f0 = buildLexIndex(docs.filter(m < 3))
+    // materialized = the stored index: the merge below consumes INDEX
+    // STATE from disk, provably not frozen text
+    val stored = LexIndex(
+      Scratch.materialize(f0.exact, "q100_exact"),
+      Scratch.materialize(f0.bands, "q100_bands"))
+    val merged = mergeLexIndex(stored, docs.filter(m >= 3 && m < 6))
+    probeLex(merged, docs.filter(m >= 6))
+  }
+
+  private val q100Sql = {
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |norm AS (
+       |  SELECT doc_id,
+       |    ${normMd5Sql("text")}
+       |      AS norm_md5
+       |  FROM documents),
+       |exact_idx AS (
+       |  SELECT norm_md5, MIN(doc_id) AS idx_doc FROM norm
+       |  WHERE doc_id % 10 < 6 GROUP BY norm_md5),
+       |near AS (
+       |  SELECT d.doc_id, MIN(f.doc_id) AS near_of
+       |  FROM banded d JOIN banded f ON d.band_key = f.band_key
+       |  WHERE d.doc_id % 10 >= 6 AND f.doc_id % 10 < 6
+       |  GROUP BY d.doc_id)
+       |SELECT n.doc_id,
+       |  COALESCE(idx_doc, -1) AS exact_of,
+       |  COALESCE(near_of, -1) AS near_of,
+       |  COALESCE(idx_doc, -1) = -1 AND COALESCE(near_of, -1) = -1 AS is_new
+       |FROM norm n
+       |LEFT JOIN exact_idx USING (norm_md5)
+       |LEFT JOIN near ON near.doc_id = n.doc_id
+       |WHERE n.doc_id % 10 >= 6
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   /** Duplicated-span CUT (q72) — q64 made actionable, the Lee et al.
     * ExactSubstr REWRITE: emit each document with every token cut that
     * lies in a cross-document duplicated 8-gram occurring in a LOWER
@@ -1577,6 +1692,7 @@ object Dedup extends QueryModule {
     CatalogEntry("q67_pipeline_manifest", q67, Some(q67Sql)),
     CatalogEntry("q68_mixture_sample", q68, Some(q68Sql)),
     CatalogEntry("q69_incremental_dedup", q69, Some(q69Sql)),
+    CatalogEntry("q100_lex_index_merge", q100, Some(q100Sql)),
     CatalogEntry("q72_cut_dup_spans", q72, Some(q72Sql)),
   )
 }

@@ -476,6 +476,118 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** The frozen SEMANTIC index as a value: the (frozen) coarse
+    * quantizer plus its inverted lists (idx vector → owning list).
+    * q99 probes this shape in-plan; the MERGE API below is the
+    * lifecycle operation — promote a delta batch of vectors into the
+    * stored lists WITHOUT re-assigning the corpus. The quantizer does
+    * NOT retrain on merge (that is what "frozen" means operationally —
+    * retraining is the periodic full-rebuild event, not the daily
+    * promote).
+    */
+  private[graft] final case class SemIndex(cent: DataFrame, lists: DataFrame)
+
+  /** Nearest-list assignment of a vector relation under a given
+    * quantizer — the per-batch unit of index construction (broadcast
+    * centroids; one narrow shuffle on cid).
+    */
+  private def assignLists(e: DataFrame, cent: DataFrame): DataFrame =
+    centroidRanks(e, cent).filter(col("crank") === 1)
+      .select(col("vec_id").as("idx_id"), col("cid"),
+        col("embedding").as("i_emb"), col("nrm").as("i_nrm"))
+
+  private[graft] def buildSemIndex(e: DataFrame, cent: DataFrame): SemIndex =
+    SemIndex(cent, assignLists(e, cent))
+
+  /** MERGE: assign ONLY the delta under the frozen quantizer and append
+    * to the lists — cost |delta| × NCent cosines + an append; frozen
+    * vectors never reshuffle. Equals the from-scratch build over
+    * corpus∪delta because assignment is per-vector under a fixed
+    * quantizer (the q101 oracle proves exactly this).
+    */
+  private[graft] def mergeSemIndex(idx: SemIndex, deltaE: DataFrame)
+      : SemIndex =
+    SemIndex(idx.cent, idx.lists.union(assignLists(deltaE, idx.cent)))
+
+  /** q99's probe contract over an explicit index value. */
+  private[graft] def probeSem(idx: SemIndex, probeE: DataFrame): DataFrame = {
+    val delta = centroidRanks(probeE, idx.cent).filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding").as("d_emb"),
+        col("nrm").as("d_nrm"))
+    val probed = delta.join(idx.lists, "cid")
+      .select(col("vec_id"), col("cid"), col("idx_id"),
+        round(dot(col("d_emb"), col("i_emb")) /
+          (col("d_nrm") * col("i_nrm")), 4).as("cos"))
+    val verdicts = probed.groupBy(col("vec_id"), col("cid"))
+      .agg(max(col("cos")).as("max_cos"),
+        min(when(col("cos") >= SemTau, col("idx_id"))).as("dup"))
+    delta.select(col("vec_id"), col("cid"))
+      .join(verdicts, Seq("vec_id", "cid"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup"), lit(-1L)).as("dup_of"),
+        coalesce(col("max_cos"), lit(-1.0)).as("max_cos"),
+        (coalesce(col("dup"), lit(-1L)) === -1L).as("novel"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Semantic frozen-index MERGE equivalence (q101) — q100's lifecycle
+    * story for the embedding signal: bootstrap the inverted lists over
+    * the frozen corpus (vec_id ≥ DeltaMax, quantizer = the seeded
+    * centroids inside it), STORE them, merge the delta batch
+    * (DeltaMax/2 ≤ vec_id < DeltaMax) into the stored lists, then
+    * probe the next batch (vec_id < DeltaMax/2) against the merged
+    * index. The oracle rebuilds the index from scratch over
+    * frozen∪delta under the same quantizer — hash equality is the
+    * merged ≡ rebuilt proof.
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q101_e")
+    val cent = seededCent(e)
+    val f0 = buildSemIndex(e.filter(col("vec_id") >= DeltaMax), cent)
+    val stored = SemIndex(
+      Scratch.materialize(f0.cent, "q101_cent"),
+      Scratch.materialize(f0.lists, "q101_lists"))
+    val merged = mergeSemIndex(stored,
+      e.filter(col("vec_id") >= DeltaMax / 2 && col("vec_id") < DeltaMax))
+    probeSem(merged, e.filter(col("vec_id") < DeltaMax / 2))
+  }
+
+  // lazy: the q99Sql discipline (interpolates SemTau)
+  private lazy val q101Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id >= $CentBase AND vec_id < ${CentBase + NCent}),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dotSql("e.embedding", "cent.cent_emb")} /
+       |          (e.nrm * cent.cent_nrm), 4) DESC, cent.cid) AS crank
+       |    FROM e CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |probed AS (
+       |  SELECT dl.vec_id, dl.cid, ix.vec_id AS idx_id,
+       |    round(${dotSql("dl.embedding", "ix.embedding")} /
+       |      (dl.nrm * ix.nrm), 4) AS cos
+       |  FROM assign dl JOIN assign ix
+       |    ON dl.cid = ix.cid AND dl.vec_id < ${DeltaMax / 2}
+       |   AND ix.vec_id >= ${DeltaMax / 2}),
+       |verdicts AS (
+       |  SELECT vec_id, cid, MAX(cos) AS max_cos,
+       |    MIN(CASE WHEN cos >= $SemTau THEN idx_id END) AS dup
+       |  FROM probed GROUP BY vec_id, cid)
+       |SELECT d.vec_id, d.cid,
+       |  COALESCE(v.dup, -1) AS dup_of,
+       |  COALESCE(v.max_cos, -1.0) AS max_cos,
+       |  COALESCE(v.dup, -1) = -1 AS novel
+       |FROM (SELECT vec_id, cid FROM assign WHERE vec_id < ${DeltaMax / 2}) d
+       |LEFT JOIN verdicts v ON v.vec_id = d.vec_id AND v.cid = d.cid
+       |ORDER BY d.vec_id""".stripMargin
+
   // lazy: interpolates SemTau, declared LATER in this object — an
   // eager val here runs before SemTau's initializer and bakes 0.0 into
   // the oracle text (caught by the hash gate: every delta row became a
@@ -1219,6 +1331,7 @@ object Similarity extends QueryModule {
     CatalogEntry("q88_ann_ivf_trained", q88, None),
     CatalogEntry("q96_ann_certificate", q96, Some(q96Sql)),
     CatalogEntry("q99_incremental_semantic", q99, Some(q99Sql)),
+    CatalogEntry("q101_sem_index_merge", q101, Some(q101Sql)),
     CatalogEntry("q89_semantic_decontaminate", q89, Some(q89Sql)),
     CatalogEntry("q94_hybrid_rrf", q94, Some(q94Sql)),
   )

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{Dedup, Similarity}
+
+/** Frozen-index MERGE lifecycle (q100/q101's API): promoting a delta
+  * batch into a stored dedup index must be indistinguishable from
+  * rebuilding the index from scratch over corpus∪delta — for both the
+  * lexical (norm-hash + MinHash-band) and semantic (inverted-list)
+  * signals — and must consume only STORED index state plus delta text
+  * (parquet roundtrip), never frozen text. The cross-engine hash gate
+  * (q100/q101 vs the DuckDB rebuild oracle) proves the same equivalence
+  * on the real corpus; this spec pins it on constructed ground truth
+  * where the expected verdicts are known by hand, including the
+  * before/after behavior change a merge must cause (a probe that was
+  * `is_new` against the frozen index finds its delta twin after).
+  */
+class FrozenIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- lexical ----
+
+  private val loremA =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private val loremB =
+    "completely different content about spark catalyst plans and shuffles"
+  private val loremC =
+    "novel text that matches nothing else in any batch of this corpus"
+
+  // frozen: 10 owns loremA, 11 owns loremB
+  private def frozenDocs =
+    Seq((10L, loremA), (11L, loremB)).toDF("doc_id", "text")
+  // delta: 20 is an exact dup of loremA (so the index min must stay 10
+  // after merge), 21 brings NEW content
+  private val deltaText = "fresh delta material visible only after merge ok"
+  private def deltaDocs =
+    Seq((20L, loremA), (21L, deltaText)).toDF("doc_id", "text")
+  // probe: 30 dups frozen content, 31 dups DELTA-only content, 32 novel
+  private def probeDocs =
+    Seq((30L, loremB), (31L, deltaText), (32L, loremC))
+      .toDF("doc_id", "text")
+
+  private def lexRows(df: DataFrame): Seq[(Long, Long, Long, Boolean)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+
+  private def roundtrip(df: DataFrame, name: String): DataFrame = {
+    val dir = tmpDir(s"fidx-$name")
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("lexical: probe against frozen index — delta content is is_new") {
+    val idx = Dedup.buildLexIndex(frozenDocs)
+    val got = lexRows(Dedup.probeLex(idx, probeDocs))
+    assert(got == Seq(
+      (30L, 11L, 11L, false), // frozen dup found
+      (31L, -1L, -1L, true), // delta twin NOT yet in the index
+      (32L, -1L, -1L, true)))
+  }
+
+  test("lexical: merged index ≡ index rebuilt from scratch over corpus∪delta") {
+    val merged = Dedup.mergeLexIndex(Dedup.buildLexIndex(frozenDocs), deltaDocs)
+    val rebuilt = Dedup.buildLexIndex(frozenDocs.union(deltaDocs))
+    val got = lexRows(Dedup.probeLex(merged, probeDocs))
+    assert(got == lexRows(Dedup.probeLex(rebuilt, probeDocs)))
+    // and the merge changed exactly the delta-twin verdict
+    assert(got == Seq(
+      (30L, 11L, 11L, false),
+      (31L, 21L, 21L, false), // delta twin now found
+      (32L, -1L, -1L, true)))
+  }
+
+  test("lexical: merge consumes STORED index state (parquet roundtrip), not frozen text") {
+    val f0 = Dedup.buildLexIndex(frozenDocs)
+    val stored = Dedup.LexIndex(
+      roundtrip(f0.exact, "lex-exact"), roundtrip(f0.bands, "lex-bands"))
+    // before merge: the stored copy answers identically to the live plan
+    assert(lexRows(Dedup.probeLex(stored, probeDocs))
+      == lexRows(Dedup.probeLex(f0, probeDocs)))
+    // after merge: stored+delta ≡ rebuilt over corpus∪delta
+    assert(lexRows(Dedup.probeLex(Dedup.mergeLexIndex(stored, deltaDocs), probeDocs))
+      == lexRows(Dedup.probeLex(
+        Dedup.buildLexIndex(frozenDocs.union(deltaDocs)), probeDocs)))
+  }
+
+  test("lexical: two sequential daily merges ≡ one merge of the union ≡ rebuild") {
+    val day1 = Seq((20L, loremA)).toDF("doc_id", "text")
+    val day2 = Seq((21L, deltaText)).toDF("doc_id", "text")
+    val seq2 = Dedup.mergeLexIndex(
+      Dedup.mergeLexIndex(Dedup.buildLexIndex(frozenDocs), day1), day2)
+    val one = Dedup.mergeLexIndex(Dedup.buildLexIndex(frozenDocs),
+      day1.union(day2))
+    val rebuilt = Dedup.buildLexIndex(frozenDocs.union(day1).union(day2))
+    val a = lexRows(Dedup.probeLex(seq2, probeDocs))
+    assert(a == lexRows(Dedup.probeLex(one, probeDocs)))
+    assert(a == lexRows(Dedup.probeLex(rebuilt, probeDocs)))
+  }
+
+  test("lexical: exact-min survives a merge that brings a HIGHER-id duplicate") {
+    // frozen owns loremA at id 10; delta re-adds it at 20 — the merged
+    // min-state must keep 10 as the canonical owner
+    val merged = Dedup.mergeLexIndex(Dedup.buildLexIndex(frozenDocs), deltaDocs)
+    val got = lexRows(Dedup.probeLex(merged,
+      Seq((40L, loremA)).toDF("doc_id", "text")))
+    assert(got == Seq((40L, 10L, 10L, false)))
+  }
+
+  // ---- semantic ----
+
+  private def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    graft.functions.VectorFunctions.floatDot(x, y)
+
+  private def embDF(rows: (Long, Array[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotc(col("embedding"), col("embedding"))).as("nrm"))
+
+  private def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private def cents: DataFrame =
+    Seq((0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)))
+      .toDF("cid", "cent_emb")
+      .select(col("cid"), col("cent_emb"),
+        sqrt(dotc(col("cent_emb"), col("cent_emb"))).as("cent_nrm"))
+
+  // frozen vectors near each centroid
+  private def frozenE = embDF(
+    200L -> v(0.9, 0.1, 0, 0), 201L -> v(0.1, 0.95, 0, 0))
+  // delta: a LOWER-id near-twin of the c0 cluster
+  private def deltaE = embDF(150L -> v(0.88, 0.12, 0, 0))
+  // probes: 1 dups the c0 cluster; 2 is orthogonal to everything
+  private def probeE = embDF(
+    1L -> v(0.89, 0.11, 0, 0), 2L -> v(0, 0, 1, 0))
+
+  private def semRows(df: DataFrame): Seq[(Long, Long, Long, Double, Boolean)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getBoolean(4))).toSeq
+
+  test("semantic: before merge the delta twin is invisible; after, dup_of moves to it") {
+    val f0 = Similarity.buildSemIndex(frozenE, cents)
+    val before = semRows(Similarity.probeSem(f0, probeE))
+    assert(before.map(t => (t._1, t._3)) == Seq((1L, 200L), (2L, -1L)),
+      before.toString)
+    val merged = Similarity.mergeSemIndex(f0, deltaE)
+    val after = semRows(Similarity.probeSem(merged, probeE))
+    // dup_of = LOWEST index id ≥ SemTau: the merged-in 150 wins
+    assert(after.map(t => (t._1, t._3)) == Seq((1L, 150L), (2L, -1L)),
+      after.toString)
+  }
+
+  test("semantic: merged index ≡ rebuilt from scratch over corpus∪delta (incl. stored roundtrip)") {
+    val f0 = Similarity.buildSemIndex(frozenE, cents)
+    val stored = Similarity.SemIndex(
+      roundtrip(f0.cent, "sem-cent"), roundtrip(f0.lists, "sem-lists"))
+    val merged = Similarity.mergeSemIndex(stored, deltaE)
+    val rebuilt = Similarity.buildSemIndex(frozenE.union(deltaE), cents)
+    assert(semRows(Similarity.probeSem(merged, probeE))
+      == semRows(Similarity.probeSem(rebuilt, probeE)))
+  }
+}
