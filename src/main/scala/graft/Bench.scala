@@ -48,6 +48,13 @@ object Bench {
     // previous summary for the file contract to misattribute
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"))
+    // host calibration FIRST (r08 verdict #3): a fixed-work generated
+    // micro-task whose median lets any two rounds' totals be compared
+    // in host-normalized units (total/calib) without rebuilding old
+    // commits to re-measure on today's host
+    val (calib, calibReps) = Harness.calibrate(spark)
+    System.err.println(f"[bench] calib median $calib%.3fs of " +
+      calibReps.map(t => f"$t%.2f").mkString("[", ",", "]"))
     val names = Harness.onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
     val results = names.map { name =>
       System.err.println(s"[bench] $name ...")
@@ -88,9 +95,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","reps":$reps,"queries":$detail}""")
+      s"""{"sf":"$sfDir","reps":$reps,"calib":{"median":${r3(calib)},"reps":${
+        calibReps.map(r3).mkString("[", ",", "]")}},"queries":$detail}""")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     // File-based contract (survives ANY stdout mangling): the same
     // one-line summary lands in BENCH_SUMMARY.json in the repo root.
     // sbt's "[success] Total time" epilogue has beaten the stdout line

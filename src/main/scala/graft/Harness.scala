@@ -27,6 +27,43 @@ object Harness {
     if (blocking) System.gc()
   }
 
+  /** Fixed-work host calibration — a deterministic CPU+shuffle
+    * micro-task over GENERATED input (spark.range → 16-deep xxhash64
+    * chain → 64Ki-key hash aggregate → noop sink): no files, no SF
+    * dependence, no data skew, identical work every host, every round.
+    *
+    * Purpose (r08 verdict): documented 2–2.5× same-commit host swings
+    * between rounds have made every cross-round total comparison cost a
+    * same-day A/B rebuild of the previous round's commit. Dividing any
+    * two rounds' bench totals by their calib medians normalizes out
+    * host speed without rebuilding old commits. The task is sized to
+    * ~1 s on the reference harness — long enough that scheduler jitter
+    * is amortized, short enough to be free in the bench budget.
+    *
+    * The modulo keeps per-key sums far from Long overflow (ANSI mode
+    * throws on wrap); the hash chain keeps the CPU leg inside
+    * whole-stage codegen like the catalog's own hot loops.
+    */
+  def calibrate(spark: SparkSession, reps: Int = 5): (Double, Seq[Double]) = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 24, 1L, 32)
+        .selectExpr(
+          (1 to 16).foldLeft("id")((e, _) => s"xxhash64($e)") + " AS h")
+        .selectExpr("h % 65536 AS k", "h % 1000 AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup: codegen + JIT, same as every bench entry
+    settle(spark)
+    val ts = (1 to reps).map { _ => val t = once(); settle(spark); t }
+    (ts.sorted.apply(ts.size / 2), ts)
+  }
+
   /** SPARK_GRAFT_ONLY=q31,q37 restricts to matching name prefixes
     * (local iteration); unset = everything.
     */
