@@ -708,18 +708,43 @@ object Relational extends QueryModule {
     val edges = Scratch.materialize(
       e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))), "pr_edges")
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val degE = Scratch.materialize(edges.join(deg, "a"), "pr_edges_deg")
-    var ranks = Scratch.materialize(
-      deg.select(col("a").as("node"), lit(PrScale).as("rank")), "pr_r0")
-    for (i <- 1 to iters) {
-      val next = degE.join(ranks, degE("a") === ranks("node"))
-        .select(col("b"), expr("(rank * 85) div (deg * 100)").as("c"))
-        .groupBy(col("b"))
-        .agg((lit(15L * PrScale / 100) + sum(col("c"))).as("rank"))
-        .select(col("b").as("node"), col("rank"))
-      ranks = Scratch.materialize(next, s"pr_r${i % 2 + 1}")
-    }
-    ranks.orderBy(col("node"))
+    // Edge-partition REUSE (r08 verdict #4, measured): Scratch's
+    // localCheckpoint surfaces as `Scan ExistingRDD` with unknown
+    // partitioning under AQE, so every iteration re-exchanged the full
+    // edge relation — 10 shuffles of the graph's widest table per run
+    // (probed: PrProbe showed the per-iteration Exchange even over a
+    // pre-repartitioned checkpoint). The GraphX idiom fixes it: persist
+    // degE once — InMemoryRelation preserves the join's output
+    // partitioning/ordering on `a` AND carries accurate size stats, so
+    // each iteration either broadcasts the cached edges (small graphs —
+    // observed at sf0.01) or sort-merge-joins over the cached
+    // partitioning with no exchange and no sort on the edge side; only
+    // the node-sized rank vector shuffles per round. On executor
+    // loss the cache partition recomputes from the checkpointed edges.
+    // Measured same-session A/B at 30x: t30 37.1s -> 22.9s, slope
+    // 9.14 -> 4.06; sf0.1 bench flat within noise (median 4.59 ->
+    // 4.85, min 4.56 both sides, equal calib). An explicit
+    // repartition+sortWithinPartitions before the persist measured
+    // WORSE (t30 29.3s — it adds a build-time exchange the join's own
+    // output partitioning already provides), so the cache holds the
+    // join output as-is. Receipts in BASELINE.md.
+    val degE = edges.join(deg, "a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var ranks = Scratch.materialize(
+        deg.select(col("a").as("node"), lit(PrScale).as("rank")), "pr_r0")
+      for (i <- 1 to iters) {
+        val next = degE.join(ranks, degE("a") === ranks("node"))
+          .select(col("b"), expr("(rank * 85) div (deg * 100)").as("c"))
+          .groupBy(col("b"))
+          .agg((lit(15L * PrScale / 100) + sum(col("c"))).as("rank"))
+          .select(col("b").as("node"), col("rank"))
+        ranks = Scratch.materialize(next, s"pr_r${i % 2 + 1}")
+      }
+      // all iteration work is eager (materialize per round), so the
+      // cache is no longer needed by the time the result is consumed
+      ranks.orderBy(col("node"))
+    } finally degE.unpersist(blocking = false)
   }
 
   private def q93(s: SparkSession, d: String): DataFrame =
