@@ -24,7 +24,12 @@ import graft.sources._
   *   4. a scripted mid-stream reorg surfaces as an Exclusive RollBack
   *      at the served point (scriptable bearers);
   *   5. ProviderSync drives the full 4-reducer UTxO graph to the §5.3
-  *      oracle balances at EVERY slot prefix.
+  *      oracle balances at EVERY slot prefix;
+  *   6. (handshaking bearers) a networkMagic mismatch refuses BEFORE
+  *      chain-sync may speak — the refuse is spec-shaped and fatal;
+  *   7. (followable bearers) follow-tip clients receive post-catch-up
+  *      appends through the awaited request (non-terminal
+  *      MsgAwaitReply), decode-faithful and in order.
   */
 class ProviderConformanceSpec extends SparkSpec {
 
@@ -44,6 +49,20 @@ class ProviderConformanceSpec extends SparkSpec {
       */
     def make(chain: Seq[(Array[Byte], Block)],
         script: Option[Seq[CEvent]]): (ChainProvider, () => Unit)
+    /** Bearers that negotiate a handshake before chain-sync: provider
+      * whose proposed networkMagic DIFFERS from the server's.
+      */
+    def handshakes: Boolean = false
+    def makeMismagic(chain: Seq[(Array[Byte], Block)])
+        : (ChainProvider, () => Unit) =
+      throw new UnsupportedOperationException(name)
+    /** Bearers with a followable live tip: (follow-tip provider,
+      * append, close).
+      */
+    def followable: Boolean = false
+    def makeFollow(chain: Seq[(Array[Byte], Block)])
+        : (ChainProvider, (Array[Byte], Block) => Unit, () => Unit) =
+      throw new UnsupportedOperationException(name)
   }
 
   private def mockEvents(s: Seq[CEvent]): Seq[BlockEvent] = s.map {
@@ -79,6 +98,19 @@ class ProviderConformanceSpec extends SparkSpec {
         }))
         (new TcpChainProvider("127.0.0.1", server.port), () => server.close())
       }
+      override def handshakes = true
+      override def makeMismagic(chain: Seq[(Array[Byte], Block)]) = {
+        val server = new ChainSyncServer(chain)
+        (new TcpChainProvider("127.0.0.1", server.port,
+          networkMagic = ChainSyncServer.DefaultMagic + 1),
+          () => server.close())
+      }
+      override def followable = true
+      override def makeFollow(chain: Seq[(Array[Byte], Block)]) = {
+        val server = new ChainSyncServer(chain, followable = true)
+        (new TcpChainProvider("127.0.0.1", server.port, followTip = true),
+          (w, b) => server.append(w, b), () => server.close())
+      }
     },
     new Bearer {
       val name = "mux"
@@ -88,6 +120,19 @@ class ProviderConformanceSpec extends SparkSpec {
           case Back(p) => ServeBack(p)
         }))
         (new MuxChainProvider("127.0.0.1", server.port), () => server.close())
+      }
+      override def handshakes = true
+      override def makeMismagic(chain: Seq[(Array[Byte], Block)]) = {
+        val server = new MuxChainSyncServer(chain)
+        (new MuxChainProvider("127.0.0.1", server.port,
+          networkMagic = ChainSyncServer.DefaultMagic + 1),
+          () => server.close())
+      }
+      override def followable = true
+      override def makeFollow(chain: Seq[(Array[Byte], Block)]) = {
+        val server = new MuxChainSyncServer(chain, followable = true)
+        (new MuxChainProvider("127.0.0.1", server.port, followTip = true),
+          (w, b) => server.append(w, b), () => server.close())
       }
     },
     new Bearer {
@@ -192,6 +237,41 @@ class ProviderConformanceSpec extends SparkSpec {
           assert(after.collect { case RollForward(blk) => blk } ==
             chain.drop(7).map(_._2))
         }
+      }
+
+    if (b.handshakes)
+      test(s"[${b.name}] a networkMagic mismatch refuses BEFORE chain-sync speaks") {
+        val chain = CborChainGen.generate(8, seed = 67)
+        val (p, close) = b.makeMismagic(chain)
+        try {
+          val ex = intercept[IllegalStateException](
+            p.startChainSync(Seq.empty).toVector)
+          assert(ex.getMessage.contains("handshake refused"), ex.getMessage)
+          assert(ex.getMessage.contains("networkMagic"), ex.getMessage)
+        } finally close()
+      }
+
+    if (b.followable)
+      test(s"[${b.name}] follow-tip yields post-catch-up appends through the awaited request") {
+        // generate(14) extends generate(10) exactly (sequential RNG),
+        // so the appended blocks continue the chain with real
+        // prev-hash linkage
+        val full = CborChainGen.generate(14, seed = 79)
+        val (chain, ext) = full.splitAt(10)
+        val (p, append, close) = b.makeFollow(chain)
+        try {
+          val it = p.startChainSync(Seq.empty)
+          val catchUp = (0 to 10).map(_ => it.next())
+          assert(catchUp.head.isInstanceOf[RollBack],
+            "catch-up must open with the rollback")
+          assert(catchUp.collect { case RollForward(bk) => bk }
+            == chain.map(_._2), "catch-up replay must be decode-faithful")
+          ext.foreach { case (w, bk) => append(w, bk) }
+          val live = (0 until ext.size).map(_ => it.next())
+          assert(live.collect { case RollForward(bk) => bk } == ext.map(_._2),
+            "appends must flow through the awaited request, in order")
+          it match { case c: AutoCloseable => c.close(); case _ => () }
+        } finally close()
       }
 
     test(s"[${b.name}] ProviderSync drives the UTxO graph to oracle balances at every prefix") {
