@@ -114,7 +114,7 @@ object ScaleSlope {
   }
 
   /** Write the FACTOR× replicated corpus (idempotent overwrite). */
-  private def buildCorpus(spark: SparkSession, base: String, out: String,
+  private[tools] def buildCorpus(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
     val copies = spark.range(factor).select(col("id").as("k"))
     def load(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")

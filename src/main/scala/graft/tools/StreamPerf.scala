@@ -25,6 +25,9 @@ object StreamPerf {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // throwaway state: skip the per-file checkpoint checksum writer
+      // (see StreamScale — it collapsed under many queries in one JVM)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
