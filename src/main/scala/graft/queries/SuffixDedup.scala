@@ -137,24 +137,68 @@ object SuffixDedup extends QueryModule {
         (t, i.toInt)
       }
       .toDF("tok", "tid")
-    toks.join(dict, "tok")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("pos"), col("tid"))).as("pts"))
-      .select(col("doc_id"),
-        expr("transform(array_sort(pts), x -> x.tid)").as("tids"))
+    // per-doc token-id sequences, MATERIALIZED: the compact pivot of the
+    // whole pipeline (~4 bytes/token as one int array per doc) — both
+    // the gram census below and the pruned wide emit re-read it, so the
+    // corpus tokenize+encode runs once
+    val tidsByDoc = Scratch.materialize(
+      toks.join(dict, "tok")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("pos"), col("tid"))).as("pts"))
+        .select(col("doc_id"),
+          expr("transform(array_sort(pts), x -> x.tid)").as("tids")),
+      "qsa_tids")
+    // SINGLE-DOC-GRAM PRUNE (r09, measured): a position whose
+    // MinSpan-gram occurs in only ONE document can never reach
+    // ell ≥ MinSpan — every LCP ≥ MinSpan partner shares the exact
+    // MinSpan prefix, i.e. the gram. The census drops those positions
+    // BEFORE the MaxSpan-wide suffix rows exist, so the engine's widest
+    // exchange (materialize + two repartition-sorts) carries only the
+    // cross-document-repeated ~tenth of the corpus (9.2% of positions
+    // at sf0.1; token-suffixed replication preserves the fraction at
+    // every scale). Output is provably unchanged: the filter drops
+    // whole exact-gram groups (all of a gram's rows share gh), a
+    // surviving row's partners all share its gram and therefore
+    // survive, and the scan's group boundary is the adjacent-LCP
+    // < MinSpan test, not partition neighborhood. A gh COLLISION only
+    // merges two grams' census rows — min≠max goes conservative (keeps
+    // both), never drops a cross-doc gram. Cost: two narrow per-position
+    // shuffles (census agg + keep join) and a doc-keyed regroup, all on
+    // 16-byte rows.
+    // FNV-1a over the MinSpan-id gram: routing + census identity only
+    // (equal grams must collide; unequal grams colliding merely shares
+    // a partition / goes conservative) — gram IDENTITY downstream is
+    // the exact slice. A `val` function, NOT a local def: a def lifts
+    // to a method of the enclosing (non-serializable) object and drags
+    // it into the task closure.
+    val fnv: (Array[Int], Int) => Long = (arr, i) => {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < MinSpan) { h ^= arr(i + j); h *= 0x100000001b3L; j += 1 }
+      h
+    }
+    val census = tidsByDoc
       .as[(Long, Seq[Int])]
       .flatMap { case (id, tidSeq) =>
         val arr = tidSeq.toArray
-        (0 to arr.length - MinSpan).iterator.map { i =>
+        (0 to arr.length - MinSpan).iterator.map(i => (id, i.toLong, fnv(arr, i)))
+      }
+      .toDF("doc_id", "pos", "gh")
+    val hot = census.groupBy(col("gh"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("crossdoc"))
+      .filter(col("crossdoc")).select(col("gh"))
+    val keeps = census.join(hot, "gh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("kps"))
+    tidsByDoc.join(keeps, "doc_id")
+      .as[(Long, Seq[Int], Seq[Long])]
+      .flatMap { case (id, tidSeq, kps) =>
+        val arr = tidSeq.toArray
+        kps.iterator.map { p =>
+          val i = p.toInt
           val sfx = java.util.Arrays.copyOfRange(arr,
             i, math.min(i + MaxSpan, arr.length))
-          // FNV-1a over the MinSpan-id gram: routing only (equal grams
-          // must collide; unequal grams colliding merely shares a
-          // partition) — gram IDENTITY downstream is the exact slice
-          var h = 0xcbf29ce484222325L
-          var j = 0
-          while (j < MinSpan) { h ^= arr(i + j); h *= 0x100000001b3L; j += 1 }
-          (id, i.toLong, sfx, h)
+          (id, p, sfx, fnv(arr, i))
         }
       }
       .toDF("doc_id", "pos", "sfx", "gh")
