@@ -44,10 +44,11 @@ import org.apache.spark.sql.functions._
   *      ends), the islands-and-gaps trick generalized to intervals.
   *
   * Scale shape: the one wide exchange carries (gram-hash, ≤ MaxSpan
-  * TOKEN-ID ints, doc_id, pos) rows — suffix content must move because
-  * suffix ORDER is the algorithm, but the payload is bounded at
-  * MaxSpan × 4 bytes per row after dictionary encoding (Lee et al.'s
-  * own distributed variant shuffles suffixes the same way, as
+  * TOKEN-ID longs, doc_id, pos) rows for the ~tenth of positions whose
+  * gram is cross-document (the census prune) — suffix content must
+  * move because suffix ORDER is the algorithm, but the payload is
+  * bounded at MaxSpan × 8 bytes per row after hash encoding (Lee et
+  * al.'s own distributed variant shuffles suffixes the same way, as
   * strings). Everything after the scans is narrow integer triples.
   * Skew: one mega-hot gram lands its group in one task, but the scans
   * are O(group) streaming with O(1) state, not O(group) memory.
@@ -68,86 +69,83 @@ object SuffixDedup extends QueryModule {
     * space-JOINED STRINGS this was also load-bearing for sort
     * contiguity — a "token" continuing with a char below 0x20 could
     * wedge between a suffix and its extension in string order and break
-    * the LCP-interval min. With dictionary-encoded int arrays the wedge
-    * is structurally impossible — comparison is element-wise over exact
+    * the LCP-interval min. With id-encoded long arrays the wedge is
+    * structurally impossible — comparison is element-wise over exact
     * token ids — but the class stays so Spark and the oracle tokenize
     * identically; the adversarial spec still pins the behavior.)
     */
   private val WordRe = "[^\\s\\x00-\\x1f]+".r
 
-  /** (doc_id, pos, sfx: array<int>, gh): every position's bounded
-    * suffix as TOKEN-ID ints plus a 64-bit routing hash of its
+  /** (doc_id, pos, sfx: array<bigint>, gh): every position's bounded
+    * suffix as TOKEN-ID longs plus a 64-bit routing hash of its
     * MinSpan-id prefix.
     *
-    * Dictionary encoding (r07 verdict #1): the suffix exchange is the
-    * engine's widest shuffle — corpus tokens × MaxSpan blowup, shipped
-    * TWICE (ascending + descending scan) — and it used to carry token
-    * STRINGS. Tokens now map to dense int ids through an exact
-    * distinct-token dictionary built in the same pass, so the wide
-    * exchanges carry `array<int>` (≤ MaxSpan × 4 bytes, dictionary-
-    * friendly in the scratch parquet too) and every downstream compare
-    * is an int compare, not a string compare. The algorithm is
-    * ORDER-AGNOSTIC in the token alphabet: lexicographic order over id
-    * sequences is a valid suffix order for ANY token→id bijection (the
-    * shared-prefix convexity argument needs only element-wise
-    * comparison), and LCPs depend on id EQUALITY alone, so arbitrary id
-    * assignment changes no output value. Decoding never happens: the
-    * rewrite edge (q83) re-reads original text by position.
+    * Hash encoding (r09, replacing the r08 dictionary — measured): the
+    * suffix exchange is the engine's widest shuffle — cross-doc-gram
+    * positions × MaxSpan blowup, shipped TWICE (ascending + descending
+    * scan) — and it must not carry token STRINGS. The r08 design built
+    * an exact distinct-token dictionary (dense int ids) whose encode
+    * leg — a corpus-wide token join plus a per-doc regroup — profiled
+    * as ~65% of the post-prune suffix build at 30× (tools/SfxProf).
+    * Token ids are now `xxhash64` of the token bytes, computed INLINE
+    * in the per-doc tokenize pass: the encode leg is embarrassingly
+    * parallel — no dictionary, no corpus-wide join, no regroup
+    * shuffle — and trivially deterministic under lineage recompute.
     *
-    * Encode cost is two narrow-payload corpus-linear shuffles (the
-    * token join — AQE broadcasts the dictionary when it fits, skew-
-    * joins hot tokens when not — and the per-doc regroup of int pairs)
-    * traded against shrinking the MaxSpan-wide exchanges; the measured
-    * 30× slope is the receipt (SCALE_SLOPE_30x.json / BASELINE.md).
+    * The algorithm is ORDER-AGNOSTIC in the token alphabet:
+    * lexicographic order over id sequences is a valid suffix order for
+    * ANY token→id INJECTION (the shared-prefix convexity argument
+    * needs only element-wise comparison), and LCPs depend on id
+    * EQUALITY alone — so correctness needs exactly injectivity over
+    * this corpus's vocabulary, which the eager census below REFUSES
+    * loudly instead of assuming: one vocab-sized aggregate compares
+    * distinct tokens against distinct hashes (collision odds ~7e-12 at
+    * a 50k vocab, ~3% at an adversarial 10⁹ vocab — real enough to
+    * check, rare enough that the exact-dictionary fallback lives in
+    * history, commit-tagged, not in the hot path). The lambda uses
+    * `XXH64.hashUTF8String(…, 42)`, the exact function behind SQL
+    * `xxhash64`, so the check and the encode are provably the same
+    * hash. Decoding never happens: the rewrite edge (q83) re-reads
+    * original text by position.
     */
-  private def suffixEntries(docs: DataFrame): DataFrame = {
+  private[graft] def suffixEntries(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // NOTE the toks lineage is evaluated twice (once for the
-    // dictionary's distinct pass — the RDD zipWithIndex boundary
-    // defeats exchange reuse — once for the encode join). Measured
-    // (r08 review follow-up): materializing it to kill the duplicate
-    // pass costs MORE than the recompute at sf0.1 (q82 1.90→2.30 s —
-    // checkpointing corpus-token rows outweighs a narrow re-tokenize),
-    // and on a cluster the recompute is a cheap columnar re-scan of
-    // the docs parquet; the double evaluation is the right trade.
-    val toks = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        WordRe.findAllIn(text).zipWithIndex.map { case (t, i) => (id, i, t) }
-      }
-      .toDF("doc_id", "pos", "tok")
-    // exact dictionary: distinct token → dense int id (zipWithIndex is
-    // the distributed dense-id assignment — no single-partition window).
-    // sortBy first makes the assignment DETERMINISTIC under partial
-    // lineage recompute: plain distinct+zipWithIndex is partition-order
-    // dependent, so an executor loss mid-encode could re-derive a
-    // different tok→tid map for the recomputed split and silently break
-    // LCP equality. The sort is vocab-sized (Heaps-law sublinear), not
-    // corpus-sized.
-    val dict = toks.select(col("tok")).distinct().rdd.map(_.getString(0))
-      .sortBy(identity)
-      .zipWithIndex()
-      .map { case (t, i) =>
-        // Heaps-law vocab stays far below 2^31 even at 100 TB; if a
-        // pathological corpus breaks that, fail loud — a silent wrap
-        // would alias distinct tokens
-        if (i >= Int.MaxValue)
-          throw new IllegalStateException(s"token vocabulary overflows Int: $i")
-        (t, i.toInt)
-      }
-      .toDF("tok", "tid")
+    // injectivity gate, EAGER: a wrong answer must be impossible, not
+    // improbable. distinct() FIRST (partial-agg shrinks the exchange to
+    // vocab size map-side), THEN the two countDistincts — in one agg
+    // over corpus tokens they would expand every token row twice; over
+    // the vocab relation the expand is Heaps-law small. The xxhash64
+    // here is the SQL twin of the lambda's XXH64 call.
+    val vc = docs.select(col("text")).as[String]
+      .flatMap(t => WordRe.findAllIn(t))
+      .toDF("tok").distinct()
+      .agg(count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("tok"))).as("nh"))
+      .head()
+    if (vc.getLong(0) != vc.getLong(1))
+      throw new IllegalStateException(
+        s"token-hash collision: ${vc.getLong(0)} distinct tokens hash to " +
+          s"${vc.getLong(1)} distinct ids — rebuild with an exact dictionary")
     // per-doc token-id sequences, MATERIALIZED: the compact pivot of the
-    // whole pipeline (~4 bytes/token as one int array per doc) — both
+    // whole pipeline (8 bytes/token as one long array per doc) — both
     // the gram census below and the pruned wide emit re-read it, so the
-    // corpus tokenize+encode runs once
+    // corpus tokenize+hash runs once
+    val tTids = System.nanoTime()
     val tidsByDoc = Scratch.materialize(
-      toks.join(dict, "tok")
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("pos"), col("tid"))).as("pts"))
-        .select(col("doc_id"),
-          expr("transform(array_sort(pts), x -> x.tid)").as("tids")),
+      docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, WordRe.findAllIn(text).map(t =>
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L))
+            .toArray)
+        }
+        .toDF("doc_id", "tids"),
       "qsa_tids")
+    if (s.conf.getOption("graft.engine.timing").contains("true"))
+      System.err.println(
+        f"[timing] sfx tidsByDoc ${(System.nanoTime() - tTids) / 1e9}%.3fs")
     // SINGLE-DOC-GRAM PRUNE (r09, measured): a position whose
     // MinSpan-gram occurs in only ONE document can never reach
     // ell ≥ MinSpan — every LCP ≥ MinSpan partner shares the exact
@@ -171,14 +169,14 @@ object SuffixDedup extends QueryModule {
     // the exact slice. A `val` function, NOT a local def: a def lifts
     // to a method of the enclosing (non-serializable) object and drags
     // it into the task closure.
-    val fnv: (Array[Int], Int) => Long = (arr, i) => {
+    val fnv: (Array[Long], Int) => Long = (arr, i) => {
       var h = 0xcbf29ce484222325L
       var j = 0
       while (j < MinSpan) { h ^= arr(i + j); h *= 0x100000001b3L; j += 1 }
       h
     }
     val census = tidsByDoc
-      .as[(Long, Seq[Int])]
+      .as[(Long, Seq[Long])]
       .flatMap { case (id, tidSeq) =>
         val arr = tidSeq.toArray
         (0 to arr.length - MinSpan).iterator.map(i => (id, i.toLong, fnv(arr, i)))
@@ -191,7 +189,7 @@ object SuffixDedup extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("kps"))
     tidsByDoc.join(keeps, "doc_id")
-      .as[(Long, Seq[Int], Seq[Long])]
+      .as[(Long, Seq[Long], Seq[Long])]
       .flatMap { case (id, tidSeq, kps) =>
         val arr = tidSeq.toArray
         kps.iterator.map { p =>
@@ -205,7 +203,7 @@ object SuffixDedup extends QueryModule {
   }
 
   /** Token-level longest common prefix of two id-encoded suffixes. */
-  private def tokenLcp(a: Array[Int], b: Array[Int]): Long = {
+  private def tokenLcp(a: Array[Long], b: Array[Long]): Long = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n && a(i) == b(i)) i += 1
@@ -221,10 +219,10 @@ object SuffixDedup extends QueryModule {
   private def directionalLcp(sorted: DataFrame): DataFrame = {
     import sorted.sparkSession.implicits._
     sorted.select(col("doc_id"), col("pos"), col("sfx"))
-      .as[(Long, Long, Array[Int])]
+      .as[(Long, Long, Array[Long])]
       .mapPartitions { it =>
         var prevDoc = Long.MinValue
-        var prevToks: Array[Int] = null
+        var prevToks: Array[Long] = null
         var run = -1L
         it.map { case (doc, pos, toks) =>
           if (prevToks == null) run = -1L
@@ -365,18 +363,17 @@ object SuffixDedup extends QueryModule {
     val s = docs.sparkSession
     import s.implicits._
     val sfx = Scratch.materialize(suffixEntries(docs), "q83_sfx")
-    // per-gram canonical owner, keyed by the EXACT MinSpan id slice
-    // packed into MinSpan/2 longs — collision-FREE gram identity (the
-    // pre-dictionary design keyed a 48-bit hash whose collisions could
-    // merge two grams' owners; the packing matches the oracle's
-    // full-md5 gram identity by construction) and, unlike grouping on
-    // the array slice itself, plain long columns keep the aggregation
-    // and join inside codegen'd hash operators
-    val gramKeys = (0 until MinSpan by 2).map { j =>
-      (element_at(col("sfx"), j + 1).cast("long") * lit(1L << 32) +
-        element_at(col("sfx"), j + 2)).as(s"g$j")
+    // per-gram canonical owner, keyed by the EXACT MinSpan id slice as
+    // MinSpan long columns — gram identity exactly as collision-free
+    // as the token encoding itself (injectivity is gate-checked in
+    // suffixEntries; the pre-dictionary design keyed a 48-bit hash
+    // whose collisions could merge two grams' owners) and, unlike
+    // grouping on the array slice itself, plain long columns keep the
+    // aggregation and join inside codegen'd hash operators
+    val gramKeys = (0 until MinSpan).map { j =>
+      element_at(col("sfx"), j + 1).as(s"g$j")
     }
-    val gramNames = (0 until MinSpan by 2).map(j => s"g$j")
+    val gramNames = (0 until MinSpan).map(j => s"g$j")
     val gmin = sfx.select(col("doc_id") +: gramKeys: _*)
       .groupBy(gramNames.map(col): _*).agg(min(col("doc_id")).as("min_doc"))
     val pmin = sfx.select(Seq(col("doc_id"), col("pos")) ++ gramKeys: _*)
@@ -423,15 +420,13 @@ object SuffixDedup extends QueryModule {
     * byte ranges and would otherwise scatter a gram group across scan
     * partitions, silently breaking the recurrence chain.
     */
-  private def positionLcpFrom(sfx: DataFrame): DataFrame = {
-    // leading packed (tid0, tid1) long: the sorter gets a radix-friendly
-    // fixed-width prefix key (ArrayType has no sort prefix, so sorting
-    // on the array alone falls back to full record compares per pair);
-    // pk orders exactly like the first two array elements, so
-    // (pk, sfx, ...) is the same total order as (sfx, ...) — every row
-    // has ≥ MinSpan ≥ 2 elements, and tid < 2^31 keeps pk overflow-free
-    val pk = element_at(col("sfx"), 1).cast("long") * lit(1L << 32) +
-      element_at(col("sfx"), 2)
+  private[graft] def positionLcpFrom(sfx: DataFrame): DataFrame = {
+    // leading tid0 long: the sorter gets a radix-friendly fixed-width
+    // prefix key (ArrayType has no sort prefix, so sorting on the array
+    // alone falls back to full record compares per pair); pk IS the
+    // first array element, so (pk, sfx, ...) is trivially the same
+    // total order as (sfx, ...) under the same signed-long comparator
+    val pk = element_at(col("sfx"), 1)
     val up = directionalLcp(sfx.repartition(col("gh"))
       .sortWithinPartitions(pk, col("sfx"), col("doc_id"), col("pos")))
     val down = directionalLcp(sfx.repartition(col("gh"))
