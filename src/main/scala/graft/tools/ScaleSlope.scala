@@ -45,7 +45,11 @@ object ScaleSlope {
     "q66_bpe_train", "q67_pipeline_manifest", "q73_quality_classifier",
     "q75_train_sequences", "q82_exactsubstr_any", "q83_cut_any_spans",
     "q86_classifier_certificate", "q88_ann_ivf_trained", "q93_pagerank",
-    "q98_pipeline_suffix")
+    "q98_pipeline_suffix",
+    // r09: the frozen-index MERGE lifecycle entries — the daily-promote
+    // operation must hold its shape at corpus scale, not just pass the
+    // merged≡rebuilt gate
+    "q100_lex_index_merge", "q101_sem_index_merge")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
