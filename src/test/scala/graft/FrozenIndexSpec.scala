@@ -99,6 +99,17 @@ class FrozenIndexSpec extends SparkSpec {
     assert(a == lexRows(Dedup.probeLex(rebuilt, probeDocs)))
   }
 
+  test("lexical: re-merging the SAME delta is probe-idempotent (at-least-once promote)") {
+    // a retried promote job must not change verdicts: the exact table
+    // is a min-merge (idempotent by algebra) and the band table's
+    // duplicate rows cannot move a min(idx_doc) — the probe contract
+    // absorbs at-least-once delivery without a dedup pass
+    val once = Dedup.mergeLexIndex(Dedup.buildLexIndex(frozenDocs), deltaDocs)
+    val twice = Dedup.mergeLexIndex(once, deltaDocs)
+    assert(lexRows(Dedup.probeLex(twice, probeDocs))
+      == lexRows(Dedup.probeLex(once, probeDocs)))
+  }
+
   test("lexical: exact-min survives a merge that brings a HIGHER-id duplicate") {
     // frozen owns loremA at id 10; delta re-adds it at 20 — the merged
     // min-state must keep 10 as the canonical owner
@@ -149,6 +160,16 @@ class FrozenIndexSpec extends SparkSpec {
     // dup_of = LOWEST index id ≥ SemTau: the merged-in 150 wins
     assert(after.map(t => (t._1, t._3)) == Seq((1L, 150L), (2L, -1L)),
       after.toString)
+  }
+
+  test("semantic: re-merging the SAME delta is probe-idempotent (at-least-once promote)") {
+    // duplicate inverted-list entries cannot move min-id dup verdicts
+    // or max_cos — a retried semantic promote is absorbed the same way
+    val f0 = Similarity.buildSemIndex(frozenE, cents)
+    val once = Similarity.mergeSemIndex(f0, deltaE)
+    val twice = Similarity.mergeSemIndex(once, deltaE)
+    assert(semRows(Similarity.probeSem(twice, probeE))
+      == semRows(Similarity.probeSem(once, probeE)))
   }
 
   test("semantic: merged index ≡ rebuilt from scratch over corpus∪delta (incl. stored roundtrip)") {
