@@ -233,25 +233,79 @@ object Selection extends QueryModule {
   }
 
   private def q75(s: SparkSession, d: String): DataFrame = {
-    // ONE explode+broadcast-join pass yields the token stream consumed
-    // by both the per-doc counts and the final packing — without the
-    // pin the encoder subtree would execute twice (measured 5.4→4.5 s)
-    val toks = Scratch.materialize(q75Toks(s, d), "q75_toks")
-    val perDoc = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"))
+    import s.implicits._
+    // Regrouped packing (r09, measured): the previous shape passed the
+    // full TOKEN stream through THREE wide stages — a scratch pin (so
+    // the encoder ran once for the count leg and the packing leg), a
+    // per-doc row_number window (exchange + sort of every token row),
+    // and the output grouping. The SuffixDedup tids pattern collapses
+    // the first two: ONE doc-keyed regroup materializes each document's
+    // id stream as an array (the in-doc rank IS the array index — the
+    // same (wpos, tpos) order row_number ranked), per-doc counts fall
+    // out of array lengths with no further pass, the shard-offset
+    // window runs over DOC-level rows, and the flatMap emits
+    // (shard, gpos, tok) straight into the output grouping. Token rows
+    // cross exactly TWO exchanges — the regroup and the output tensor
+    // itself — and the token-row scratch write disappears.
+    // regroup spelling: repartition + in-partition sort + a streaming
+    // run-grouper, NOT groupBy+collect_list+sort_array — the object-
+    // mode aggregate (no codegen, per-group array churn, per-doc
+    // sort_array) measured ~20 s of q75's 32 s at 30×; the sorted-run
+    // scan is the directionalLcp pattern: one radix-friendly sort,
+    // O(doc) state, emit each document's id array as its run closes
+    val byDoc = Scratch.materialize(
+      q75Toks(s, d)
+        .select(col("doc_id").cast("long"), col("wpos"), col("tpos"),
+          col("tok"))
+        .repartition(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("wpos"), col("tpos"))
+        .as[(Long, Int, Int, Int)]
+        .mapPartitions { it =>
+          val buf = scala.collection.mutable.ArrayBuffer[Int]()
+          var cur = Long.MinValue
+          var open = false
+          new Iterator[(Long, Array[Int])] {
+            private var pending: (Long, Array[Int]) = null
+            private def advance(): Unit = {
+              while (pending == null && it.hasNext) {
+                val (doc, _, _, tok) = it.next()
+                if (!open) { cur = doc; open = true }
+                else if (doc != cur) {
+                  pending = (cur, buf.toArray); buf.clear(); cur = doc
+                }
+                buf += tok
+              }
+              if (pending == null && open && !it.hasNext) {
+                pending = (cur, buf.toArray); buf.clear(); open = false
+              }
+            }
+            def hasNext: Boolean = { advance(); pending != null }
+            def next(): (Long, Array[Int]) = {
+              advance()
+              if (pending == null) throw new NoSuchElementException
+              val r = pending; pending = null; r
+            }
+          }
+        }
+        .toDF("doc_id", "ids"),
+      "q75_docids")
+    val perDoc = byDoc
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tok"))
       .withColumn("shard", seqShardOf(col("doc_id")))
     val ws = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = perDoc
       .withColumn("start_off", sum(col("n_tok")).over(ws) - col("n_tok"))
       .select(col("doc_id"), col("shard"), col("start_off"))
-    val wd = Window.partitionBy(col("doc_id"))
-      .orderBy(col("wpos"), col("tpos"))
-    toks
-      .withColumn("ti", row_number().over(wd).cast("long") - 1L)
-      .join(offs, Seq("doc_id"))
-      .select(col("shard"), (col("start_off") + col("ti")).as("gpos"),
-        col("tok"))
+    byDoc.join(offs, Seq("doc_id"))
+      .select(col("shard"), col("start_off"), col("ids"))
+      .as[(Long, Long, Seq[Int])]
+      .flatMap { case (shard, off, ids) =>
+        ids.iterator.zipWithIndex.map { case (tok, i) =>
+          (shard, off + i, tok)
+        }
+      }
+      .toDF("shard", "gpos", "tok")
       .withColumn("seq_no", expr(s"gpos div $SeqLen"))
       .groupBy(col("shard"), col("seq_no"))
       // token_ids ships as a comma-joined STRING, not ARRAY<INT>: the
