@@ -68,7 +68,7 @@ object Bench {
           settle()
           dt
         }
-        val dt = times.sorted.apply(times.size / 2)
+        val dt = Harness.median(times)
         System.err.println(f"[bench] $name median $dt%.2fs of " +
           times.map(t => f"$t%.2f").mkString("[", ",", "]"))
         (name, dt, times)

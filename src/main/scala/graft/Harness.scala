@@ -61,7 +61,17 @@ object Harness {
     once() // warmup: codegen + JIT, same as every bench entry
     settle(spark)
     val ts = (1 to reps).map { _ => val t = once(); settle(spark); t }
-    (ts.sorted.apply(ts.size / 2), ts)
+    (median(ts), ts)
+  }
+
+  /** True median: averages the two middle elements for an even count
+    * (r09 advice — `sorted(n/2)` alone is the UPPER middle, biased
+    * high for even reps).
+    */
+  def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   /** SPARK_GRAFT_ONLY=q31,q37 restricts to matching name prefixes

@@ -117,16 +117,27 @@ object SuffixDedup extends QueryModule {
     // over corpus tokens they would expand every token row twice; over
     // the vocab relation the expand is Heaps-law small. The xxhash64
     // here is the SQL twin of the lambda's XXH64 call.
-    val vc = docs.select(col("text")).as[String]
-      .flatMap(t => WordRe.findAllIn(t))
-      .toDF("tok").distinct()
-      .agg(count(lit(1)).as("n"),
-        countDistinct(xxhash64(col("tok"))).as("nh"))
-      .head()
-    if (vc.getLong(0) != vc.getLong(1))
-      throw new IllegalStateException(
-        s"token-hash collision: ${vc.getLong(0)} distinct tokens hash to " +
-          s"${vc.getLong(1)} distinct ids — rebuild with an exact dictionary")
+    //
+    // Verdict CACHED per canonicalized input plan (r09 advice): q82,
+    // q83, and q98 each call suffixEntries on the same documents
+    // relation, and the gate's corpus tokenize was paid three times
+    // for one immutable input. Same canonical plan ⇒ same files ⇒ same
+    // vocabulary within a session, so a green verdict is reusable; a
+    // FAILED gate still throws on every call (only success is cached).
+    val gateKey = docs.queryExecution.logical.canonicalized.toString
+    ModelCache.getOrCompute("sfxgate", gateKey) {
+      val vc = docs.select(col("text")).as[String]
+        .flatMap(t => WordRe.findAllIn(t))
+        .toDF("tok").distinct()
+        .agg(count(lit(1)).as("n"),
+          countDistinct(xxhash64(col("tok"))).as("nh"))
+        .head()
+      if (vc.getLong(0) != vc.getLong(1))
+        throw new IllegalStateException(
+          s"token-hash collision: ${vc.getLong(0)} distinct tokens hash to " +
+            s"${vc.getLong(1)} distinct ids — rebuild with an exact dictionary")
+      java.lang.Boolean.TRUE
+    }
     // per-doc token-id sequences, MATERIALIZED: the compact pivot of the
     // whole pipeline (8 bytes/token as one long array per doc) — both
     // the gram census below and the pruned wide emit re-read it, so the

@@ -282,6 +282,11 @@ final class MuxChainSyncServer(
     val owed = new java.util.concurrent.atomic.AtomicInteger(0)
     // this connection's live feed (see `followers`)
     val myLive = new java.util.concurrent.LinkedBlockingQueue[ServedEvent]()
+    // bumped (under the server lock) by the re-intersect drain: the
+    // pump compares it around its dequeue so an event pulled JUST
+    // before a drain is discarded instead of served after the new
+    // snapshot (r09 advice — the clear()+set(0) alone left that window)
+    val liveGen = new java.util.concurrent.atomic.AtomicInteger(0)
     var registered = false
 
     // every message writes atomically under the out lock: in follow
@@ -366,16 +371,26 @@ final class MuxChainSyncServer(
           try {
             while (running && !sock.isClosed) {
               if (owed.get > 0) {
+                // capture the generation BEFORE the dequeue; the
+                // send+decrement re-check it under the server lock, so
+                // a re-intersect drain either completes first (stale
+                // gen ⇒ the event is already in the rebuilt snapshot —
+                // discard it, don't decrement) or waits for this send
+                // (a pre-rollback serve, legal) — never a double-serve,
+                // never an owed underflow to -1
+                val g = liveGen.get
                 val ev = myLive.poll(50,
                   java.util.concurrent.TimeUnit.MILLISECONDS)
-                if (ev != null) {
-                  out.synchronized {
-                    val w = new CborWriter
-                    serveEvent(w, ev)
-                    send(Mux.ProtoChainSync, w.result())
-                    out.flush()
+                if (ev != null) MuxChainSyncServer.this.synchronized {
+                  if (liveGen.get == g && owed.get > 0) {
+                    out.synchronized {
+                      val w = new CborWriter
+                      serveEvent(w, ev)
+                      send(Mux.ProtoChainSync, w.result())
+                      out.flush()
+                    }
+                    owed.decrementAndGet()
                   }
-                  owed.decrementAndGet()
                 }
               } else Thread.sleep(10)
             }
@@ -422,6 +437,12 @@ final class MuxChainSyncServer(
                   // pump delivery)
                   myLive.clear()
                   owed.set(0)
+                  // invalidate any event the pump dequeued before this
+                  // drain but has not yet sent (it re-checks under this
+                  // same lock) — without the bump that event goes out
+                  // AFTER the new snapshot: the exact double-serve the
+                  // drain exists to prevent
+                  liveGen.incrementAndGet()
                 }
                 if (script.isDefined) events0
                 else forwardsAll.toVector.collect {

@@ -90,6 +90,15 @@ final case class ServeBack(point: Point) extends ServedEvent
   * tip), replays a script (default: roll the whole chain forward), and
   * RECORDS the high-water mark of pipelined-but-unanswered RequestNexts
   * so the client's adaptive pipelining is observable, not assumed.
+  *
+  * Peer contract: while a follower is parked in MustReply (AwaitReply
+  * sent, chain not yet grown), the server probes peer liveness with a
+  * TCP urgent byte every ~2s. Clients MUST leave `SO_OOBINLINE` off
+  * (the Java default) so the byte is discarded out of band; a peer
+  * that enables it would see a stray 0x00 spliced into the frame
+  * stream. `setKeepAlive` is not a substitute here — its probes start
+  * only after hours of idleness on stock kernels, far beyond a test's
+  * or an operator's patience for detecting a vanished follower.
   */
 final class ChainSyncServer(
     chain: Seq[(Array[Byte], Block)],
@@ -202,19 +211,23 @@ final class ChainSyncServer(
           w.arrayHeader(1); w.uint(MsgAwaitReply)
           writeFrame(out, w.result()); out.flush()
           var ev: ServedEvent = null
-          var probeIn = 5
+          var probeIn = 40
           while (ev == null && running && !sock.isClosed) {
             ev = myLive.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
             // sock.isClosed only reflects LOCAL close — a disconnected
             // batch client would otherwise park this handler thread
-            // forever. Probe peer liveness with a TCP urgent byte: the
-            // peer discards OOB data by default (OOBInline off on both
-            // our ends), and a write after the peer's FIN/RST throws
-            // within two probes
+            // forever. Probe peer liveness with a TCP urgent byte every
+            // ~2s (40 × 50ms — r09 advice: 250ms was needlessly chatty
+            // toward an idle-but-alive follower). ASSUMES the peer
+            // leaves SO_OOBINLINE off (the Java default, and what every
+            // client in this repo does) so the byte is discarded out of
+            // band; a peer with OOBInline ON would see a stray 0x00
+            // inline — documented at the server's public surface. A
+            // write after the peer's FIN/RST throws within two probes.
             if (ev == null) {
               probeIn -= 1
               if (probeIn == 0) {
-                probeIn = 5
+                probeIn = 40
                 try sock.sendUrgentData(0)
                 catch { case _: java.io.IOException =>
                   throw new EOFException("peer closed while awaiting") }
