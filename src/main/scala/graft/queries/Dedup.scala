@@ -1578,6 +1578,125 @@ object Dedup extends QueryModule {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** Provenance-tagged frozen lexical index — the RETRACTABLE variant
+    * of [[LexIndex]] (r09 verdict #1): every state row carries the
+    * batch_id of the promote that produced it, and the exact table
+    * keeps per-(norm_md5, batch) PARTIAL mins instead of one collapsed
+    * min. That single representational change buys the inverse
+    * operation a rolling corpus needs for bad-data recall: a plain min
+    * is not subtractable (dropping a batch can RAISE the true min, and
+    * the collapsed state no longer knows to what), but per-batch
+    * partials are — retracting batch B is `filter(batch_id =!= B)`,
+    * and the min over the survivors IS the index over the surviving
+    * documents. Mirrors the reference's retraction-first design
+    * (`ReducerGraphProcessor.cs:176-209` rolls reducer state back by
+    * replaying inverse deltas) re-expressed as algebra on a stored
+    * relation: no replay, no rebuild, no read of frozen text.
+    *
+    * Cost shape at 100 TB: promote = pure APPEND (the min collapse
+    * moves to probe time, where the group is batches-per-key — a
+    * handful — not docs-per-key); retract = partition pruning over a
+    * batch_id-partitioned store ([[Scratch.materializePartitioned]]),
+    * i.e. the retracted batch's files are never opened and dropping
+    * them physically is one directory delete.
+    */
+  private[graft] final case class LexIndexP(exact: DataFrame, bands: DataFrame)
+
+  private[graft] def buildLexIndexP(docs: DataFrame, batchId: Long)
+      : LexIndexP = {
+    val b = buildLexIndex(docs)
+    LexIndexP(b.exact.withColumn("batch_id", lit(batchId)),
+      b.bands.withColumn("batch_id", lit(batchId)))
+  }
+
+  /** Promote under provenance: append the delta batch's partial states.
+    * No re-aggregation at all — cheaper than [[mergeLexIndex]], whose
+    * merge-time min this representation defers to probe time.
+    */
+  private[graft] def mergeLexIndexP(idx: LexIndexP, deltaDocs: DataFrame,
+      batchId: Long): LexIndexP = {
+    val d = buildLexIndexP(deltaDocs, batchId)
+    LexIndexP(idx.exact.union(d.exact), idx.bands.union(d.bands))
+  }
+
+  /** Retract (demote) one promoted batch — the exact inverse of its
+    * promote, by construction: both tables drop precisely the rows that
+    * promote appended. Equality with an index REBUILT without the batch
+    * is the q102 oracle's hash gate and FrozenIndexSpec's round-trips.
+    */
+  private[graft] def retractLexIndexP(idx: LexIndexP, batchId: Long)
+      : LexIndexP =
+    LexIndexP(idx.exact.filter(col("batch_id") =!= batchId),
+      idx.bands.filter(col("batch_id") =!= batchId))
+
+  /** Collapse provenance state to the probe shape: min over each key's
+    * surviving batch partials (a per-key group of batches, not of
+    * documents). `probeLex(collapseLex(idx), …)` is the provenance
+    * index's probe contract.
+    */
+  private[graft] def collapseLex(idx: LexIndexP): LexIndex =
+    LexIndex(
+      idx.exact.groupBy(col("norm_md5")).agg(min(col("idx_doc")).as("idx_doc")),
+      idx.bands.select(col("band_key"), col("doc_id")))
+
+  /** Frozen-index RETRACTION equivalence (q102) — the lifecycle q100
+    * cannot run backwards: bootstrap the index over the frozen third
+    * (doc_id ≡ 0,1,2 mod 10) as batch 0, promote batch 1 (≡ 3,4) and
+    * batch 2 (≡ 5,6), STORE the provenance-tagged state partitioned by
+    * batch_id, then RETRACT batch 2 (the "bad data found after promote"
+    * event) and probe the remainder (≡ 7,8,9) against the demoted
+    * index. The DuckDB oracle probes an index REBUILT from scratch over
+    * only batches 0∪1 — the hash gate is the demoted ≡ rebuilt-without
+    * proof, the retraction analogue of q100's merged ≡ rebuilt.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = col("doc_id") % 10
+    val b0 = buildLexIndexP(docs.filter(m < 3), 0L)
+    val p1 = mergeLexIndexP(b0, docs.filter(m >= 3 && m < 5), 1L)
+    val p2 = mergeLexIndexP(p1, docs.filter(m >= 5 && m < 7), 2L)
+    // the stored index: retraction consumes partitioned INDEX STATE —
+    // batch 2's files are pruned out, frozen text is never read
+    val stored = LexIndexP(
+      Scratch.materializePartitioned(p2.exact, "q102_exact", "batch_id"),
+      Scratch.materializePartitioned(p2.bands, "q102_bands", "batch_id"))
+    val demoted = retractLexIndexP(stored, 2L)
+    probeLex(collapseLex(demoted), docs.filter(m >= 7))
+  }
+
+  private val q102Sql = {
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |norm AS (
+       |  SELECT doc_id,
+       |    ${normMd5Sql("text")}
+       |      AS norm_md5
+       |  FROM documents),
+       |exact_idx AS (
+       |  SELECT norm_md5, MIN(doc_id) AS idx_doc FROM norm
+       |  WHERE doc_id % 10 < 5 GROUP BY norm_md5),
+       |near AS (
+       |  SELECT d.doc_id, MIN(f.doc_id) AS near_of
+       |  FROM banded d JOIN banded f ON d.band_key = f.band_key
+       |  WHERE d.doc_id % 10 >= 7 AND f.doc_id % 10 < 5
+       |  GROUP BY d.doc_id)
+       |SELECT n.doc_id,
+       |  COALESCE(idx_doc, -1) AS exact_of,
+       |  COALESCE(near_of, -1) AS near_of,
+       |  COALESCE(idx_doc, -1) = -1 AND COALESCE(near_of, -1) = -1 AS is_new
+       |FROM norm n
+       |LEFT JOIN exact_idx USING (norm_md5)
+       |LEFT JOIN near ON near.doc_id = n.doc_id
+       |WHERE n.doc_id % 10 >= 7
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   /** Duplicated-span CUT (q72) — q64 made actionable, the Lee et al.
     * ExactSubstr REWRITE: emit each document with every token cut that
     * lies in a cross-document duplicated 8-gram occurring in a LOWER
@@ -1693,6 +1812,7 @@ object Dedup extends QueryModule {
     CatalogEntry("q68_mixture_sample", q68, Some(q68Sql)),
     CatalogEntry("q69_incremental_dedup", q69, Some(q69Sql)),
     CatalogEntry("q100_lex_index_merge", q100, Some(q100Sql)),
+    CatalogEntry("q102_lex_index_retract", q102, Some(q102Sql)),
     CatalogEntry("q72_cut_dup_spans", q72, Some(q72Sql)),
   )
 }

@@ -97,4 +97,38 @@ object Scratch {
         df.sparkSession.read.parquet(path)
       case None => df.localCheckpoint()
     }
+
+  /** [[materialize]] with a PARTITION column — for stored state whose
+    * lifecycle operations are per-partition, e.g. the provenance-tagged
+    * dedup indexes (q102/q103) whose RETRACTION of batch B is
+    * `filter(batch_id =!= B)`: over a batch_id-partitioned store that
+    * filter is partition PRUNING — the retracted batch's files are
+    * never opened, and physically dropping the batch is one directory
+    * delete. The partition column is read back as part of the schema
+    * (cast back to the written dtype: partition-value inference would
+    * otherwise narrow a long batch_id to int, changing the schema
+    * between scratch modes).
+    *
+    * localCheckpoint mode keeps the same semantics minus the pruning —
+    * correctness never depends on the layout, only retraction COST does.
+    */
+  def materializePartitioned(df: DataFrame, name: String, partCol: String)
+      : DataFrame =
+    df.sparkSession.conf.getOption("graft.scratch.dir") match {
+      case Some(_) =>
+        val root = scratchRoot(df)
+        installCleanup(root)
+        val path = Paths.get(root, name).toString
+        df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+        val written = df.schema(partCol).dataType
+        df.sparkSession.read.parquet(path)
+          .withColumn(partCol,
+            org.apache.spark.sql.functions.col(partCol).cast(written))
+          // partitionBy moves partCol to the schema tail on read-back;
+          // restore the written column order so both scratch modes
+          // present one shape
+          .select(df.columns.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+      case None => df.localCheckpoint()
+    }
 }

@@ -552,6 +552,107 @@ object Similarity extends QueryModule {
     probeSem(merged, e.filter(col("vec_id") < DeltaMax / 2))
   }
 
+  /** Provenance-tagged frozen semantic index — the RETRACTABLE variant
+    * of [[SemIndex]] (r09 verdict #1, the semantic twin of
+    * `Dedup.LexIndexP`): every inverted-list row carries the batch_id
+    * of the promote that appended it. The lists were already
+    * append-only — assignment under a FROZEN quantizer is per-vector —
+    * so provenance is the only thing retraction was missing: demoting
+    * batch B is `filter(batch_id =!= B)`, exactly the rows B's promote
+    * appended, and over a batch_id-partitioned store it is partition
+    * pruning (B's files never open; dropping them is one directory
+    * delete). The quantizer is shared state, not per-batch: retraction
+    * never touches it, the same way promote never retrains it.
+    */
+  private[graft] final case class SemIndexP(cent: DataFrame, lists: DataFrame)
+
+  private[graft] def buildSemIndexP(e: DataFrame, cent: DataFrame,
+      batchId: Long): SemIndexP =
+    SemIndexP(cent, assignLists(e, cent).withColumn("batch_id", lit(batchId)))
+
+  /** Promote under provenance: assign ONLY the delta under the frozen
+    * quantizer, tag, append — [[mergeSemIndex]]'s cost, plus one lit.
+    */
+  private[graft] def mergeSemIndexP(idx: SemIndexP, deltaE: DataFrame,
+      batchId: Long): SemIndexP =
+    SemIndexP(idx.cent, idx.lists.union(
+      assignLists(deltaE, idx.cent).withColumn("batch_id", lit(batchId))))
+
+  /** Retract (demote) one promoted batch — the exact inverse of its
+    * promote. Equality with lists REBUILT without the batch is the
+    * q103 oracle's hash gate.
+    */
+  private[graft] def retractSemIndexP(idx: SemIndexP, batchId: Long)
+      : SemIndexP =
+    SemIndexP(idx.cent, idx.lists.filter(col("batch_id") =!= batchId))
+
+  /** Collapse to the probe shape: provenance off, [[probeSem]] on. */
+  private[graft] def collapseSem(idx: SemIndexP): SemIndex =
+    SemIndex(idx.cent, idx.lists.drop("batch_id"))
+
+  /** Semantic frozen-index RETRACTION equivalence (q103) — q102's
+    * story for the embedding signal: bootstrap the inverted lists over
+    * the frozen corpus (vec_id ≥ DeltaMax) as batch 0, promote batch 1
+    * ([3·DeltaMax/4, DeltaMax)) and batch 2 ([DeltaMax/2, 3·DeltaMax/4))
+    * under the frozen quantizer, STORE the tagged lists partitioned by
+    * batch_id, RETRACT batch 2, then probe vec_id < DeltaMax/2 against
+    * the demoted index. The oracle probes lists rebuilt from scratch
+    * over batches 0∪1 only — hash equality is the demoted ≡
+    * rebuilt-without proof.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val e = Scratch.materialize(withNorm(Tables.embeddings(s, d)), "q103_e")
+    val cent = seededCent(e)
+    val q3 = DeltaMax * 3 / 4
+    val h = DeltaMax / 2
+    val b0 = buildSemIndexP(e.filter(col("vec_id") >= DeltaMax), cent, 0L)
+    val p1 = mergeSemIndexP(b0,
+      e.filter(col("vec_id") >= q3 && col("vec_id") < DeltaMax), 1L)
+    val p2 = mergeSemIndexP(p1,
+      e.filter(col("vec_id") >= h && col("vec_id") < q3), 2L)
+    val stored = SemIndexP(
+      Scratch.materialize(p2.cent, "q103_cent"),
+      Scratch.materializePartitioned(p2.lists, "q103_lists", "batch_id"))
+    val demoted = retractSemIndexP(stored, 2L)
+    probeSem(collapseSem(demoted), e.filter(col("vec_id") < h))
+  }
+
+  // lazy: the q99Sql/q101Sql discipline (interpolates SemTau)
+  private lazy val q103Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cent_emb, nrm AS cent_nrm
+       |  FROM e WHERE vec_id >= $CentBase AND vec_id < ${CentBase + NCent}),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dotSql("e.embedding", "cent.cent_emb")} /
+       |          (e.nrm * cent.cent_nrm), 4) DESC, cent.cid) AS crank
+       |    FROM e CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |probed AS (
+       |  SELECT dl.vec_id, dl.cid, ix.vec_id AS idx_id,
+       |    round(${dotSql("dl.embedding", "ix.embedding")} /
+       |      (dl.nrm * ix.nrm), 4) AS cos
+       |  FROM assign dl JOIN assign ix
+       |    ON dl.cid = ix.cid AND dl.vec_id < ${DeltaMax / 2}
+       |   AND ix.vec_id >= ${DeltaMax * 3 / 4}),
+       |verdicts AS (
+       |  SELECT vec_id, cid, MAX(cos) AS max_cos,
+       |    MIN(CASE WHEN cos >= $SemTau THEN idx_id END) AS dup
+       |  FROM probed GROUP BY vec_id, cid)
+       |SELECT d.vec_id, d.cid,
+       |  COALESCE(v.dup, -1) AS dup_of,
+       |  COALESCE(v.max_cos, -1.0) AS max_cos,
+       |  COALESCE(v.dup, -1) = -1 AS novel
+       |FROM (SELECT vec_id, cid FROM assign WHERE vec_id < ${DeltaMax / 2}) d
+       |LEFT JOIN verdicts v ON v.vec_id = d.vec_id AND v.cid = d.cid
+       |ORDER BY d.vec_id""".stripMargin
+
   // lazy: the q99Sql discipline (interpolates SemTau)
   private lazy val q101Sql =
     s"""WITH e AS (
@@ -1332,6 +1433,7 @@ object Similarity extends QueryModule {
     CatalogEntry("q96_ann_certificate", q96, Some(q96Sql)),
     CatalogEntry("q99_incremental_semantic", q99, Some(q99Sql)),
     CatalogEntry("q101_sem_index_merge", q101, Some(q101Sql)),
+    CatalogEntry("q103_sem_index_retract", q103, Some(q103Sql)),
     CatalogEntry("q89_semantic_decontaminate", q89, Some(q89Sql)),
     CatalogEntry("q94_hybrid_rrf", q94, Some(q94Sql)),
   )

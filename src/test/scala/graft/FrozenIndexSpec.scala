@@ -181,4 +181,114 @@ class FrozenIndexSpec extends SparkSpec {
     assert(semRows(Similarity.probeSem(merged, probeE))
       == semRows(Similarity.probeSem(rebuilt, probeE)))
   }
+
+  // ---- retraction (q102/q103's API): promote must run BACKWARDS ----
+
+  // batch 2 for the lexical round-trips: brings loremC (novel content)
+  // AND a LOWER-id copy of loremA — the case a collapsed min cannot
+  // undo (retraction must RAISE the canonical owner back to 10)
+  private def batch2Docs =
+    Seq((5L, loremA), (22L, loremC)).toDF("doc_id", "text")
+
+  private def lexProbeP(idx: Dedup.LexIndexP, probe: DataFrame) =
+    lexRows(Dedup.probeLex(Dedup.collapseLex(idx), probe))
+
+  test("lexical: retract ≡ rebuild-without — including a shadowed min that must resurface") {
+    val p1 = Dedup.mergeLexIndexP(
+      Dedup.buildLexIndexP(frozenDocs, 0L), deltaDocs, 1L)
+    val p2 = Dedup.mergeLexIndexP(p1, batch2Docs, 2L)
+    // while batch 2 is in: 5 owns loremA, loremC is a known dup
+    assert(lexProbeP(p2, probeDocs) == Seq(
+      (30L, 11L, 11L, false),
+      (31L, 21L, 21L, false),
+      (32L, 22L, 22L, false)))
+    val demoted = Dedup.retractLexIndexP(p2, 2L)
+    // after: ownership of loremA falls BACK to frozen 10 (the partial
+    // min the collapsed representation would have lost), loremC is
+    // novel again — and the whole verdict set equals an index REBUILT
+    // without the batch
+    val got = lexProbeP(demoted,
+      probeDocs.union(Seq((40L, loremA)).toDF("doc_id", "text")))
+    assert(got == lexRows(Dedup.probeLex(
+      Dedup.buildLexIndex(frozenDocs.union(deltaDocs)),
+      probeDocs.union(Seq((40L, loremA)).toDF("doc_id", "text")))))
+    assert(got == Seq(
+      (30L, 11L, 11L, false),
+      (31L, 21L, 21L, false),
+      (32L, -1L, -1L, true),
+      (40L, 10L, 10L, false)))
+  }
+
+  test("lexical: demote → re-promote round-trips to the merged verdicts") {
+    val p2 = Dedup.mergeLexIndexP(
+      Dedup.mergeLexIndexP(Dedup.buildLexIndexP(frozenDocs, 0L), deltaDocs, 1L),
+      batch2Docs, 2L)
+    val back = Dedup.mergeLexIndexP(
+      Dedup.retractLexIndexP(p2, 2L), batch2Docs, 3L)
+    assert(lexProbeP(back, probeDocs) == lexProbeP(p2, probeDocs))
+  }
+
+  test("lexical: retracting a never-promoted batch id is a no-op") {
+    val p1 = Dedup.mergeLexIndexP(
+      Dedup.buildLexIndexP(frozenDocs, 0L), deltaDocs, 1L)
+    assert(lexProbeP(Dedup.retractLexIndexP(p1, 99L), probeDocs)
+      == lexProbeP(p1, probeDocs))
+  }
+
+  test("lexical: retraction over a batch_id-PARTITIONED store prunes the batch's files") {
+    // the q102 storage layout: with scratch routed to parquet, the
+    // stored state partitions by batch_id and the retraction filter
+    // must reach the scan as a PARTITION filter — the retracted
+    // batch's files are never opened (the 100 TB retract-cost claim,
+    // machine-checked), and verdicts still equal rebuild-without
+    val p2 = Dedup.mergeLexIndexP(
+      Dedup.mergeLexIndexP(Dedup.buildLexIndexP(frozenDocs, 0L), deltaDocs, 1L),
+      batch2Docs, 2L)
+    val key = "graft.scratch.dir"
+    spark.conf.set(key, tmpDir("fidx-part"))
+    val stored =
+      try Dedup.LexIndexP(
+        graft.queries.Scratch.materializePartitioned(
+          p2.exact, "t102_exact", "batch_id"),
+        graft.queries.Scratch.materializePartitioned(
+          p2.bands, "t102_bands", "batch_id"))
+      finally spark.conf.unset(key)
+    val demoted = Dedup.retractLexIndexP(stored, 2L)
+    val plan = demoted.exact.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+      s"retraction filter did not reach the scan as partition pruning:\n$plan")
+    assert(lexProbeP(demoted, probeDocs) == lexRows(Dedup.probeLex(
+      Dedup.buildLexIndex(frozenDocs.union(deltaDocs)), probeDocs)))
+  }
+
+  // semantic batch 2: a lower-id c0 twin that shadows 150 while
+  // promoted, plus probes must fall back to 150 after retraction
+  private def batch2E = embDF(140L -> v(0.87, 0.13, 0, 0))
+
+  private def semProbeP(idx: Similarity.SemIndexP, probe: DataFrame) =
+    semRows(Similarity.probeSem(Similarity.collapseSem(idx), probe))
+
+  test("semantic: retract ≡ rebuild-without — dup_of falls back to the surviving twin") {
+    val p2 = Similarity.mergeSemIndexP(
+      Similarity.mergeSemIndexP(
+        Similarity.buildSemIndexP(frozenE, cents, 0L), deltaE, 1L),
+      batch2E, 2L)
+    assert(semProbeP(p2, probeE).map(t => (t._1, t._3))
+      == Seq((1L, 140L), (2L, -1L)))
+    val demoted = Similarity.retractSemIndexP(p2, 2L)
+    val rebuilt = Similarity.buildSemIndex(frozenE.union(deltaE), cents)
+    val got = semProbeP(demoted, probeE)
+    assert(got == semRows(Similarity.probeSem(rebuilt, probeE)))
+    assert(got.map(t => (t._1, t._3)) == Seq((1L, 150L), (2L, -1L)))
+  }
+
+  test("semantic: demote → re-promote round-trips to the merged verdicts") {
+    val p2 = Similarity.mergeSemIndexP(
+      Similarity.mergeSemIndexP(
+        Similarity.buildSemIndexP(frozenE, cents, 0L), deltaE, 1L),
+      batch2E, 2L)
+    val back = Similarity.mergeSemIndexP(
+      Similarity.retractSemIndexP(p2, 2L), batch2E, 3L)
+    assert(semProbeP(back, probeE) == semProbeP(p2, probeE))
+  }
 }

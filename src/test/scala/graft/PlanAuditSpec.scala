@@ -515,4 +515,125 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
       s.contains("BroadcastHashJoin"), s)
   }
+
+  // ---- frozen-index lifecycle (q100–q103): the STRUCTURAL claims the
+  // FrozenIndexSpec equivalences assume, machine-checked (r09 verdict #4)
+
+  /** Executed plan with AQE off, for a DataFrame built inline (the
+    * planOf twin for lifecycle plans that need constructed files).
+    */
+  private def planOfDf(mk: => DataFrame): SparkPlan = {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try mk.queryExecution.executedPlan
+    finally spark.conf.set(key, saved)
+  }
+
+  private def scanPaths(p: SparkPlan): Seq[String] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  test("q100 lifecycle: merge+probe over a STORED lexical index never re-opens the frozen corpus file") {
+    // the daily-promote cost claim — |delta| signature work + a state
+    // merge, frozen TEXT never read — as a file-identity fact: the
+    // merged-probe plan's scans cover index state, delta, and probe
+    // files ONLY; the frozen corpus path must not appear anywhere
+    val sess = spark
+    import sess.implicits._
+    val fDir = tmpDir("a100-frozen"); val dDir = tmpDir("a100-delta")
+    val pDir = tmpDir("a100-probe")
+    Seq((10L, "aa bb cc dd ee ff gg hh"), (11L, "ii jj kk ll mm nn oo pp"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(fDir)
+    Seq((20L, "qq rr ss tt uu vv ww xx"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dDir)
+    Seq((30L, "aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(pDir)
+    val f0 = graft.queries.Dedup.buildLexIndex(spark.read.parquet(fDir))
+    val seDir = tmpDir("a100-se"); val sbDir = tmpDir("a100-sb")
+    f0.exact.write.mode("overwrite").parquet(seDir)
+    f0.bands.write.mode("overwrite").parquet(sbDir)
+    val stored = graft.queries.Dedup.LexIndex(
+      spark.read.parquet(seDir), spark.read.parquet(sbDir))
+    val p = planOfDf(graft.queries.Dedup.probeLex(
+      graft.queries.Dedup.mergeLexIndex(stored, spark.read.parquet(dDir)),
+      spark.read.parquet(pDir)))
+    val paths = scanPaths(p)
+    assert(paths.nonEmpty, p.toString)
+    assert(!paths.exists(_.contains(fDir)),
+      s"merge lifecycle re-opened the frozen corpus file:\n${paths.mkString("\n")}")
+    // and the probe's exchanges carry (hash, id) / (band_key, id) rows,
+    // never document text
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q101 lifecycle: merge+probe over STORED semantic lists never re-opens the frozen embedding file") {
+    val sess = spark
+    import sess.implicits._
+    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.floatDot(x, y)
+    def embAt(dir: String, rows: (Long, Array[Float])*): Unit =
+      rows.toDF("vec_id", "embedding")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.sqrt(
+            dotc(org.apache.spark.sql.functions.col("embedding"),
+              org.apache.spark.sql.functions.col("embedding"))).as("nrm"))
+        .write.mode("overwrite").parquet(dir)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val fDir = tmpDir("a101-frozen"); val dDir = tmpDir("a101-delta")
+    val pDir = tmpDir("a101-probe"); val cDir = tmpDir("a101-cent")
+    embAt(fDir, 200L -> v(0.9, 0.1, 0, 0), 201L -> v(0.1, 0.95, 0, 0))
+    embAt(dDir, 150L -> v(0.88, 0.12, 0, 0))
+    embAt(pDir, 1L -> v(0.89, 0.11, 0, 0))
+    Seq((0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0))).toDF("cid", "cent_emb")
+      .select(org.apache.spark.sql.functions.col("cid"),
+        org.apache.spark.sql.functions.col("cent_emb"),
+        org.apache.spark.sql.functions.sqrt(
+          dotc(org.apache.spark.sql.functions.col("cent_emb"),
+            org.apache.spark.sql.functions.col("cent_emb"))).as("cent_nrm"))
+      .write.mode("overwrite").parquet(cDir)
+    val cent = spark.read.parquet(cDir)
+    val f0 = graft.queries.Similarity.buildSemIndex(
+      spark.read.parquet(fDir), cent)
+    val slDir = tmpDir("a101-sl")
+    f0.lists.write.mode("overwrite").parquet(slDir)
+    val stored = graft.queries.Similarity.SemIndex(
+      cent, spark.read.parquet(slDir))
+    val p = planOfDf(graft.queries.Similarity.probeSem(
+      graft.queries.Similarity.mergeSemIndex(stored, spark.read.parquet(dDir)),
+      spark.read.parquet(pDir)))
+    val paths = scanPaths(p)
+    assert(paths.nonEmpty, p.toString)
+    assert(!paths.exists(_.contains(fDir)),
+      s"semantic merge lifecycle re-opened the frozen embedding file:\n${paths.mkString("\n")}")
+    // list-keyed probe: the only nested loop allowed is the broadcast
+    // centroid fan-out (the q59-audited kernel); all-pairs is banned
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
+  test("q102: retraction probe shuffles keys/ids only — never text, never all-pairs") {
+    val p = planOf("q102_lex_index_retract")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q103: demoted-index probe stays list-keyed — no cartesian beyond the broadcast centroid fan-out") {
+    val s = planOf("q103_sem_index_retract").toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
+      s.contains("ShuffledHashJoin"), s)
+  }
 }
