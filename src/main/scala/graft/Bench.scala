@@ -55,10 +55,27 @@ object Bench {
     val (calib, calibReps) = Harness.calibrate(spark)
     System.err.println(f"[bench] calib median $calib%.3fs of " +
       calibReps.map(t => f"$t%.2f").mkString("[", ",", "]"))
+    // INTERLEAVED calib probes (r09 verdict #3): the r9 driver run's
+    // start-of-run calib reps spread 0.81–1.87 within one run — a
+    // single median cannot attribute intra-run host drift, which is
+    // the dominant noise in every cross-round comparison. One probe
+    // lands after every ~25 queries and one at the end; each records
+    // (position, seconds, wall-clock) so any query's timing can be
+    // normalized against its NEAREST probe, not a run-global constant.
+    val probeEvery = 25
+    val calibTimeline =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def calibProbe(at: String): Unit = {
+      val t = Harness.calibOnce(spark)
+      Harness.settle(spark)
+      calibTimeline += ((at, t, System.currentTimeMillis()))
+      System.err.println(f"[bench] calib@$at $t%.3fs")
+    }
+    calibProbe("start")
     val names = Harness.onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, i) =>
       System.err.println(s"[bench] $name ...")
-      try {
+      val r = try {
         exec(name) // warmup: codegen + JIT for this plan shape
         settle()
         val times = (1 to reps).map { _ =>
@@ -77,7 +94,11 @@ object Bench {
         settle()
         (name, -1.0, Seq.empty[Double])
       }
+      if ((i + 1) % probeEvery == 0 && i + 1 < names.size)
+        calibProbe(s"q${i + 1}")
+      r
     }
+    calibProbe("end")
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that tail — every past round's line (full
     // names + full-precision reps, 6KB+) overflowed it and recorded
@@ -93,12 +114,20 @@ object Bench {
       s""""$k":{"median":$v,"reps":${ts.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val timelineJson = calibTimeline.map { case (at, t, ts) =>
+      s"""{"at":"$at","t":${r3(t)},"ts":$ts}"""
+    }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"sf":"$sfDir","reps":$reps,"calib":{"median":${r3(calib)},"reps":${
-        calibReps.map(r3).mkString("[", ",", "]")}},"queries":$detail}""")
+        calibReps.map(r3).mkString("[", ",", "]")},"timeline":$timelineJson},"queries":$detail}""")
+    // the summary carries the probe VALUES in run order (first…last) —
+    // small enough for the 2000-char stdout tail, rich enough to see
+    // intra-run drift without opening the detail file
+    val probesJson =
+      calibTimeline.map(p => r3(p._2)).mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"calib_probes":$probesJson,"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     // File-based contract (survives ANY stdout mangling): the same
     // one-line summary lands in BENCH_SUMMARY.json in the repo root.
     // sbt's "[success] Total time" epilogue has beaten the stdout line

@@ -45,23 +45,32 @@ object Harness {
     * whole-stage codegen like the catalog's own hot loops.
     */
   def calibrate(spark: SparkSession, reps: Int = 5): (Double, Seq[Double]) = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 1L << 24, 1L, 32)
-        .selectExpr(
-          (1 to 16).foldLeft("id")((e, _) => s"xxhash64($e)") + " AS h")
-        .selectExpr("h % 65536 AS k", "h % 1000 AS v")
-        .groupBy("k")
-        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warmup: codegen + JIT, same as every bench entry
+    calibOnce(spark) // warmup: codegen + JIT, same as every bench entry
     settle(spark)
-    val ts = (1 to reps).map { _ => val t = once(); settle(spark); t }
+    val ts = (1 to reps).map { _ => val t = calibOnce(spark); settle(spark); t }
     (median(ts), ts)
+  }
+
+  /** One timed run of the calibration micro-task. Exposed for the
+    * bench's INTERLEAVED probes (r09 verdict #3): a start-of-run median
+    * cannot attribute intra-run host drift (the r09 driver run's calib
+    * reps spread 0.81–1.87 within ONE run), so Bench re-probes every
+    * ~25 queries and at the end — by then the task is JITted, so a
+    * single rep per probe point is comparable to the start median's
+    * post-warmup reps.
+    */
+  def calibOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 1L << 24, 1L, 32)
+      .selectExpr(
+        (1 to 16).foldLeft("id")((e, _) => s"xxhash64($e)") + " AS h")
+      .selectExpr("h % 65536 AS k", "h % 1000 AS v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** True median: averages the two middle elements for an even count
