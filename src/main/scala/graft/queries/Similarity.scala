@@ -552,6 +552,17 @@ object Similarity extends QueryModule {
     probeSem(merged, e.filter(col("vec_id") < DeltaMax / 2))
   }
 
+  /** The (normalized embeddings, frozen quantizer) pair q99/q101/q103
+    * build on — exposed for the streaming-promote twin's convergence
+    * spec, the `kmeansInputs` pattern: a hand-copied norm or seed range
+    * in the spec would silently diverge from the entries it checks.
+    */
+  private[graft] def semIndexInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = withNorm(Tables.embeddings(s, d))
+    (e, seededCent(e))
+  }
+
   /** Provenance-tagged frozen semantic index — the RETRACTABLE variant
     * of [[SemIndex]] (r09 verdict #1, the semantic twin of
     * `Dedup.LexIndexP`): every inverted-list row carries the batch_id

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.queries.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming index PROMOTE — the micro-batch twin of batch q100/q101,
+  * closing the streaming lifecycle that [[StreamingProbe]] opened: the
+  * probe reads a frozen index; this maintains one, merging each
+  * arriving delta micro-batch into LIVE stored index state.
+  *
+  * Shape: `foreachBatch` over a document (or embedding) stream, with
+  * the provenance-tagged index representation (q102/q103's
+  * `LexIndexP`/`SemIndexP`) as the state table. That representation is
+  * what makes the streaming spelling trivial AND exactly-once:
+  *
+  *  - promote under provenance is a PURE APPEND (per-batch partial
+  *    states; the min collapse is deferred to probe time), so a
+  *    micro-batch's work is its own signature pass plus one partition
+  *    write — no read-modify-write of corpus-sized state, no state
+  *    store, no per-batch reshuffle of the frozen index;
+  *  - each micro-batch writes to its OWN `batch_id=<id>` partition
+  *    with overwrite. Structured Streaming replays a failed batch
+  *    under the SAME batch id, so redelivery overwrites the identical
+  *    partition instead of duplicating rows — the standard idempotent-
+  *    sink idiom, here doubling as q102's retraction layout: demoting
+  *    any promoted micro-batch later is the same
+  *    `filter(batch_id =!= B)` partition prune (or a directory drop).
+  *
+  * Convergence contract (StreamingPromoteSpec): after any in-order
+  * chunking of the delta, probing the live state equals batch
+  * q100/q101's probe of the one-shot merged index — and the min-merge
+  * algebra absorbs at-least-once redelivery on top of the
+  * partition-overwrite guarantee (FrozenIndexSpec proved the algebra
+  * batch-side; the sink makes even the append-only band/list tables
+  * safe under replay).
+  */
+object StreamingPromote {
+
+  /** One batch's partial state → its own partition, overwrite-on-replay
+    * (exactly-once under Structured Streaming's stable batch ids).
+    */
+  private def writePart(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.drop("batch_id").write.mode("overwrite")
+      .parquet(s"$dir/batch_id=$batchId")
+
+  /** Promote one micro-batch of `(doc_id, text)` into the lexical index
+    * state rooted at `exactDir`/`bandsDir`. Also the bootstrap entry
+    * point: seed the frozen corpus as a (negative) batch id before
+    * starting the stream.
+    */
+  def promoteLexBatch(batch: DataFrame, batchId: Long,
+      exactDir: String, bandsDir: String): Unit = {
+    val p = Dedup.buildLexIndexP(batch, batchId)
+    writePart(p.exact, exactDir, batchId)
+    writePart(p.bands, bandsDir, batchId)
+  }
+
+  /** The streaming lexical promote: every micro-batch of the document
+    * stream lands as one promoted batch. Caller starts/stops the query.
+    */
+  def promoteLex(deltaDocs: DataFrame, exactDir: String,
+      bandsDir: String): StreamingQuery =
+    deltaDocs.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        promoteLexBatch(df, id, exactDir, bandsDir)
+      }
+      .start()
+
+  /** The live lexical index as a value — partition-discovered state,
+    * probe-ready via `Dedup.collapseLex`. batch_id rides the directory
+    * names; cast back to long (partition inference narrows to int).
+    */
+  def liveLexIndex(spark: SparkSession, exactDir: String,
+      bandsDir: String): Dedup.LexIndexP =
+    Dedup.LexIndexP(
+      spark.read.parquet(exactDir)
+        .withColumn("batch_id", col("batch_id").cast("long")),
+      spark.read.parquet(bandsDir)
+        .withColumn("batch_id", col("batch_id").cast("long")))
+
+  /** Probe the live lexical state: batch q100's probe contract over
+    * whatever has been promoted so far.
+    */
+  def probeLexLive(spark: SparkSession, exactDir: String, bandsDir: String,
+      probeDocs: DataFrame): DataFrame =
+    Dedup.probeLex(
+      Dedup.collapseLex(liveLexIndex(spark, exactDir, bandsDir)), probeDocs)
+
+  /** Promote one micro-batch of normalized embeddings `(vec_id,
+    * embedding, nrm)` into the semantic inverted lists at `listsDir`,
+    * assigned under the FROZEN quantizer `cent` — no retrain on
+    * promote, exactly like batch q101.
+    */
+  def promoteSemBatch(batch: DataFrame, batchId: Long, cent: DataFrame,
+      listsDir: String): Unit =
+    writePart(Similarity.buildSemIndexP(batch, cent, batchId).lists,
+      listsDir, batchId)
+
+  /** The streaming semantic promote under a frozen quantizer. */
+  def promoteSem(deltaE: DataFrame, cent: DataFrame,
+      listsDir: String): StreamingQuery =
+    deltaE.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        promoteSemBatch(df, id, cent, listsDir)
+      }
+      .start()
+
+  /** Probe the live semantic state (batch q101's probe contract). */
+  def probeSemLive(spark: SparkSession, cent: DataFrame, listsDir: String,
+      probeE: DataFrame): DataFrame =
+    Similarity.probeSem(
+      Similarity.collapseSem(Similarity.SemIndexP(cent,
+        spark.read.parquet(listsDir)
+          .withColumn("batch_id", col("batch_id").cast("long")))),
+      probeE)
+}

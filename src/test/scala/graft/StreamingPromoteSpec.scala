@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.StreamingPromote
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming index PROMOTE (the q100/q101 twin): merging delta
+  * micro-batches into live stored index state must converge EXACTLY
+  * with the batch one-shot merge — under any in-order chunking of the
+  * delta — and must absorb a replayed micro-batch without changing a
+  * verdict (the at-least-once contract the partition-overwrite sink
+  * plus the min-merge algebra together guarantee).
+  */
+class StreamingPromoteSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  // the q100 batch split, spelled once: frozen ≡ 0,1,2 (mod 10),
+  // delta ≡ 3,4,5, probe ≡ 6..9
+  private def docParts = {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val m = col("doc_id") % 10
+    (docs.filter(m < 3), docs.filter(m >= 3 && m < 6), docs.filter(m >= 6))
+  }
+
+  private def lexRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+
+  /** Drive the lexical promote stream over `delta` in `chunks` ordered
+    * micro-batches against fresh state dirs; returns (probe rows,
+    * state dirs, the chunk list) for follow-up assertions.
+    */
+  private def runLex(chunks: Int) = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val (frozen, delta, probe) = docParts
+    val exactDir = tmpDir("spromote-exact"); val bandsDir = tmpDir("spromote-bands")
+    // bootstrap: the frozen corpus is a promoted batch like any other,
+    // seeded under a reserved negative id before the stream starts
+    StreamingPromote.promoteLexBatch(frozen, -1L, exactDir, bandsDir)
+    val deltaRows = delta.as[(Long, String)].collect()
+    val groups = deltaRows.grouped(
+      math.max(1, (deltaRows.length + chunks - 1) / chunks)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPromote.promoteLex(
+      mem.toDF().toDF("doc_id", "text"), exactDir, bandsDir)
+    try {
+      groups.foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (lexRows(StreamingPromote.probeLexLive(sp, exactDir, bandsDir, probe)),
+      exactDir, bandsDir, groups)
+  }
+
+  test("lexical: streamed promote converges with batch q100 under 1-chunk AND 3-chunk deliveries") {
+    val batch = lexRows(
+      SparkEntry.queries("q100_lex_index_merge")(spark, sf))
+    assert(batch.nonEmpty, "q100 returned no probe rows — spec is vacuous")
+    assert(runLex(1)._1 == batch, "single-chunk stream diverged from batch merge")
+    assert(runLex(3)._1 == batch, "3-chunk stream diverged from batch merge")
+  }
+
+  test("lexical: a replayed micro-batch changes nothing (at-least-once promote)") {
+    val (got, exactDir, bandsDir, groups) = runLex(3)
+    val sp = spark
+    import sp.implicits._
+    // redeliver the middle micro-batch under its ORIGINAL batch id —
+    // what Structured Streaming does after a failure before the sink
+    // commit was recorded: the partition overwrite absorbs it
+    StreamingPromote.promoteLexBatch(
+      groups(1).toSeq.toDF("doc_id", "text"), 1L, exactDir, bandsDir)
+    val (_, _, probe) = docParts
+    assert(lexRows(StreamingPromote.probeLexLive(sp, exactDir, bandsDir, probe))
+      == got, "replayed batch changed probe verdicts")
+    // and even a MISID'd redelivery (a fresh batch id — plain
+    // at-least-once duplication, no overwrite to save us) is absorbed
+    // by the min-merge algebra itself
+    StreamingPromote.promoteLexBatch(
+      groups(1).toSeq.toDF("doc_id", "text"), 99L, exactDir, bandsDir)
+    assert(lexRows(StreamingPromote.probeLexLive(sp, exactDir, bandsDir, probe))
+      == got, "duplicated delta under a new batch id changed probe verdicts")
+  }
+
+  private def semRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getBoolean(4))).toSeq
+
+  test("semantic: streamed promote under the frozen quantizer converges with batch q101") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val (e, cent) = graft.queries.Similarity.semIndexInputs(sp, sf)
+    val dm = graft.queries.Similarity.DeltaMax
+    val frozen = e.filter(col("vec_id") >= dm)
+    val delta = e.filter(col("vec_id") >= dm / 2 && col("vec_id") < dm)
+    val probe = e.filter(col("vec_id") < dm / 2)
+    val listsDir = tmpDir("spromote-lists")
+    StreamingPromote.promoteSemBatch(frozen, -1L, cent, listsDir)
+    val deltaRows = delta.select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)].collect()
+    val mem = MemoryStream[(Long, Array[Float], Double)]
+    val q = StreamingPromote.promoteSem(
+      mem.toDF().toDF("vec_id", "embedding", "nrm"), cent, listsDir)
+    try {
+      deltaRows.grouped(math.max(1, (deltaRows.length + 2) / 3)).foreach { c =>
+        mem.addData(c.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = semRows(
+      StreamingPromote.probeSemLive(sp, cent, listsDir, probe))
+    val batch = semRows(SparkEntry.queries("q101_sem_index_merge")(sp, sf))
+    assert(batch.nonEmpty, "q101 returned no probe rows — spec is vacuous")
+    assert(streamed == batch, "streamed semantic promote diverged from batch merge")
+  }
+}
