@@ -1122,16 +1122,35 @@ object TextAnalysis extends QueryModule {
     * threshold, all-positive split included as −∞). The collect is a
     * bounded model-sized probe (q59/q66 discipline), never corpus rows.
     */
-  private[graft] def clsBestThr(scored: DataFrame): Double = {
+  private[graft] def clsBestThr(scored: DataFrame): Double =
+    clsBestThrFromCounts(clsMarginCounts(scored))
+
+  /** `(margin, n_pos, n_neg)` counts over the rounded margins — the
+    * margin-bounded SUFFICIENT STATISTIC for the threshold scan and
+    * for every figure in q86's certificate (accuracy, majority
+    * baseline, per-class mean margins, per-class doc counts are all
+    * exact functions of these counts: the 0/1 labels sum exactly in
+    * longs, so no double-ordering noise is introduced by the
+    * re-derivation). Collected as a bounded model-sized probe and
+    * cached per dataset ("clsCnt"), which is what lets the certificate
+    * skip its corpus re-scoring pass entirely when q73 has already
+    * scored this session (r09 verdict #6 — the corpus-sized scored
+    * relation stays OUT of the cache; only this statistic goes in).
+    */
+  private[graft] def clsMarginCounts(scored: DataFrame)
+      : Seq[(Double, Long, Long)] = {
     val s = scored.sparkSession
     import s.implicits._
-    val cnt = scored.groupBy(col("margin"))
+    scored.groupBy(col("margin"))
       .agg(sum(col("y")).cast("long").as("np"),
         sum(lit(1.0) - col("y")).cast("long").as("nn"))
       .orderBy(col("margin"))
-      .as[(Double, Long, Long)].collect()
+      .as[(Double, Long, Long)].collect().toSeq
+  }
+
+  private[graft] def clsBestThrFromCounts(
+      cnt: Seq[(Double, Long, Long)]): Double = {
     val totPos = cnt.map(_._2).sum
-    val totNeg = cnt.map(_._3).sum
     // threshold -inf: everything predicted positive
     var best = Double.NegativeInfinity
     var bestAcc = totPos
@@ -1154,7 +1173,10 @@ object TextAnalysis extends QueryModule {
     // 4-dp boundary, making `predicted` inconsistent with the
     // collected threshold within one run
     val scored = Scratch.materialize(scored0, "q73_scored")
-    val thr = clsBestThr(scored)
+    // refresh the margin-count statistic alongside the model: q86's
+    // certificate consumes it instead of re-scoring the corpus
+    val cnt = ModelCache.put("clsCnt", d, clsMarginCounts(scored))
+    val thr = clsBestThrFromCounts(cnt)
     scored
       .select(col("doc_id"), col("y").cast("boolean").as("label"),
         col("margin"), (col("margin") > thr).as("predicted"))
@@ -1264,35 +1286,51 @@ object TextAnalysis extends QueryModule {
     * row's hash even though the weights themselves are unoracleable.
     */
   private def q86(s: SparkSession, d: String): DataFrame = {
-    val (scored0, losses) = clsScoredCached(s, d)
-    val scored = Scratch.materialize(scored0, "q86_scored")
-    val thr = clsBestThr(scored)
     import s.implicits._
-    // one bounded probe: calibrated accuracy, majority baseline, and
+    // the margin-count statistic is every number this certificate
+    // needs (r09 verdict #6: the 30×-steepest slope was this entry
+    // re-scoring the corpus q73 had just scored). Reuse q73's counts
+    // when this session trained already; a standalone run pays ONE
+    // scoring+count pass — no materialize (the counts are the only
+    // consumer), no second threshold pass, no third probe pass.
+    val cnt = ModelCache.getOrCompute("clsCnt", d)(
+      clsMarginCounts(clsScoredCached(s, d)._1))
+    // after the counts exist the model is cached in every path (q73
+    // put it; the standalone branch trained it via clsScoredCached)
+    val losses = ModelCache.getOrCompute("cls", d)(clsModel(s, d)).losses
+    val thr = clsBestThrFromCounts(cnt)
+    val totPos = cnt.map(_._2).sum
+    val totNeg = cnt.map(_._3).sum
+    val n = (totPos + totNeg).toDouble
+    // calibrated accuracy and majority baseline — exact: 0/1 labels
+    // aggregated in longs, one final division each (the avg() spelling
+    // this replaces summed the same 0/1 indicators, exactly)
+    val correct = cnt.map { case (m, np, nn) => if (m > thr) np else nn }.sum
+    val acc = correct / n
+    val majority = math.max(totPos, totNeg) / n
     // per-class mean margins (does the model SEPARATE the classes?)
-    // per-class means COALESCE to the sentinel that keeps the
-    // separation claim honest on a degenerate one-class corpus: an
-    // absent class means "not separated" (false), never a decode crash
-    // on the NULL avg
-    val Seq((acc, n, nPos, mPos, mNeg)) = scored
-      .agg(avg(((col("margin") > thr) === (col("y") > 0.5)).cast("double")),
-        count(lit(1)).cast("double"), sum(col("y")),
-        coalesce(avg(when(col("y") > 0.5, col("margin"))),
-          lit(Double.NegativeInfinity)),
-        coalesce(avg(when(col("y") <= 0.5, col("margin"))),
-          lit(Double.PositiveInfinity)))
-      .as[(Double, Double, Double, Double, Double)].collect().toSeq
-    val majority = math.max(nPos, n - nPos) / n
+    // with the sentinel that keeps the claim honest on a degenerate
+    // one-class corpus: an absent class means "not separated", never
+    // a crash on an empty mean
+    val mPos =
+      if (totPos > 0) cnt.map { case (m, np, _) => m * np }.sum / totPos
+      else Double.NegativeInfinity
+    val mNeg =
+      if (totNeg > 0) cnt.map { case (m, _, nn) => m * nn }.sum / totNeg
+      else Double.PositiveInfinity
     val monotone = losses.sliding(2).forall {
       case Seq(a, b) => b < a
       case _ => true
     }
-    scored.groupBy(col("y").cast("boolean").as("label"))
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("label"), col("n_docs"),
-        lit(monotone).as("loss_monotone"),
-        lit(acc > majority).as("acc_beats_majority"),
-        lit(mPos > mNeg).as("classes_separated"))
+    // classes absent from the corpus emit no row, like the groupBy
+    // spelling this replaces
+    Seq((false, totNeg), (true, totPos))
+      .filter(_._2 > 0)
+      .map { case (label, nDocs) =>
+        (label, nDocs, monotone, acc > majority, mPos > mNeg)
+      }
+      .toDF("label", "n_docs", "loss_monotone", "acc_beats_majority",
+        "classes_separated")
       .orderBy(col("label"))
   }
 

@@ -49,7 +49,9 @@ object ScaleSlope {
     // r09: the frozen-index MERGE lifecycle entries — the daily-promote
     // operation must hold its shape at corpus scale, not just pass the
     // merged≡rebuilt gate
-    "q100_lex_index_merge", "q101_sem_index_merge")
+    "q100_lex_index_merge", "q101_sem_index_merge",
+    // r10: the RETRACTION inverses ride the same bar
+    "q102_lex_index_retract", "q103_sem_index_retract")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,29 +93,41 @@ object ScaleSlope {
           Harness.settle(spark)
           -1.0
       }
+    // calib-BRACKETED (r09 verdict #2/#3): a slope ledger is only
+    // comparable across sessions if each query's bracket shows what the
+    // host was doing while IT ran — one probe before every query's
+    // reps, one after the last (the bench-timeline discipline applied
+    // to the slope tool)
+    val calibStart = Harness.calibrate(spark)._1
+    System.err.println(f"[slope] calib start $calibStart%.3fs")
     val rows = names.map { name =>
       System.err.println(s"[slope] $name ...")
+      val cb = Harness.calibOnce(spark)
+      Harness.settle(spark)
       time(name, base) // warmup: codegen + JIT for the plan shape
       val t1 = (1 to reps).map(_ => time(name, base)).min
       val tN = (1 to reps).map(_ => time(name, out)).min
       val slope = if (t1 > 0 && tN > 0) tN / t1 else -1.0
       System.err.println(
-        f"[slope] $name%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$slope%5.2f")
-      (name, t1, tN, slope)
+        f"[slope] $name%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$slope%5.2f calib=$cb%.2f")
+      (name, t1, tN, slope, cb)
     }
-    val json = rows.map { case (n, t1, tN, sl) =>
-      f""""$n":{"t1":$t1%.3f,"t$factor":$tN%.3f,"slope":$sl%.3f}"""
+    val calibEnd = Harness.calibOnce(spark)
+    System.err.println(f"[slope] calib end $calibEnd%.3fs")
+    val json = rows.map { case (n, t1, tN, sl, cb) =>
+      f""""$n":{"t1":$t1%.3f,"t$factor":$tN%.3f,"slope":$sl%.3f,"calib":$cb%.3f}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALE_SLOPE.json"),
-      s"""{"base":"$base","factor":$factor,"reps":$reps,"queries":$json}""")
+      s"""{"base":"$base","factor":$factor,"reps":$reps,"calib_start":${
+        f"$calibStart%.3f"},"calib_end":${f"$calibEnd%.3f"},"queries":$json}""")
     // the replicated corpus is factor x sf0.1 on disk — leaving it
     // behind accumulates gigabytes per factor across rounds (r07
     // review); a repeat run rebuilds it in ~a minute
     graft.queries.Scratch.deleteTree(out)
     spark.stop()
-    rows.foreach { case (n, t1, tN, sl) =>
-      println(f"$n%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$sl%5.2f")
+    rows.foreach { case (n, t1, tN, sl, cb) =>
+      println(f"$n%-28s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs slope=$sl%5.2f calib=$cb%.2f")
     }
   }
 
