@@ -89,6 +89,27 @@ object StreamingPromote {
     Dedup.probeLex(
       Dedup.collapseLex(liveLexIndex(spark, exactDir, bandsDir)), probeDocs)
 
+  /** DEMOTE one promoted micro-batch from the stored state — q102's
+    * retraction applied to the stream's own layout. Because every
+    * promote landed in its own `batch_id=<id>` partition, the exact
+    * inverse is that directory's delete: O(1) metadata work, no read
+    * of surviving state, no rebuild — the physical form of
+    * `retractLexIndexP`'s partition-pruned filter. (The reference
+    * rolls reducer state back by replaying inverse deltas; here the
+    * provenance layout makes the inverse a drop.)
+    */
+  def demoteLexBatch(exactDir: String, bandsDir: String,
+      batchId: Long): Unit = {
+    graft.queries.Scratch.deleteTree(s"$exactDir/batch_id=$batchId")
+    graft.queries.Scratch.deleteTree(s"$bandsDir/batch_id=$batchId")
+  }
+
+  /** DEMOTE one promoted micro-batch of semantic lists (see
+    * [[demoteLexBatch]]).
+    */
+  def demoteSemBatch(listsDir: String, batchId: Long): Unit =
+    graft.queries.Scratch.deleteTree(s"$listsDir/batch_id=$batchId")
+
   /** Promote one micro-batch of normalized embeddings `(vec_id,
     * embedding, nrm)` into the semantic inverted lists at `listsDir`,
     * assigned under the FROZEN quantizer `cent` — no retrain on

@@ -85,6 +85,31 @@ class StreamingPromoteSpec extends SparkSpec {
       == got, "duplicated delta under a new batch id changed probe verdicts")
   }
 
+  test("lexical: demoting a promoted micro-batch ≡ an index that never saw it") {
+    val (_, exactDir, bandsDir, groups) = runLex(3)
+    val sp = spark
+    import sp.implicits._
+    // drop the MIDDLE micro-batch (bad data found after promote):
+    // physically one partition-directory delete per state table
+    StreamingPromote.demoteLexBatch(exactDir, bandsDir, 1L)
+    val (frozen, _, probe) = docParts
+    val got = lexRows(
+      StreamingPromote.probeLexLive(sp, exactDir, bandsDir, probe))
+    val surviving = frozen
+      .union(groups(0).toSeq.toDF("doc_id", "text"))
+      .union(groups(2).toSeq.toDF("doc_id", "text"))
+    assert(got == lexRows(graft.queries.Dedup.probeLex(
+      graft.queries.Dedup.buildLexIndex(surviving), probe)),
+      "demoted live state diverged from an index built without the batch")
+    // and re-promoting the same documents under a fresh id restores
+    // the full-merge verdicts (demote → re-promote round trip)
+    StreamingPromote.promoteLexBatch(
+      groups(1).toSeq.toDF("doc_id", "text"), 7L, exactDir, bandsDir)
+    assert(lexRows(StreamingPromote.probeLexLive(sp, exactDir, bandsDir, probe))
+      == lexRows(SparkEntry.queries("q100_lex_index_merge")(sp, sf)),
+      "demote → re-promote did not restore the merged verdicts")
+  }
+
   private def semRows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getDouble(3), r.getBoolean(4))).toSeq
