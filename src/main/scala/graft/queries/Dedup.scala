@@ -1733,22 +1733,66 @@ object Dedup extends QueryModule {
       // would both be pure waste
       .groupBy(col("doc_id"))
       .agg(collect_set(col("tpos")).as("cut_pos"))
+    cutRewrite(docs, cuts)
+  }
+
+  /** One token of the token-CUT rewrite, shared verbatim by every
+    * cutting operator (q72 dup spans, q104 contaminated spans) and the
+    * streaming decont-cut twin — a hand-copy of the keep-loop would
+    * silently fork the rewrite semantics between surfaces.
+    */
+  private[graft] def cutText(text: String, cutSeq: Seq[Long])
+      : (Long, String) = {
+    // null text rewrites to the empty document, like the oracle's
+    // COALESCE legs (r08 review: the NPE would kill the job where
+    // the oracle returns normally)
+    val words =
+      if (text == null) Array.empty[String]
+      else WordRe.findAllIn(text).toArray
+    val cut = cutSeq.toSet
+    val kept = words.iterator.zipWithIndex
+      .filterNot { case (_, i) => cut(i.toLong) }.map(_._1)
+    (cutSeq.size.toLong, kept.mkString(" "))
+  }
+
+  /** Per-document contaminated-position cover: every token index lying
+    * in an `n`-gram the `member` predicate accepts — the single-doc
+    * kernel of q104, shared with the streaming decont-cut twin (whose
+    * membership is the broadcast EvalGramIndex instead of a join).
+    */
+  private[graft] def contaminatedCuts(text: String, n: Int,
+      member: String => Boolean): Seq[Long] = {
+    val words =
+      if (text == null) Array.empty[String]
+      else WordRe.findAllIn(text).toArray
+    val cut = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + n - 1 < words.length) {
+      if (member(words.slice(i, i + n).mkString(" "))) {
+        var j = i
+        while (j < i + n) { cut += j.toLong; j += 1 }
+      }
+      i += 1
+    }
+    cut.toSeq
+  }
+
+  /** Apply per-document cut-position arrays to a `(doc_id, text)`
+    * relation: `(doc_id, n_cut, clean_text)`, ordered. Text crosses an
+    * exchange exactly twice (this join and the output sort) — the q72
+    * shape, shared by q104.
+    */
+  private def cutRewrite(docs: DataFrame, cuts: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     docs.select(col("doc_id"), col("text"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("cut_pos"), array().cast("array<long>")).as("cut_pos"))
       .as[(Long, String, Seq[Long])]
       .map { case (id, text, cutSeq) =>
-        // null text rewrites to the empty document, like the oracle's
-        // COALESCE legs (r08 review: the NPE would kill the job where
-        // the oracle returns normally)
-        val words =
-          if (text == null) Array.empty[String]
-          else WordRe.findAllIn(text).toArray
-        val cut = cutSeq.toSet
-        val kept = words.iterator.zipWithIndex
-          .filterNot { case (_, i) => cut(i.toLong) }.map(_._1)
-        (id, cutSeq.size.toLong, kept.mkString(" "))
+        val (n, clean) = cutText(text, cutSeq)
+        (id, n, clean)
       }
       .toDF("doc_id", "n_cut", "clean_text")
       .orderBy(col("doc_id"))
@@ -1788,6 +1832,73 @@ object Dedup extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Decontamination span CUT (q104) — q54/q80/q89 FLAG contaminated
+    * documents; production pipelines usually keep the document and cut
+    * the contaminated RUNS (the benchmark answer embedded in a crawl
+    * page poisons the eval; the rest of the page is fine training
+    * data). This is q72's CUT re-aimed cross-set: every token of every
+    * TRAIN document covered by a `DecontN`-gram that also occurs in the
+    * held-out eval shard (doc_id ≡ 3 mod 10) is removed, and the
+    * document survives rewritten. Cut-policy difference from q72 made
+    * explicit: ALL covered train tokens go (the eval copy is the
+    * protected one), where q72 keeps the first occurrence.
+    *
+    * Scale shape — q54's broadcast discipline fused with q72's rewrite:
+    * the eval shard's distinct grams broadcast (megabytes vs 100 TB —
+    * and the q80 bloom prune slots in unchanged when the suite
+    * outgrows a broadcast); the train side is one narrow positional
+    * flatMap → broadcast-hash join → per-doc integer cut arrays. Gram
+    * STRINGS never shuffle (the join is map-side); text crosses an
+    * exchange exactly twice, in the shared [[cutRewrite]]. Membership
+    * is exact string equality — no hash step, so no collision caveat.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 10 =!= 3)
+    val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
+      .select(col("s")).distinct()
+    val cuts = posGramEntries(train, DecontN)
+      .join(broadcast(ev), col("g") === col("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + DecontN - 1)).as("tpos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tpos")).as("cut_pos"))
+    cutRewrite(train, cuts)
+  }
+
+  private val q104Sql = {
+    val parts = (0 until DecontN).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(1, greatest(len(ws) - ${DecontN - 2}, 1))) AS i
+       |  FROM docs),
+       |grams AS (SELECT doc_id, i - 1 AS pos, $parts AS g FROM pos),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 3),
+       |cover AS (
+       |  SELECT DISTINCT t.doc_id, t.pos + j.j AS tpos
+       |  FROM grams t JOIN ev USING (g)
+       |  CROSS JOIN (SELECT unnest(range(0, $DecontN)) AS j) j
+       |  WHERE t.doc_id % 10 <> 3),
+       |toks AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+       |  FROM docs WHERE doc_id % 10 <> 3),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.ws[t.i] AS w
+       |  FROM toks t LEFT JOIN cover c
+       |    ON c.doc_id = t.doc_id AND c.tpos = t.i - 1
+       |  WHERE c.doc_id IS NULL)
+       |SELECT d.doc_id,
+       |  COALESCE((SELECT COUNT(*) FROM cover c WHERE c.doc_id = d.doc_id),
+       |    0) AS n_cut,
+       |  COALESCE((SELECT string_agg(w, ' ' ORDER BY i) FROM kept k
+       |    WHERE k.doc_id = d.doc_id), '') AS clean_text
+       |FROM documents d WHERE d.doc_id % 10 <> 3
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -1814,5 +1925,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q100_lex_index_merge", q100, Some(q100Sql)),
     CatalogEntry("q102_lex_index_retract", q102, Some(q102Sql)),
     CatalogEntry("q72_cut_dup_spans", q72, Some(q72Sql)),
+    CatalogEntry("q104_decont_cut", q104, Some(q104Sql)),
   )
 }

@@ -19,6 +19,9 @@ final case class TimedSignals(doc_id: Long, norm_md5: String, base: Int,
 /** One streamed audit verdict — bits 0-3 of batch q79's `reasons`. */
 final case class CurateVerdict(doc_id: Long, reasons: Int, keep: Boolean)
 
+/** One streamed decont-cut rewrite — batch q104's row shape. */
+final case class CutDoc(doc_id: Long, n_cut: Long, clean_text: String)
+
 /** Frozen eval-shard gram membership, sized for streaming broadcast:
   * batch q80's two-tier shape (Bloom PRUNE → exact CONFIRM) folded
   * into one immutable value.
@@ -228,6 +231,35 @@ object StreamingCurate {
       }
     }
     base
+  }
+
+  /** Streaming decontamination CUT — the stateless twin of batch q104:
+    * every arriving TRAIN document is rewritten the moment it lands,
+    * with all tokens covered by an eval-shard `DecontN`-gram removed
+    * (batch q104 cuts the same cover via a broadcast join; here
+    * membership is the frozen [[EvalGramIndex]] — bloom fast-reject +
+    * exact md5-128 confirm, the repo's established content-identity
+    * convention). NO state, NO watermark: the cut is a pure per-row
+    * function of (document, frozen index), so the stream stays a
+    * narrow mapPartitions — the [[StreamingProbe]] shape applied to a
+    * rewrite instead of a probe. The single-doc cover and keep-loop
+    * are `Dedup.contaminatedCuts`/`Dedup.cutText`, the EXACT code the
+    * batch entry's rewrite runs — convergence is shared-kernel, not
+    * reimplementation.
+    */
+  def cutContaminated(docs: DataFrame,
+      evalIdx: Broadcast[EvalGramIndex]): Dataset[CutDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ev = evalIdx.value
+        it.map { case (id, text) =>
+          val cuts = Dedup.contaminatedCuts(text, Dedup.DecontN, ev.contains)
+          val (n, clean) = Dedup.cutText(text, cuts)
+          CutDoc(id, n, clean)
+        }
+      }
   }
 
   /** The full streamed audit: stateless signals fused with the

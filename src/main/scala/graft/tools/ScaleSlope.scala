@@ -51,7 +51,9 @@ object ScaleSlope {
     // merged≡rebuilt gate
     "q100_lex_index_merge", "q101_sem_index_merge",
     // r10: the RETRACTION inverses ride the same bar
-    "q102_lex_index_retract", "q103_sem_index_retract")
+    "q102_lex_index_retract", "q103_sem_index_retract",
+    // r10: the decontamination CUT (corpus-linear gram scan + rewrite)
+    "q104_decont_cut")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

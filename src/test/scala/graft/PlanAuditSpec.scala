@@ -516,6 +516,31 @@ class PlanAuditSpec extends SparkSpec {
       s.contains("BroadcastHashJoin"), s)
   }
 
+  test("q104: eval grams ride a broadcast; gram strings never shuffle; text crosses at most twice") {
+    // q54's broadcast discipline fused with q72's rewrite shape: the
+    // only gram comparison is map-side against the broadcast eval set,
+    // so no exchange may carry a gram column, and text appears only in
+    // the rewrite join and the ordered output
+    val p = planOf("q104_decont_cut")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"eval gram set must broadcast:\n$s")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    // the ban is on CORPUS gram strings ("g", the 100 TB side); the
+    // EVAL set ("s") crossing its own distinct/broadcast exchanges is
+    // the design — it is megabytes by assumption, exactly like q54
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "g"),
+      s"corpus gram strings cross the wire: ${e.child.output.map(_.name)}"))
+    val srcText = exchanges.count(_.child.output.exists(_.name == "text"))
+    val outText = exchanges.count(_.child.output.exists(_.name == "clean_text"))
+    assert(srcText <= 1, s"source text shuffled $srcText times:\n$p")
+    assert(outText <= 1, s"clean text shuffled $outText times:\n$p")
+  }
+
   // ---- frozen-index lifecycle (q100–q103): the STRUCTURAL claims the
   // FrozenIndexSpec equivalences assume, machine-checked (r09 verdict #4)
 

@@ -67,6 +67,42 @@ class StreamingCurateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed decont-cut rewrites equal batch q104 exactly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val docs = Tables.documents(sp, sf)
+    val ev = StreamingCurate.frozenEvalIndex(
+      docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"), col("text")))
+    val train = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCurate.cutContaminated(
+        mem.toDF().toDF("doc_id", "text"), ev)
+      .writeStream.format("memory").queryName("decont_cut")
+      .outputMode("append").start()
+    try {
+      train.grouped((train.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = sp.table("decont_cut")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val batch = SparkEntry.queries("q104_decont_cut")(sp, sf)
+        .as[(Long, Long, String)].collect().toSeq
+      assert(streamed == batch,
+        s"decont-cut diverged on ${
+          streamed.zip(batch).count { case (a, b) => a != b }} docs")
+      // non-vacuity: contamination actually cuts tokens in the testdata
+      assert(batch.exists(_._2 > 0), "no doc was ever cut — spec is vacuous")
+      // and non-triviality the other way: most docs survive untouched
+      assert(batch.exists(_._2 == 0), "every doc was cut — eval leak?")
+    } finally q.stop()
+  }
+
   test("exact-dup keeper state: first-wins, min-id within batch, replay-idempotent") {
     val sp = spark
     import sp.implicits._
