@@ -273,7 +273,9 @@ object Dedup extends QueryModule {
     }
   }
 
-  private val WordRe = "\\S+".r // same token class as wordsCol
+  // same token class as wordsCol; private[graft]: q105's chunker and
+  // the streaming cut twin tokenize with the ONE spelling
+  private[graft] val WordRe = "\\S+".r
 
   def bandEntries(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -1899,6 +1901,125 @@ object Dedup extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Eval-side LEAK REPORT (q106) — the decontamination family viewed
+    * from the benchmark's side: q54/q80/q104 protect the TRAINING set;
+    * this reports which EVAL documents are compromised and how badly —
+    * the table an eval owner reads before trusting a score. Per eval
+    * doc: its distinct `DecontN`-gram count, how many of those grams
+    * occur in ≥1 training document, the leaked fraction, and how many
+    * distinct training documents share any gram with it.
+    *
+    * Scale shape — q54's broadcast discipline pointed the other way:
+    * the eval shard's distinct grams broadcast into the corpus-side
+    * scan, so the only corpus-wide work is the narrow gram flatMap and
+    * a map-side semi-join; everything after operates on the surviving
+    * (gram, train_doc) pairs, which are LEAK-sized, not corpus-sized.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
+    val evSet = ev.select(col("s")).distinct()
+    val hits = ngramEntries(docs.filter(col("doc_id") % 10 =!= 3), DecontN)
+      .select(col("s"), col("doc_id").as("train_doc"))
+      .join(broadcast(evSet), "s")
+    val perEval = ev.join(hits, "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(countDistinct(col("s")).as("n_leaked"),
+        countDistinct(col("train_doc")).as("n_train_docs"))
+    ev.select(col("doc_id"), col("n_shingles")).distinct()
+      .join(perEval, Seq("doc_id", "n_shingles"), "left")
+      .select(col("doc_id"), col("n_shingles").as("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("leak_frac"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q106Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |        FROM documents)),
+       |ev AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS s
+       |       FROM docs WHERE doc_id % 10 = 3),
+       |tr AS (SELECT DISTINCT s, doc_id AS train_doc
+       |       FROM (SELECT doc_id, unnest(sh) AS s FROM docs
+       |             WHERE doc_id % 10 <> 3)),
+       |hit AS (SELECT e.doc_id, e.n_grams, e.s, t.train_doc
+       |        FROM ev e JOIN tr t USING (s)),
+       |agg AS (SELECT doc_id, n_grams,
+       |          COUNT(DISTINCT s) AS n_leaked,
+       |          COUNT(DISTINCT train_doc) AS n_train_docs
+       |        FROM hit GROUP BY 1, 2)
+       |SELECT e.doc_id, CAST(e.n_grams AS INTEGER) AS n_grams,
+       |  COALESCE(a.n_leaked, 0) AS n_leaked,
+       |  round(CAST(COALESCE(a.n_leaked, 0) AS DOUBLE) / e.n_grams, 4)
+       |    AS leak_frac,
+       |  COALESCE(a.n_train_docs, 0) AS n_train_docs
+       |FROM (SELECT DISTINCT doc_id, n_grams FROM ev) e
+       |LEFT JOIN agg a USING (doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+
+  /** Leakage-safe train/val/test SPLIT (q107) — the assignment step a
+    * training corpus needs AFTER near-dup clustering: a document's
+    * split is a deterministic hash of its duplicate CLUSTER, not of the
+    * document, so two near-duplicates can never land in train and test
+    * (the split-leakage failure mode that inflates eval scores). Hash =
+    * first two hex chars of md5(cluster_id) — identical text in both
+    * engines — thresholded 'cc'/'e6' for ~80/10/10.
+    *
+    * Scale shape: the clustering is q55's (banded pairs → pointer-
+    * jumping CC → left join); the assignment itself is a scan-stage
+    * projection — zero exchanges beyond the plan that produced the
+    * labels, and re-runnable on any corpus delta because the hash needs
+    * only the cluster id, never the membership list.
+    */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs, tag = "q107cc")
+      .withColumnRenamed("cluster_id", "label")
+    val hx = substring(md5(col("cluster_id").cast("string")), 1, 2)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q107Sql = {
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
+       |cluster AS (SELECT n AS doc_id, MIN(r) AS label
+       |            FROM reach GROUP BY n),
+       |lab AS (SELECT d.doc_id, COALESCE(label, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN cluster c ON c.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+       |         THEN 'train'
+       |       WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -1926,5 +2047,7 @@ object Dedup extends QueryModule {
     CatalogEntry("q102_lex_index_retract", q102, Some(q102Sql)),
     CatalogEntry("q72_cut_dup_spans", q72, Some(q72Sql)),
     CatalogEntry("q104_decont_cut", q104, Some(q104Sql)),
+    CatalogEntry("q106_eval_leak_report", q106, Some(q106Sql)),
+    CatalogEntry("q107_leak_safe_split", q107, Some(q107Sql)),
   )
 }

@@ -896,7 +896,83 @@ object Selection extends QueryModule {
        |  TRUE AS no_overflow, TRUE AS tiled, TRUE AS bins_ok
        |FROM toks GROUP BY shard ORDER BY shard""".stripMargin
 
+  private[graft] val ChunkW = 32 // tokens per retrieval chunk
+  private[graft] val ChunkS = 24 // chunk stride (W - S = 8 tokens of overlap)
+
+  /** Overlapping token-window CHUNKING (q105) — the retrieval/embedding
+    * pipeline's document splitter: every document becomes fixed-width
+    * token windows of `ChunkW` at stride `ChunkS` (8 tokens of overlap
+    * carry context across boundaries), with offsets so any chunk maps
+    * back into its source. This is the op BETWEEN curation and the
+    * embedding/ANN entries (q34–q37 consume per-unit vectors; a corpus
+    * is only "units" after chunking) — and it is NOT packing: q62/q77
+    * concatenate documents into training sequences; chunking splits
+    * WITHIN a document and never crosses its boundary.
+    *
+    * Emission contract (deterministic, total): chunk k starts at
+    * k·ChunkS; chunks emit while the PREVIOUS chunk did not reach the
+    * document's end, so every token is covered, the tail chunk may
+    * overlap more than 8, and no chunk is a strict suffix of another.
+    * A document shorter than one window is its own single chunk.
+    *
+    * Scale shape: one stateless per-row flatMap in the scan stage —
+    * no shuffle at all until the output sort; at 100 TB this is the
+    * map side of whatever consumes the chunks.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    chunkDocs(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The chunker itself, sort-free — the spec feeds it synthetic edge
+    * shapes (empty / one-token / exactly-W / W+1 documents) the corpus
+    * fixture cannot be trusted to contain.
+    */
+  private[graft] def chunkDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else Dedup.WordRe.findAllIn(text).toArray
+          val n = words.length
+          val starts = Iterator.from(0)
+            .map(_ * ChunkS)
+            .takeWhile(st => st == 0 || st - ChunkS + ChunkW < n)
+            .toSeq
+          starts.iterator.zipWithIndex.map { case (st, k) =>
+            val end = math.min(st + ChunkW, n)
+            (id, k.toLong, st.toLong, (end - st).toLong,
+              words.slice(st, end).mkString(" "))
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+  }
+
+  private val q105Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, ws, len(ws) AS n,
+       |    unnest(range(0, greatest(len(ws), 1), $ChunkS)) AS start
+       |  FROM docs)
+       |SELECT doc_id,
+       |  start // $ChunkS AS chunk_id,
+       |  start AS start_tok,
+       |  least($ChunkW, n - start) AS n_tok,
+       |  array_to_string(ws[start + 1 : least(start + $ChunkW, n)], ' ')
+       |    AS chunk_text
+       |FROM st
+       |WHERE start = 0 OR start - $ChunkS + $ChunkW < n
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q105_chunk_windows", q105, Some(q105Sql)),
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, Some(q75Sql)),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),

@@ -52,8 +52,11 @@ object ScaleSlope {
     "q100_lex_index_merge", "q101_sem_index_merge",
     // r10: the RETRACTION inverses ride the same bar
     "q102_lex_index_retract", "q103_sem_index_retract",
-    // r10: the decontamination CUT (corpus-linear gram scan + rewrite)
-    "q104_decont_cut")
+    // r10: the decontamination CUT (corpus-linear gram scan + rewrite),
+    // retrieval chunking, the eval-side leak report, and the
+    // cluster-consistent split (rides q55's CC plan)
+    "q104_decont_cut", "q105_chunk_windows", "q106_eval_leak_report",
+    "q107_leak_safe_split")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

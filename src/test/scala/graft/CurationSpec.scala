@@ -157,4 +157,34 @@ class CurationSpec extends SparkSpec {
     assert(survivors < total / 2,
       s"bloom prune kept $survivors of $total corpus grams - not pruning")
   }
+
+  test("q107: duplicate clusters never straddle splits; assignment is hash-stable") {
+    val sp = spark
+    import sp.implicits._
+    val rows = SparkEntry.queries("q107_leak_safe_split")(sp, sf)
+      .as[(Long, Long, String)].collect()
+    // the operator's reason to exist: every member of a near-dup
+    // cluster shares ONE split — no train/test leakage through a twin
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    assert(byCluster.values.exists(_.length > 1),
+      "no multi-document cluster in test data — leakage check is vacuous")
+    // all three splits materialize with train dominating (~80/10/10)
+    val frac = rows.groupBy(_._3).map { case (s, rs) =>
+      s -> rs.length.toDouble / rows.length
+    }
+    assert(frac.keySet == Set("train", "val", "test"), frac.toString)
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac.toString)
+    // hash-stability: the split is a pure function of the cluster id,
+    // recomputed here independently of any Spark expression
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (_, c, s) =>
+      val hx = md.digest(c.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      val want = if (hx < "cc") "train" else if (hx < "e6") "val" else "test"
+      assert(s == want, s"cluster $c: split $s != recomputed $want")
+    }
+  }
 }

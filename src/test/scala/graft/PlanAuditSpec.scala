@@ -541,6 +541,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(outText <= 1, s"clean text shuffled $outText times:\n$p")
   }
 
+  test("q105: chunking is one stateless map — the only exchange is the output sort") {
+    // the chunker must stay the map side of whatever consumes it: no
+    // join, no aggregation, and the sole exchange is the ORDER BY's
+    // range partitioning of the finished chunk rows
+    val p = planOf("q105_chunk_windows")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.size == 1, s"chunking must not shuffle before the sort:\n$p")
+    assert(exchanges.head.outputPartitioning.getClass.getSimpleName
+      .contains("RangePartitioning"), s"sole exchange must be the sort:\n$p")
+    assert(!p.toString.contains("Join"), s"chunking must not join:\n$p")
+  }
+
+  test("q106: eval grams ride a broadcast into the corpus scan; text never shuffles") {
+    // the leak report is q54's discipline viewed from the eval side:
+    // the corpus-wide work is the gram flatMap + a map-side broadcast
+    // join; every exchange after it carries surviving (gram, doc)
+    // pairs — LEAK-sized — and document text crosses no wire at all
+    val p = planOf("q106_eval_leak_report")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"eval gram set must broadcast:\n$s")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"document text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   // ---- frozen-index lifecycle (q100–q103): the STRUCTURAL claims the
   // FrozenIndexSpec equivalences assume, machine-checked (r09 verdict #4)
 
