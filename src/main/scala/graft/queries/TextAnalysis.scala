@@ -423,6 +423,96 @@ object TextAnalysis extends QueryModule {
           .as("bm25"))
   }
 
+  /** Chunk-level BM25 retrieval (q108) — q47's ranking discipline on
+    * q105's retrieval units: the corpus is split into overlapping
+    * token windows (the granularity a retrieval/RAG pipeline actually
+    * serves), then ranked against the fixed query with CHUNK-level
+    * tf/length statistics and chunk-level df. This is the operator
+    * between q105 and a reader: "which 32-token spans answer this
+    * query", with start_tok mapping each hit back into its source
+    * document. Same cross-engine parity discipline as q47 (integer
+    * idf, fixed-order per-term sums, exact decimal literals).
+    *
+    * Scale shape: q47's with chunks as rows — the chunker is a
+    * scan-stage flatMap (q105's audit), per-chunk lengths partial-agg
+    * map-side, the per-term df table and corpus stats broadcast back,
+    * TakeOrdered(10). start_tok is DERIVED (chunk_id × stride), so
+    * only narrow per-chunk stats ever shuffle.
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val words = Selection.chunkDocs(Tables.documents(s, d))
+      .select(col("doc_id"), col("chunk_id"),
+        explode(regexp_extract_all(lower(col("chunk_text")),
+          lit("[a-z]+"), lit(0))).as("w"))
+    val dl = words.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("dl"))
+    val corpus = broadcast(dl.agg(count(lit(1)).as("n_chunks"),
+      sum(col("dl")).as("tot_tokens")))
+    val tf = words.filter(col("w").isin(BmQuery: _*))
+      .groupBy(col("doc_id"), col("chunk_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+    val scored = tf.join(df, "w").join(dl, Seq("doc_id", "chunk_id"))
+      .crossJoin(corpus)
+      .select(col("doc_id"), col("chunk_id"), col("w"),
+        ((col("n_chunks") - col("df")) * col("tf") * lit(2.2) /
+          (col("tf") + lit(0.3) + lit(0.9) *
+            ((col("dl") * col("n_chunks")).cast("double") /
+              col("tot_tokens").cast("double")))).as("s"))
+    scored.groupBy(col("doc_id"), col("chunk_id"))
+      .pivot("w", BmQuery).agg(first(col("s")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * lit(Selection.ChunkS.toLong)).as("start_tok"),
+        round(BmQuery.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 4)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+  }
+
+  private val q108Sql = {
+    val terms = BmQuery.map(t => s"'$t'").mkString(", ")
+    val fixedSum = BmQuery.map(t =>
+      s"COALESCE(MAX(CASE WHEN w = '$t' THEN s END), CAST(0 AS DOUBLE))")
+      .mkString(" + ")
+    val (w, st) = (Selection.ChunkW, Selection.ChunkS)
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |stt AS (
+       |  SELECT doc_id, ws, len(ws) AS n,
+       |    unnest(range(0, greatest(len(ws), 1), $st)) AS start
+       |  FROM docs),
+       |ch AS (
+       |  SELECT doc_id, start // $st AS chunk_id,
+       |    array_to_string(ws[start + 1 : least(start + $w, n)], ' ')
+       |      AS chunk_text
+       |  FROM stt WHERE start = 0 OR start - $st + $w < n),
+       |words AS (
+       |  SELECT doc_id, chunk_id,
+       |    unnest(regexp_extract_all(lower(chunk_text), '[a-z]+')) AS w
+       |  FROM ch),
+       |dl AS (SELECT doc_id, chunk_id, COUNT(*) AS dl FROM words
+       |       GROUP BY 1, 2),
+       |corpus AS (SELECT COUNT(*) AS n_chunks, SUM(dl) AS tot_tokens
+       |           FROM dl),
+       |tf AS (SELECT doc_id, chunk_id, w, COUNT(*) AS tf FROM words
+       |       WHERE w IN ($terms) GROUP BY 1, 2, 3),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, chunk_id, w,
+       |    (corpus.n_chunks - df.df) * tf.tf * CAST(2.2 AS DOUBLE) /
+       |      (tf.tf + CAST(0.3 AS DOUBLE) + CAST(0.9 AS DOUBLE) *
+       |        (CAST(dl.dl * corpus.n_chunks AS DOUBLE) /
+       |          CAST(corpus.tot_tokens AS DOUBLE))) AS s
+       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id, chunk_id)
+       |  CROSS JOIN corpus),
+       |bm AS (
+       |  SELECT doc_id, chunk_id, round($fixedSum, 4) AS bm25
+       |  FROM scored GROUP BY doc_id, chunk_id)
+       |SELECT doc_id, chunk_id, chunk_id * $st AS start_tok, bm25
+       |FROM bm ORDER BY bm25 DESC, doc_id, chunk_id LIMIT 10""".stripMargin
+  }
+
   /** q47's CTE body up to the scored relation — shared with q94's
     * hybrid-fusion oracle.
     */
@@ -1354,6 +1444,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q27_tfidf_terms", q27, Some(q27Sql)),
     CatalogEntry("q28_doc_cube", q28, Some(q28Sql)),
     CatalogEntry("q47_bm25", q47, Some(q47Sql)),
+    CatalogEntry("q108_chunk_retrieval", q108, Some(q108Sql)),
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
     CatalogEntry("q56_sketch_profile", q56, None),
     CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),

@@ -541,6 +541,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(outText <= 1, s"clean text shuffled $outText times:\n$p")
   }
 
+  test("q108: chunk retrieval caps via TakeOrdered; stats broadcast; chunk text never shuffles") {
+    // q47's discipline at chunk granularity: the ranking must end in a
+    // top-k (never a global sort materialization), the per-term df and
+    // corpus-stat relations must broadcast back, and the only columns
+    // crossing any exchange are narrow per-chunk stats — never the
+    // chunk text and never the source text
+    val p = planOf("q108_chunk_retrieval")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(a => a.name == "chunk_text" || a.name == "text"),
+      s"chunk/source text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q105: chunking is one stateless map — the only exchange is the output sort") {
     // the chunker must stay the map side of whatever consumes it: no
     // join, no aggregation, and the sole exchange is the ORDER BY's
