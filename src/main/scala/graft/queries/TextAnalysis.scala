@@ -388,7 +388,7 @@ object TextAnalysis extends QueryModule {
     * shape at scale: one explode, per-doc length partial-agg, a tiny
     * per-term df table broadcast back, TakeOrdered(10).
     */
-  private val BmQuery = Seq("hash", "join", "merge")
+  private[graft] val BmQuery = Seq("hash", "join", "merge")
 
   private def q47(s: SparkSession, d: String): DataFrame =
     bm25Scored(s, d)
@@ -439,11 +439,30 @@ object TextAnalysis extends QueryModule {
     * TakeOrdered(10). start_tok is DERIVED (chunk_id × stride), so
     * only narrow per-chunk stats ever shuffle.
     */
-  private def q108(s: SparkSession, d: String): DataFrame = {
-    val words = Selection.chunkDocs(Tables.documents(s, d))
+  private def q108(s: SparkSession, d: String): DataFrame =
+    chunkScored(Tables.documents(s, d))
+      .orderBy(col("bm25").desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+
+  /** Chunk-level retrieval TOKENIZATION, spelled once — chunker +
+    * `[a-z]+`-over-lowercase word extraction. Shared by [[chunkScored]]
+    * and the streaming scorer's frozen-stats builder so the two
+    * retrieval surfaces can never fork on the token class (the
+    * `Dedup.WordRe` discipline applied here).
+    */
+  private[graft] def chunkWords(docs: DataFrame): DataFrame =
+    Selection.chunkDocs(docs)
       .select(col("doc_id"), col("chunk_id"),
         explode(regexp_extract_all(lower(col("chunk_text")),
           lit("[a-z]+"), lit(0))).as("w"))
+
+  /** The full scored relation behind q108 (every chunk matching ≥1
+    * query term, with its rounded chunk-level BM25) — the pre-top-k
+    * surface the streaming scorer's convergence spec compares against
+    * (the `bm25Scored` pattern, one level down).
+    */
+  private[graft] def chunkScored(docs: DataFrame): DataFrame = {
+    val words = chunkWords(docs)
     val dl = words.groupBy(col("doc_id"), col("chunk_id"))
       .agg(count(lit(1)).as("dl"))
     val corpus = broadcast(dl.agg(count(lit(1)).as("n_chunks"),
@@ -465,8 +484,6 @@ object TextAnalysis extends QueryModule {
         (col("chunk_id") * lit(Selection.ChunkS.toLong)).as("start_tok"),
         round(BmQuery.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 4)
           .as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"), col("chunk_id"))
-      .limit(10)
   }
 
   private val q108Sql = {

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.streaming.{StreamingCurate, StreamingPack, StreamingSemanticDedup}
+import graft.streaming.{StreamingCurate, StreamingPack, StreamingRetrieval, StreamingSemanticDedup}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -94,7 +94,7 @@ object StreamScale {
     val shift = 1000000000L // above ScaleSlope's minted ids (factor×1e7)
 
     // ---- corpus slope: rate + final state at 1× and FACTOR× ----
-    def measure(dir: String): (Meas, Meas, Meas) = {
+    def measure(dir: String): (Meas, Meas, Meas, Meas) = {
       val docsDf = Tables.documents(spark, dir)
       val docs = docsDf.select(col("doc_id"), col("text"))
         .as[(Long, String)].collect().sortBy(_._1)
@@ -137,18 +137,30 @@ object StreamScale {
         StreamingSemanticDedup.verdicts(
             memS.toDF().toDF("vec_id", "embedding"), cents)
           .writeStream.format("noop").outputMode("append").start())
-      (curate, pack, sem)
+      // retrieval is the STATELESS twin (frozen broadcast stats, no
+      // state operator): rows/bytes report the -1 "no state" sentinel
+      // by design — the curve of interest is the rate slope alone
+      val stats = StreamingRetrieval.frozenStats(
+        docsDf.select(col("doc_id"), col("text")))
+      val memR = MemoryStream[(Long, String)]
+      val retr = run(docs.length.toLong,
+        r => { memR.addData(docs.map(d =>
+          (d._1 + r * shift, d._2)).toIndexedSeq); () },
+        StreamingRetrieval.scores(memR.toDF().toDF("doc_id", "text"), stats)
+          .writeStream.format("noop").outputMode("append").start())
+      (curate, pack, sem, retr)
     }
     val none = Meas(-1, -1, -1)
-    val ((c1, p1, s1), (cF, pF, sF)) =
+    val ((c1, p1, s1, r1), (cF, pF, sF, rF)) =
       if (phaseOn("corpus")) (measure(base), measure(out))
-      else ((none, none, none), (none, none, none))
+      else ((none, none, none, none), (none, none, none, none))
     if (phaseOn("corpus")) {
       def row(n: String, a: Meas, b: Meas): Unit = System.err.println(
-        f"[streamscale] $n%-8s rate 1x=${a.rate}%8.0f/s ${factor}x=${b.rate}%8.0f/s " +
+        f"[streamscale] $n%-9s rate 1x=${a.rate}%8.0f/s ${factor}x=${b.rate}%8.0f/s " +
           f"(slope ${a.rate / b.rate}%.2f)  state rows ${a.rows}%7d -> ${b.rows}%7d " +
           f"bytes ${a.bytes}%9d -> ${b.bytes}%9d")
       row("curate", c1, cF); row("pack", p1, pF); row("semantic", s1, sF)
+      row("retrieval", r1, rF)
     }
 
     // ---- stream-length flatness (1× corpus, R distinct replays) ----
@@ -265,8 +277,8 @@ object StreamScale {
     }
 
     println(s"""{"metric":"stream_scale","factor":$factor,"phase":"$phase",""" +
-      s""""rates_1x":{"curate":${c1.rate.round},"pack":${p1.rate.round},"semantic":${s1.rate.round}},""" +
-      s""""rates_${factor}x":{"curate":${cF.rate.round},"pack":${pF.rate.round},"semantic":${sF.rate.round}},""" +
+      s""""rates_1x":{"curate":${c1.rate.round},"pack":${p1.rate.round},"semantic":${s1.rate.round},"retrieval":${r1.rate.round}},""" +
+      s""""rates_${factor}x":{"curate":${cF.rate.round},"pack":${pF.rate.round},"semantic":${sF.rate.round},"retrieval":${rF.rate.round}},""" +
       s""""state_rows_1x":{"curate":${c1.rows},"pack":${p1.rows},"semantic":${s1.rows}},""" +
       s""""state_rows_${factor}x":{"curate":${cF.rows},"pack":${pF.rows},"semantic":${sF.rows}},""" +
       s""""curate_rows_by_replay_nohorizon":${unboundedCurve.mkString("[", ",", "]")},""" +
