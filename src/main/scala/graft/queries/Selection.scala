@@ -327,7 +327,10 @@ object Selection extends QueryModule {
     * salted shard + cumulative start offsets, and `SeqLen` chunking —
     * each stage the SQL spelling of the Spark stage above it.
     */
-  private val q75Sql = {
+  // lazy: evaluates TextAnalysis.bpeOracleCtes — deferring past both
+  // objects' init is what makes the cycle above harmless regardless of
+  // which side a JVM touches first
+  private lazy val q75Sql = {
     val shard = Dedup.hex12ToLongSql(
       "md5('seq|' || CAST(doc_id AS VARCHAR))")
     val letters = ('a' to 'z').map(c => s"'$c'").mkString(", ")
@@ -896,8 +899,11 @@ object Selection extends QueryModule {
        |  TRUE AS no_overflow, TRUE AS tiled, TRUE AS bins_ok
        |FROM toks GROUP BY shard ORDER BY shard""".stripMargin
 
-  private[graft] val ChunkW = 32 // tokens per retrieval chunk
-  private[graft] val ChunkS = 24 // chunk stride (W - S = 8 tokens of overlap)
+  // final: compile-time constants — q108's oracle in TextAnalysis
+  // interpolates these, and the TextAnalysis ↔ Selection init cycle
+  // (see BpeMerges) would otherwise read 0 mid-init
+  private[graft] final val ChunkW = 32 // tokens per retrieval chunk
+  private[graft] final val ChunkS = 24 // stride (W - S = 8 tokens of overlap)
 
   /** Overlapping token-window CHUNKING (q105) — the retrieval/embedding
     * pipeline's document splitter: every document becomes fixed-width

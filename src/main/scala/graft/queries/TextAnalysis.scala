@@ -486,7 +486,9 @@ object TextAnalysis extends QueryModule {
           .as("bm25"))
   }
 
-  private val q108Sql = {
+  // lazy: the q75Sql discipline for the other direction of the
+  // TextAnalysis ↔ Selection init cycle
+  private lazy val q108Sql = {
     val terms = BmQuery.map(t => s"'$t'").mkString(", ")
     val fixedSum = BmQuery.map(t =>
       s"COALESCE(MAX(CASE WHEN w = '$t' THEN s END), CAST(0 AS DOUBLE))")
@@ -757,7 +759,12 @@ object TextAnalysis extends QueryModule {
        |  round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS mean_bits
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  private[graft] val BpeMerges = 16
+  // final: compile-time constant, inlined at use sites — Selection's
+  // q75 oracle interpolates this DURING ITS OWN INIT, which the q108
+  // chunk entries made reachable from TextAnalysis's init (the
+  // TextAnalysis ↔ Selection cycle): a plain val read mid-init returns
+  // 0 and silently generates a merge-less (and unparseable) oracle
+  private[graft] final val BpeMerges = 16
 
   /** The 16-round BPE merge loop UNROLLED as DuckDB CTE layers — the
     * driver-verifiable oracle for q66/q71/q75 (closing round-5's
