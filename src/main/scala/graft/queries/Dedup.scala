@@ -2020,6 +2020,69 @@ object Dedup extends QueryModule {
        |FROM lab ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus snapshot DIFF (q109) — the data-versioning operator every
+    * corpus release pipeline runs before publishing: given the previous
+    * release and the current one, report per document whether it was
+    * ADDED, REMOVED, CHANGED (same id, different content), or SAME —
+    * the go/no-go table for "does this release change what we think it
+    * changes", and the input to incremental downstream work (only
+    * added∪changed need re-embedding/re-scoring; q69/q99 probe exactly
+    * that delta).
+    *
+    * The two snapshots derive deterministically from the one fixture
+    * (the q102 mod-split discipline): previous = doc_id ≢ 2 (mod 7)
+    * (≡2 are this release's additions) with docs ≡ 1 (mod 5) carrying
+    * a prior content revision; current = doc_id ≢ 4 (mod 9) (≡4 were
+    * dropped). Identity is md5 of the exact bytes — a release diff is
+    * byte-level; the C4-normalized variant is one `normMd5` swap away.
+    *
+    * Scale shape: each side reduces to (doc_id, md5) IN THE SCAN STAGE
+    * (digests are per-row expressions, so column pruning + the
+    * projection reach the parquet scan), then ONE full-outer
+    * sort-merge join on the id — the only exchange in the plan before
+    * the output sort, carrying 8-byte ids and 32-char digests, never
+    * text (audited). At 100 TB both sides partition by id and the diff
+    * streams; no state, no windows, no driver materialization.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prev = docs.filter(col("doc_id") % 7 =!= 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1,
+          md5(concat(col("text"), lit("|rev0"))))
+          .otherwise(md5(col("text"))).as("prev_md5"))
+    val cur = docs.filter(col("doc_id") % 9 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("cur_md5"))
+    prev.join(cur, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("prev_md5").isNull, "added")
+          .when(col("cur_md5").isNull, "removed")
+          .when(col("prev_md5") =!= col("cur_md5"), "changed")
+          .otherwise("same").as("status"),
+        coalesce(col("prev_md5"), lit("")).as("prev_md5"),
+        coalesce(col("cur_md5"), lit("")).as("cur_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q109Sql =
+    """WITH prev AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN md5(text || '|rev0')
+      |         ELSE md5(text) END AS prev_md5
+      |  FROM documents WHERE doc_id % 7 <> 2),
+      |cur AS (
+      |  SELECT doc_id, md5(text) AS cur_md5
+      |  FROM documents WHERE doc_id % 9 <> 4)
+      |SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+      |  CASE WHEN prev.doc_id IS NULL THEN 'added'
+      |       WHEN cur.doc_id IS NULL THEN 'removed'
+      |       WHEN prev_md5 <> cur_md5 THEN 'changed'
+      |       ELSE 'same' END AS status,
+      |  COALESCE(prev_md5, '') AS prev_md5,
+      |  COALESCE(cur_md5, '') AS cur_md5
+      |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -2049,5 +2112,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q104_decont_cut", q104, Some(q104Sql)),
     CatalogEntry("q106_eval_leak_report", q106, Some(q106Sql)),
     CatalogEntry("q107_leak_safe_split", q107, Some(q107Sql)),
+    CatalogEntry("q109_corpus_diff", q109, Some(q109Sql)),
   )
 }

@@ -56,7 +56,9 @@ object ScaleSlope {
     // retrieval chunking, the eval-side leak report, and the
     // cluster-consistent split (rides q55's CC plan)
     "q104_decont_cut", "q105_chunk_windows", "q106_eval_leak_report",
-    "q107_leak_safe_split", "q108_chunk_retrieval")
+    "q107_leak_safe_split", "q108_chunk_retrieval",
+    // r10: the release-diff operator (digest-narrow full-outer join)
+    "q109_corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -707,4 +707,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
       s.contains("ShuffledHashJoin"), s)
   }
+
+  test("q109: snapshot diff reduces to digests in the scan stage — text never crosses an exchange") {
+    // the 100 TB claim: each side projects to (doc_id, md5) per-row, so
+    // the one diff join (plus the output sort) shuffles ids and 32-char
+    // digests only
+    val p = planOf("q109_corpus_diff")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
+  test("streaming retrieval scorer: zero exchanges — chunk, tokenize, score in one narrow pass") {
+    // the stateless-twin claim made structural: run the scorer over a
+    // BATCH relation (same plan builder the stream executes per
+    // micro-batch) and require a shuffle-free plan
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val stats = graft.streaming.StreamingRetrieval.frozenStats(docs)
+    val p = graft.streaming.StreamingRetrieval.scores(docs, stats)
+      .queryExecution.executedPlan
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"the stateless scorer grew a shuffle:\n$p")
+  }
 }
