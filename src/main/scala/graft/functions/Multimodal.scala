@@ -580,6 +580,61 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-format NEAR-duplicate image pairs — the Hamming-banded
+    * upgrade [[imageDedupPairs]]'s doc promises (q58's SimHash-banding
+    * shape on the same 16-byte layout): the 64-bit content fingerprint
+    * splits into four 16-bit bands, candidates share ≥1 exact band, and
+    * survivors confirm on full bit-Hamming ≤ `maxHamming`. Pigeonhole
+    * makes 4×16 banding EXACT for d ≤ 3: four bands cannot all differ
+    * on ≤3 flipped bits, so every qualifying pair is a candidate —
+    * recall 1.0 by construction, like q58's 4×16-bit SimHash bands.
+    *
+    * Distance semantics, stated: the fingerprint is 16 grayscale cells
+    * quantized to 4 bits, so bit-Hamming is a locality signal (a cell
+    * drifting one gray step usually flips 1 bit; a quantization-
+    * boundary crossing like 0111→1000 can flip 4), not a per-cell
+    * count — the standard perceptual-hash trade, confirmed cheap here
+    * precisely because the confirm is one xor+popcount on longs.
+    *
+    * Scale shape, identical to the exact variant: one decode pass
+    * (materialized), then only (doc_id, band_key) and fingerprint
+    * longs shuffle; the band join is equi-keyed (never all-pairs), and
+    * a degenerate band (e.g. all-black thumbnails) is the q31/q58
+    * stop-bucket argument — cap candidates per band upstream if a
+    * corpus exhibits one.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3)
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding is pigeonhole-exact only for maxHamming <= 3, got $maxHamming")
+    import media.sparkSession.implicits._
+    val fps = graft.queries.Scratch.materialize(
+      extractFeatures(media)
+        .flatMap(f => contentFingerprint(f).map(fp => (f.doc_id, fp)))
+        .toDF("doc_id", "fingerprint"),
+      "mm_nfps")
+    // shiftrightunsigned: the top nibble is the first folded cell, so a
+    // bright first cell sets the sign bit and an arithmetic >> would
+    // smear it across the high band keys
+    val banded = fps.select(col("doc_id"), col("fingerprint"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        expr(s"shiftrightunsigned(fingerprint, ${b * 16}) & 65535")
+          .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("fingerprint"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fingerprint").as("fp_a"), col("b.fingerprint").as("fp_b"))
+      .distinct() // a pair may collide on several bands
+      .withColumn("hamming",
+        expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Size-bounded repartition: target ~`targetBytes` of payload per
     * partition, so decode memory is bounded regardless of row-size skew.
     */

@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  /** Hand-built 24bpp bottom-up BMP — ONE builder for every image
+    * fixture (the dedup and near-dup tests would otherwise fork on a
+    * header detail). Callers use widths that keep rows 4-byte aligned
+    * or not; the row padding handles both.
+    */
+  private def bmpOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowBytes = ((3 * w + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) { // bottom-up row order
+      for (x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        bb.put((rgb & 0xff).toByte) // B
+          .put(((rgb >> 8) & 0xff).toByte) // G
+          .put(((rgb >> 16) & 0xff).toByte) // R
+      }
+      bb.position(bb.position() + rowBytes - 3 * w)
+    }
+    bb.array()
+  }
+
   test("payload bytes + sha + frame samples are consistent and deterministic") {
     val sp = spark
     import sp.implicits._
@@ -270,29 +297,6 @@ class MultimodalSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
-    // hand-built 24bpp bottom-up BMP of the same pixels (w=8 → rows are
-    // already 4-byte aligned)
-    def bmpOf(img: BufferedImage): Array[Byte] = {
-      val w = img.getWidth; val h = img.getHeight
-      val rowBytes = ((3 * w + 3) / 4) * 4
-      val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
-        .putInt(0).putInt(54)
-      bb.putInt(40).putInt(w).putInt(h)
-        .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
-        .putInt(2835).putInt(2835).putInt(0).putInt(0)
-      for (y <- (h - 1) to 0 by -1) { // bottom-up row order
-        for (x <- 0 until w) {
-          val rgb = img.getRGB(x, y)
-          bb.put((rgb & 0xff).toByte) // B
-            .put(((rgb >> 8) & 0xff).toByte) // G
-            .put(((rgb >> 16) & 0xff).toByte) // R
-        }
-        bb.position(bb.position() + rowBytes - 3 * w)
-      }
-      bb.array()
-    }
     val a = image(0)
     val media = Seq(
       Multimodal.MediaRow(1L, "image/bmp", bmpOf(a)),
@@ -309,6 +313,48 @@ class MultimodalSpec extends SparkSpec {
     val pairs = Multimodal.imageDedupPairs(media)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L)), s"got $pairs")
+  }
+
+  test("Hamming-banded near-dup: d<=3 pairs found exactly, far pairs excluded") {
+    val sp = spark
+    import sp.implicits._
+    // 8x6 gray image; the 4x4 thumbnail samples pixels x ∈ {0,2,4,6},
+    // y ∈ {0,1,3,4}. Gray v=70 quantizes to cell 4 (0100), v=85 to 5
+    // (0101) — exactly ONE bit apart, so each override below is one
+    // controlled fingerprint-bit flip
+    def grayImage(base: Int, overrides: Map[(Int, Int), Int])
+        : java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val v = overrides.getOrElse((x, y), base)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val a = grayImage(70, Map.empty)
+    val b = grayImage(70, Map((0, 0) -> 85)) // Hamming 1 from a
+    // three flips, all landing in the SAME band (the first thumb row
+    // is the top 16 bits): the pigeonhole case — three other bands
+    // intact, the pair MUST surface, at the exact d=3 boundary
+    val c = grayImage(70, Map((2, 0) -> 85, (4, 0) -> 85, (6, 0) -> 85))
+    val far = grayImage(170, Map.empty) // 3 bits off in every cell: 48
+    val media = Seq((1L, a), (2L, b), (3L, c), (4L, far))
+      .map { case (id, img) =>
+        Multimodal.MediaRow(id, "image/bmp", bmpOf(img)) }.toDS()
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    // (1,2) d=1; (1,3) d=3 (boundary, pigeonhole-guaranteed); (2,3)
+    // d=4 — a candidate via shared bands but over threshold; far: ≥40
+    assert(pairs == Seq((1L, 2L, 1L), (1L, 3L, 3L)), s"got $pairs")
+    // exact duplicates remain Hamming-0 pairs of the near-dup surface
+    val withDup = media.union(Seq(
+      Multimodal.MediaRow(5L, "image/bmp", bmpOf(grayImage(70, Map.empty))))
+      .toDS())
+    val dup = Multimodal.imageNearDupPairs(withDup)
+      .filter(col("hamming") === 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(dup == Seq((1L, 5L, 0L)), s"got $dup")
   }
 
   test("repartitionBySize bounds partition payload bytes") {
