@@ -673,7 +673,15 @@ private[graft] object EngineShuffle {
         spark.conf.set("spark.sql.shuffle.partitions", outer)
       case Nil =>
         state.remove(spark)
-        saved.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+        saved match {
+          case Some(p) => spark.conf.set("spark.sql.shuffle.partitions", p)
+          // the caller never set a width: restore to "unset" so the
+          // session falls back to its default, instead of silently
+          // keeping the narrow engine width for all later analytics
+          // (every harness session sets the width explicitly, so this
+          // leg is defense for embedding callers — r10 review)
+          case None => spark.conf.unset("spark.sql.shuffle.partitions")
+        }
     }
   }
 }
