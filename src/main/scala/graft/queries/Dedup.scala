@@ -1017,7 +1017,7 @@ object Dedup extends QueryModule {
     * duplicated grams into spans, where [[ngramEntries]] deliberately
     * dedups. Same plain-JVM flatMap rationale (interpreted-HOF trap).
     */
-  private def posGramEntries(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def posGramEntries(docs: DataFrame, n: Int): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -1784,10 +1784,11 @@ object Dedup extends QueryModule {
     * exchange exactly twice (this join and the output sort) — the q72
     * shape, shared by q104.
     */
-  private def cutRewrite(docs: DataFrame, cuts: DataFrame): DataFrame = {
+  private[graft] def cutRewrite(docs: DataFrame, cuts: DataFrame,
+      sorted: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id"), col("text"))
+    val out = docs.select(col("doc_id"), col("text"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("cut_pos"), array().cast("array<long>")).as("cut_pos"))
@@ -1797,7 +1798,9 @@ object Dedup extends QueryModule {
         (id, n, clean)
       }
       .toDF("doc_id", "n_cut", "clean_text")
-      .orderBy(col("doc_id"))
+    // sorted=false: DecontProf's phase split — a production rewrite
+    // writes unordered; the sort is the oracle-comparability harness
+    if (sorted) out.orderBy(col("doc_id")) else out
   }
 
   private val q72Sql = {
