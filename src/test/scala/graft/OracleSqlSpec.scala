@@ -38,7 +38,7 @@ class OracleSqlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(w > 0 && st > 0 && st < w)
     for (name <- Seq("q105_chunk_windows", "q108_chunk_retrieval")) {
       val sql = oracles(name)
-      assert(sql.contains(s", $st)") || sql.contains(s", $st)"),
+      assert(sql.contains(s", $st)"),
         s"$name oracle lost the stride constant")
       assert(sql.contains(s"$w"), s"$name oracle lost the width constant")
     }
