@@ -729,8 +729,11 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val q65Sql =
-    s"""WITH docs AS (
+  /** q65's CTE body through the per-pair `scored` relation — shared
+    * with q110's curriculum oracle (the bm25SqlCtes pattern).
+    */
+  private val lmSqlCtes =
+    s"""docs AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
        |  FROM documents),
        |pos AS (
@@ -752,12 +755,73 @@ object TextAnalysis extends QueryModule {
        |  LEFT JOIN b USING (w1, w2)
        |  LEFT JOIN u USING (w1)
        |  CROSS JOIN v
-       |  WHERE p.doc_id % 10 <> $CleanShardMod)
+       |  WHERE p.doc_id % 10 <> $CleanShardMod)""".stripMargin
+
+  private val q65Sql =
+    s"""WITH $lmSqlCtes
        |SELECT doc_id, COUNT(*) AS n_pairs,
        |  CAST(SUM(oov) AS BIGINT) AS oov_pairs,
        |  CAST(SUM(bits) AS BIGINT) AS bits_total,
        |  round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS mean_bits
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val CurrPhases = 10 // curriculum deciles
+
+  /** Curriculum ORDERING manifest (q110) — the data-ordering policy
+    * q76's uniform epoch shuffle cannot express: order the training
+    * corpus easy → hard by a model-based difficulty signal (q65's
+    * per-document mean LM surprisal — the classic curriculum-learning
+    * criterion), grouped into `CurrPhases` global difficulty deciles.
+    * The manifest row is (doc_id, difficulty, phase); the emitted
+    * (phase, difficulty, doc_id) order IS the curriculum sequence a
+    * trainer consumes phase by phase.
+    *
+    * Scale shape: difficulty is q65's plan (broadcast bigram model, no
+    * corpus text in any exchange); the decile boundaries are ONE exact
+    * percentile aggregate collected as a 9-value driver probe (the
+    * q59/q66 bounded-probe discipline; `percentile_approx` is the
+    * same-call-site sketch swap at 100 TB, the q29 note), and phase
+    * assignment is a codegen'd comparison chain against 9 broadcast
+    * literals — NO global window, no single-partition rank funnel
+    * (the trap a naive ntile spelling would hit). Boundaries and
+    * difficulties are 4-dp-rounded on BOTH engines before comparison
+    * (the q29/q65 parity discipline), so the decile split is exact
+    * across the gate.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val diff = Scratch.materialize(
+      q65(s, d).select(col("doc_id"), col("mean_bits").as("difficulty")),
+      "q110_diff") // feeds the boundary aggregate AND the assignment
+    val qs = (1 until CurrPhases).map(i => i.toDouble / CurrPhases)
+    val bs = diff.agg(expr(
+        s"transform(percentile(difficulty, array(${qs.mkString(", ")})), " +
+          "x -> round(x, 4))"))
+      .head().getSeq[Double](0)
+    val phase = bs.foldLeft(lit(1))((acc, b) =>
+      acc + when(col("difficulty") > lit(b), 1).otherwise(0))
+    diff.select(col("doc_id"), col("difficulty"), phase.as("phase"))
+      .orderBy(col("phase"), col("difficulty"), col("doc_id"))
+  }
+
+  private val q110Sql = {
+    val qs = (1 until CurrPhases).map(i => i.toDouble / CurrPhases)
+    val phase = (1 to CurrPhases - 1).map(i =>
+      s"(CASE WHEN difficulty > bs[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $lmSqlCtes,
+       |docdiff AS (
+       |  SELECT doc_id, round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4)
+       |    AS difficulty
+       |  FROM scored GROUP BY doc_id),
+       |bnd AS (
+       |  SELECT list_transform(
+       |    quantile_cont(difficulty, [${qs.mkString(", ")}]),
+       |    x -> round(x, 4)) AS bs
+       |  FROM docdiff)
+       |SELECT doc_id, difficulty, 1 + $phase AS phase
+       |FROM docdiff CROSS JOIN bnd
+       |ORDER BY phase, difficulty, doc_id""".stripMargin
+  }
 
   // final: compile-time constant, inlined at use sites — Selection's
   // q75 oracle interpolates this DURING ITS OWN INIT, which the q108
@@ -1472,6 +1536,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
     CatalogEntry("q56_sketch_profile", q56, None),
     CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),
+    CatalogEntry("q110_curriculum_phases", q110, Some(q110Sql)),
     CatalogEntry("q66_bpe_train", q66, Some(q66Sql)),
     CatalogEntry("q71_bpe_encode", q71, Some(q71Sql)),
     CatalogEntry("q73_quality_classifier", q73, None),

@@ -58,7 +58,8 @@ object ScaleSlope {
     "q104_decont_cut", "q105_chunk_windows", "q106_eval_leak_report",
     "q107_leak_safe_split", "q108_chunk_retrieval",
     // r10: the release-diff operator (digest-narrow full-outer join)
-    "q109_corpus_diff")
+    // and the curriculum manifest (q65's plan + a bounded boundary probe)
+    "q109_corpus_diff", "q110_curriculum_phases")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -721,6 +721,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"), p.toString)
   }
 
+  test("q110: curriculum assignment has no window and no text in any exchange") {
+    // the decile split must be broadcast-literal comparisons, never a
+    // global rank window (the single-partition ntile funnel), and the
+    // difficulty plan inherits q65's no-text-exchange shape
+    val p = planOf("q110_curriculum_phases")
+    val s = p.toString
+    assert(!s.contains("Window"), s"curriculum grew a window:\n$s")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("streaming retrieval scorer: zero exchanges — chunk, tokenize, score in one narrow pass") {
     // the stateless-twin claim made structural: run the scorer over a
     // BATCH relation (same plan builder the stream executes per
