@@ -1978,50 +1978,72 @@ object Dedup extends QueryModule {
     * labels, and re-runnable on any corpus delta because the hash needs
     * only the cluster id, never the membership list.
     */
-  private def q107(s: SparkSession, d: String): DataFrame = {
-    val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val labels = connectedComponents(pairs, tag = "q107cc")
+  /** q107's cluster-keyed split rule over an arbitrary `(doc_id, text)`
+    * relation — factored out (ONE spelling) so the release-stability
+    * gate (q111) can run the identical assignment on each corpus
+    * snapshot. Returns `(doc_id, cluster_id, split)` for every doc in
+    * `docs`; CC scratch names are `tag`-keyed (the dekOf discipline).
+    */
+  private[graft] def splitAssign(docs: DataFrame, tag: String): DataFrame = {
+    val pairs = minhashPairs(docs)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs, tag = tag)
       .withColumnRenamed("cluster_id", "label")
     val hx = substring(md5(col("cluster_id").cast("string")), 1, 2)
-    Tables.documents(s, d).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("split",
         when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test"))
-      .orderBy(col("doc_id"))
   }
 
-  private val q107Sql = {
-    s"""WITH RECURSIVE docs AS (
-       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
-       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
-       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
-       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
-       |pairs AS (
+  private def q107(s: SparkSession, d: String): DataFrame =
+    splitAssign(Tables.documents(s, d), tag = "q107cc")
+      .orderBy(col("doc_id"))
+
+  /** The q107 split-assignment CTE chain over one corpus snapshot —
+    * `sfx` suffixes every CTE name (so q111 can instantiate it twice in
+    * one statement) and `pred` is the snapshot's universe predicate.
+    * Terminal CTE `lab$sfx` has (doc_id, cluster_id, split).
+    */
+  private def splitSqlCtes(sfx: String, pred: String => String): String = {
+    val bucket = "substring(md5(CAST(COALESCE(label, d.doc_id) AS VARCHAR)), 1, 2)"
+    s"""docs$sfx AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+       |  WHERE ${pred("doc_id")}),
+       |ex$sfx AS (SELECT doc_id, unnest(sh) AS s FROM docs$sfx),
+       |hs$sfx AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex$sfx)),
+       |sigs$sfx AS (SELECT doc_id, $sigSql FROM hs$sfx GROUP BY doc_id),
+       |banded$sfx AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs$sfx),
+       |pairs$sfx AS (
        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM banded a JOIN banded b
+       |  FROM banded$sfx a JOIN banded$sfx b
        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-       |reach(n, r) AS (
-       |  SELECT a, a FROM edges
+       |edges$sfx AS (
+       |  SELECT a, b FROM pairs$sfx UNION SELECT b, a FROM pairs$sfx),
+       |reach$sfx(n, r) AS (
+       |  SELECT a, a FROM edges$sfx
        |  UNION
-       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
-       |cluster AS (SELECT n AS doc_id, MIN(r) AS label
-       |            FROM reach GROUP BY n),
-       |lab AS (SELECT d.doc_id, COALESCE(label, d.doc_id) AS cluster_id
-       |        FROM documents d LEFT JOIN cluster c ON c.doc_id = d.doc_id)
-       |SELECT doc_id, cluster_id,
-       |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
-       |         THEN 'train'
-       |       WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
-       |         THEN 'val'
-       |       ELSE 'test' END AS split
-       |FROM lab ORDER BY doc_id""".stripMargin
+       |  SELECT e.b, reach$sfx.r
+       |  FROM reach$sfx JOIN edges$sfx e ON e.a = reach$sfx.n),
+       |cluster$sfx AS (SELECT n AS doc_id, MIN(r) AS label
+       |            FROM reach$sfx GROUP BY n),
+       |lab$sfx AS (
+       |  SELECT d.doc_id, COALESCE(label, d.doc_id) AS cluster_id,
+       |    CASE WHEN $bucket < 'cc' THEN 'train'
+       |         WHEN $bucket < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN cluster$sfx c ON c.doc_id = d.doc_id
+       |  WHERE ${pred("d.doc_id")})""".stripMargin
   }
+
+  private val q107Sql =
+    s"""WITH RECURSIVE ${splitSqlCtes("", _ => "TRUE")}
+       |SELECT doc_id, cluster_id, split
+       |FROM lab ORDER BY doc_id""".stripMargin
 
   /** Corpus snapshot DIFF (q109) — the data-versioning operator every
     * corpus release pipeline runs before publishing: given the previous
@@ -2086,6 +2108,71 @@ object Dedup extends QueryModule {
       |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Release-gate SPLIT STABILITY (q111) — the cross-release eval gate
+    * that composes the corpus diff (q109) with the cluster-keyed split
+    * (q107): report every document whose train/val/test assignment
+    * FLIPS between two corpus releases. The failure mode it gates
+    * (r10 verdict #3): q107's split is a pure function of the CLUSTER
+    * id, and cluster ids are min-doc-id canonicals — when a release's
+    * additions MERGE two clusters (or a removal takes a cluster's
+    * min-id member), the surviving canonical changes, the md5 bucket
+    * changes, and a former test/val document silently lands in train —
+    * contaminating every cross-release eval comparison. An eval owner
+    * runs this gate before trusting release N's scores against N−1's.
+    *
+    * Releases are q109's mod-split pair over the one fixture: previous
+    * = doc_id ≢ 2 (mod 7), current = doc_id ≢ 4 (mod 9) — the SAME
+    * constants, so q109's ADDED/REMOVED rows are exactly the membership
+    * delta that drives these flips. `leaks_into_train` marks the
+    * dangerous direction (eval→train): those documents must be dropped
+    * from release-N training or the eval set re-drawn.
+    *
+    * Scale shape: two independent q107 plans (banded LSH → pointer-
+    * jumping CC → scan-stage split projection, no text past the
+    * signature stage) joined on the 8-byte doc_id spine and filtered to
+    * flips — the join carries (id, cluster, 5-char split) only. At
+    * 100 TB the production form computes the current release's split
+    * fresh and reads the previous release's ASSIGNMENT MANIFEST
+    * (id-partitioned parquet, q67's manifest discipline) instead of
+    * re-clustering history; the flip report is the same narrow join.
+    */
+  /** The flip report over two split ASSIGNMENTS (each `(doc_id,
+    * cluster_id, split)`, [[splitAssign]]'s shape) — factored so
+    * CurationSpec can drive it on constructed cluster-merge worlds.
+    */
+  private[graft] def flipReport(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.select(col("doc_id"), col("cluster_id").as("prev_cluster"),
+        col("split").as("prev_split"))
+      .join(cur.select(col("doc_id"), col("cluster_id").as("cur_cluster"),
+        col("split").as("cur_split")),
+        Seq("doc_id")) // only docs in BOTH releases can flip
+      .filter(col("prev_split") =!= col("cur_split"))
+      .withColumn("leaks_into_train",
+        when(col("cur_split") === "train" && col("prev_split") =!= "train",
+          lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("prev_cluster"), col("cur_cluster"),
+        col("prev_split"), col("cur_split"), col("leaks_into_train"))
+      .orderBy(col("doc_id"))
+
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    flipReport(
+      splitAssign(docs.filter(col("doc_id") % 7 =!= 2), "q111p"),
+      splitAssign(docs.filter(col("doc_id") % 9 =!= 4), "q111c"))
+  }
+
+  private val q111Sql =
+    s"""WITH RECURSIVE ${splitSqlCtes("p", q => s"$q % 7 <> 2")},
+       |${splitSqlCtes("c", q => s"$q % 9 <> 4")}
+       |SELECT p.doc_id AS doc_id,
+       |  p.cluster_id AS prev_cluster, c.cluster_id AS cur_cluster,
+       |  p.split AS prev_split, c.split AS cur_split,
+       |  CAST(CASE WHEN c.split = 'train' AND p.split <> 'train'
+       |            THEN 1 ELSE 0 END AS BIGINT) AS leaks_into_train
+       |FROM labp p JOIN labc c ON p.doc_id = c.doc_id
+       |WHERE p.split <> c.split
+       |ORDER BY doc_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -2116,5 +2203,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q106_eval_leak_report", q106, Some(q106Sql)),
     CatalogEntry("q107_leak_safe_split", q107, Some(q107Sql)),
     CatalogEntry("q109_corpus_diff", q109, Some(q109Sql)),
+    CatalogEntry("q111_split_stability", q111, Some(q111Sql)),
   )
 }

@@ -705,8 +705,16 @@ object Relational extends QueryModule {
     * graph properties.
     */
   private[graft] def pageRankInt(e0: DataFrame, iters: Int = PrIters): DataFrame = {
-    val edges = Scratch.materialize(
-      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))), "pr_edges")
+    // Materialize the DIRECTED edge list and derive the symmetrized
+    // relation lazily from it (two cheap scans of the one checkpoint):
+    // checkpointing the symmetrized union stored the graph's widest
+    // relation twice over — once as raw checkpoint rows, once inside the
+    // degE cache below — and at 100× (r10 verdict #1) that double
+    // residency plus the never-released rank rounds was the 64 GiB
+    // local-heap envelope. Directed-only halves the pinned bytes; the
+    // managed release (finally, below) returns them when the kernel ends.
+    val (e0m, releaseE0) = Scratch.materializeManaged(e0, "pr_e0")
+    val edges = e0m.unionByName(e0m.select(col("b").as("a"), col("a").as("b")))
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     // Edge-partition REUSE (r08 verdict #4, measured): Scratch's
     // localCheckpoint surfaces as `Scan ExistingRDD` with unknown
@@ -730,21 +738,38 @@ object Relational extends QueryModule {
     // join output as-is. Receipts in BASELINE.md.
     val degE = edges.join(deg, "a")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    degE.count() // eager: the iteration-invariant cache builds ONCE here
+    // The k−1 rank round is released the moment round k is materialized
+    // (managed handles): without this every round stayed pinned for the
+    // session and reps accumulated — see materializeManaged's doc.
+    var releaseRanks: () => Unit = () => ()
     try {
-      var ranks = Scratch.materialize(
-        deg.select(col("a").as("node"), lit(PrScale).as("rank")), "pr_r0")
+      var ranks = {
+        val (r0, rel) = Scratch.materializeManaged(
+          deg.select(col("a").as("node"), lit(PrScale).as("rank")), "pr_r0")
+        releaseRanks = rel; r0
+      }
       for (i <- 1 to iters) {
         val next = degE.join(ranks, degE("a") === ranks("node"))
           .select(col("b"), expr("(rank * 85) div (deg * 100)").as("c"))
           .groupBy(col("b"))
           .agg((lit(15L * PrScale / 100) + sum(col("c"))).as("rank"))
           .select(col("b").as("node"), col("rank"))
-        ranks = Scratch.materialize(next, s"pr_r${i % 2 + 1}")
+        val (nextM, rel) = Scratch.materializeManaged(next, s"pr_r$i")
+        releaseRanks() // round i is materialized; round i−1 is dead
+        releaseRanks = rel
+        ranks = nextM
       }
       // all iteration work is eager (materialize per round), so the
-      // cache is no longer needed by the time the result is consumed
+      // cache is no longer needed by the time the result is consumed;
+      // the FINAL round stays live — the caller's plan reads it lazily
       ranks.orderBy(col("node"))
-    } finally degE.unpersist(blocking = false)
+    } finally {
+      degE.unpersist(blocking = false)
+      // degE (MEMORY_AND_DISK in a single JVM, recompute-from-checkpoint
+      // on a cluster) no longer needs the edge checkpoint either
+      releaseE0()
+    }
   }
 
   private def q93(s: SparkSession, d: String): DataFrame =

@@ -98,6 +98,43 @@ object Scratch {
       case None => df.localCheckpoint()
     }
 
+  /** [[materialize]] with an explicit RELEASE handle — for iterative
+    * kernels (q93's rank rounds, the CC label ping-pong) whose round-k−1
+    * state is dead the moment round k is materialized. Plain
+    * [[materialize]] pins every round for the session: localCheckpoint
+    * blocks are only reclaimed when the driver GC happens to collect the
+    * RDD reference, so a 10-round kernel × warmup+reps accumulates every
+    * round's raw UnsafeRows in block-manager storage — the measured
+    * 64 GiB local-heap envelope of q93 at 100× (r10 verdict #1).
+    *
+    * Durable mode: release deletes the scratch parquet subtree. Local
+    * mode: release unpersists the checkpoint's underlying RDD blocks
+    * directly (the LogicalRDD the checkpointed frame wraps), freeing
+    * storage deterministically instead of waiting on driver GC.
+    *
+    * CONTRACT: release only after every plan that could RE-EXECUTE the
+    * frame has fully materialized downstream — a localCheckpoint cannot
+    * recompute, so a released frame must never be scanned again.
+    */
+  def materializeManaged(df: DataFrame, name: String)
+      : (DataFrame, () => Unit) =
+    df.sparkSession.conf.getOption("graft.scratch.dir") match {
+      case Some(_) =>
+        val root = scratchRoot(df)
+        installCleanup(root)
+        val path = Paths.get(root, name).toString
+        df.write.mode("overwrite").parquet(path)
+        (df.sparkSession.read.parquet(path), () => deleteTree(path))
+      case None =>
+        val cp = df.localCheckpoint()
+        val release = () => cp.queryExecution.logical match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false); ()
+          case _ => () // unexpected plan shape: fall back to GC reclaim
+        }
+        (cp, release)
+    }
+
   /** [[materialize]] with a PARTITION column — for stored state whose
     * lifecycle operations are per-partition, e.g. the provenance-tagged
     * dedup indexes (q102/q103) whose RETRACTION of batch B is

@@ -59,7 +59,10 @@ object ScaleSlope {
     "q107_leak_safe_split", "q108_chunk_retrieval",
     // r10: the release-diff operator (digest-narrow full-outer join)
     // and the curriculum manifest (q65's plan + a bounded boundary probe)
-    "q109_corpus_diff", "q110_curriculum_phases")
+    "q109_corpus_diff", "q110_curriculum_phases",
+    // r11: the release-gate split-stability report (two q107 plans
+    // joined on the id spine — must inherit q107's CC scale posture ×2)
+    "q111_split_stability")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

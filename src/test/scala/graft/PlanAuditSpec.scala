@@ -721,6 +721,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"), p.toString)
   }
 
+  test("q111: flip report joins on the (doc_id, cluster, split) spine — no text in exchanges, no cartesian") {
+    // both releases' split assignments pre-materialize inside the
+    // builder (the CC discipline); the audited plan is the flip join —
+    // 8-byte ids, cluster canonicals, 5-char splits, nothing wider
+    val p = planOf("q111_split_stability")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(a => a.name == "text" || a.name == "ws"),
+      s"corpus payload crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q110: curriculum assignment has no window and no text in any exchange") {
     // the decile split must be broadcast-literal comparisons, never a
     // global rank window (the single-partition ntile funnel), and the
