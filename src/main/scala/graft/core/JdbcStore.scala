@@ -462,6 +462,90 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       keyIndexed += table
     }
 
+  /** Stage a `Compaction.Custom` rewrite as a SPARK plan (r10 verdict
+    * #3): the old path buffered the whole table through the driver
+    * (O(table) driver memory, tracked by `lastCompactionBufferedRows`
+    * and flagged as the backend's one unbounded driver allocation). Now
+    * the custom fn runs over `committed rows (Spark JDBC scan, filter
+    * pushed to the database) ∪ this commit's appends` BEFORE the
+    * transaction opens, its survivors land executor-parallel in a
+    * `graft_cstage_*` scratch table, and the in-txn step
+    * ([[compactTables]]) is one set-based DELETE + INSERT…SELECT swap —
+    * zero driver residency, O(live set) database work, same replay
+    * safety (`_batch` provenance rides through the stage).
+    *
+    * This also retires the old in-txn lock hazard: the fn's reads of
+    * OTHER store tables now execute with no transaction open, so they
+    * can never block on this commit's own write locks.
+    *
+    * Stage tables are `graft_`-prefixed, so the user-table registry
+    * (orphan cleanup, rollback) never sees them; a crashed attempt's
+    * leftover stage is dropped and rebuilt on retry, and successful
+    * commits drop their stages best-effort afterwards.
+    *
+    * `visibleThrough`: the highest `_batch` the committed scan may see —
+    * the previous marker in driver-commit mode (this batch's rows are
+    * not in the database yet; they arrive via `appends`), the current
+    * batch id in executor mode (phase-1 rows are already durable).
+    */
+  private def stageCustomCompactions(
+      compactors: Map[String, BoundCompactor],
+      appends: Map[String, DataFrame],
+      visibleThrough: Long,
+      newBatch: Long): Map[String, String] =
+    compactors.collect { case (table, comp) if comp.sql.isEmpty &&
+        (tableExists(table) || appends.contains(table)) =>
+      val withBatch = comp.schema.add("_batch", LongType)
+      def shaped(df: DataFrame): DataFrame =
+        df.select(withBatch.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      val committed =
+        if (tableExists(table))
+          shaped(spark.read.jdbc(url, q(table), props)
+            .filter(s"`_batch` <= $visibleThrough"))
+        else emptyDf(withBatch)
+      val merged = appends.get(table) match {
+        case Some(df) =>
+          committed.unionByName(shaped(df.withColumn("_batch", lit(newBatch))))
+        case None => committed
+      }
+      val kept = comp.run(merged)
+      // CROSS-BACKEND CONTRACT (r08 review): on this backend the custom
+      // fn receives — and must PRESERVE — the trailing _batch column
+      // (survivor rows keep their batch provenance). The segment store
+      // passes the bare declared schema; a fn that projects _batch away
+      // fails loudly here with the contract instead of corrupting reads.
+      require(kept.columns.toSeq == withBatch.fields.map(_.name).toSeq,
+        s"Compaction.Custom on $table must preserve the declared columns " +
+          s"plus the trailing _batch on the JDBC backend: got " +
+          s"[${kept.columns.mkString(", ")}]")
+      val stage = s"graft_cstage_$table"
+      withConn { c =>
+        val st = c.createStatement()
+        try st.executeUpdate(s"DROP TABLE ${q(stage)}")
+        catch { case _: Exception => () } finally st.close()
+        val st2 = c.createStatement()
+        // createUserTable appends the _batch column itself
+        try st2.executeUpdate(dialect.createUserTable(stage, comp.schema))
+        finally st2.close()
+      }
+      kept.write.mode("append").jdbc(url, q(stage), writeProps)
+      table -> stage
+    }
+
+  /** Best-effort post-commit cleanup of [[stageCustomCompactions]]'
+    * scratch tables (a leftover stage is harmless — the next cycle
+    * drops and rebuilds it).
+    */
+  private def dropStages(stages: Map[String, String]): Unit =
+    if (stages.nonEmpty) withConn { c =>
+      stages.values.foreach { s =>
+        val st = c.createStatement()
+        try st.executeUpdate(s"DROP TABLE ${q(s)}")
+        catch { case _: Exception => () } finally st.close()
+      }
+    }
+
   /** Live-set compaction, run INSIDE the commit transaction (atomic with
     * the batch, replay-safe; surviving rows keep their `_batch` tag so
     * visibility and idempotent-replay cleanup are untouched).
@@ -469,26 +553,15 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
     * The declarative shapes (`DropMatched`/`DropUnmatched`) execute as
     * ONE set-based DELETE each — the database does the anti/semi join,
     * the driver buffers nothing, and on a server-grade backend the same
-    * statement is a hash anti-join. Only `Compaction.Custom` falls back
-    * to the driver-side rewrite (read → DataFrame filter → reinsert),
-    * which is O(table) driver memory and documented as such.
+    * statement is a hash anti-join. `Compaction.Custom` arrives here as
+    * a pre-staged survivor table ([[stageCustomCompactions]]) and swaps
+    * in with one DELETE + INSERT…SELECT — also zero driver memory.
     */
   private def compactTables(c: Connection,
-      compactors: Map[String, BoundCompactor]): Unit = {
+      compactors: Map[String, BoundCompactor],
+      stages: Map[String, String]): Unit = {
     lastCompactionBufferedRows = 0L
-    // Custom compactors run FIRST: their bound fn may lazily read OTHER
-    // store tables, and in executor-commit mode those reads go through
-    // executor-side JDBC connections (separate Derby transactions) that
-    // would block on write locks taken by the declarative DELETEs in
-    // this same open transaction until the lock timeout killed the
-    // commit. With customs first, no in-txn write lock exists yet when
-    // those reads execute. (Driver-commit mode is immune either way —
-    // driverRead reuses this very connection.) Residual constraint: a
-    // Custom fn must not read a table that ANOTHER Custom compactor
-    // rewrites in the same commit; declare that shape declaratively or
-    // run driver-commit.
-    val (customs, declaratives) = compactors.partition(_._2.sql.isEmpty)
-    (customs.toSeq ++ declaratives.toSeq).foreach { case (table, comp) =>
+    compactors.toSeq.foreach { case (table, comp) =>
       if (tableExists(table)) comp.sql match {
         case Some(sc) if tableExists(sc.againstTable) =>
           ensureKeyIndex(c, sc.againstTable, sc.keyCols)
@@ -513,43 +586,18 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
             s"${q(table)}.${q(sc.slotCol)} <= ${sc.frontier}")
           finally st.close()
         case Some(_) => () // DropMatched with no against-table: keep all
-        case None =>
-          val withBatch = comp.schema.add("_batch", LongType)
-          val cols = withBatch.fields.map(f => q(f.name)).mkString(", ")
-          val rows = {
-            val st = c.createStatement()
-            try {
-              val rs = st.executeQuery(s"SELECT $cols FROM ${q(table)}")
-              val buf = new java.util.ArrayList[Row]()
-              while (rs.next()) buf.add(Row.fromSeq(
-                withBatch.fields.toSeq.zipWithIndex.map { case (f, i) =>
-                  getParam(rs, i + 1, f.dataType)
-                }))
-              buf
-            } finally st.close()
-          }
-          lastCompactionBufferedRows += rows.size()
-          val survivors =
-            comp.run(spark.createDataFrame(rows, withBatch)).collect()
-          // CROSS-BACKEND CONTRACT (r08 review): on this backend the
-          // custom fn receives — and must PRESERVE — the trailing
-          // _batch column (survivor rows reinsert positionally with
-          // their batch provenance). A fn that projects it away (legal
-          // on the segment store, which passes the bare declared
-          // schema) would previously corrupt positional reads; fail
-          // loudly with the contract instead.
-          survivors.headOption.foreach(rw => require(
-            rw.length == comp.schema.fields.length + 1,
-            s"Compaction.Custom on $table must preserve the _batch " +
-              s"column on the JDBC backend: got ${rw.length} columns, " +
-              s"expected ${comp.schema.fields.length + 1}"))
-          if (survivors.length < rows.size()) {
-            val st = c.createStatement()
-            try st.executeUpdate(s"DELETE FROM ${q(table)}")
-            finally st.close()
-            insertRows(c, table, comp.schema, survivors,
-              row => row.getLong(comp.schema.fields.length))
-          }
+        case None => stages.get(table).foreach { stage =>
+          // pre-staged Custom survivors: one set-based swap, all rows
+          // stay database-side (zero driver residency)
+          val cols = (comp.schema.fields.map(f => q(f.name)) :+ q("_batch"))
+            .mkString(", ")
+          val st = c.createStatement()
+          try {
+            st.executeUpdate(s"DELETE FROM ${q(table)}")
+            st.executeUpdate(s"INSERT INTO ${q(table)} ($cols) " +
+              s"SELECT $cols FROM ${q(stage)}")
+          } finally st.close()
+        }
       }
     }
   }
@@ -606,6 +654,18 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           }
         }), Duration.Inf)
       if (collected.forall(_._4.isEmpty)) return false
+      // Custom-compaction staging is a SPARK action set too — runs with
+      // the txn still closed (committed scan ∪ this batch's collected
+      // rows as a local relation); the txn below only swaps
+      val stages: Map[String, String] =
+        if (compactEvery > 0 && batchId % compactEvery == 0)
+          stageCustomCompactions(compactors,
+            collected.map { case (t, _, schema, rows, _) =>
+              t -> spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), schema)
+            }.toMap,
+            visibleThrough = committed, newBatch = batchId)
+        else Map.empty
       withConn { c =>
         c.setAutoCommit(false)
         val createdThisTxn = mutable.Buffer[String]()
@@ -631,7 +691,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
             onSegment(table, collectSec + (System.nanoTime() - t1) / 1e9)
           }
           if (compactEvery > 0 && batchId % compactEvery == 0)
-            compactTables(c, compactors)
+            compactTables(c, compactors, stages)
           writeCheckpoints(c, checkpoints)
           val st = c.createStatement()
           try st.executeUpdate(
@@ -639,6 +699,7 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           finally st.close()
           c.commit() // the atomic point — data + state + marker together
           cachedBatchId = None // the committed id just moved
+          dropStages(stages)
         } catch {
           case e: Throwable =>
             c.rollback()
@@ -706,6 +767,13 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
       }
     }
     if (!wroteAny) return false
+    // phase-1 rows are durable, so the committed scan sees them at
+    // `_batch <= batchId`; staging runs before the marker txn opens
+    val stages: Map[String, String] =
+      if (compactEvery > 0 && batchId % compactEvery == 0)
+        stageCustomCompactions(compactors, Map.empty,
+          visibleThrough = batchId, newBatch = batchId)
+      else Map.empty
     withConn { c =>
       c.setAutoCommit(false)
       val st = c.createStatement()
@@ -714,12 +782,13 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
         // DELETEs join the marker transaction, so executor-parallel
         // deployments get bounded live-set state too
         if (compactEvery > 0 && batchId % compactEvery == 0)
-          compactTables(c, compactors)
+          compactTables(c, compactors, stages)
         writeCheckpoints(c, checkpoints)
         st.executeUpdate(
           s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")
         c.commit()
         cachedBatchId = None // the committed id just moved
+        dropStages(stages)
       } catch { case e: Throwable => c.rollback(); throw e }
       finally st.close()
     }

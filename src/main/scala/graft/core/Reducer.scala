@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.StructType
   * The two declarative shapes are SQL-pushable: a DB backend runs them
   * as one set-based `DELETE` inside the commit transaction (zero driver
   * memory); the segment store runs them as anti/semi joins during the
-  * segment fold. `Custom` carries an arbitrary DataFrame filter and is
-  * only cheap on the segment store — DB backends must fall back to a
-  * driver-side rewrite for it.
+  * segment fold. `Custom` carries an arbitrary DataFrame transform; the
+  * segment store folds it, and DB backends run it as a Spark plan over
+  * a JDBC scan staged into a scratch table, swapped in-transaction —
+  * also zero driver memory (the pre-r11 driver-side rewrite is gone).
   */
 sealed trait Compaction
 object Compaction {
