@@ -69,6 +69,36 @@ object StreamingPromote {
       }
       .start()
 
+  /** [[promoteLex]] behind an EXACTLY-ONCE document gate:
+    * `dropDuplicates("doc_id")` holds every promoted id in keyed
+    * streaming state, so an at-least-once source redelivering a
+    * document in a LATER micro-batch (a fresh batch id — the case the
+    * partition overwrite cannot catch) never promotes it twice.
+    *
+    * Why it matters for the LIFECYCLE and not just the probe: the
+    * min-merge algebra already absorbs duplicate promotes verdict-wise,
+    * but the duplicate would live under TWO batch partitions — and
+    * demoting the document's original batch would silently leave the
+    * copy, making demote-by-batch a PARTIAL retraction. With the gate,
+    * every document exists in exactly one partition and a demote is
+    * total (RocksDbStateSpec pins the round trip).
+    *
+    * State is one long per corpus document, unbounded by design (a
+    * promoted id must never re-promote, so no watermark can expire it):
+    * the 100 TB configuration runs this on the RocksDB state provider
+    * — per-executor, off-heap, disk-bounded — which RocksDbStateSpec
+    * proves behavior-neutral and actually engaged.
+    */
+  def promoteLexGated(deltaDocs: DataFrame, exactDir: String,
+      bandsDir: String): StreamingQuery =
+    deltaDocs.dropDuplicates("doc_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        promoteLexBatch(df, id, exactDir, bandsDir)
+      }
+      .start()
+
   /** The live lexical index as a value — partition-discovered state,
     * probe-ready via `Dedup.collapseLex`. batch_id rides the directory
     * names; cast back to long (partition inference narrows to int).

@@ -57,6 +57,10 @@ object ScaleSlope {
     // cluster-consistent split (rides q55's CC plan)
     "q104_decont_cut", "q105_chunk_windows", "q106_eval_leak_report",
     "q107_leak_safe_split", "q108_chunk_retrieval",
+    // r11 (verdict #4): the fixed-length gram span/cut pair joins the
+    // watch set — the any-length twins (q82/q83) were measured from the
+    // start, but these have their own df-capped join shape to hold
+    "q64_exact_substr_spans", "q72_cut_dup_spans",
     // r10: the release-diff operator (digest-narrow full-outer join)
     // and the curriculum manifest (q65's plan + a bounded boundary probe)
     "q109_corpus_diff", "q110_curriculum_phases",
