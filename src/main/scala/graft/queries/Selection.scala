@@ -517,11 +517,13 @@ object Selection extends QueryModule {
     * of the operator-preference ladder: no declarative form exists)
     * with O(OpenBins) state; shards are the parallelism unit, exactly
     * like q62's windows. Deterministic by the total (shard, n_tok
-    * desc, doc_id) order. Rows-only entry BY DESIGN (a stateful greedy
-    * is not one SQL statement); PackBinSpec pins the invariants — no
-    * overflow, contiguous offsets, no split, determinism — and a
-    * measured fill-efficiency floor vs the concat-then-chunk lower
-    * bound.
+    * desc, doc_id) order — which is what makes the FULL hash oracle
+    * possible: [[q77Sql]] unrolls the greedy as a DuckDB recursive CTE
+    * (r10 verdict #6; formerly rows-only + the q87 certificate, which
+    * stays as belt-and-braces). PackBinSpec additionally pins the
+    * invariants — no overflow, contiguous offsets, no split,
+    * determinism — and a measured fill-efficiency floor vs the
+    * concat-then-chunk lower bound.
     */
   private def q77(s: SparkSession, d: String): DataFrame =
     bestFitPack(Dedup.packToks(Tables.documents(s, d)))
@@ -602,6 +604,73 @@ object Selection extends QueryModule {
   private[graft] object BestFitBins {
     def empty: BestFitBins =
       new BestFitBins(0L, scala.collection.mutable.ArrayBuffer.empty)
+  }
+
+  /** q77's FULL hash oracle (r10 verdict #6) — the stateful greedy
+    * unrolled as one DuckDB recursive CTE, the q66 BpeMerges discipline
+    * applied to a per-document recurrence: each recursion level places
+    * the next document of every shard (levels advance the per-shard
+    * row_number; breadth = shards), carrying the open-bin state as a
+    * `STRUCT(b, u)[]` list column capped at [[OpenBins]].
+    *
+    * Best-fit selection is ONE `list_aggregate(min)` over an encoded
+    * key `(budget − used)·10⁸ + bin_id`: minimizing it picks the
+    * fullest fitting bin with ties to the oldest — exactly
+    * [[BestFitBins.place]] — and the same key over all bins picks the
+    * retire victim. The 10⁸ multiplier only needs to exceed the bin
+    * count of one shard at ORACLE scale (sf0.01: ~10² bins), with five
+    * orders of headroom.
+    */
+  private val q77Sql = {
+    val b = Dedup.PackBudget
+    val key = s"($b - x.u) * 100000000 + x.b"
+    val bestKey = "q.best_key"
+    val fullKey = s"list_aggregate(list_transform(q.bins, x -> $key), 'min')"
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, LEAST(nt, $b) AS n_tok, nt > $b AS truncated, shard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |      ORDER BY LEAST(nt, $b) DESC, doc_id) AS BIGINT) AS rn
+       |  FROM (SELECT doc_id,
+       |      CAST(len(regexp_extract_all(text,
+       |        '${Dedup.PackTokRe}')) AS BIGINT) AS nt,
+       |      ${Dedup.hex12ToLongSql("md5('pack|' || CAST(doc_id AS VARCHAR))")}
+       |        % ${Dedup.PackShards} AS shard
+       |    FROM documents)),
+       |step(shard, rn, bins, next_bin,
+       |     doc_id, bin_id, bin_off, n_tok, truncated) AS (
+       |  SELECT shard, CAST(0 AS BIGINT),
+       |    CAST([] AS STRUCT(b BIGINT, u BIGINT)[]), CAST(0 AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+       |  FROM (SELECT DISTINCT shard FROM toks)
+       |  UNION ALL
+       |  SELECT q.shard, q.t_rn,
+       |    CASE WHEN $bestKey IS NOT NULL THEN
+       |      list_transform(q.bins, x ->
+       |        CASE WHEN x.b = $bestKey % 100000000
+       |          THEN {'b': x.b, 'u': x.u + q.t_n} ELSE x END)
+       |    ELSE list_append(
+       |      CASE WHEN len(q.bins) >= $OpenBins
+       |        THEN list_filter(q.bins, x -> x.b <> $fullKey % 100000000)
+       |        ELSE q.bins END,
+       |      {'b': q.next_bin, 'u': q.t_n}) END,
+       |    CASE WHEN $bestKey IS NOT NULL
+       |      THEN q.next_bin ELSE q.next_bin + 1 END,
+       |    q.t_doc,
+       |    COALESCE($bestKey % 100000000, q.next_bin),
+       |    COALESCE($b - $bestKey // 100000000, CAST(0 AS BIGINT)),
+       |    q.t_n, q.t_tr
+       |  FROM (
+       |    SELECT p.shard, p.bins, p.next_bin, t.rn AS t_rn,
+       |      t.doc_id AS t_doc, t.n_tok AS t_n, t.truncated AS t_tr,
+       |      list_aggregate(list_transform(
+       |        list_filter(p.bins, x -> x.u + t.n_tok <= $b),
+       |        x -> $key), 'min') AS best_key
+       |    FROM step p JOIN toks t
+       |      ON t.shard = p.shard AND t.rn = p.rn + 1) q)
+       |SELECT shard, bin_id, doc_id, bin_off, n_tok, truncated
+       |FROM step WHERE rn >= 1
+       |ORDER BY shard, bin_id, bin_off, doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q78
@@ -829,9 +898,9 @@ object Selection extends QueryModule {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
-  /** Packing CERTIFICATE (q87) — the driver-verifiable projection of
-    * the rows-only q77 (a stateful greedy is not one SQL statement, but
-    * its conservation laws are): per shard, the exact document count
+  /** Packing CERTIFICATE (q87) — the conservation-law projection of
+    * q77 (since r11 belt-and-braces: q77 itself is hash-gated by the
+    * recursive-CTE oracle): per shard, the exact document count
     * and capped token total — DuckDB re-derives both independently from
     * the corpus, cross-checking the shard hash, the truncation cap and
     * the token count — plus the packing invariants as oracle-pinned
@@ -982,7 +1051,7 @@ object Selection extends QueryModule {
     CatalogEntry("q74_dsir_select", q74, Some(q74Sql)),
     CatalogEntry("q75_train_sequences", q75, Some(q75Sql)),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
-    CatalogEntry("q77_bestfit_pack", q77, None),
+    CatalogEntry("q77_bestfit_pack", q77, Some(q77Sql)),
     CatalogEntry("q79_curation_audit", q79, Some(q79Sql)),
     CatalogEntry("q81_audit_rollup", q81, Some(q81Sql)),
     CatalogEntry("q78_content_checksums", q78, Some(q78Sql)),
