@@ -660,8 +660,16 @@ private[graft] object EngineShuffle {
   private val state =
     mutable.Map[SparkSession, (List[Int], Option[String])]()
   def enter(spark: SparkSession, width: Int): Unit = synchronized {
+    // EXPLICIT-set detection, not RuntimeConfig.getOption: getOption
+    // answers the registered default ("200") even when the caller never
+    // set a width, which made the unset-restore leg below unreachable
+    // and silently pinned the default as if user-chosen (r10 ADVICE).
+    // SQLConf.contains consults only explicitly-set session entries.
     val (stack, saved) = state.getOrElse(spark,
-      (Nil, spark.conf.getOption("spark.sql.shuffle.partitions")))
+      (Nil,
+        if (spark.sessionState.conf.contains("spark.sql.shuffle.partitions"))
+          spark.conf.getOption("spark.sql.shuffle.partitions")
+        else None))
     state(spark) = (width :: stack, saved)
     spark.conf.set("spark.sql.shuffle.partitions", width)
   }
@@ -675,11 +683,12 @@ private[graft] object EngineShuffle {
         state.remove(spark)
         saved match {
           case Some(p) => spark.conf.set("spark.sql.shuffle.partitions", p)
-          // the caller never set a width: restore to "unset" so the
-          // session falls back to its default, instead of silently
-          // keeping the narrow engine width for all later analytics
-          // (every harness session sets the width explicitly, so this
-          // leg is defense for embedding callers — r10 review)
+          // the caller never EXPLICITLY set a width (see enter's
+          // explicit-set detection): restore to "unset" so the session
+          // falls back to its default, instead of silently keeping the
+          // narrow engine width — or the pinned default — for all
+          // later analytics (every harness session sets the width
+          // explicitly, so this leg is defense for embedding callers)
           case None => spark.conf.unset("spark.sql.shuffle.partitions")
         }
     }

@@ -1857,18 +1857,28 @@ object Dedup extends QueryModule {
     * exchange exactly twice, in the shared [[cutRewrite]]. Membership
     * is exact string equality — no hash step, so no collision caveat.
     */
-  private def q104(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val train = docs.filter(col("doc_id") % 10 =!= 3)
+  /** The q104 cut-POSITION pipeline over the canonical train/eval
+    * mod-split: eval distinct grams → broadcast → positional train-gram
+    * probe → per-doc cut arrays. ONE spelling shared by q104 and
+    * `tools.DecontProf` (r10 ADVICE: the profiler carried a verbatim
+    * copy, so a change here would have silently desynced its phase
+    * attribution from the benchmarked entry — the cutRewrite `sorted`
+    * discipline applied to the builder too).
+    */
+  private[graft] def decontCuts(docs: DataFrame): DataFrame = {
     val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
       .select(col("s")).distinct()
-    val cuts = posGramEntries(train, DecontN)
+    posGramEntries(docs.filter(col("doc_id") % 10 =!= 3), DecontN)
       .join(broadcast(ev), col("g") === col("s"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + DecontN - 1)).as("tpos"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("tpos")).as("cut_pos"))
-    cutRewrite(train, cuts)
+  }
+
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    cutRewrite(docs.filter(col("doc_id") % 10 =!= 3), decontCuts(docs))
   }
 
   private val q104Sql = {

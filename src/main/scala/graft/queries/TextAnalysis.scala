@@ -783,22 +783,32 @@ object TextAnalysis extends QueryModule {
     * same-call-site sketch swap at 100 TB, the q29 note), and phase
     * assignment is a codegen'd comparison chain against 9 broadcast
     * literals — NO global window, no single-partition rank funnel
-    * (the trap a naive ntile spelling would hit). Boundaries and
-    * difficulties are 4-dp-rounded on BOTH engines before comparison
-    * (the q29/q65 parity discipline), so the decile split is exact
-    * across the gate.
+    * (the trap a naive ntile spelling would hit).
+    *
+    * Boundary parity is INTEGER-exact, not rounded-double (r10 ADVICE:
+    * both engines linearly interpolate percentiles in doubles, so a
+    * boundary within ~1 ulp of a .00005 edge could round differently
+    * at 4 dp and flip a phase on an unlucky corpus). Here the
+    * percentile runs over the difficulty in exact ten-thousandths
+    * (BIGINT) and the boundary is the FLOOR of the interpolated value:
+    * with integer order statistics and decile fractions, the true
+    * interpolant is a rational with denominator 10 — either exactly an
+    * integer (both engines compute it exactly; products ≪ 2⁵³) or at
+    * least 0.1 from one — so a 1-ulp disagreement can never cross the
+    * floor, and the integer comparisons below are bit-exact.
     */
   private def q110(s: SparkSession, d: String): DataFrame = {
     val diff = Scratch.materialize(
-      q65(s, d).select(col("doc_id"), col("mean_bits").as("difficulty")),
+      q65(s, d).select(col("doc_id"), col("mean_bits").as("difficulty"),
+        round(col("mean_bits") * 10000, 0).cast("long").as("di")),
       "q110_diff") // feeds the boundary aggregate AND the assignment
     val qs = (1 until CurrPhases).map(i => i.toDouble / CurrPhases)
     val bs = diff.agg(expr(
-        s"transform(percentile(difficulty, array(${qs.mkString(", ")})), " +
-          "x -> round(x, 4))"))
-      .head().getSeq[Double](0)
+        s"transform(percentile(di, array(${qs.mkString(", ")})), " +
+          "x -> CAST(floor(x) AS BIGINT))"))
+      .head().getSeq[Long](0)
     val phase = bs.foldLeft(lit(1))((acc, b) =>
-      acc + when(col("difficulty") > lit(b), 1).otherwise(0))
+      acc + when(col("di") > lit(b), 1).otherwise(0))
     diff.select(col("doc_id"), col("difficulty"), phase.as("phase"))
       .orderBy(col("phase"), col("difficulty"), col("doc_id"))
   }
@@ -806,17 +816,19 @@ object TextAnalysis extends QueryModule {
   private val q110Sql = {
     val qs = (1 until CurrPhases).map(i => i.toDouble / CurrPhases)
     val phase = (1 to CurrPhases - 1).map(i =>
-      s"(CASE WHEN difficulty > bs[$i] THEN 1 ELSE 0 END)")
+      s"(CASE WHEN di > bs[$i] THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH $lmSqlCtes,
        |docdiff AS (
        |  SELECT doc_id, round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4)
-       |    AS difficulty
+       |    AS difficulty,
+       |    CAST(round(round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4)
+       |      * 10000, 0) AS BIGINT) AS di
        |  FROM scored GROUP BY doc_id),
        |bnd AS (
        |  SELECT list_transform(
-       |    quantile_cont(difficulty, [${qs.mkString(", ")}]),
-       |    x -> round(x, 4)) AS bs
+       |    quantile_cont(di, [${qs.mkString(", ")}]),
+       |    x -> CAST(floor(x) AS BIGINT)) AS bs
        |  FROM docdiff)
        |SELECT doc_id, difficulty, 1 + $phase AS phase
        |FROM docdiff CROSS JOIN bnd

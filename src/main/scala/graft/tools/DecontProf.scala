@@ -36,20 +36,10 @@ object DecontProf {
     spark.sparkContext.setLogLevel("ERROR")
     ScaleSlope.buildCorpus(spark, base, out, factor)
 
-    def cutsOf(d: String): DataFrame = {
-      val docs = Tables.documents(spark, d)
-      val train = docs.filter(col("doc_id") % 10 =!= 3)
-      val ev = Dedup.ngramEntries(
-          docs.filter(col("doc_id") % 10 === 3), Dedup.DecontN)
-        .select(col("s")).distinct()
-      Dedup.posGramEntries(train, Dedup.DecontN)
-        .join(broadcast(ev), col("g") === col("s"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + Dedup.DecontN - 1))
-            .as("tpos"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("tpos")).as("cut_pos"))
-    }
+    // the ONE cut-builder spelling (Dedup.decontCuts): the profiler
+    // measures exactly the pipeline q104 benchmarks, by construction
+    def cutsOf(d: String): DataFrame =
+      Dedup.decontCuts(Tables.documents(spark, d))
     def trainOf(d: String): DataFrame =
       Tables.documents(spark, d).filter(col("doc_id") % 10 =!= 3)
 
