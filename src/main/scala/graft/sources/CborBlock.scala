@@ -151,8 +151,21 @@ final class CborReader(buf: Array[Byte]) {
     first
   }
 
+  /** Nesting bound for [[skipItem]] (r11 review): a crafted payload of
+    * N stacked containers/tags (`C6 C6 C6 …` or `81 81 81 …`) recursed
+    * N deep and threw StackOverflowError — an ERROR, which escapes the
+    * decoders' `catch Exception` fences, so one adversarial wire blob
+    * would kill the task (the retry storm the decode contract forbids;
+    * the mp4 box-walk depth-bound class, r07). Real blocks nest a
+    * handful of levels; 128 is orders beyond any CDDL shape.
+    */
+  private val MaxDepth = 128
+
   /** Skip one complete data item (any nesting, any length form). */
-  def skipItem(): Unit = {
+  def skipItem(): Unit = skipItem(0)
+
+  private def skipItem(depth: Int): Unit = {
+    if (depth > MaxDepth) fail("nesting too deep")
     val (major, arg) = readHead()
     major match {
       case 0 | 1 => () // value lives in the head
@@ -180,14 +193,17 @@ final class CborReader(buf: Array[Byte]) {
         // like readArrayHeader does (ADVICE r06)
         if (arg >= 0) {
           if (arg > Int.MaxValue) fail(s"array too large: $arg")
-          skipItems(arg.toInt)
-        } else { while (!atBreak) skipItem(); readBreak() }
+          skipItems(arg.toInt, depth + 1)
+        } else { while (!atBreak) skipItem(depth + 1); readBreak() }
       case 5 =>
         if (arg >= 0) {
           if (arg > Int.MaxValue / 2) fail(s"map too large: $arg")
-          skipItems(2 * arg.toInt)
-        } else { while (!atBreak) { skipItem(); skipItem() }; readBreak() }
-      case 6 => skipItem() // tag wraps exactly one item
+          skipItems(2 * arg.toInt, depth + 1)
+        } else {
+          while (!atBreak) { skipItem(depth + 1); skipItem(depth + 1) }
+          readBreak()
+        }
+      case 6 => skipItem(depth + 1) // tag wraps exactly one item
       case 7 =>
         // simple values / floats: payload width is encoded in the head
         // we already consumed (readHead advanced past it) — except that
@@ -198,9 +214,11 @@ final class CborReader(buf: Array[Byte]) {
     }
   }
 
-  def skipItems(k: Int): Unit = {
+  def skipItems(k: Int): Unit = skipItems(k, 0)
+
+  private def skipItems(k: Int, depth: Int): Unit = {
     var i = 0
-    while (i < k) { skipItem(); i += 1 }
+    while (i < k) { skipItem(depth); i += 1 }
   }
 
   /** Parse one item by skipping it; return its exact raw byte span. */

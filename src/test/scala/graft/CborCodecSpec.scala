@@ -89,6 +89,28 @@ class CborCodecSpec extends SparkSpec {
     assert(CborBlock.unsupportedEraCount.sum() == before + 1)
   }
 
+  test("adversarial nesting: stacked tags/arrays fail bounded instead of overflowing the stack") {
+    // r11 review: skipItem recursed once per nesting level, so 100k
+    // stacked tag bytes (C6 C6 C6 …) or definite 1-element arrays
+    // (81 81 81 …) threw StackOverflowError — an ERROR that escapes
+    // decode's Exception fence and would kill the ingest task on one
+    // crafted wire blob. The depth bound must turn both into CborError.
+    def deep(b: Int): Array[Byte] =
+      Array.fill(100000)(b.toByte) :+ 0x00.toByte // terminal uint 0
+    Seq(0xc6, 0x81, 0x9f).foreach { b =>
+      val r = new graft.sources.CborReader(deep(b))
+      intercept[Exception] { r.skipItem() } // CborError, never an Error
+    }
+    // and through the decode fence: a block whose header item is the
+    // nested bomb must come back None, not a crashed JVM
+    val inner = new graft.sources.CborWriter
+    inner.arrayHeader(2); inner.uint(Era.Conway.toLong)
+    inner.arrayHeader(2)
+    inner.raw(Array.fill(100000)(0xc6.toByte) :+ 0x00.toByte)
+    inner.arrayHeader(0)
+    assert(CborBlock.decode(inner.result()).isEmpty)
+  }
+
   test("adversarial length vectors: overflow skips and the uint64 sentinel terminate as failures") {
     // r07 review regression vectors. (1) A byte-string head claiming
     // length 0x7FFFFFFFFFFFFFF7 inside an indefinite array: pos + arg
