@@ -699,7 +699,6 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           finally st.close()
           c.commit() // the atomic point — data + state + marker together
           cachedBatchId = None // the committed id just moved
-          dropStages(stages)
         } catch {
           case e: Throwable =>
             c.rollback()
@@ -713,7 +712,11 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
             throw e
         }
       }
-      // indexes + caches only after the durable commit
+      // indexes + caches + stage cleanup only after the durable commit
+      // (dropStages on its own autocommit connection state — running it
+      // inside the marker txn block would leave the DROPs riding the
+      // autocommit restore)
+      dropStages(stages)
       collected.foreach { case (table, slotCol, _, _, _) =>
         ensureIndexes(table, slotCol)
         registeredCols += table -> slotCol
@@ -788,10 +791,10 @@ final class JdbcStore(val root: String, spark: SparkSession) extends Store {
           s"INSERT INTO ${q("graft_commits")} VALUES ($batchId)")
         c.commit()
         cachedBatchId = None // the committed id just moved
-        dropStages(stages)
       } catch { case e: Throwable => c.rollback(); throw e }
       finally st.close()
     }
+    dropStages(stages) // after the durable commit, own autocommit txn
     true
   }
 
