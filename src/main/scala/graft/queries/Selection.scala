@@ -673,6 +673,72 @@ object Selection extends QueryModule {
        |ORDER BY shard, bin_id, bin_off, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+
+  /** √-temperature source REBALANCING sample (q112) — the multilingual/
+    * multi-source balancing policy of mT5 / XLM-R (sampling exponent
+    * α = 0.5, i.e. temperature 2), realized as downsampling: every
+    * stratum keeps documents with acceptance rate r_s = √(n_min / n_s),
+    * so kept_s ∝ √n_s — head strata shrink toward the tail, the
+    * smallest stratum is kept whole, and no stratum upsamples. This is
+    * the policy knob BETWEEN q48 (fixed per-stratum rates, data-blind)
+    * and q68 (hard token budgets): the rates here DERIVE from the
+    * corpus's own source distribution, so a re-run after ingestion
+    * shifts rebalances automatically. Acceptance is the q48
+    * deterministic-hash discipline (md5-uniform per doc id), so the
+    * sample is reproducible and membership-stable under corpus growth
+    * within a source only at the margin (standard for hash sampling).
+    *
+    * Cross-engine EXACTNESS without any rounding discipline: the
+    * accept test is `h/2⁴⁸ < √(n_min/n_s)` where h < 2⁴⁸ is exact in a
+    * double, division by 2⁴⁸ is exact scaling, and IEEE 754 requires
+    * both `/` and `sqrt` to be CORRECTLY ROUNDED — so Spark
+    * (Math.sqrt) and DuckDB (libm) compute bit-identical doubles from
+    * the identical integer counts, and the strict `<` can never
+    * disagree. (Contrast q110's percentiles, where interpolation is
+    * NOT a correctly-rounded single op and needed the integer-floor
+    * construction.)
+    *
+    * Scale shape: one partial-aggregated count per source (tiny), the
+    * ≤|sources| rate table broadcasts, and acceptance is a scan-stage
+    * filter — zero wide exchanges; the output sort is the harness
+    * comparability cost.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // balance over LANGUAGE — the mT5 axis, and the fixture's one
+    // genuinely skewed stratum (en ≈ 3× the rest; `source` is uniform
+    // by construction, which would make the policy vacuously r = 1)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = broadcast(counts.agg(min(col("n_lang")).as("n_min")))
+    val rates = broadcast(counts.crossJoin(nMin)
+      .select(col("lang"), col("n_lang"),
+        sqrt(col("n_min").cast("double") / col("n_lang")).as("r")))
+    docs.join(rates, "lang")
+      .select(col("doc_id"), col("lang"), col("n_lang"),
+        round(col("r"), 4).as("rate4"), col("r"),
+        Dedup.hex12ToLong(
+          md5(concat(lit("bal|"), col("doc_id").cast("string")))).as("h"))
+      .filter(col("h").cast("double") / lit(281474976710656.0) < col("r"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("rate4"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q112Sql =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+       |  FROM documents GROUP BY lang),
+       |mn AS (SELECT MIN(n_lang) AS n_min FROM counts),
+       |rates AS (
+       |  SELECT lang, n_lang, sqrt(CAST(n_min AS DOUBLE) / n_lang) AS r
+       |  FROM counts CROSS JOIN mn)
+       |SELECT doc_id, d.lang AS lang, n_lang, round(r, 4) AS rate4
+       |FROM documents d JOIN rates ON d.lang = rates.lang
+       |WHERE CAST(${Dedup.hex12ToLongSql(
+            "md5('bal|' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+       |    / 281474976710656.0 < r
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q78
 
   /** Order-independent content checksums per source (q78) — the
@@ -1052,6 +1118,7 @@ object Selection extends QueryModule {
     CatalogEntry("q75_train_sequences", q75, Some(q75Sql)),
     CatalogEntry("q76_epoch_shuffle", q76, Some(q76Sql)),
     CatalogEntry("q77_bestfit_pack", q77, Some(q77Sql)),
+    CatalogEntry("q112_balanced_sample", q112, Some(q112Sql)),
     CatalogEntry("q79_curation_audit", q79, Some(q79Sql)),
     CatalogEntry("q81_audit_rollup", q81, Some(q81Sql)),
     CatalogEntry("q78_content_checksums", q78, Some(q78Sql)),

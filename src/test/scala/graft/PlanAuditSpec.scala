@@ -736,6 +736,18 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus payload crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q112: rebalance is a scan-stage hash filter — rates broadcast, no text or window in any exchange") {
+    val p = planOf("q112_balanced_sample")
+    val s = p.toString
+    assert(!s.contains("Window"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"rate table must broadcast:\n$s")
+    val exchanges = p.collect { case e: Exchange => e }
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q110: curriculum assignment has no window and no text in any exchange") {
     // the decile split must be broadcast-literal comparisons, never a
     // global rank window (the single-partition ntile funnel), and the

@@ -61,6 +61,40 @@ class SelectionQualitySpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("q112: √-temperature rebalance keeps the smallest stratum whole and kept counts track √n") {
+    val sp = spark
+    import sp.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q112_balanced_sample")(sp, sf)
+      .select(col("lang"), col("n_lang")).as[(String, Long)].collect()
+    val keptBy = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nBy = rows.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val nMin = nBy.values.min
+    // smallest stratum: rate 1 ⇒ kept WHOLE, exactly
+    val smallest = nBy.minBy(_._2)._1
+    assert(keptBy(smallest) == nBy(smallest),
+      s"smallest stratum not kept whole: $keptBy of $nBy")
+    // every stratum's kept count is a binomial draw around √(n_min·n):
+    // pin within ±4σ so the policy (not just the hash) is what's tested
+    nBy.foreach { case (lang, n) =>
+      val expect = math.sqrt(nMin.toDouble * n)
+      val sigma = math.sqrt(n * (expect / n) * (1 - expect / n)) max 1.0
+      assert(math.abs(keptBy(lang) - expect) <= 4 * sigma,
+        s"$lang kept ${keptBy(lang)}, expected ~$expect (n=$n)")
+    }
+    // the head stratum actually shrinks (the policy engages: the
+    // fixture's en count is ~3x the tail)
+    val head = nBy.maxBy(_._2)._1
+    assert(keptBy(head) < nBy(head),
+      s"head stratum $head not downsampled: $keptBy of $nBy")
+    // determinism: membership is a pure function of (doc_id, counts)
+    val again = SparkEntry.queries("q112_balanced_sample")(sp, sf)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val first = SparkEntry.queries("q112_balanced_sample")(sp, sf)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(again == first, "re-run changed sample membership")
+  }
+
   test("q74 scores order spam strictly below target-like documents") {
     val scored = Selection.dsirSelect(corpus(), 180)
       .select(col("doc_id"), col("score")).collect()
