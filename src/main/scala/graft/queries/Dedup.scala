@@ -2183,6 +2183,70 @@ object Dedup extends QueryModule {
        |WHERE p.split <> c.split
        |ORDER BY doc_id""".stripMargin
 
+  /** QUALITY-KEEPER selection per duplicate cluster (q113) — the
+    * survivor POLICY q55 deliberately fixes as min-doc-id, upgraded to
+    * what production pipelines actually keep (RefinedWeb/CCNet keep
+    * the best exemplar of a near-dup cluster, not the first-seen):
+    * keeper = the member with the MOST CONTENT (`n_chars`), ties to
+    * the smallest doc_id. Near-dup members differ by edits, so
+    * keep-longest retains the most complete copy. Any integer-exact
+    * score plugs into the same argmax (q65's quantized surprisal is
+    * the model-based option); the POLICY is the operator, the score is
+    * a parameter.
+    *
+    * Scale shape: clustering is q55's banded-CC plan; the keeper is
+    * ONE `max(struct(n_chars, −doc_id))` aggregation — partial-agg
+    * (map-side combine) per cluster, NO per-cluster window, nothing
+    * wider than (cluster_id, two longs) in the exchange. The oracle
+    * spells the same argmax as a window because DuckDB lacks struct
+    * max-by; the engine side stays windowless on purpose.
+    */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val pairs = q32(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs, tag = "q113cc")
+    labels
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg")).as("keeper_doc_id"),
+        col("m.n_chars").as("keeper_chars"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q113Sql =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |hs AS (SELECT doc_id, ${hex12ToLongSql("dg")} AS h
+       |       FROM (SELECT doc_id, md5(s) AS dg FROM ex)),
+       |sigs AS (SELECT doc_id, $sigSql FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandsSql) AS band_key FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
+       |cluster AS (SELECT n AS doc_id, MIN(r) AS cluster_id
+       |            FROM reach GROUP BY n),
+       |members AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+       |  FROM cluster c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT cluster_id, doc_id AS keeper_doc_id,
+       |  CAST(n_chars AS BIGINT) AS keeper_chars,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM members WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q30_exact_dedup", q30, Some(q30Sql)),
     CatalogEntry("q31_ngram_jaccard", q31, Some(q31Sql)),
@@ -2214,5 +2278,6 @@ object Dedup extends QueryModule {
     CatalogEntry("q107_leak_safe_split", q107, Some(q107Sql)),
     CatalogEntry("q109_corpus_diff", q109, Some(q109Sql)),
     CatalogEntry("q111_split_stability", q111, Some(q111Sql)),
+    CatalogEntry("q113_quality_keeper", q113, Some(q113Sql)),
   )
 }

@@ -188,6 +188,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q113: the keeper is each cluster's longest member, and the policy actually diverges from min-id") {
+    val sp = spark
+    import sp.implicits._
+    val keepers = SparkEntry.queries("q113_quality_keeper")(sp, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, k, ch, n) => c -> ((k, ch, n)) }.toMap
+    assert(keepers.nonEmpty, "no duplicate clusters in test data — vacuous")
+    // independent membership: q39's cluster map + the documents table
+    val members = SparkEntry.queries("q39_dup_clusters")(sp, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val chars = Tables.documents(sp, sf).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    assert(members.keySet == keepers.keySet)
+    keepers.foreach { case (c, (k, ch, n)) =>
+      val ms = members(c)
+      assert(ms.contains(k), s"keeper $k not a member of cluster $c")
+      assert(n == ms.size, s"cluster $c size $n != ${ms.size}")
+      val best = ms.map(chars).max
+      assert(ch == best && chars(k) == best,
+        s"cluster $c keeper $k has ${chars(k)} chars, best is $best")
+      // the full argmax tie-break: no member with the same length and a
+      // smaller id may exist
+      assert(!ms.exists(m => chars(m) == best && m < k),
+        s"cluster $c: smaller-id member ties keeper $k")
+    }
+    // POLICY non-vacuity: somewhere the longest member is NOT the
+    // min-id member, else this operator is q55 under a new name
+    assert(keepers.exists { case (c, (k, _, _)) => k != c },
+      "keep-longest never diverged from min-id — fixture makes the policy untestable")
+  }
+
   test("q111: a cluster MERGE across releases flips the twins' split and the report catches exactly them") {
     val sp = spark
     import sp.implicits._
