@@ -66,7 +66,10 @@ object ScaleSlope {
     "q109_corpus_diff", "q110_curriculum_phases",
     // r11: the release-gate split-stability report (two q107 plans
     // joined on the id spine — must inherit q107's CC scale posture ×2)
-    "q111_split_stability")
+    "q111_split_stability",
+    // r11: the rebalance sampler (q48-class scan filter — should be
+    // near-flat) and the quality-keeper (q55's CC plan + one agg)
+    "q112_balanced_sample", "q113_quality_keeper")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
