@@ -1533,6 +1533,194 @@ object TextAnalysis extends QueryModule {
        |FROM documents GROUP BY 1 ORDER BY label""".stripMargin
   }
 
+  // ---- q114: per-source BOILERPLATE line removal (the CCNet/C4 policy
+  // op this catalog lacked: template chrome that repeats across most
+  // pages of a SOURCE — navigation, footers — is stripped, while text
+  // that is merely long or merely duplicated corpus-wide is someone
+  // else's job: q30/q61 drop whole dup docs, q64/q82 cut corpus-wide
+  // dup SPANS; this entry removes lines frequent WITHIN their source).
+  //
+  // The synthetic corpus has no newlines and no chrome, so — the q104
+  // eval-run discipline — the entry CONSTRUCTS the page layer
+  // deterministically in both engines: each document becomes a line
+  // list of [header chrome] ++ [8-token body windows] ++ [optional
+  // promo (doc_id%17==0)] ++ [optional footer (doc_id%3!=0)], with the
+  // chrome text derived purely from the source name (the moduli are
+  // coprime to the generator's 20-source round-robin, so footer/promo
+  // presence genuinely varies WITHIN each source). The policy then
+  // has all three behaviors to get right: header at 100% in-source
+  // frequency (strip), footer at ~67% (strip), promo at ~6% (keep),
+  // body windows per their true census (random soup ⇒ kept).
+  //
+  // Boilerplate rule, integer-exact across engines: a line is chrome
+  // iff it appears in ≥ half the source's documents, i.e.
+  // 2·count_distinct_docs ≥ n_docs(source), n ≥ count via BIGINTs —
+  // no double ratio to disagree in low bits. Sources below
+  // `BoilerMinDocs` documents are exempt: with one or two pages there
+  // is no frequency evidence, and the half rule would degenerate to
+  // stripping every line of a single-document source.
+  //
+  // 100 TB shape: the ONLY corpus-wide exchange is the census groupBy
+  // on (source, md5(line)) — ids and 32-char digests, zero text (the
+  // lines relation projects md5 in the scan stage, audit-pinned). The
+  // boiler set is semantically tiny (≤ ~2·lines-per-doc rows per
+  // source, independent of corpus size — a line needs half the
+  // source's docs to qualify, so a source contributes at most
+  // 2·total_lines/n_docs of them) and broadcasts as per-source md5
+  // sets; the strip itself is a stateless scan-stage array filter —
+  // no doc-side shuffle at all before the demo ORDER BY.
+  private[graft] final val BoilerW = 8 // tokens per constructed line
+  private[graft] final val BoilerMinDocs = 3 // census evidence floor
+
+  private def chromeHdr(src: Column): Column =
+    concat(lit("nav "), src, lit(" menu home about contact"))
+  private def chromeFtr(src: Column): Column =
+    concat(lit("footer "), src, lit(" copyright terms privacy"))
+  private def chromePromo(src: Column): Column =
+    concat(lit("promo "), src, lit(" special offer today only"))
+
+  private val emptyLines = "array<struct<line_idx:bigint,line:string>>"
+
+  /** The constructed page-line array for one document — ONE spelling
+    * consumed by both the census (exploded) and the strip (filtered in
+    * place), so the detector and the rewriter can never see different
+    * line sets. Body windows are non-overlapping `BoilerW`-token slices
+    * (an empty doc is one empty line, matching the oracle's
+    * `range(0, greatest(n,1), 8)`); chrome indices 0 / 999999 / 1000000
+    * keep header-first, promo-then-footer order under the array concat.
+    */
+  private def pageLines(docId: Column, src: Column, ws: Column): Column = {
+    val nBody = greatest(
+      floor((size(ws) - lit(1)) / lit(BoilerW.toDouble)).cast("int"), lit(0))
+    val body = transform(sequence(lit(0), nBody), i =>
+      struct(
+        (i + lit(1)).cast("long").as("line_idx"),
+        array_join(slice(ws, i * lit(BoilerW) + lit(1), lit(BoilerW)), " ")
+          .as("line")))
+    val hdr = array(
+      struct(lit(0L).as("line_idx"), chromeHdr(src).as("line")))
+    val promo = when(docId % 17 === 0,
+      array(struct(lit(999999L).as("line_idx"), chromePromo(src).as("line"))))
+      .otherwise(array().cast(emptyLines))
+    val ftr = when(docId % 3 =!= 0,
+      array(struct(lit(1000000L).as("line_idx"), chromeFtr(src).as("line"))))
+      .otherwise(array().cast(emptyLines))
+    concat(hdr, body, promo, ftr)
+  }
+
+  /** Docs projected to (doc_id, source, ws) — the strip pipeline's input. */
+  private def pageDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"), col("source"),
+      regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
+
+  /** In-source frequent-line census: (source, lmd5, cnt, n_docs) for
+    * every line at or above the boilerplate threshold. */
+  private def boilerCensus(pd: DataFrame): DataFrame = {
+    val lines = pd
+      .select(col("source"), col("doc_id"),
+        explode(pageLines(col("doc_id"), col("source"), col("ws"))).as("l"))
+      .select(col("source"), col("doc_id"), md5(col("l.line")).as("lmd5"))
+    val srcN = pd.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    lines
+      .groupBy(col("source"), col("lmd5"))
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+      .join(broadcast(srcN), "source")
+      .where(col("cnt") * 2 >= col("n_docs") &&
+        col("n_docs") >= BoilerMinDocs)
+  }
+
+  /** The full strip — separated from q114 so the spec can feed synthetic
+    * corpora with controlled line frequencies (threshold boundary, the
+    * all-lines-removed document, single-doc sources). */
+  private[graft] def boilerStrip(docs: DataFrame): DataFrame = {
+    val pd = pageDocs(docs)
+    val boiler = boilerCensus(pd)
+      .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset"))
+    val la = pageLines(col("doc_id"), col("source"), col("ws"))
+    val kept = filter(col("la"), l =>
+      !array_contains(col("bs"), md5(l.getField("line"))))
+    val keptText = array_join(
+      transform(col("kept"), _.getField("line")), " ")
+    pd.join(broadcast(boiler), Seq("source"), "left")
+      .withColumn("bs", coalesce(col("bset"), array().cast("array<string>")))
+      .withColumn("la", la)
+      .withColumn("kept", kept)
+      .select(
+        col("doc_id"), col("source"),
+        size(col("la")).cast("long").as("n_lines"),
+        (size(col("la")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(keptText).as("kept_md5"),
+        length(keptText).cast("long").as("kept_len"))
+  }
+
+  private def q114(s: SparkSession, d: String): DataFrame =
+    boilerStrip(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** The detected chrome itself, for auditability (which lines, how
+    * frequent) — the q100_bands-style companion view of q114's state. */
+  private def q114c(s: SparkSession, d: String): DataFrame =
+    boilerCensus(pageDocs(Tables.documents(s, d)))
+      .select(col("source"), col("lmd5"),
+        col("cnt").cast("long").as("cnt"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy(col("source"), col("lmd5"))
+
+  /** Shared oracle CTE: the constructed line relation + census. */
+  private val q114Lines =
+    s"""d AS (
+       |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id, source, CAST(0 AS BIGINT) AS line_idx,
+       |    'nav ' || source || ' menu home about contact' AS line FROM d
+       |  UNION ALL
+       |  SELECT doc_id, source, CAST(1 + start // $BoilerW AS BIGINT),
+       |    array_to_string(ws[start + 1 : least(start + $BoilerW, len(ws))],
+       |      ' ')
+       |  FROM (SELECT doc_id, source, ws,
+       |          unnest(range(0, greatest(len(ws), 1), $BoilerW)) AS start
+       |        FROM d)
+       |  UNION ALL
+       |  SELECT doc_id, source, CAST(999999 AS BIGINT),
+       |    'promo ' || source || ' special offer today only'
+       |  FROM d WHERE doc_id % 17 = 0
+       |  UNION ALL
+       |  SELECT doc_id, source, CAST(1000000 AS BIGINT),
+       |    'footer ' || source || ' copyright terms privacy'
+       |  FROM d WHERE doc_id % 3 <> 0),
+       |srcn AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+       |census AS (
+       |  SELECT source, md5(line) AS lmd5, COUNT(DISTINCT doc_id) AS cnt
+       |  FROM lines GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT c.source, c.lmd5, c.cnt, s.n_docs
+       |  FROM census c JOIN srcn s USING (source)
+       |  WHERE 2 * c.cnt >= s.n_docs AND s.n_docs >= $BoilerMinDocs)"""
+      .stripMargin
+
+  private val q114Sql =
+    s"""WITH $q114Lines,
+       |marked AS (
+       |  SELECT l.doc_id, l.source, l.line_idx, l.line,
+       |    (b.lmd5 IS NOT NULL) AS is_b
+       |  FROM lines l LEFT JOIN boiler b
+       |    ON l.source = b.source AND md5(l.line) = b.lmd5)
+       |SELECT doc_id, source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, ' '
+       |    ORDER BY line_idx), '')) AS kept_md5,
+       |  CAST(LENGTH(COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+       |    ' ' ORDER BY line_idx), '')) AS BIGINT) AS kept_len
+       |FROM marked GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
+  private val q114cSql =
+    s"""WITH $q114Lines
+       |SELECT source, lmd5, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(n_docs AS BIGINT) AS n_docs
+       |FROM boiler ORDER BY source, lmd5""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -1546,6 +1734,8 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q47_bm25", q47, Some(q47Sql)),
     CatalogEntry("q108_chunk_retrieval", q108, Some(q108Sql)),
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
+    CatalogEntry("q114_boilerplate_strip", q114, Some(q114Sql)),
+    CatalogEntry("q114_boiler_census", q114c, Some(q114cSql)),
     CatalogEntry("q56_sketch_profile", q56, None),
     CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),
     CatalogEntry("q110_curriculum_phases", q110, Some(q110Sql)),

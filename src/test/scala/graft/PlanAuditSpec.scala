@@ -748,6 +748,26 @@ class PlanAuditSpec extends SparkSpec {
       s"text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q114: boilerplate census shuffles digests only — strip is scan-stage against a broadcast chrome set") {
+    // the 100 TB claim: the one corpus-wide exchange is the
+    // (source, md5(line)) census — the line relation projects to
+    // digests in the scan stage, so neither raw text, the token
+    // array, nor a constructed line ever crosses the wire; the boiler
+    // set joins back as a broadcast and the rewrite is an array
+    // filter in the same stage as the scan
+    val p = planOf("q114_boilerplate_strip")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"chrome set must broadcast:\n$s")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    val wide = Set("text", "ws", "line", "l", "la", "kept")
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(a => wide(a.name)),
+      s"corpus payload crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q110: curriculum assignment has no window and no text in any exchange") {
     // the decile split must be broadcast-literal comparisons, never a
     // global rank window (the single-partition ntile funnel), and the
