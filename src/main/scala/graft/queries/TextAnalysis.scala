@@ -1609,14 +1609,14 @@ object TextAnalysis extends QueryModule {
   }
 
   /** Docs projected to (doc_id, source, ws) — the strip pipeline's input. */
-  private def pageDocs(docs: DataFrame): DataFrame =
+  private[graft] def pageDocs(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").cast("long").as("doc_id"), col("source"),
       regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
 
   /** In-source frequent-line census: (source, lmd5, cnt, n_docs) for
     * every line at or above the boilerplate threshold. */
-  private def boilerCensus(pd: DataFrame): DataFrame = {
+  private[graft] def boilerCensus(pd: DataFrame): DataFrame = {
     val lines = pd
       .select(col("source"), col("doc_id"),
         explode(pageLines(col("doc_id"), col("source"), col("ws"))).as("l"))
@@ -1630,20 +1630,21 @@ object TextAnalysis extends QueryModule {
         col("n_docs") >= BoilerMinDocs)
   }
 
-  /** The full strip — separated from q114 so the spec can feed synthetic
-    * corpora with controlled line frequencies (threshold boundary, the
-    * all-lines-removed document, single-doc sources). */
-  private[graft] def boilerStrip(docs: DataFrame): DataFrame = {
-    val pd = pageDocs(docs)
-    val boiler = boilerCensus(pd)
-      .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset"))
+  /** The rewrite itself, given a per-row chrome-set column `bs`
+    * (nullable array of line md5s) — ONE spelling shared by the batch
+    * strip (bs arrives via the broadcast census join) and the
+    * streaming twin (bs is a frozen map literal lookup), so the two
+    * surfaces cannot diverge on what "strip" means. Pure scan-stage
+    * array expressions, streaming-safe with zero state.
+    */
+  private[graft] def stripProjection(pd: DataFrame, bs: Column): DataFrame = {
     val la = pageLines(col("doc_id"), col("source"), col("ws"))
     val kept = filter(col("la"), l =>
       !array_contains(col("bs"), md5(l.getField("line"))))
     val keptText = array_join(
       transform(col("kept"), _.getField("line")), " ")
-    pd.join(broadcast(boiler), Seq("source"), "left")
-      .withColumn("bs", coalesce(col("bset"), array().cast("array<string>")))
+    pd
+      .withColumn("bs", coalesce(bs, array().cast("array<string>")))
       .withColumn("la", la)
       .withColumn("kept", kept)
       .select(
@@ -1652,6 +1653,17 @@ object TextAnalysis extends QueryModule {
         (size(col("la")) - size(col("kept"))).cast("long").as("n_removed"),
         md5(keptText).as("kept_md5"),
         length(keptText).cast("long").as("kept_len"))
+  }
+
+  /** The full strip — separated from q114 so the spec can feed synthetic
+    * corpora with controlled line frequencies (threshold boundary, the
+    * all-lines-removed document, single-doc sources). */
+  private[graft] def boilerStrip(docs: DataFrame): DataFrame = {
+    val pd = pageDocs(docs)
+    val boiler = boilerCensus(pd)
+      .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset"))
+    stripProjection(
+      pd.join(broadcast(boiler), Seq("source"), "left"), col("bset"))
   }
 
   private def q114(s: SparkSession, d: String): DataFrame =

@@ -69,7 +69,10 @@ object ScaleSlope {
     "q111_split_stability",
     // r11: the rebalance sampler (q48-class scan filter — should be
     // near-flat) and the quality-keeper (q55's CC plan + one agg)
-    "q112_balanced_sample", "q113_quality_keeper")
+    "q112_balanced_sample", "q113_quality_keeper",
+    // r11: the per-source boilerplate strip (corpus-linear census on
+    // (source, line-md5) + broadcast rewrite — the q104 gram-scan class)
+    "q114_boilerplate_strip")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
