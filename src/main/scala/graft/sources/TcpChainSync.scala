@@ -397,32 +397,38 @@ final class TcpChainProvider(host: String, port: Int, maxDepth: Int = 20,
     try handshake(in, out)
     catch { case e: Throwable => sock.close(); throw e }
 
-    val w = new CborWriter
-    w.arrayHeader(2); w.uint(MsgFindIntersect)
-    if (candidates.isEmpty) { w.arrayHeader(1); pointCbor(w, None) }
-    else {
-      w.arrayHeader(candidates.size)
-      candidates.sortBy(-_.slot).foreach(p => pointCbor(w, Some(p)))
-    }
-    writeFrame(out, w.result()); out.flush()
-    val r0 = new CborReader(readFrame(in))
-    r0.readArrayHeader()
+    // the whole intersect exchange closes the socket on ANY failure —
+    // not just the decoded IntersectNotFound/unexpected-reply arms: a
+    // reply frame that fails the length bound or CBOR decode throws
+    // from readFrame/readPoint BEFORE reaching the match, and before
+    // this guard that path leaked the connection (and the server's
+    // handler thread) on every retry (r11 session-2 review)
     var tipSlot = 0L
-    r0.readUInt() match {
-      case MsgIntersectFound =>
-        readPoint(r0) // the intersection; the opening MsgRollBackward re-delivers it
-        tipSlot = readPoint(r0).map(_.slot).getOrElse(0L)
-      case MsgIntersectNotFound =>
-        sock.close()
-        throw new IllegalStateException(
-          s"Failed to find any valid intersection point. All " +
-            s"${candidates.size} saved intersection(s) have been rolled " +
-            "back. Consider resetting the reducer state or increasing " +
-            "the rollback buffer size.")
-      case other =>
-        sock.close()
-        throw new IllegalStateException(s"unexpected reply $other")
-    }
+    try {
+      val w = new CborWriter
+      w.arrayHeader(2); w.uint(MsgFindIntersect)
+      if (candidates.isEmpty) { w.arrayHeader(1); pointCbor(w, None) }
+      else {
+        w.arrayHeader(candidates.size)
+        candidates.sortBy(-_.slot).foreach(p => pointCbor(w, Some(p)))
+      }
+      writeFrame(out, w.result()); out.flush()
+      val r0 = new CborReader(readFrame(in))
+      r0.readArrayHeader()
+      r0.readUInt() match {
+        case MsgIntersectFound =>
+          readPoint(r0) // the intersection; the opening MsgRollBackward re-delivers it
+          tipSlot = readPoint(r0).map(_.slot).getOrElse(0L)
+        case MsgIntersectNotFound =>
+          throw new IllegalStateException(
+            s"Failed to find any valid intersection point. All " +
+              s"${candidates.size} saved intersection(s) have been rolled " +
+              "back. Consider resetting the reducer state or increasing " +
+              "the rollback buffer size.")
+        case other =>
+          throw new IllegalStateException(s"unexpected reply $other")
+      }
+    } catch { case e: Throwable => sock.close(); throw e }
 
     // AutoCloseable so an early-abandoning consumer can release the
     // socket (and the server's handler thread); pull() also closes on

@@ -41,6 +41,40 @@ class TcpChainSyncSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a malformed intersect reply fails loudly AND releases the connection") {
+    // regression (r11 session-2 review): a reply that dies in
+    // readFrame/CBOR decode throws BEFORE the reply match, and that
+    // path used to leak the socket — the server observing prompt EOF
+    // after the client's failure is the on-the-wire proof of closure
+    import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+    import java.net.{InetAddress, ServerSocket}
+    val srv = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    @volatile var sawEof = false
+    val t = new Thread(() => {
+      val s = srv.accept()
+      val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+      val (reply, _) = HandshakeWire.negotiate(
+        ChainSyncWire.readFrame(in), HandshakeWire.DefaultVersions,
+        ChainSyncServer.DefaultMagic)
+      ChainSyncWire.writeFrame(out, reply); out.flush()
+      ChainSyncWire.readFrame(in) // the FindIntersect
+      // reply with garbage: valid frame, undecodable CBOR point shape
+      ChainSyncWire.writeFrame(out, Array[Byte](0x42, 0x00, 0x00))
+      out.flush()
+      // a closed client surfaces as EOF/reset on the next read
+      try { in.readInt(); () }
+      catch { case _: java.io.IOException => sawEof = true }
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    val provider = new TcpChainProvider("127.0.0.1", srv.getLocalPort)
+    intercept[Exception] { provider.startChainSync(Seq.empty) }
+    t.join(5000)
+    assert(sawEof, "client socket was not released after the failed intersect")
+    srv.close()
+  }
+
   test("intersection negotiation: newest-first, rolled-back candidates skipped, all-gone fails hard") {
     val (chain, _) = genChain(40, seed = 4)
     val server = new ChainSyncServer(chain)
