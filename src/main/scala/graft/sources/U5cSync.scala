@@ -338,13 +338,24 @@ final class U5cProvider(host: String, port: Int) extends ChainProvider {
 
   def startChainSync(candidates: Seq[Point]): Iterator[BlockEvent] = {
     val sock = new Socket(InetAddress.getByName(host), port)
-    sock.setTcpNoDelay(true)
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-    // the reference sends ONE ref: the newest candidate (MaxBy(Slot))
-    val intersect = candidates.sortBy(-_.slot).take(1)
-    writeFrame(out, FlagMessage, followTipRequest(intersect))
-    out.flush()
+    // everything between connect and the iterator (whose pull() has its
+    // own close-on-exception) must release the socket on failure — the
+    // TcpChainProvider intersect-exchange leak class (r11 session-2
+    // review): a stream-acquisition or request-write failure here would
+    // otherwise leak the connection and the server's handler thread
+    val (in, out) =
+      try {
+        sock.setTcpNoDelay(true)
+        val i = new DataInputStream(
+          new BufferedInputStream(sock.getInputStream))
+        val o = new DataOutputStream(
+          new BufferedOutputStream(sock.getOutputStream))
+        // the reference sends ONE ref: the newest candidate (MaxBy(Slot))
+        val intersect = candidates.sortBy(-_.slot).take(1)
+        writeFrame(o, FlagMessage, followTipRequest(intersect))
+        o.flush()
+        (i, o)
+      } catch { case e: Throwable => sock.close(); throw e }
 
     new Iterator[BlockEvent] with AutoCloseable {
       private var done = false
