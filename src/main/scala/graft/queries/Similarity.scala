@@ -1001,11 +1001,22 @@ object Similarity extends QueryModule {
     var cent = cent0
     val wcss = Seq.newBuilder[Double]
     var assign: DataFrame = null
+    // managed release of the DEAD rounds (the q93 discipline, closing
+    // the r11 Similarity-pass residual): round k−1's assignment is
+    // unreadable the moment cent(k) materializes, and cent(k−1) the
+    // moment cent(k) does — without release, localCheckpoint mode pins
+    // (iters+1) assignment relations × warmup+reps in block-manager
+    // storage for the session (harmless at this corpus's embedding
+    // size, the q93 failure shape if embeddings ever become the wide
+    // table). The RETURNED final assign/cent are never released.
+    var releasePrevAssign: () => Unit = () => ()
+    var releasePrevCent: () => Unit = () => ()
     for (round <- 0 to iters) {
       // materialized: the WCSS probe and the update step both read it
-      assign = Scratch.materialize(
+      val (a, relA) = Scratch.materializeManaged(
         kmeansAssignment(e, cent),
         s"q59_assign${round % 2}") // ping-pong scratch names
+      assign = a
       // bounded driver probe: one scalar per round
       wcss += assign.agg(sum(col("d2"))).head().getDouble(0)
       if (round < iters) {
@@ -1035,13 +1046,24 @@ object Similarity extends QueryModule {
         // ping-pong like q59_assign: in parquet-scratch mode a FIXED
         // name would overwrite the files the update join is still
         // reading (FAILED_READ_FILE mid-round)
-        cent = Scratch.materialize(
+        val (c, relC) = Scratch.materializeManaged(
           cent.join(updated, Seq("cid"), "left")
             .select(col("cid"),
               coalesce(col("new_cent"), col("cent")).as("cent")),
           s"q59_cent${round % 2}")
+        cent = c
+        // cent(round+1) is durable: everything upstream of it — the
+        // previous round's assignment and centroids — is now dead
+        releasePrevAssign(); releasePrevAssign = relA
+        releasePrevCent(); releasePrevCent = relC
       }
     }
+    // after the loop, releasePrevAssign holds round iters−1's
+    // assignment — dead since the final cent materialized — but
+    // releasePrevCent holds the handle of the FINAL cent (stored when
+    // it materialized on the last update round), which is the returned
+    // model: release the assignment only, never the returned pair
+    releasePrevAssign()
     (assign, cent, wcss.result())
   }
 
