@@ -145,4 +145,39 @@ class U5cSyncSpec extends SparkSpec {
     val p = U5cWire.readBlockRef(withUnknown)
     assert(p == graft.core.Point("ab" * 32, 42L))
   }
+
+  test("protobuf reader survives arbitrary bytes: fail-loud or parse, never hang or over-read") {
+    // the WireFuzzSpec discipline on the U5C decoders: every reader
+    // either returns a value or throws the bounded-read failures —
+    // no infinite loop (progress is guaranteed even on zero tags), no
+    // reads past the buffer, no OutOfMemory from a hostile length
+    // (readBytes fences length against the REMAINING buffer)
+    val rnd = new scala.util.Random(4242)
+    val decoders = Seq[Array[Byte] => Any](
+      U5cWire.readBlockRef,
+      U5cWire.readFollowTipRequest,
+      b => U5cWire.readFollowTipResponse(b))
+    (0 until 2000).foreach { i =>
+      val n = rnd.nextInt(48)
+      val buf = new Array[Byte](n)
+      rnd.nextBytes(buf)
+      decoders.foreach { dec =>
+        try { dec(buf); () }
+        catch {
+          case _: IllegalArgumentException => () // require / no-action
+          case e: Throwable =>
+            fail(s"iteration $i leaked ${e.getClass.getSimpleName}: " +
+              buf.map(b => f"$b%02x").mkString)
+        }
+      }
+    }
+    // and a crafted hostile length: a varint claiming 2 GiB of bytes in
+    // a 16-byte buffer must fail the fence, not allocate
+    import ProtoWire._
+    val hostile = new Writer().tag(2, 2).varint(Int.MaxValue.toLong)
+      .result ++ Array.fill[Byte](8)(0x41)
+    intercept[IllegalArgumentException] {
+      U5cWire.readBlockRef(hostile)
+    }
+  }
 }
