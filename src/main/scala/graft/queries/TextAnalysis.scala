@@ -1614,20 +1614,28 @@ object TextAnalysis extends QueryModule {
       col("doc_id").cast("long").as("doc_id"), col("source"),
       regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
 
+  /** (source, doc_id, lmd5) line digests — the census's scan-stage
+    * projection, ONE spelling shared by the full census (q114) and the
+    * per-batch partial census (q115/q116 lifecycle). */
+  private[graft] def lineDigests(pd: DataFrame): DataFrame =
+    pd.select(col("source"), col("doc_id"),
+        explode(pageLines(col("doc_id"), col("source"), col("ws"))).as("l"))
+      .select(col("source"), col("doc_id"), md5(col("l.line")).as("lmd5"))
+
+  /** The boilerplate verdict over (cnt, n_docs) columns — ONE spelling
+    * for the direct census and the collapsed lifecycle census. */
+  private def boilerThreshold: Column =
+    col("cnt") * 2 >= col("n_docs") && col("n_docs") >= BoilerMinDocs
+
   /** In-source frequent-line census: (source, lmd5, cnt, n_docs) for
     * every line at or above the boilerplate threshold. */
   private[graft] def boilerCensus(pd: DataFrame): DataFrame = {
-    val lines = pd
-      .select(col("source"), col("doc_id"),
-        explode(pageLines(col("doc_id"), col("source"), col("ws"))).as("l"))
-      .select(col("source"), col("doc_id"), md5(col("l.line")).as("lmd5"))
     val srcN = pd.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    lines
+    lineDigests(pd)
       .groupBy(col("source"), col("lmd5"))
       .agg(countDistinct(col("doc_id")).as("cnt"))
       .join(broadcast(srcN), "source")
-      .where(col("cnt") * 2 >= col("n_docs") &&
-        col("n_docs") >= BoilerMinDocs)
+      .where(boilerThreshold)
   }
 
   /** The rewrite itself, given a per-row chrome-set column `bs`
@@ -1678,8 +1686,149 @@ object TextAnalysis extends QueryModule {
         col("n_docs").cast("long").as("n_docs"))
       .orderBy(col("source"), col("lmd5"))
 
-  /** Shared oracle CTE: the constructed line relation + census. */
-  private val q114Lines =
+  // ---- q115/q116: the INCREMENTAL lifecycle of the boilerplate census
+  // (the q100/q102 frozen-index discipline on a THIRD state algebra):
+  // the lex index merges by per-key MIN and retracts via per-batch
+  // partials; the semantic index by per-cluster append; the census is
+  // SUM-mergeable — per-batch distinct-doc counts and per-source doc
+  // counts ADD exactly, PROVIDED promote batches partition the
+  // documents (a doc in two batches would double-count; exactly-once
+  // promotion is the same contract StreamingPromote's doc gate
+  // enforces on the lex index). Retraction is then the exact inverse
+  // of its promote: drop the batch's partition rows, and the summed
+  // census over the survivors IS the census over the surviving
+  // documents — a re-crawled source's chrome can be demoted without
+  // re-counting the corpus. Cost shape at 100 TB: promote = build the
+  // delta batch's partial census (delta-only work) + APPEND; retract =
+  // partition pruning over the batch_id-partitioned store.
+
+  /** Provenance-tagged census partials: per-batch (source, lmd5, cnt)
+    * distinct-doc counts and per-batch (source, n_docs). */
+  private[graft] final case class BoilerIndexP(
+      counts: DataFrame, srcn: DataFrame)
+
+  private[graft] def buildBoilerIndexP(docs: DataFrame, batchId: Long)
+      : BoilerIndexP = {
+    val pd = pageDocs(docs)
+    BoilerIndexP(
+      lineDigests(pd)
+        .groupBy(col("source"), col("lmd5"))
+        .agg(countDistinct(col("doc_id")).as("cnt"))
+        .withColumn("batch_id", lit(batchId)),
+      pd.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId)))
+  }
+
+  /** Promote a delta batch: append its partial census — no
+    * re-aggregation (the SUM collapse defers to probe time, where the
+    * group is batches-per-key, not docs-per-key). */
+  private[graft] def mergeBoilerIndexP(idx: BoilerIndexP,
+      deltaDocs: DataFrame, batchId: Long): BoilerIndexP = {
+    val d = buildBoilerIndexP(deltaDocs, batchId)
+    BoilerIndexP(idx.counts.union(d.counts), idx.srcn.union(d.srcn))
+  }
+
+  /** Retract (demote) one promoted batch — drops exactly the rows its
+    * promote appended; over a batch_id-partitioned store this filter
+    * is partition pruning (BoilerplateSpec pins it). */
+  private[graft] def retractBoilerIndexP(idx: BoilerIndexP, batchId: Long)
+      : BoilerIndexP =
+    BoilerIndexP(idx.counts.filter(col("batch_id") =!= batchId),
+      idx.srcn.filter(col("batch_id") =!= batchId))
+
+  /** SUM-collapse the surviving partials and threshold — the stored
+    * state's census view, (source, lmd5, cnt, n_docs) rows exactly
+    * like [[boilerCensus]] over the equivalent document set. */
+  private[graft] def collapsedCensus(idx: BoilerIndexP): DataFrame = {
+    val srcN = idx.srcn.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+    idx.counts
+      .groupBy(col("source"), col("lmd5")).agg(sum(col("cnt")).as("cnt"))
+      .join(broadcast(srcN), "source")
+      .where(boilerThreshold)
+  }
+
+  /** Collapse to the per-source chrome sets — the strip/probe shape. */
+  private[graft] def collapseBoiler(idx: BoilerIndexP): DataFrame =
+    collapsedCensus(idx)
+      .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset"))
+
+  /** Strip arriving documents against an index's chrome sets — the
+    * probe side of the lifecycle (and the batch spelling of
+    * StreamingBoiler's frozen-map strip). */
+  private[graft] def stripAgainst(probeDocs: DataFrame,
+      boiler: DataFrame): DataFrame =
+    stripProjection(
+      pageDocs(probeDocs).join(broadcast(boiler), Seq("source"), "left"),
+      col("bset"))
+
+  /** Census-index MERGE equivalence (q115): bootstrap the census over
+    * the frozen batch (doc_id ≡ 0,1,2 mod 7), STORE it, promote the
+    * delta (≡ 3,4) by appending its partial census, then strip the
+    * arriving batch (≡ 5,6) against the collapsed chrome sets. The
+    * split modulus is 7 — COPRIME to the generator's 20-source
+    * round-robin, so every source spans index and probe batches (a
+    * mod-10 split would give the probe docs sources the index never
+    * saw and the strip nothing to do). The emitted relation is the
+    * collapsed CENSUS, not a strip: on this corpus the thresholded
+    * chrome SET is identical across nearby populations (header/footer
+    * sit far from the half boundary), so a strip gate could not tell a
+    * merge-dropping bug from the real merge — the census COUNTS can
+    * (cnt of every chrome line = docs counted, which pins exactly
+    * which batches contributed). The DuckDB oracle is the census
+    * REBUILT over frozen∪delta — merged ≡ rebuilt, the delta-only-work
+    * proof; strip-level lifecycle behavior is pinned by
+    * BoilerplateSpec on a fixture whose chrome set DOES change.
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = col("doc_id") % 7
+    val b0 = buildBoilerIndexP(docs.filter(m < 3), 0L)
+    // materialized = the stored census: the merge consumes INDEX STATE
+    // from disk, provably not the frozen batch's text
+    val stored = BoilerIndexP(
+      Scratch.materialize(b0.counts, "q115_counts"),
+      Scratch.materialize(b0.srcn, "q115_srcn"))
+    val merged = mergeBoilerIndexP(stored, docs.filter(m >= 3 && m < 5), 1L)
+    collapsedCensus(merged)
+      .select(col("source"), col("lmd5"),
+        col("cnt").cast("long").as("cnt"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy(col("source"), col("lmd5"))
+  }
+
+  /** Census-index RETRACTION equivalence (q116): promote batches 0/1/2
+    * (doc_id ≡ 0,1 / 2,3 / 4 mod 7), store partitioned by batch_id,
+    * retract batch 2 (the re-crawled source recalled after promote),
+    * and emit the demoted collapsed census. Oracle = the census
+    * REBUILT over batches 0∪1 only — demoted ≡ rebuilt-without, count
+    * by count (a retraction-ignoring bug keeps batch 2's additions in
+    * every cnt/n_docs and hash-fails; see q115's census-vs-strip
+    * rationale).
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = col("doc_id") % 7
+    val p2 = mergeBoilerIndexP(
+      mergeBoilerIndexP(
+        buildBoilerIndexP(docs.filter(m < 2), 0L),
+        docs.filter(m >= 2 && m < 4), 1L),
+      docs.filter(m === 4), 2L)
+    val stored = BoilerIndexP(
+      Scratch.materializePartitioned(p2.counts, "q116_counts", "batch_id"),
+      Scratch.materializePartitioned(p2.srcn, "q116_srcn", "batch_id"))
+    val demoted = retractBoilerIndexP(stored, 2L)
+    collapsedCensus(demoted)
+      .select(col("source"), col("lmd5"),
+        col("cnt").cast("long").as("cnt"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy(col("source"), col("lmd5"))
+  }
+
+  /** Shared oracle CTEs, parameterized by the census (index) population
+    * — `idxPred` over plain `doc_id` restricts srcn/census rows, the
+    * lifecycle entries' rebuilt-census twin. q114 passes TRUE. */
+  private def q114LinesFor(idxPred: String): String =
     s"""d AS (
        |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws
        |  FROM documents),
@@ -1701,23 +1850,27 @@ object TextAnalysis extends QueryModule {
        |  SELECT doc_id, source, CAST(1000000 AS BIGINT),
        |    'footer ' || source || ' copyright terms privacy'
        |  FROM d WHERE doc_id % 3 <> 0),
-       |srcn AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+       |srcn AS (SELECT source, COUNT(*) AS n_docs FROM d
+       |         WHERE $idxPred GROUP BY source),
        |census AS (
        |  SELECT source, md5(line) AS lmd5, COUNT(DISTINCT doc_id) AS cnt
-       |  FROM lines GROUP BY 1, 2),
+       |  FROM lines WHERE $idxPred GROUP BY 1, 2),
        |boiler AS (
        |  SELECT c.source, c.lmd5, c.cnt, s.n_docs
        |  FROM census c JOIN srcn s USING (source)
        |  WHERE 2 * c.cnt >= s.n_docs AND s.n_docs >= $BoilerMinDocs)"""
       .stripMargin
 
-  private val q114Sql =
-    s"""WITH $q114Lines,
+  /** The strip over `probePred` docs (on `l.doc_id`) against the
+    * `idxPred` census — one spelling for q114/q115/q116's oracles. */
+  private def stripSqlFor(idxPred: String, probePred: String): String =
+    s"""WITH ${q114LinesFor(idxPred)},
        |marked AS (
        |  SELECT l.doc_id, l.source, l.line_idx, l.line,
        |    (b.lmd5 IS NOT NULL) AS is_b
        |  FROM lines l LEFT JOIN boiler b
-       |    ON l.source = b.source AND md5(l.line) = b.lmd5)
+       |    ON l.source = b.source AND md5(l.line) = b.lmd5
+       |  WHERE $probePred)
        |SELECT doc_id, source,
        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
        |  CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
@@ -1727,11 +1880,21 @@ object TextAnalysis extends QueryModule {
        |    ' ' ORDER BY line_idx), '')) AS BIGINT) AS kept_len
        |FROM marked GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
-  private val q114cSql =
-    s"""WITH $q114Lines
+  private val q114Sql = stripSqlFor("TRUE", "TRUE")
+
+  /** The census view over the `idxPred` population — q114c's select,
+    * the lifecycle entries' rebuilt-census oracle. */
+  private def censusSqlFor(idxPred: String): String =
+    s"""WITH ${q114LinesFor(idxPred)}
        |SELECT source, lmd5, CAST(cnt AS BIGINT) AS cnt,
        |  CAST(n_docs AS BIGINT) AS n_docs
        |FROM boiler ORDER BY source, lmd5""".stripMargin
+
+  private val q115Sql = censusSqlFor("doc_id % 7 < 5")
+
+  private val q116Sql = censusSqlFor("doc_id % 7 < 4")
+
+  private val q114cSql = censusSqlFor("TRUE")
 
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
@@ -1748,6 +1911,8 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
     CatalogEntry("q114_boilerplate_strip", q114, Some(q114Sql)),
     CatalogEntry("q114_boiler_census", q114c, Some(q114cSql)),
+    CatalogEntry("q115_boiler_index_merge", q115, Some(q115Sql)),
+    CatalogEntry("q116_boiler_index_retract", q116, Some(q116Sql)),
     CatalogEntry("q56_sketch_profile", q56, None),
     CatalogEntry("q65_lm_surprisal", q65, Some(q65Sql)),
     CatalogEntry("q110_curriculum_phases", q110, Some(q110Sql)),

@@ -125,6 +125,95 @@ class BoilerplateSpec extends SparkSpec {
     }
   }
 
+  // ---- q115/q116 lifecycle: the census's SUM algebra proven directly
+  // (the FrozenIndexSpec discipline on the third index type)
+
+  private def chromeSets(boiler: org.apache.spark.sql.DataFrame
+      ): Map[String, Set[String]] =
+    boiler.collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[String](1).toSet)
+      .toMap
+
+  /** 12 docs over two sources, built so the chrome SET (not just the
+    * counts) changes across the lifecycle: sX's early docs (0,2,4)
+    * share a "bp" opening line, its late docs (6,8,10) share an "mm"
+    * line — each sits at exactly half of sX only when the batches that
+    * carry it are in the index, so a merge- or retract-ignoring bug
+    * changes strip behavior, not only census counts. */
+  private def lifecycleRows: Seq[(Long, String, String)] =
+    (0L until 12L).map { i =>
+      val src = if (i % 2 == 0) "sX" else "sY"
+      val text =
+        if (i % 2 == 0 && i < 6) (1 to W).map(j => s"bp$j").mkString(" ") +
+          " " + uniqueText(s"x$i", 8)
+        else if (i % 2 == 0) (1 to W).map(j => s"mm$j").mkString(" ") +
+          " " + uniqueText(s"x$i", 8)
+        else uniqueText(s"y$i", 16)
+      (i, text, src)
+    }
+
+  test("q115 algebra: merged partial censuses equal the census rebuilt over the union — and the merge is observable") {
+    val rows = lifecycleRows
+    val b0 = TextAnalysis.buildBoilerIndexP(docsDf(rows.filter(_._1 < 6)), 0L)
+    val merged = TextAnalysis.mergeBoilerIndexP(
+      b0, docsDf(rows.filter(_._1 >= 6)), 1L)
+    val rebuilt = TextAnalysis.boilerStrip(docsDf(rows))
+    // stripping ALL docs against the merged-collapsed census must
+    // equal the one-shot q114 rewrite over the union
+    val viaIndex = TextAnalysis.stripAgainst(
+      docsDf(rows), TextAnalysis.collapseBoiler(merged))
+    assert(viaIndex.collect().toSet == rebuilt.collect().toSet,
+      "merged census diverged from rebuilt")
+    // the delta batch changed the chrome SET, so a merge-dropping bug
+    // is visible at strip level: "mm" (delta docs 6,8,10 = 3 of sX's
+    // 6) is chrome only in the merged census; "bp" (3 of 6) stays at
+    // the exactly-half boundary
+    val mergedSets = chromeSets(TextAnalysis.collapseBoiler(merged))
+    val frozenSets = chromeSets(TextAnalysis.collapseBoiler(b0))
+    assert(mergedSets("sX").size == 4,
+      s"header+footer+bp+mm expected: $mergedSets")
+    assert(frozenSets("sX") != mergedSets("sX"),
+      "fixture must make the merge observable in the chrome set")
+  }
+
+  test("q116 algebra: retract equals rebuilt-without, is observable, and prunes partitions on the stored index") {
+    val rows = lifecycleRows
+    val sp = spark
+    val b01 = TextAnalysis.mergeBoilerIndexP(
+      TextAnalysis.buildBoilerIndexP(docsDf(rows.filter(_._1 < 4)), 0L),
+      docsDf(rows.filter(r => r._1 >= 4 && r._1 < 8)), 1L)
+    val p2 = TextAnalysis.mergeBoilerIndexP(
+      b01, docsDf(rows.filter(_._1 >= 8)), 2L)
+    val key = "graft.scratch.dir"
+    sp.conf.set(key, tmpDir("boiler-part"))
+    val stored =
+      try TextAnalysis.BoilerIndexP(
+        graft.queries.Scratch.materializePartitioned(
+          p2.counts, "t116_counts", "batch_id"),
+        graft.queries.Scratch.materializePartitioned(
+          p2.srcn, "t116_srcn", "batch_id"))
+      finally sp.conf.unset(key)
+    val demoted = TextAnalysis.retractBoilerIndexP(stored, 2L)
+    val plan = demoted.counts.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+      s"retraction did not reach the scan as partition pruning:\n$plan")
+    val probe = docsDf(rows)
+    val got = TextAnalysis.stripAgainst(
+      probe, TextAnalysis.collapseBoiler(demoted)).collect().toSet
+    val want = TextAnalysis.stripAgainst(
+      probe, TextAnalysis.collapseBoiler(b01)).collect().toSet
+    assert(got == want, "demoted census diverged from rebuilt-without")
+    // and the retraction is OBSERVABLE: with batch 2 promoted, "mm"
+    // (docs 6,8,10 = 3 of 6) is chrome and docs 8/10 strip it; after
+    // the demote it is 1 of 4 and survives — a retraction-ignoring
+    // bug fails this, not just the count gate
+    val before = TextAnalysis.stripAgainst(
+      probe, TextAnalysis.collapseBoiler(stored)).collect().toSet
+    assert(before != got,
+      "fixture must make the retraction observable in strip behavior")
+  }
+
   test("q114: empty document is one empty body line plus chrome") {
     val rows = Seq(
       (400L, "", "sE"), (401L, uniqueText("e", 5), "sE"),

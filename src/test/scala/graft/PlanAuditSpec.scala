@@ -768,6 +768,21 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus payload crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q115: census-index merge keeps q114's shape — digest-only exchanges, broadcast chrome, no cartesian") {
+    // the lifecycle entry must not regress the base operator's 100 TB
+    // posture: the delta build + SUM collapse shuffle (source, lmd5)
+    // digests and counts, never text or the constructed lines
+    val p = planOf("q115_boiler_index_merge")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"chrome set must broadcast:\n$s")
+    val wide = Set("text", "ws", "line", "l", "la", "kept")
+    p.collect { case e: Exchange => e }.foreach(e => assert(
+      !e.child.output.exists(a => wide(a.name)),
+      s"corpus payload crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q110: curriculum assignment has no window and no text in any exchange") {
     // the decile split must be broadcast-literal comparisons, never a
     // global rank window (the single-partition ntile funnel), and the
