@@ -168,4 +168,57 @@ object StreamingPromote {
         spark.read.parquet(listsDir)
           .withColumn("batch_id", col("batch_id").cast("long")))),
       probeE)
+
+  // ---- the boilerplate-CENSUS lifecycle (q115/q116's streaming side).
+  // Same partition layout, one honest algebra difference: the lex
+  // index's MIN-merge absorbs at-least-once duplication verdict-wise,
+  // but the census SUMS — a document promoted under two batch ids
+  // double-counts its lines and can push a line over the chrome
+  // threshold. Same-batch replay is still covered by the partition
+  // overwrite; for an at-least-once SOURCE the gated variant is not a
+  // hygiene upgrade here but the correctness requirement.
+
+  /** Promote one micro-batch of `(doc_id, text, source)` documents into
+    * the census state rooted at `countsDir`/`srcnDir`. Also the
+    * bootstrap entry point for the frozen corpus (negative batch id).
+    */
+  def promoteCensusBatch(batch: DataFrame, batchId: Long,
+      countsDir: String, srcnDir: String): Unit = {
+    val p = graft.queries.TextAnalysis.buildBoilerIndexP(batch, batchId)
+    writePart(p.counts, countsDir, batchId)
+    writePart(p.srcn, srcnDir, batchId)
+  }
+
+  /** The streaming census promote behind the exactly-once document
+    * gate (see the algebra note above — REQUIRED for at-least-once
+    * sources, not merely preferred as with the min-merge index).
+    */
+  def promoteCensusGated(deltaDocs: DataFrame, countsDir: String,
+      srcnDir: String): StreamingQuery =
+    deltaDocs.dropDuplicates("doc_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        promoteCensusBatch(df, id, countsDir, srcnDir)
+      }
+      .start()
+
+  /** The live census state as a value — probe-ready via
+    * `TextAnalysis.collapseBoiler` / `collapsedCensus`. */
+  def liveCensusIndex(spark: SparkSession, countsDir: String,
+      srcnDir: String): graft.queries.TextAnalysis.BoilerIndexP =
+    graft.queries.TextAnalysis.BoilerIndexP(
+      spark.read.parquet(countsDir)
+        .withColumn("batch_id", col("batch_id").cast("long")),
+      spark.read.parquet(srcnDir)
+        .withColumn("batch_id", col("batch_id").cast("long")))
+
+  /** DEMOTE one promoted census micro-batch — the directory drop, the
+    * physical form of `retractBoilerIndexP` (see [[demoteLexBatch]]).
+    */
+  def demoteCensusBatch(countsDir: String, srcnDir: String,
+      batchId: Long): Unit = {
+    graft.queries.Scratch.deleteTree(s"$countsDir/batch_id=$batchId")
+    graft.queries.Scratch.deleteTree(s"$srcnDir/batch_id=$batchId")
+  }
 }

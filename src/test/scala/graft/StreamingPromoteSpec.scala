@@ -142,4 +142,60 @@ class StreamingPromoteSpec extends SparkSpec {
     assert(batch.nonEmpty, "q101 returned no probe rows — spec is vacuous")
     assert(streamed == batch, "streamed semantic promote diverged from batch merge")
   }
+
+  // ---- census lifecycle (the q115/q116 twin): SUM algebra, so the
+  // document gate is the correctness requirement, not hygiene
+
+  private def censusRows(idx: graft.queries.TextAnalysis.BoilerIndexP) =
+    graft.queries.TextAnalysis.collapsedCensus(idx)
+      .select(col("source"), col("lmd5"), col("cnt"), col("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def builtRows(docs: org.apache.spark.sql.DataFrame) =
+    censusRows(graft.queries.TextAnalysis.buildBoilerIndexP(docs, 0L))
+
+  test("census: streamed gated promote converges with the one-shot census; demote ≡ never-promoted; duplicate redelivery absorbed") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val docs = Tables.documents(sp, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val m = col("doc_id") % 7
+    val frozen = docs.filter(m < 3)
+    val delta = docs.filter(m >= 3 && m < 5)
+    val countsDir = tmpDir("spromote-counts")
+    val srcnDir = tmpDir("spromote-srcn")
+    StreamingPromote.promoteCensusBatch(frozen, -1L, countsDir, srcnDir)
+    val deltaRows = delta.as[(Long, String, String)].collect()
+    val groups = deltaRows.grouped(
+      math.max(1, (deltaRows.length + 1) / 2)).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingPromote.promoteCensusGated(
+      mem.toDF().toDF("doc_id", "text", "source"), countsDir, srcnDir)
+    try {
+      groups.foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // cross-batch redelivery of already-promoted documents: the SUM
+      // algebra would double-count these without the doc gate
+      mem.addData(groups(0).take(3).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = StreamingPromote.liveCensusIndex(sp, countsDir, srcnDir)
+    val oneShot = builtRows(docs.filter(m < 5))
+    assert(oneShot.nonEmpty, "fixture census is empty — spec is vacuous")
+    assert(censusRows(live) == oneShot,
+      "streamed census diverged from the one-shot build (gate leak?)")
+    // demote the SECOND delta micro-batch (batch id 1): the directory
+    // drop must equal a census that never counted those documents
+    StreamingPromote.demoteCensusBatch(countsDir, srcnDir, 1L)
+    val after = StreamingPromote.liveCensusIndex(sp, countsDir, srcnDir)
+    val without = builtRows(
+      frozen.union(groups(0).toSeq.toDF("doc_id", "text", "source")))
+    assert(censusRows(after) == without,
+      "demoted census diverged from never-promoted")
+  }
 }
