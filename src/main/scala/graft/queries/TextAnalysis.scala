@@ -1608,11 +1608,16 @@ object TextAnalysis extends QueryModule {
     concat(hdr, body, promo, ftr)
   }
 
-  /** Docs projected to (doc_id, source, ws) — the strip pipeline's input. */
+  /** Docs projected to (doc_id, source, ws) — the strip pipeline's
+    * input. Null text coalesces to empty (the StreamingCurate null
+    * defense): the corpus never carries one, but the streaming twin
+    * ingests arbitrary rows, and a null would otherwise ripple
+    * null-ish lines through the census and the kept-text fold. */
   private[graft] def pageDocs(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").cast("long").as("doc_id"), col("source"),
-      regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("ws"))
+      regexp_extract_all(coalesce(col("text"), lit("")), lit("\\S+"),
+        lit(0)).as("ws"))
 
   /** (source, doc_id, lmd5) line digests — the census's scan-stage
     * projection, ONE spelling shared by the full census (q114) and the

@@ -34,18 +34,26 @@ class StreamingBoilerSpec extends SparkSpec {
         mem.addData(chunk.toIndexedSeq)
         q.processAllAvailable()
       }
-      // one poison micro-batch: a source the frozen census never saw
-      mem.addData(Seq((999999L, "brand new page words here", "srcNEW")))
+      // one poison micro-batch: a source the frozen census never saw,
+      // plus a NULL text (the ingest defense — must strip nothing and
+      // must not poison the line builder)
+      mem.addData(Seq((999999L, "brand new page words here", "srcNEW"),
+        (999998L, null, "srcNEW")))
       q.processAllAvailable()
       val streamed = sp.table("boiler_stream")
         .as[(Long, String, Long, Long, String, Long)].collect()
       val batch = SparkEntry.queries("q114_boilerplate_strip")(sp, sf)
         .as[(Long, String, Long, Long, String, Long)].collect().toSet
       assert(batch.nonEmpty)
-      assert(streamed.filter(_._1 != 999999L).toSet == batch,
+      assert(streamed.filter(_._1 < 999998L).toSet == batch,
         "streamed rewrite diverged from batch q114")
       val poison = streamed.find(_._1 == 999999L).get
       assert(poison._4 == 0L, s"unseen source was stripped: $poison")
+      val nullDoc = streamed.find(_._1 == 999998L).get
+      // null text = empty page: header + one empty body line (+footer:
+      // 999998 % 3 = 2), nothing stripped (unseen source)
+      assert(nullDoc._3 == 3L && nullDoc._4 == 0L,
+        s"null-text defense regressed: $nullDoc")
       // and some streamed fixture doc WAS stripped (census is live)
       assert(streamed.exists(r => r._1 != 999999L && r._4 > 0L))
     } finally q.stop()
