@@ -1660,12 +1660,18 @@ object TextAnalysis extends QueryModule {
       .withColumn("bs", coalesce(bs, array().cast("array<string>")))
       .withColumn("la", la)
       .withColumn("kept", kept)
+      // kept_text lands in its OWN projection: the downstream md5 and
+      // length each reference the computed column, and CollapseProject
+      // keeps a non-cheap multi-referenced alias un-inlined — without
+      // this, the whole interpreted HOF chain (filter→transform→
+      // array_join over the page array) evaluated TWICE per row
+      .withColumn("kept_text", keptText)
       .select(
         col("doc_id"), col("source"),
         size(col("la")).cast("long").as("n_lines"),
         (size(col("la")) - size(col("kept"))).cast("long").as("n_removed"),
-        md5(keptText).as("kept_md5"),
-        length(keptText).cast("long").as("kept_len"))
+        md5(col("kept_text")).as("kept_md5"),
+        length(col("kept_text")).cast("long").as("kept_len"))
   }
 
   /** The full strip — separated from q114 so the spec can feed synthetic

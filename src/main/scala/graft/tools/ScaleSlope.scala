@@ -72,9 +72,11 @@ object ScaleSlope {
     "q112_balanced_sample", "q113_quality_keeper",
     // r11: the per-source boilerplate strip (corpus-linear census on
     // (source, line-md5) + broadcast rewrite — the q104 gram-scan class)
-    // and its lifecycle twins (delta census + SUM collapse)
-    "q114_boilerplate_strip", "q115_boiler_index_merge",
-    "q116_boiler_index_retract")
+    // and its lifecycle twins (delta census + SUM collapse); the census
+    // companion doubles as q114's PHASE PROBE — its slope isolates the
+    // census exchange from the scan-stage rewrite
+    "q114_boilerplate_strip", "q114_boiler_census",
+    "q115_boiler_index_merge", "q116_boiler_index_retract")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
