@@ -1650,22 +1650,31 @@ object TextAnalysis extends QueryModule {
     * surfaces cannot diverge on what "strip" means. Pure scan-stage
     * array expressions, streaming-safe with zero state.
     */
-  private[graft] def stripProjection(pd: DataFrame, bs: Column): DataFrame = {
+  private[graft] def stripProjection(pd: DataFrame, bs: Column): DataFrame =
+    keptProjection(
+      pd.withColumn("bs", coalesce(bs, array().cast("array<string>"))),
+      l => !array_contains(col("bs"), md5(l.getField("line"))))
+
+  /** The page rewrite CORE shared by the chrome strip (q114 family —
+    * keep = line md5 outside the chrome set) and the keep-first
+    * paragraph dedup (q118 — keep = line_idx outside the doc's drop
+    * set): rebuild each document's page array, filter it by `keep`,
+    * and emit the q114-shape (n_lines, n_removed, kept_md5, kept_len)
+    * row. ONE spelling so the two rewrite policies can never diverge
+    * on the page model or the kept-text fold. */
+  private[graft] def keptProjection(pd: DataFrame,
+      keep: Column => Column): DataFrame = {
     val la = pageLines(col("doc_id"), col("source"), col("ws"))
-    val kept = filter(col("la"), l =>
-      !array_contains(col("bs"), md5(l.getField("line"))))
-    val keptText = array_join(
-      transform(col("kept"), _.getField("line")), " ")
     pd
-      .withColumn("bs", coalesce(bs, array().cast("array<string>")))
       .withColumn("la", la)
-      .withColumn("kept", kept)
+      .withColumn("kept", filter(col("la"), keep))
       // kept_text lands in its OWN projection: the downstream md5 and
       // length each reference the computed column, and CollapseProject
       // keeps a non-cheap multi-referenced alias un-inlined — without
       // this, the whole interpreted HOF chain (filter→transform→
       // array_join over the page array) evaluated TWICE per row
-      .withColumn("kept_text", keptText)
+      .withColumn("kept_text",
+        array_join(transform(col("kept"), _.getField("line")), " "))
       .select(
         col("doc_id"), col("source"),
         size(col("la")).cast("long").as("n_lines"),
@@ -1836,10 +1845,11 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"), col("lmd5"))
   }
 
-  /** Shared oracle CTEs, parameterized by the census (index) population
-    * — `idxPred` over plain `doc_id` restricts srcn/census rows, the
-    * lifecycle entries' rebuilt-census twin. q114 passes TRUE. */
-  private def q114LinesFor(idxPred: String): String =
+  /** The constructed page-line CTEs alone (d + lines) — the SQL twin of
+    * [[pageDocs]]+[[pageLines]], shared by the census stack (q114/q115/
+    * q116 via [[q114LinesFor]]) and the keep-first paragraph dedup
+    * (q118), so every page-model consumer reads ONE line set. */
+  private def pageLinesSql: String =
     s"""d AS (
        |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws
        |  FROM documents),
@@ -1860,7 +1870,13 @@ object TextAnalysis extends QueryModule {
        |  UNION ALL
        |  SELECT doc_id, source, CAST(1000000 AS BIGINT),
        |    'footer ' || source || ' copyright terms privacy'
-       |  FROM d WHERE doc_id % 3 <> 0),
+       |  FROM d WHERE doc_id % 3 <> 0)""".stripMargin
+
+  /** Shared oracle CTEs, parameterized by the census (index) population
+    * — `idxPred` over plain `doc_id` restricts srcn/census rows, the
+    * lifecycle entries' rebuilt-census twin. q114 passes TRUE. */
+  private def q114LinesFor(idxPred: String): String =
+    s"""$pageLinesSql,
        |srcn AS (SELECT source, COUNT(*) AS n_docs FROM d
        |         WHERE $idxPred GROUP BY source),
        |census AS (
@@ -1907,6 +1923,392 @@ object TextAnalysis extends QueryModule {
 
   private val q114cSql = censusSqlFor("TRUE")
 
+  // ---- q117: PII span redaction (the Dolma/BigScience scrub pass —
+  // replace emails / IPv4 addresses / phone numbers with typed masks
+  // and report per-document redaction counts). The synthetic corpus
+  // carries no PII, so — the q114/q104 eval-run discipline — the entry
+  // CONSTRUCTS a deterministic contact tail in both engines: an email
+  // for doc_id%3==0 (a SECOND one for %9==0, so a non-global replace
+  // is observable), a phone for %7==1, a digit-prefixed NON-phone
+  // serial for %13==5 (the `\b` trap: `9555-123-4567` must NOT match,
+  // so dropping the word boundary is observable), and a dotted-quad
+  // for %17==2. The redaction regexes themselves are the REAL ones
+  // (shared Java/RE2 subset — no lookaround, no backrefs), and
+  // PiiSpec exercises them on genuine PII fixtures; categories apply
+  // in a fixed order (email → ip → phone), each counting on the text
+  // the previous category already masked, so one span can never be
+  // double-counted.
+  //
+  // 100 TB shape: pure scan-stage per-row regex work — no shuffle at
+  // all before the demo ORDER BY (PlanAuditSpec pins ≤1 exchange).
+  private[graft] final val PiiEmailRe =
+    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] final val PiiIpRe =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] final val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The constructed page (text + deterministic contact tail) — the
+    * corpus-side input of the redactor; ONE concat order mirrored by
+    * the oracle's CASE chain. Exposed for PiiSpec's streaming
+    * convergence gate. */
+  private[graft] def piiPage(docId: Column, src: Column,
+      text: Column): Column = {
+    val id = docId.cast("string")
+    concat(text,
+      when(docId % 3 === 0, concat(lit(" contact user"), id, lit("@"),
+        src, lit(".example.com"))).otherwise(lit("")),
+      when(docId % 9 === 0, concat(lit(" cc admin"), id, lit("@mail."),
+        src, lit(".org"))).otherwise(lit("")),
+      when(docId % 7 === 1, concat(lit(" call 555-"),
+        lpad((docId % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((docId % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit("")),
+      when(docId % 13 === 5, lit(" sn 9555-123-4567")).otherwise(lit("")),
+      when(docId % 17 === 2, concat(lit(" from 10."),
+        (docId % 256).cast("string"), lit("."),
+        expr("doc_id div 256 % 256").cast("string"), lit("."),
+        (docId % 250 + 1).cast("string"))).otherwise(lit("")))
+  }
+
+  /** The redaction core over a page column — (n_email, n_ip, n_phone,
+    * red) via the fixed email → ip → phone cascade; each count is
+    * taken on the previous stage's masked text. Pure stateless column
+    * expressions: runs unchanged under Structured Streaming append
+    * mode (PiiSpec pins exact batch convergence), so the null-page
+    * coalesce is the streaming-ingest defense (the pageDocs
+    * discipline) — the corpus never carries one, an arbitrary stream
+    * row can. */
+  private[graft] def piiRedact(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("page", coalesce(col("page"), lit("")))
+      .withColumn("n_email",
+        rxCount(col("page"), PiiEmailRe).cast("long"))
+      // each masked stage lands in its OWN projection (the q114
+      // kept_text lesson): t1/t2 are referenced by a count AND the
+      // next replace, and CollapseProject keeps the non-cheap
+      // multi-referenced alias un-inlined instead of running the
+      // regex chain twice per row
+      .withColumn("t1",
+        regexp_replace(col("page"), PiiEmailRe, "[EMAIL]"))
+      .withColumn("n_ip", rxCount(col("t1"), PiiIpRe).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), PiiIpRe, "[IP]"))
+      .withColumn("n_phone", rxCount(col("t2"), PiiPhoneRe).cast("long"))
+      .withColumn("red", regexp_replace(col("t2"), PiiPhoneRe, "[PHONE]"))
+
+  private def q117(s: SparkSession, d: String): DataFrame =
+    piiRedact(Tables.documents(s, d)
+      .select(col("doc_id"),
+        piiPage(col("doc_id"), col("source"), col("text")).as("page")))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        md5(col("red")).as("red_md5"),
+        length(col("red")).cast("long").as("red_len"))
+      .orderBy(col("doc_id"))
+
+  private val q117Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+       |         || CAST(doc_id AS VARCHAR) || '@' || source
+       |         || '.example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 9 = 0 THEN ' cc admin'
+       |         || CAST(doc_id AS VARCHAR) || '@mail.' || source
+       |         || '.org' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 1 THEN ' call 555-'
+       |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         || ' now' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 5 THEN ' sn 9555-123-4567'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 2 THEN ' from 10.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+       |         || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END AS page
+       |  FROM documents),
+       |r1 AS (SELECT doc_id,
+       |  CAST(${rxCountSql("page", PiiEmailRe)} AS BIGINT) AS n_email,
+       |  regexp_replace(page, '$PiiEmailRe', '[EMAIL]', 'g') AS t1 FROM d),
+       |r2 AS (SELECT doc_id, n_email,
+       |  CAST(${rxCountSql("t1", PiiIpRe)} AS BIGINT) AS n_ip,
+       |  regexp_replace(t1, '$PiiIpRe', '[IP]', 'g') AS t2 FROM r1),
+       |r3 AS (SELECT doc_id, n_email, n_ip,
+       |  CAST(${rxCountSql("t2", PiiPhoneRe)} AS BIGINT) AS n_phone,
+       |  regexp_replace(t2, '$PiiPhoneRe', '[PHONE]', 'g') AS red FROM r2)
+       |SELECT doc_id, n_email, n_ip, n_phone, md5(red) AS red_md5,
+       |  CAST(length(red) AS BIGINT) AS red_len
+       |FROM r3 ORDER BY doc_id""".stripMargin
+
+  // ---- q118: keep-first PARAGRAPH dedup (the CCNet policy this
+  // catalog lacked: an exact-duplicate line/paragraph is kept at its
+  // FIRST corpus occurrence — min (doc_id, line_idx) — and dropped
+  // everywhere else, then documents are reassembled from their
+  // surviving lines). Complements q114: the census strip removes
+  // lines frequent WITHIN their source (template chrome, wherever
+  // they appear); keep-first dedup removes REPEATS anywhere in the
+  // corpus but always preserves one copy. Both run over the SAME
+  // constructed page layer ([[pageLines]] / [[pageLinesSql]]) and the
+  // same rewrite core ([[keptProjection]]), so the two policies can
+  // never diverge on the page model.
+  //
+  // 100 TB shape: the dedup decision is digest-only — one groupBy on
+  // md5(line) (32-char digests + two BIGINT ids) picks winners, one
+  // digest-keyed join marks losers, one id-keyed aggregation builds
+  // per-doc drop sets. The single corpus-text exchange in the whole
+  // plan is the final doc_id-partitioned join of the page relation
+  // against its drop sets — a linear, skew-free hash partition of the
+  // corpus (doc ids are unique), which is the irreducible cost of
+  // reassembling rewritten documents; PlanAuditSpec pins exactly-one
+  // text-bearing exchange and digest-only widths everywhere else.
+  /** (doc_id, line_idx, lmd5) — the dedup spine: page-line digests
+    * WITH their position, so the keep-first winner is recoverable. */
+  private[graft] def lineIdxDigests(pd: DataFrame): DataFrame =
+    pd.select(col("doc_id"),
+        explode(pageLines(col("doc_id"), col("source"), col("ws"))).as("l"))
+      .select(col("doc_id"), col("l.line_idx").as("line_idx"),
+        md5(col("l.line")).as("lmd5"))
+
+  private[graft] def paragraphDedup(docs: DataFrame): DataFrame = {
+    val pd = pageDocs(docs)
+    val li = lineIdxDigests(pd)
+    val winners = li.groupBy(col("lmd5"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("w"))
+    val drops = li.join(winners, "lmd5")
+      .where(col("doc_id") =!= col("w.doc_id") ||
+        col("line_idx") =!= col("w.line_idx"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("line_idx")).as("didx"))
+    keptProjection(
+      pd.join(drops, Seq("doc_id"), "left")
+        .withColumn("didx",
+          coalesce(col("didx"), array().cast("array<bigint>"))),
+      l => !array_contains(col("didx"), l.getField("line_idx")))
+  }
+
+  private def q118(s: SparkSession, d: String): DataFrame =
+    paragraphDedup(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  private val q118Sql =
+    s"""WITH $pageLinesSql,
+       |ranked AS (
+       |  SELECT doc_id, source, line_idx, line,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(line)
+       |      ORDER BY doc_id, line_idx) AS rn
+       |  FROM lines)
+       |SELECT doc_id, source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+       |    ORDER BY line_idx), '')) AS kept_md5,
+       |  CAST(LENGTH(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+       |    ' ' ORDER BY line_idx), '')) AS BIGINT) AS kept_len
+       |FROM ranked GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
+  // ---- q119: HARD-NEGATIVE mining for retrieval training (the
+  // DPR/RocketQA recipe): for every eval/query document, rank the
+  // training corpus by BM25 against the query's term set, EXCLUDE
+  // documents that share an exact 8-gram with the query (those are
+  // contaminated — selecting them as "negatives" would teach the
+  // model to reject true matches), and emit the top-5 survivors:
+  // lexically close but provably-not-leaked, the negatives a
+  // contrastive retriever trains on. Eval split = q54/q106's
+  // doc_id%10==3 (the one benchmark-shard definition across the
+  // decontamination family); BM25 stats (N, df, dl, total tokens) are
+  // computed over the TRAIN side only, q47's exact parity discipline
+  // (integer idf, exact decimal constants, per-term contributions
+  // added in FIXED textual order over the literal 8-term query
+  // vocabulary, round 4).
+  //
+  // 100 TB shape: corpus side is q47's plan (explode → per-doc pivot,
+  // one narrow shuffle of ids+doubles); the eval side (per-query term
+  // flags and the leak-pair set) is benchmark-sized and BROADCASTS —
+  // the pair scorer is a broadcast nested loop, linear in the corpus;
+  // the final per-query top-k is one window over (eval_id, doc_id,
+  // score) ids. Corpus text never shuffles (PlanAuditSpec).
+  private[graft] val HnTerms =
+    Seq("hash", "join", "merge", "scan", "sort", "filter", "group",
+      "window")
+  private[graft] final val HnK = 5
+
+  private def q119(s: SparkSession, d: String): DataFrame =
+    hardNegatives(Tables.documents(s, d))
+
+  /** The mining core over any (doc_id, text) corpus — exposed for
+    * HardNegativeSpec's constructed fixtures (leaked-doc exclusion,
+    * rank order, boundary cases) which the corpus hash gate cannot
+    * stage. */
+  private[graft] def hardNegatives(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = docs.filter(col("doc_id") % 10 === 3)
+    val tr = docs.filter(col("doc_id") % 10 =!= 3)
+    val words = tr.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+        lit(0))).as("w"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tokens")))
+    val tf = words.filter(col("w").isin(HnTerms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+    val scored = tf.join(df, "w").join(dl, "doc_id").crossJoin(corpus)
+      .select(col("doc_id"), col("w"),
+        ((col("n_docs") - col("df")) * col("tf") * lit(2.2) /
+          (col("tf") + lit(0.3) + lit(0.9) *
+            ((col("dl") * col("n_docs")).cast("double") /
+              col("tot_tokens").cast("double")))).as("s"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .pivot("w", HnTerms).agg(first(col("s")))
+      .select(col("doc_id") +: HnTerms.map(t => col(t).as(s"s_$t")): _*)
+    val evFlags = ev.select(col("doc_id").as("eval_id"),
+        explode(array_distinct(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0)))).as("w"))
+      .filter(col("w").isin(HnTerms: _*))
+      .groupBy(col("eval_id")).pivot("w", HnTerms).agg(min(lit(1)))
+      .select(col("eval_id") +: HnTerms.map(t => col(t).as(s"q_$t")): _*)
+    // eval grams BROADCAST (q54's discipline: the benchmark shard is
+    // megabytes, the corpus side streams past it)
+    val evGrams = Dedup.ngramEntries(ev, Dedup.DecontN)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val leak = Dedup.ngramEntries(tr, Dedup.DecontN)
+      .select(col("s"), col("doc_id"))
+      .join(broadcast(evGrams), "s")
+      .select(col("eval_id"), col("doc_id")).distinct()
+    val score = round(HnTerms.map(t =>
+      when(col(s"q_$t").isNotNull, coalesce(col(s"s_$t"), lit(0.0)))
+        .otherwise(lit(0.0))).reduce(_ + _), 4)
+    val win = Window.partitionBy(col("eval_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.crossJoin(broadcast(evFlags))
+      .select(col("eval_id"), col("doc_id"), score.as("score"))
+      .where(col("score") > 0)
+      .join(broadcast(leak), Seq("eval_id", "doc_id"), "left_anti")
+      .withColumn("hn_rank", row_number().over(win).cast("int"))
+      .where(col("hn_rank") <= HnK)
+      .select(col("eval_id"), col("hn_rank"), col("doc_id"), col("score"))
+      .orderBy(col("eval_id"), col("hn_rank"))
+  }
+
+  // lazy: cross-module (Dedup.ngramsSql) — the q75Sql init-cycle
+  // discipline
+  private lazy val q119Sql = {
+    val termsIn = HnTerms.map(t => s"'$t'").mkString(", ")
+    val pv = HnTerms.map(t =>
+      s"MAX(CASE WHEN w = '$t' THEN s END) AS s_$t").mkString(",\n    ")
+    val qv = HnTerms.map(t =>
+      s"MAX(CASE WHEN w = '$t' THEN 1 END) AS q_$t").mkString(",\n    ")
+    val fixedSum = HnTerms.map(t =>
+      s"CASE WHEN q_$t IS NOT NULL THEN COALESCE(s_$t, CAST(0 AS DOUBLE))" +
+        s" ELSE CAST(0 AS DOUBLE) END").mkString(" + ")
+    val grams = Dedup.ngramsSql(Dedup.DecontN)
+    s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+       |ev AS (SELECT * FROM documents WHERE doc_id % 10 = 3),
+       |words AS (SELECT doc_id,
+       |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM tr),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+       |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM dl),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+       |       WHERE w IN ($termsIn) GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, w,
+       |    (corpus.n_docs - df.df) * tf.tf * CAST(2.2 AS DOUBLE) /
+       |      (tf.tf + CAST(0.3 AS DOUBLE) + CAST(0.9 AS DOUBLE) *
+       |        (CAST(dl.dl * corpus.n_docs AS DOUBLE) /
+       |          CAST(corpus.tot_tokens AS DOUBLE))) AS s
+       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+       |  CROSS JOIN corpus),
+       |perdoc AS (SELECT doc_id, $pv FROM scored GROUP BY doc_id),
+       |evflag AS (
+       |  SELECT eval_id, $qv
+       |  FROM (SELECT DISTINCT doc_id AS eval_id, w
+       |        FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |          FROM ev)
+       |        WHERE w IN ($termsIn))
+       |  GROUP BY eval_id),
+       |evg AS (SELECT doc_id AS eval_id, unnest($grams) AS s
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |              FROM ev)),
+       |trg AS (SELECT doc_id, unnest($grams) AS s
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |              FROM tr)),
+       |leak AS (SELECT DISTINCT eval_id, doc_id FROM evg JOIN trg
+       |         USING (s)),
+       |pairs AS (
+       |  SELECT e.eval_id, p.doc_id, round($fixedSum, 4) AS score
+       |  FROM evflag e CROSS JOIN perdoc p),
+       |cand AS (
+       |  SELECT * FROM pairs
+       |  WHERE score > 0 AND NOT EXISTS (
+       |    SELECT 1 FROM leak l
+       |    WHERE l.eval_id = pairs.eval_id AND l.doc_id = pairs.doc_id)),
+       |rk AS (SELECT eval_id, doc_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY eval_id
+       |    ORDER BY score DESC, doc_id) AS INT) AS hn_rank
+       |  FROM cand)
+       |SELECT eval_id, hn_rank, doc_id, score FROM rk WHERE hn_rank <= $HnK
+       |ORDER BY eval_id, hn_rank""".stripMargin
+  }
+
+  // ---- q120: tokenizer FERTILITY report (the multilingual-tokenizer
+  // evaluation a pipeline runs before committing to a vocabulary):
+  // encode the corpus with the q66-trained BPE and report, per
+  // language, BPE tokens per word and characters covered per BPE
+  // token. A tokenizer that over-fragments one language (high
+  // bpe_per_word / low chars_per_tok) starves it of effective context
+  // — this is the table that decision reads. Same trained-model reuse
+  // as q71 (ModelCache key "bpe": one training per session feeds
+  // q66/q71/q75/q120).
+  //
+  // 100 TB shape: q71's — the encoder runs over the VOCABULARY (a
+  // bounded table), the corpus-scale pass is explode → broadcast
+  // word→count join → per-lang partial agg; the output is
+  // languages-sized. Oracle: the unrolled q66 CTE stack's v16 layer
+  // IS each word's encoding; the fertility aggregation rides on top.
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Scratch.materialize(bpeVocab(s, d), "q120_vocab")
+    val rank = ModelCache.getOrCompute("bpe", d)(bpeRank(vocab))
+    val wordToks = vocab.as[(String, Long)]
+      .map { case (w, _) => (w, bpeEncode(w, rank).length.toLong) }
+      .toDF("w", "n_bpe")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+          lit(0))).as("w"))
+      .join(broadcast(wordToks), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_toks"))
+    val chars = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    chars.join(toks, "lang")
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_toks"),
+        round(col("n_bpe_toks").cast("double") / col("n_words"), 4)
+          .as("bpe_per_word"),
+        round(col("sum_chars").cast("double") / col("n_bpe_toks"), 4)
+          .as("chars_per_tok"))
+      .orderBy(col("lang"))
+  }
+
+  private val q120Sql =
+    bpeOracleCtes + s""",
+       |enc AS (SELECT w,
+       |  len(list_filter(string_split(syms, ',,'), x -> x <> '')) AS n_bpe
+       |  FROM v$BpeMerges),
+       |docw AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |toks AS (SELECT lang, COUNT(*) AS n_words,
+       |         CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_toks
+       |         FROM docw JOIN enc USING (w) GROUP BY lang),
+       |chars AS (SELECT lang, COUNT(*) AS n_docs,
+       |          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |          FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, n_words, n_bpe_toks,
+       |  round(CAST(n_bpe_toks AS DOUBLE) / n_words, 4) AS bpe_per_word,
+       |  round(CAST(sum_chars AS DOUBLE) / n_bpe_toks, 4) AS chars_per_tok
+       |FROM chars JOIN toks USING (lang) ORDER BY lang""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -1932,5 +2334,9 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q73_quality_classifier", q73, None),
     CatalogEntry("q84_sketch_certificate", q84, Some(q84Sql)),
     CatalogEntry("q86_classifier_certificate", q86, Some(q86Sql)),
+    CatalogEntry("q117_pii_redact", q117, Some(q117Sql)),
+    CatalogEntry("q118_paragraph_dedup", q118, Some(q118Sql)),
+    CatalogEntry("q119_hard_negatives", q119, Some(q119Sql)),
+    CatalogEntry("q120_tokenizer_fertility", q120, Some(q120Sql)),
   )
 }

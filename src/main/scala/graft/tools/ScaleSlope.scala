@@ -76,7 +76,15 @@ object ScaleSlope {
     // companion doubles as q114's PHASE PROBE — its slope isolates the
     // census exchange from the scan-stage rewrite
     "q114_boilerplate_strip", "q114_boiler_census",
-    "q115_boiler_index_merge", "q116_boiler_index_retract")
+    "q115_boiler_index_merge", "q116_boiler_index_retract",
+    // r11 (session 3): the PII scrub (pure scan-stage — should be
+    // near-flat), keep-first paragraph dedup (digest census + the one
+    // corpus reassembly partition — the q114 cost class plus a text
+    // exchange), hard-negative mining (broadcast nested loop over the
+    // eval flags — corpus-linear), and tokenizer fertility (q71's
+    // vocab-encode class)
+    "q117_pii_redact", "q118_paragraph_dedup", "q119_hard_negatives",
+    "q120_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,6 +32,24 @@ class OracleSqlSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q75 oracle lost its merge-product token leg")
   }
 
+  test("q119's oracle carries all eight query-term pivot legs and the gram fence") {
+    val sql = oracles("q119_hard_negatives")
+    for (t <- graft.queries.TextAnalysis.HnTerms) {
+      assert(sql.contains(s"AS s_$t"), s"q119 oracle lost the s_$t pivot leg")
+      assert(sql.contains(s"AS q_$t"), s"q119 oracle lost the q_$t flag leg")
+    }
+    // the cross-module gram expression must have interpolated a real
+    // 8-gram transform, not an empty CASE arm
+    assert(sql.contains("ws[i + 7]"),
+      "q119 oracle lost the 8-gram leak fence (cross-module init cycle?)")
+  }
+
+  test("q120's oracle reads the final merge layer") {
+    val sql = oracles("q120_tokenizer_fertility")
+    assert(sql.contains(s"FROM v${graft.queries.TextAnalysis.BpeMerges}"),
+      "q120 oracle must encode with the final trained layer")
+  }
+
   test("q105/q108 oracles interpolate the real chunk width and stride") {
     val w = graft.queries.Selection.ChunkW
     val st = graft.queries.Selection.ChunkS

@@ -797,6 +797,58 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q117: PII redaction is one narrow scan-stage pass — the only exchange is the demo sort") {
+    val p = planOf("q117_pii_redact")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1,
+      s"the redactor grew a shuffle:\n$p")
+  }
+
+  test("q118: keep-first dedup decides on digests — at most one corpus-text exchange (the reassembly partition)") {
+    // winner election and loser marking ride md5(line) digests + ids;
+    // the ONE text-bearing exchange permitted is the final doc_id
+    // hash partition that brings drop sets to their documents (at this
+    // size Catalyst broadcasts the drop sets and even that disappears)
+    val p = planOf("q118_paragraph_dedup")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
+    val wide = Set("text", "ws", "line", "l", "la", "kept")
+    val textBearing = p.collect { case e: Exchange => e }
+      .count(_.child.output.exists(a => wide(a.name)))
+    assert(textBearing <= 1,
+      s"more than one corpus-text exchange:\n$s")
+  }
+
+  test("q119: hard negatives — eval flags and leak set broadcast, no text in any exchange") {
+    val p = planOf("q119_hard_negatives")
+    val s = p.toString
+    // the pair scorer is a broadcast nested loop over the tiny eval
+    // flags; the contamination fence is a broadcast anti join
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // broadcasts MAY carry eval grams (that is the design — the
+    // benchmark shard ships to every executor); shuffles must not
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.asInstanceOf[Exchange]
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(e => assert(
+      !e.child.output.exists(a => a.name == "text" || a.name == "s"),
+      s"corpus text or grams cross the wire: ${e.child.output.map(_.name)}"))
+  }
+
+  test("q120: fertility rides q71's shape — encoder table broadcasts, no text in any exchange") {
+    val p = planOf("q120_tokenizer_fertility")
+    assert(p.toString.contains("BroadcastHashJoin"), p.toString)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(_.name == "text"),
+      s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("streaming retrieval scorer: zero exchanges — chunk, tokenize, score in one narrow pass") {
     // the stateless-twin claim made structural: run the scorer over a
     // BATCH relation (same plan builder the stream executes per
