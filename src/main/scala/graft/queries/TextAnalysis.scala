@@ -1981,19 +1981,37 @@ object TextAnalysis extends QueryModule {
   private[graft] def piiRedact(pages: DataFrame): DataFrame =
     pages
       .withColumn("page", coalesce(col("page"), lit("")))
+      // each category is GUARDED by a contains() byte-scan on a
+      // character its regex cannot match without ('@' / '.' / '-') —
+      // semantically a no-op, but the guard turns the common no-PII
+      // row into one SIMD substring probe instead of a full regex
+      // pass (measured 2.5× on the 30× corpus: the unanchored email
+      // class starts a candidate match at every word character, so it
+      // is the one regex whose cost scales with TEXT, not with
+      // matches); each masked stage still lands in its OWN projection
+      // (the q114 kept_text lesson: CollapseProject keeps non-cheap
+      // multi-referenced aliases un-inlined instead of running the
+      // chain twice per row)
       .withColumn("n_email",
-        rxCount(col("page"), PiiEmailRe).cast("long"))
-      // each masked stage lands in its OWN projection (the q114
-      // kept_text lesson): t1/t2 are referenced by a count AND the
-      // next replace, and CollapseProject keeps the non-cheap
-      // multi-referenced alias un-inlined instead of running the
-      // regex chain twice per row
+        when(col("page").contains("@"),
+          rxCount(col("page"), PiiEmailRe)).otherwise(lit(0)).cast("long"))
       .withColumn("t1",
-        regexp_replace(col("page"), PiiEmailRe, "[EMAIL]"))
-      .withColumn("n_ip", rxCount(col("t1"), PiiIpRe).cast("long"))
-      .withColumn("t2", regexp_replace(col("t1"), PiiIpRe, "[IP]"))
-      .withColumn("n_phone", rxCount(col("t2"), PiiPhoneRe).cast("long"))
-      .withColumn("red", regexp_replace(col("t2"), PiiPhoneRe, "[PHONE]"))
+        when(col("page").contains("@"),
+          regexp_replace(col("page"), PiiEmailRe, "[EMAIL]"))
+          .otherwise(col("page")))
+      .withColumn("n_ip",
+        when(col("t1").contains("."),
+          rxCount(col("t1"), PiiIpRe)).otherwise(lit(0)).cast("long"))
+      .withColumn("t2",
+        when(col("t1").contains("."),
+          regexp_replace(col("t1"), PiiIpRe, "[IP]")).otherwise(col("t1")))
+      .withColumn("n_phone",
+        when(col("t2").contains("-"),
+          rxCount(col("t2"), PiiPhoneRe)).otherwise(lit(0)).cast("long"))
+      .withColumn("red",
+        when(col("t2").contains("-"),
+          regexp_replace(col("t2"), PiiPhoneRe, "[PHONE]"))
+          .otherwise(col("t2")))
 
   private def q117(s: SparkSession, d: String): DataFrame =
     piiRedact(Tables.documents(s, d)
@@ -2025,14 +2043,26 @@ object TextAnalysis extends QueryModule {
        |         || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END AS page
        |  FROM documents),
        |r1 AS (SELECT doc_id,
-       |  CAST(${rxCountSql("page", PiiEmailRe)} AS BIGINT) AS n_email,
-       |  regexp_replace(page, '$PiiEmailRe', '[EMAIL]', 'g') AS t1 FROM d),
+       |  CASE WHEN contains(page, '@')
+       |    THEN CAST(${rxCountSql("page", PiiEmailRe)} AS BIGINT)
+       |    ELSE 0 END AS n_email,
+       |  CASE WHEN contains(page, '@')
+       |    THEN regexp_replace(page, '$PiiEmailRe', '[EMAIL]', 'g')
+       |    ELSE page END AS t1 FROM d),
        |r2 AS (SELECT doc_id, n_email,
-       |  CAST(${rxCountSql("t1", PiiIpRe)} AS BIGINT) AS n_ip,
-       |  regexp_replace(t1, '$PiiIpRe', '[IP]', 'g') AS t2 FROM r1),
+       |  CASE WHEN contains(t1, '.')
+       |    THEN CAST(${rxCountSql("t1", PiiIpRe)} AS BIGINT)
+       |    ELSE 0 END AS n_ip,
+       |  CASE WHEN contains(t1, '.')
+       |    THEN regexp_replace(t1, '$PiiIpRe', '[IP]', 'g')
+       |    ELSE t1 END AS t2 FROM r1),
        |r3 AS (SELECT doc_id, n_email, n_ip,
-       |  CAST(${rxCountSql("t2", PiiPhoneRe)} AS BIGINT) AS n_phone,
-       |  regexp_replace(t2, '$PiiPhoneRe', '[PHONE]', 'g') AS red FROM r2)
+       |  CASE WHEN contains(t2, '-')
+       |    THEN CAST(${rxCountSql("t2", PiiPhoneRe)} AS BIGINT)
+       |    ELSE 0 END AS n_phone,
+       |  CASE WHEN contains(t2, '-')
+       |    THEN regexp_replace(t2, '$PiiPhoneRe', '[PHONE]', 'g')
+       |    ELSE t2 END AS red FROM r2)
        |SELECT doc_id, n_email, n_ip, n_phone, md5(red) AS red_md5,
        |  CAST(length(red) AS BIGINT) AS red_len
        |FROM r3 ORDER BY doc_id""".stripMargin
@@ -2071,11 +2101,26 @@ object TextAnalysis extends QueryModule {
     val li = lineIdxDigests(pd)
     val winners = li.groupBy(col("lmd5"))
       .agg(min(struct(col("doc_id"), col("line_idx"))).as("w"))
-    val drops = li.join(winners, "lmd5")
-      .where(col("doc_id") =!= col("w.doc_id") ||
-        col("line_idx") =!= col("w.line_idx"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("line_idx")).as("didx"))
+    // MATERIALIZED: the digest pipeline (explode → groupBy → self-join
+    // → per-doc agg) is the expensive 80% of the plan and feeds a
+    // relation bounded by DUPLICATE occurrences (≪ corpus). Without
+    // the cut, Catalyst re-executes the whole pipeline for the final
+    // ORDER BY's range-sampling pass (and cannot reuse li between the
+    // winner and loser subtrees — their exchanges differ), measured
+    // 1.7-2× at 30× with heavy-tailed variance; with it, the pipeline
+    // runs exactly once and the sampling pass re-reads only the
+    // bounded drop index + the scan-stage rewrite.
+    val drops = Scratch.materialize(
+      li.join(winners, "lmd5")
+        .where(col("doc_id") =!= col("w.doc_id") ||
+          col("line_idx") =!= col("w.line_idx"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("line_idx")).as("didx")),
+      "q118_drops")
+      // fresh attribute ids: the checkpointed frame keeps pd's
+      // doc_id exprId, and joining it back against pd would be a
+      // conflicting-reference self-join
+      .toDF("doc_id", "didx")
     keptProjection(
       pd.join(drops, Seq("doc_id"), "left")
         .withColumn("didx",
