@@ -1454,8 +1454,105 @@ object Similarity extends QueryModule {
        |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
        |ORDER BY fused_rank""".stripMargin
 
+  // ---- q121: truncation-dimension evaluation (the Matryoshka/MRL
+  // decision report): before committing an index to a truncated
+  // embedding dimension — the standard serving-cost dial with
+  // MRL-trained encoders — measure what the truncation DOES to
+  // retrieval: per query, the overlap between the full-dimension
+  // exact top-K and the first-`MrlDim`-dimensions top-K (both
+  // re-normalized), plus whether the top-1 survives. Low overlap =
+  // this corpus/encoder cannot serve at that dimension; the report is
+  // the evidence a 4× index-cost saving is (or is not) free.
+  //
+  // Output is INTEGER-only (overlap counts, top-1 ids, a boolean) —
+  // floats exist only inside the two rankings, under q35's exact
+  // parity discipline (ordered-fold double dots, round 4, cand_id
+  // tie-break).
+  //
+  // Scale shape: q35's eval-harness class — a broadcast of the NQ
+  // sampled queries against the candidate scan, one narrow pass
+  // computing BOTH cosines per pair (the truncated dot is a prefix
+  // slice of the same row), two rank windows over (query_id, cand_id,
+  // cf, ct) ids, ONE aggregate. Runs over a query SAMPLE by design;
+  // the production index the decision feeds is q37/q88's IVF.
+  private[graft] final val MrlDim = 16
+
+  /** The eval core, parameterized by truncation dimension — exposed
+    * for MatryoshkaSpec (identity at full dimension, a constructed
+    * ranking flip at tdim=2). */
+  private[graft] def mrlEval(emb: DataFrame, tdim: Int): DataFrame = {
+    val e = withNorm(emb)
+      .withColumn("temb", slice(col("embedding"), 1, tdim))
+      .withColumn("tnrm", sqrt(dot(col("temb"), col("temb"))))
+    val q = e.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("temb").as("q_temb"), col("nrm").as("q_nrm"),
+      col("tnrm").as("q_tnrm"))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("temb").as("c_temb"),
+      col("nrm").as("c_nrm"), col("tnrm").as("c_tnrm"))
+    val scored = broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 4).as("cf"),
+        round(dot(col("q_temb"), col("c_temb")) /
+          (col("q_tnrm") * col("c_tnrm")), 4).as("ct"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cf").desc, col("cand_id"))
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("ct").desc, col("cand_id"))
+    scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rt", row_number().over(wt))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rf") <= K && col("rt") <= K, 1L).otherwise(0L))
+          .as("n_overlap"),
+        max(when(col("rf") === 1, col("cand_id"))).as("top1_full"),
+        max(when(col("rt") === 1, col("cand_id"))).as("top1_trunc"))
+      .select(col("query_id"), col("n_overlap"),
+        col("top1_full"), col("top1_trunc"),
+        (col("top1_full") === col("top1_trunc")).as("top1_match"))
+      .orderBy(col("query_id"))
+  }
+
+  private def q121(s: SparkSession, d: String): DataFrame =
+    mrlEval(Tables.embeddings(s, d), MrlDim)
+
+  private val q121Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, embedding[1:$MrlDim] AS temb,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |e2 AS (
+       |  SELECT vec_id, embedding, temb, nrm,
+       |    sqrt(${dotSql("temb", "temb")}) AS tnrm FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round(${dotSql("q.embedding", "c.embedding")} /
+       |      (q.nrm * c.nrm), 4) AS cf,
+       |    round(${dotSql("q.temb", "c.temb")} /
+       |      (q.tnrm * c.tnrm), 4) AS ct
+       |  FROM e2 q JOIN e2 c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+       |rk AS (
+       |  SELECT query_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cf DESC, cand_id) AS rf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ct DESC, cand_id) AS rt
+       |  FROM scored)
+       |SELECT query_id,
+       |  CAST(SUM(CASE WHEN rf <= $K AND rt <= $K THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  MAX(CASE WHEN rf = 1 THEN cand_id END) AS top1_full,
+       |  MAX(CASE WHEN rt = 1 THEN cand_id END) AS top1_trunc,
+       |  (MAX(CASE WHEN rf = 1 THEN cand_id END) =
+       |   MAX(CASE WHEN rt = 1 THEN cand_id END)) AS top1_match
+       |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q35_topk_cosine", q35, Some(q35Sql)),
+    CatalogEntry("q121_matryoshka_eval", q121, Some(q121Sql)),
     CatalogEntry("q36_ann_lsh", q36, Some(q36Sql)),
     CatalogEntry("q37_ann_ivf", q37, Some(q37Sql)),
     CatalogEntry("q57_ann_pq", q57, Some(q57Sql)),

@@ -84,7 +84,10 @@ object ScaleSlope {
     // eval flags — corpus-linear), and tokenizer fertility (q71's
     // vocab-encode class)
     "q117_pii_redact", "q118_paragraph_dedup", "q119_hard_negatives",
-    "q120_tokenizer_fertility")
+    "q120_tokenizer_fertility",
+    // r11 (session 3): the truncation eval (q35's broadcast eval class
+    // - NQ queries x candidate scan, two dots per pair)
+    "q121_matryoshka_eval")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

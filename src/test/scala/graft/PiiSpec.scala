@@ -101,6 +101,63 @@ class PiiSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzz: the column pipeline equals a pure-JVM reference cascade on 200 adversarial pages; masks never create matches") {
+    import java.util.regex.Pattern
+    val email = Pattern.compile(TextAnalysis.PiiEmailRe)
+    val ip = Pattern.compile(TextAnalysis.PiiIpRe)
+    val phone = Pattern.compile(TextAnalysis.PiiPhoneRe)
+    def ref(page: String): (Long, Long, Long, String) = {
+      def count(p: Pattern, s: String): Long = {
+        val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+      }
+      val ne = count(email, page)
+      val t1 = email.matcher(page).replaceAll("[EMAIL]")
+      val ni = count(ip, t1)
+      val t2 = ip.matcher(t1).replaceAll("[IP]")
+      val np = count(phone, t2)
+      (ne, ni, np, phone.matcher(t2).replaceAll("[PHONE]"))
+    }
+    // adversarial generator: PII fragments, near-misses, boundary
+    // traps, glued digits — everything EXCEPT the mask tokens
+    val rnd = new scala.util.Random(42)
+    val frags = Seq(
+      "a@b.io", "X.Y@Mail.ORG", "user+tag@host.co.uk", "no@tld",
+      "@lead", "trail@", "a@b@c.io", "555-123-4567", "9555-123-4567",
+      "555-12-4567", "1-555-123-4567", "10.0.0.1", "999.1.2.3",
+      "1.2.3.4.5", "v1.2", "..", "-", "a-b-c", "123", "word",
+      "0.0.0.0", "255.255.255.255", "x 1.2.3.4x", "dot.word", "a_b%c")
+    val pages = (0 until 200).map { _ =>
+      (0 until (1 + rnd.nextInt(8)))
+        .map(_ => frags(rnd.nextInt(frags.size)))
+        .mkString(rnd.nextInt(3) match {
+          case 0 => " "
+          case 1 => ""
+          case _ => ", "
+        })
+    }
+    val out = redact(pages.zipWithIndex.map { case (p, i) => (i.toLong, p) })
+    pages.zipWithIndex.foreach { case (p, i) =>
+      val (ne, ni, np, red) = ref(p)
+      assert(out(i.toLong) === ((ne, ni, np, red)),
+        s"engine diverged from the JVM reference on page <$p>")
+      // count/replace consistency: each count equals the masks the
+      // replace actually inserted (inputs never contain mask tokens)
+      def occ(tok: String) =
+        red.sliding(tok.length).count(_ == tok).toLong
+      assert(occ("[EMAIL]") === ne && occ("[IP]") === ni &&
+        occ("[PHONE]") === np, s"count/mask drift on <$p>")
+    }
+    // masks cannot create new matches → redaction is idempotent on
+    // every fuzzed page
+    val again = redact(pages.zipWithIndex.map { case (p, i) =>
+      (i.toLong, ref(p)._4)
+    })
+    pages.indices.foreach { i =>
+      assert(again(i.toLong) === ((0L, 0L, 0L, ref(pages(i))._4)),
+        s"redaction not idempotent on page $i")
+    }
+  }
+
   test("idempotence: redacting already-redacted text is a no-op with zero counts") {
     val once = redact(Seq(
       (1L, "mail a@b.io call 555-123-4567 from 10.0.0.1")))(1L)

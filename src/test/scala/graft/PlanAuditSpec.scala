@@ -849,6 +849,27 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q121: truncation eval — queries broadcast, both cosines in one pass, no vectors in any shuffle") {
+    val p = planOf("q121_matryoshka_eval")
+    assert(p.toString.contains("BroadcastNestedLoopJoin") ||
+      p.toString.contains("BroadcastHashJoin"), p.toString)
+    // withNorm's round-robin repartition deliberately spreads the scan
+    // across cores before the per-row dot products (q35's shape) — the
+    // audit forbids vectors only in KEYED (hash/range) shuffles, where
+    // they would ride a join or aggregation
+    val keyed = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] =>
+        e
+    }
+    assert(keyed.nonEmpty)
+    val vec = Set("embedding", "temb", "q_emb", "c_emb", "q_temb", "c_temb")
+    keyed.foreach(e => assert(
+      !e.child.output.exists(a => vec(a.name)),
+      s"vector payload crosses the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("streaming retrieval scorer: zero exchanges — chunk, tokenize, score in one narrow pass") {
     // the stateless-twin claim made structural: run the scorer over a
     // BATCH relation (same plan builder the stream executes per
