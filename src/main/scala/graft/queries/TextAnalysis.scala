@@ -2013,6 +2013,27 @@ object TextAnalysis extends QueryModule {
           regexp_replace(col("t2"), PiiPhoneRe, "[PHONE]"))
           .otherwise(col("t2")))
 
+  /** The contact-tail SQL expression (single line, safe to embed in
+    * stripMargin blocks) — ONE spelling shared by q117's and q122's
+    * oracles, mirroring [[piiPage]]'s concat order. */
+  private def piiTailSql: String = Seq(
+    "CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||" +
+      " CAST(doc_id AS VARCHAR) || '@' || source || '.example.com'" +
+      " ELSE '' END",
+    "CASE WHEN doc_id % 9 = 0 THEN ' cc admin' ||" +
+      " CAST(doc_id AS VARCHAR) || '@mail.' || source || '.org'" +
+      " ELSE '' END",
+    "CASE WHEN doc_id % 7 = 1 THEN ' call 555-' ||" +
+      " lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||" +
+      " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'" +
+      " ELSE '' END",
+    "CASE WHEN doc_id % 13 = 5 THEN ' sn 9555-123-4567' ELSE '' END",
+    "CASE WHEN doc_id % 17 = 2 THEN ' from 10.' ||" +
+      " CAST(doc_id % 256 AS VARCHAR) || '.' ||" +
+      " CAST((doc_id // 256) % 256 AS VARCHAR) || '.' ||" +
+      " CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END"
+  ).mkString(" || ")
+
   private def q117(s: SparkSession, d: String): DataFrame =
     piiRedact(Tables.documents(s, d)
       .select(col("doc_id"),
@@ -2024,23 +2045,7 @@ object TextAnalysis extends QueryModule {
 
   private val q117Sql =
     s"""WITH d AS (
-       |  SELECT doc_id, text
-       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
-       |         || CAST(doc_id AS VARCHAR) || '@' || source
-       |         || '.example.com' ELSE '' END
-       |    || CASE WHEN doc_id % 9 = 0 THEN ' cc admin'
-       |         || CAST(doc_id AS VARCHAR) || '@mail.' || source
-       |         || '.org' ELSE '' END
-       |    || CASE WHEN doc_id % 7 = 1 THEN ' call 555-'
-       |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |         || ' now' ELSE '' END
-       |    || CASE WHEN doc_id % 13 = 5 THEN ' sn 9555-123-4567'
-       |         ELSE '' END
-       |    || CASE WHEN doc_id % 17 = 2 THEN ' from 10.'
-       |         || CAST(doc_id % 256 AS VARCHAR) || '.'
-       |         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
-       |         || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END AS page
+       |  SELECT doc_id, text || $piiTailSql AS page
        |  FROM documents),
        |r1 AS (SELECT doc_id,
        |  CASE WHEN contains(page, '@')
@@ -2091,9 +2096,9 @@ object TextAnalysis extends QueryModule {
   /** (doc_id, line_idx, lmd5) — the dedup spine: page-line digests
     * WITH their position, so the keep-first winner is recoverable. */
   private[graft] def lineIdxDigests(pd: DataFrame): DataFrame =
-    pd.select(col("doc_id"),
+    pd.select(col("doc_id"), col("source"),
         explode(pageLines(col("doc_id"), col("source"), col("ws"))).as("l"))
-      .select(col("doc_id"), col("l.line_idx").as("line_idx"),
+      .select(col("source"), col("doc_id"), col("l.line_idx").as("line_idx"),
         md5(col("l.line")).as("lmd5"))
 
   private[graft] def paragraphDedup(docs: DataFrame): DataFrame = {
@@ -2147,6 +2152,148 @@ object TextAnalysis extends QueryModule {
        |  CAST(LENGTH(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
        |    ' ' ORDER BY line_idx), '')) AS BIGINT) AS kept_len
        |FROM ranked GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
+  // ---- q122: the composed CLEANING pipeline (the q98 composition
+  // discipline applied to this session's operators): chrome strip
+  // (q114's census policy) → keep-first paragraph dedup OVER THE
+  // SURVIVORS (q118's policy — a stripped chrome occurrence never
+  // competes as a keep-first winner) → PII redaction of the
+  // reassembled text (q117's cascade, over the page with the
+  // constructed contact tail so the scrub stage is observable on this
+  // corpus). One relation carries per-document counts from every
+  // stage (lines, chrome removed, duplicates removed, three PII
+  // categories) plus the final text digest — the manifest row a crawl
+  // cleaning run actually emits. The composition is the point: the
+  // stages share ONE page model and rewrite core, so this entry
+  // hash-fails if any pair of them stops composing.
+  //
+  // 100 TB shape: the census broadcasts (q114), the dedup decision is
+  // digest-only with the bounded drop index materialized (q118), the
+  // redaction is scan-stage (q117) — composing adds NO new exchange
+  // class; the one corpus-text exchange remains the q118 reassembly
+  // partition.
+  private[graft] def cleanPipeline(docs: DataFrame): DataFrame = {
+    val manifest = cleanManifest(docs)
+    // materialize the NARROW manifest before the demo sort: the range
+    // partitioner's sampling pass would otherwise re-execute the whole
+    // composed pipeline a second time (measured ~2× at 100×)
+    Scratch.materialize(manifest, "q122_manifest")
+      .toDF(manifest.columns: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The un-materialized, un-sorted manifest plan — exposed so
+    * PlanAuditSpec can pin the composition's exchange shape (the
+    * materialization cut hides it from the entry's executed plan). */
+  private[graft] def cleanManifest(docs: DataFrame): DataFrame = {
+    val pd = pageDocs(docs)
+    // materialized: the chrome set is semantically tiny (q114's bound)
+    // and feeds BOTH the election and the rewrite scan — without the
+    // cut the census would compute twice
+    val boiler = Scratch.materialize(
+      boilerCensus(pd)
+        .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
+      "q122_boiler").toDF("source", "bset")
+    // keep-first election over surviving lines only — via DIGESTS and
+    // a broadcast anti-join against the chrome pairs (the election
+    // never needs the rewritten page arrays; rebuilding them here
+    // would run the HOF rewrite chain twice over the corpus)
+    val chromePairs = broadcast(
+      boiler.select(col("source"), explode(col("bset")).as("lmd5")))
+    val li = lineIdxDigests(pd)
+      .join(chromePairs, Seq("source", "lmd5"), "left_anti")
+    val winners = li.groupBy(col("lmd5"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("w"))
+    val drops = Scratch.materialize(
+      li.join(winners, "lmd5")
+        .where(col("doc_id") =!= col("w.doc_id") ||
+          col("line_idx") =!= col("w.line_idx"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("line_idx")).as("didx")),
+      "q122_drops")
+      .toDF("doc_id", "didx") // fresh ids (the q118 self-join lesson)
+    val cleaned = pd.join(drops, Seq("doc_id"), "left")
+      .join(broadcast(boiler), Seq("source"), "left")
+      .withColumn("bs", coalesce(col("bset"), array().cast("array<string>")))
+      .withColumn("didx",
+        coalesce(col("didx"), array().cast("array<bigint>")))
+      .withColumn("la", pageLines(col("doc_id"), col("source"), col("ws")))
+      .withColumn("surv", filter(col("la"), l =>
+        !array_contains(col("bs"), md5(l.getField("line")))))
+      .withColumn("kept", filter(col("surv"), l =>
+        !array_contains(col("didx"), l.getField("line_idx"))))
+      // its own projection (the kept_text discipline): clean0 feeds
+      // the tail concat AND the stage counts
+      .withColumn("clean0",
+        array_join(transform(col("kept"), _.getField("line")), " "))
+    piiRedact(cleaned.withColumn("page",
+        piiPage(col("doc_id"), col("source"), col("clean0"))))
+      .select(col("doc_id"), col("source"),
+        size(col("la")).cast("long").as("n_lines"),
+        (size(col("la")) - size(col("surv"))).cast("long").as("n_chrome"),
+        (size(col("surv")) - size(col("kept"))).cast("long").as("n_dups"),
+        col("n_email"), col("n_ip"), col("n_phone"),
+        md5(col("red")).as("clean_md5"),
+        length(col("red")).cast("long").as("clean_len"))
+  }
+
+  private def q122(s: SparkSession, d: String): DataFrame =
+    cleanPipeline(Tables.documents(s, d))
+
+  private val q122Sql = {
+    val tail = piiTailSql
+    s"""WITH ${q114LinesFor("TRUE")},
+       |marked AS (
+       |  SELECT l.doc_id, l.source, l.line_idx, l.line,
+       |    (b.lmd5 IS NOT NULL) AS is_b
+       |  FROM lines l LEFT JOIN boiler b
+       |    ON l.source = b.source AND md5(l.line) = b.lmd5),
+       |ranked AS (
+       |  SELECT doc_id, source, line_idx, line, is_b,
+       |    CASE WHEN is_b THEN NULL ELSE
+       |      ROW_NUMBER() OVER (PARTITION BY md5(line), is_b
+       |        ORDER BY doc_id, line_idx) END AS rn
+       |  FROM marked),
+       |perdoc AS (
+       |  SELECT doc_id, source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_chrome,
+       |    CAST(SUM(CASE WHEN NOT is_b AND rn > 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dups,
+       |    COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+       |      ORDER BY line_idx), '') AS clean0
+       |  FROM ranked GROUP BY doc_id, source),
+       |paged AS (
+       |  SELECT doc_id, source, n_lines, n_chrome, n_dups,
+       |    clean0 || $tail AS page
+       |  FROM perdoc),
+       |r1 AS (SELECT doc_id, source, n_lines, n_chrome, n_dups,
+       |  CASE WHEN contains(page, '@')
+       |    THEN CAST(${rxCountSql("page", PiiEmailRe)} AS BIGINT)
+       |    ELSE 0 END AS n_email,
+       |  CASE WHEN contains(page, '@')
+       |    THEN regexp_replace(page, '$PiiEmailRe', '[EMAIL]', 'g')
+       |    ELSE page END AS t1 FROM paged),
+       |r2 AS (SELECT r1.*  EXCLUDE (t1),
+       |  CASE WHEN contains(t1, '.')
+       |    THEN CAST(${rxCountSql("t1", PiiIpRe)} AS BIGINT)
+       |    ELSE 0 END AS n_ip,
+       |  CASE WHEN contains(t1, '.')
+       |    THEN regexp_replace(t1, '$PiiIpRe', '[IP]', 'g')
+       |    ELSE t1 END AS t2 FROM r1),
+       |r3 AS (SELECT r2.* EXCLUDE (t2),
+       |  CASE WHEN contains(t2, '-')
+       |    THEN CAST(${rxCountSql("t2", PiiPhoneRe)} AS BIGINT)
+       |    ELSE 0 END AS n_phone,
+       |  CASE WHEN contains(t2, '-')
+       |    THEN regexp_replace(t2, '$PiiPhoneRe', '[PHONE]', 'g')
+       |    ELSE t2 END AS red FROM r2)
+       |SELECT doc_id, source, n_lines, n_chrome, n_dups,
+       |  n_email, n_ip, n_phone, md5(red) AS clean_md5,
+       |  CAST(length(red) AS BIGINT) AS clean_len
+       |FROM r3 ORDER BY doc_id""".stripMargin
+  }
 
   // ---- q119: HARD-NEGATIVE mining for retrieval training (the
   // DPR/RocketQA recipe): for every eval/query document, rank the
@@ -2383,5 +2530,6 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q118_paragraph_dedup", q118, Some(q118Sql)),
     CatalogEntry("q119_hard_negatives", q119, Some(q119Sql)),
     CatalogEntry("q120_tokenizer_fertility", q120, Some(q120Sql)),
+    CatalogEntry("q122_clean_pipeline", q122, Some(q122Sql)),
   )
 }

@@ -87,7 +87,10 @@ object ScaleSlope {
     "q120_tokenizer_fertility",
     // r11 (session 3): the truncation eval (q35's broadcast eval class
     // - NQ queries x candidate scan, two dots per pair)
-    "q121_matryoshka_eval")
+    "q121_matryoshka_eval",
+    // r11 (session 3): the composed cleaning pipeline (q114 census +
+    // q118 digest election + q117 scan-stage scrub in one plan)
+    "q122_clean_pipeline")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -819,6 +819,24 @@ class PlanAuditSpec extends SparkSpec {
       s"more than one corpus-text exchange:\n$s")
   }
 
+  test("q122: composed cleaning keeps its parents' shapes — census broadcast, ≤1 corpus-text exchange, no cartesian") {
+    // audit the manifest plan itself — the entry materializes it
+    // before the demo sort, which hides the pipeline from the
+    // executed plan of the sorted relation
+    val p = graft.queries.TextAnalysis
+      .cleanManifest(Tables.documents(spark, sf))
+      .queryExecution.executedPlan
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"chrome set must broadcast:\n$s")
+    val wide = Set("text", "ws", "line", "l", "la", "surv", "kept", "bs")
+    val textBearing = p.collect { case e: Exchange => e }
+      .count(_.child.output.exists(a => wide(a.name)))
+    assert(textBearing <= 1,
+      s"composition grew a corpus-text exchange:\n$s")
+  }
+
   test("q119: hard negatives — eval flags and leak set broadcast, no text in any exchange") {
     val p = planOf("q119_hard_negatives")
     val s = p.toString
