@@ -2034,14 +2034,20 @@ object TextAnalysis extends QueryModule {
       " CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END"
   ).mkString(" || ")
 
-  private def q117(s: SparkSession, d: String): DataFrame =
-    piiRedact(Tables.documents(s, d)
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val report = piiRedact(Tables.documents(s, d)
       .select(col("doc_id"),
         piiPage(col("doc_id"), col("source"), col("text")).as("page")))
       .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
         md5(col("red")).as("red_md5"),
         length(col("red")).cast("long").as("red_len"))
+    // narrow-manifest cut before the demo sort (the q122 lesson): the
+    // range partitioner's sampling pass would otherwise run the whole
+    // redaction chain a second time
+    Scratch.materialize(report, "q117_report")
+      .toDF(report.columns: _*)
       .orderBy(col("doc_id"))
+  }
 
   private val q117Sql =
     s"""WITH d AS (
@@ -2133,8 +2139,13 @@ object TextAnalysis extends QueryModule {
       l => !array_contains(col("didx"), l.getField("line_idx")))
   }
 
-  private def q118(s: SparkSession, d: String): DataFrame =
-    paragraphDedup(Tables.documents(s, d)).orderBy(col("doc_id"))
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val out = paragraphDedup(Tables.documents(s, d))
+    // narrow-manifest cut before the demo sort (the q122 lesson)
+    Scratch.materialize(out, "q118_out")
+      .toDF(out.columns: _*)
+      .orderBy(col("doc_id"))
+  }
 
   private val q118Sql =
     s"""WITH $pageLinesSql,

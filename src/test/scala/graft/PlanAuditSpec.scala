@@ -797,10 +797,19 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
-  test("q117: PII redaction is one narrow scan-stage pass — the only exchange is the demo sort") {
-    val p = planOf("q117_pii_redact")
+  test("q117: PII redaction is one narrow scan-stage pass — zero shuffles before the manifest cut") {
+    // audit the redaction chain itself (the entry materializes the
+    // narrow report before its demo sort, hiding the chain)
+    import org.apache.spark.sql.functions.{col, md5, length}
+    val docs = Tables.documents(spark, sf)
+    val p = graft.queries.TextAnalysis.piiRedact(docs.select(col("doc_id"),
+        graft.queries.TextAnalysis.piiPage(
+          col("doc_id"), col("source"), col("text")).as("page")))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        md5(col("red")), length(col("red")))
+      .queryExecution.executedPlan
     val exchanges = p.collect { case e: Exchange => e }
-    assert(exchanges.size <= 1,
+    assert(exchanges.isEmpty,
       s"the redactor grew a shuffle:\n$p")
   }
 
@@ -808,8 +817,12 @@ class PlanAuditSpec extends SparkSpec {
     // winner election and loser marking ride md5(line) digests + ids;
     // the ONE text-bearing exchange permitted is the final doc_id
     // hash partition that brings drop sets to their documents (at this
-    // size Catalyst broadcasts the drop sets and even that disappears)
-    val p = planOf("q118_paragraph_dedup")
+    // size Catalyst broadcasts the drop sets and even that disappears).
+    // Audit the un-materialized builder — the entry's manifest cut
+    // hides the pipeline from its executed plan.
+    val p = graft.queries.TextAnalysis
+      .paragraphDedup(Tables.documents(spark, sf))
+      .queryExecution.executedPlan
     val s = p.toString
     assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
     val wide = Set("text", "ws", "line", "l", "la", "kept")
