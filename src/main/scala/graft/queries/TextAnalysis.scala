@@ -1694,8 +1694,14 @@ object TextAnalysis extends QueryModule {
       pd.join(broadcast(boiler), Seq("source"), "left"), col("bset"))
   }
 
-  private def q114(s: SparkSession, d: String): DataFrame =
-    boilerStrip(Tables.documents(s, d)).orderBy(col("doc_id"))
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val out = boilerStrip(Tables.documents(s, d))
+    // narrow-manifest cut before the demo sort (the q122 lesson): the
+    // sampling pass otherwise re-runs the census + strip chain
+    Scratch.materialize(out, "q114_out")
+      .toDF(out.columns: _*)
+      .orderBy(col("doc_id"))
+  }
 
   /** The detected chrome itself, for auditability (which lines, how
     * frequent) — the q100_bands-style companion view of q114's state. */

@@ -26,6 +26,10 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
   private def planString(name: String): String = planOf(name).toString
+  // NOTE: entries whose executed plan hides the pipeline behind a
+  // Scratch manifest cut (q114/q117/q118/q122) are audited via the
+  // shared `planOfDf` helper (defined with the lifecycle audits below)
+  // against their un-materialized builders.
 
   test("q02: filter and projection reach the parquet scan") {
     val s = planString("q02_filter_project")
@@ -755,7 +759,10 @@ class PlanAuditSpec extends SparkSpec {
     // array, nor a constructed line ever crosses the wire; the boiler
     // set joins back as a broadcast and the rewrite is an array
     // filter in the same stage as the scan
-    val p = planOf("q114_boilerplate_strip")
+    // audit the un-materialized builder — the entry's manifest cut
+    // (the q122 lesson) hides the pipeline from its executed plan
+    val p = planOfDf(graft.queries.TextAnalysis
+      .boilerStrip(Tables.documents(spark, sf)))
     val s = p.toString
     assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
@@ -802,12 +809,12 @@ class PlanAuditSpec extends SparkSpec {
     // narrow report before its demo sort, hiding the chain)
     import org.apache.spark.sql.functions.{col, md5, length}
     val docs = Tables.documents(spark, sf)
-    val p = graft.queries.TextAnalysis.piiRedact(docs.select(col("doc_id"),
-        graft.queries.TextAnalysis.piiPage(
-          col("doc_id"), col("source"), col("text")).as("page")))
+    val p = planOfDf(graft.queries.TextAnalysis.piiRedact(
+        docs.select(col("doc_id"),
+          graft.queries.TextAnalysis.piiPage(
+            col("doc_id"), col("source"), col("text")).as("page")))
       .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
-        md5(col("red")), length(col("red")))
-      .queryExecution.executedPlan
+        md5(col("red")), length(col("red"))))
     val exchanges = p.collect { case e: Exchange => e }
     assert(exchanges.isEmpty,
       s"the redactor grew a shuffle:\n$p")
@@ -820,9 +827,8 @@ class PlanAuditSpec extends SparkSpec {
     // size Catalyst broadcasts the drop sets and even that disappears).
     // Audit the un-materialized builder — the entry's manifest cut
     // hides the pipeline from its executed plan.
-    val p = graft.queries.TextAnalysis
-      .paragraphDedup(Tables.documents(spark, sf))
-      .queryExecution.executedPlan
+    val p = planOfDf(graft.queries.TextAnalysis
+      .paragraphDedup(Tables.documents(spark, sf)))
     val s = p.toString
     assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
     val wide = Set("text", "ws", "line", "l", "la", "kept")
@@ -836,9 +842,8 @@ class PlanAuditSpec extends SparkSpec {
     // audit the manifest plan itself — the entry materializes it
     // before the demo sort, which hides the pipeline from the
     // executed plan of the sorted relation
-    val p = graft.queries.TextAnalysis
-      .cleanManifest(Tables.documents(spark, sf))
-      .queryExecution.executedPlan
+    val p = planOfDf(graft.queries.TextAnalysis
+      .cleanManifest(Tables.documents(spark, sf)))
     val s = p.toString
     assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
