@@ -106,10 +106,23 @@ object Bench {
     // qNN-prefix keys + 3-decimal medians. Full names, full precision,
     // and per-rep arrays (the round-3 q31-forensics lesson) go to
     // BENCH_DETAIL.json in the repo root for the judge.
+    // qNN prefix, disambiguated on collision (two catalog entries sharing
+    // a number once silently dropped a timing from the parsed JSON map —
+    // the r11 duplicate-q114 lesson): a repeat key gets a letter suffix.
     def short(k: String): String = k.takeWhile(_ != '_')
+    val shortKeys = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      results.map { case (k, _, _) =>
+        val base = short(k)
+        val n = seen.getOrElse(base, 0)
+        seen(base) = n + 1
+        if (n == 0) base else base + ('a' + n - 1).toChar
+      }
+    }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val qs = shortKeys.zip(results).map { case (sk, (_, v, _)) =>
+      "\"" + sk + "\":" + r3(v)
+    }.mkString("{", ",", "}")
     val detail = results.map { case (k, v, ts) =>
       s""""$k":{"median":$v,"reps":${ts.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")

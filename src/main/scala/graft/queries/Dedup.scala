@@ -2183,6 +2183,33 @@ object Dedup extends QueryModule {
        |WHERE p.split <> c.split
        |ORDER BY doc_id""".stripMargin
 
+  /** Split-stability gate, MANIFEST-READ production form (q124) — the
+    * 100 TB shape q111's own doc promises: release N−1's assignment is
+    * never recomputed; it was WRITTEN when release N−1 shipped, as a
+    * split-partitioned parquet manifest in the q67 manifest discipline
+    * (the lifecycle ops on an assignment manifest are per-split —
+    * "release N−1's test docs" is partition PRUNING over the store,
+    * not a scan). The gate then runs ONE fresh clustering (the current
+    * release) and joins it against a narrow 3-column manifest scan —
+    * halving q111's cost, which is 2× a q107 plan by construction.
+    *
+    * Values are q111's exactly (same [[splitAssign]] on the same
+    * snapshot predicates), so the oracle IS q111's SQL — the entry pins
+    * that the store round-trip (write → partition-discovered read-back)
+    * preserves the assignment bit-for-bit. The prev side carries no
+    * text by CONSTRUCTION: the manifest schema is (doc_id, cluster_id,
+    * split) — a release's corpus text cannot leak into the flip report
+    * because it was never stored.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prev = Scratch.materializePartitioned(
+      splitAssign(docs.filter(col("doc_id") % 7 =!= 2), "q124p"),
+      "q124_prev_assign", "split")
+    flipReport(prev,
+      splitAssign(docs.filter(col("doc_id") % 9 =!= 4), "q124c"))
+  }
+
   /** QUALITY-KEEPER selection per duplicate cluster (q113) — the
     * survivor POLICY q55 deliberately fixes as min-doc-id, upgraded to
     * what production pipelines actually keep (RefinedWeb/CCNet keep
@@ -2278,6 +2305,10 @@ object Dedup extends QueryModule {
     CatalogEntry("q107_leak_safe_split", q107, Some(q107Sql)),
     CatalogEntry("q109_corpus_diff", q109, Some(q109Sql)),
     CatalogEntry("q111_split_stability", q111, Some(q111Sql)),
+    // q124's oracle IS q111's SQL: the manifest-read form must hash
+    // identically to the recompute-both form (same splitAssign, same
+    // snapshots; only the prev side's PROVENANCE differs)
+    CatalogEntry("q124_split_stability_manifest", q124, Some(q111Sql)),
     CatalogEntry("q113_quality_keeper", q113, Some(q113Sql)),
   )
 }

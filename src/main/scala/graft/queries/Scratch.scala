@@ -86,6 +86,15 @@ object Scratch {
     *    local bench time). Executor loss would drop a checkpointed
     *    partition, which is exactly why the durable path exists for
     *    cluster runs.
+    *
+    * LIFECYCLE (r11 advice): each invocation pins a fresh checkpoint
+    * copy for the session — repeated invocations accumulate unless the
+    * caller sweeps. Both harnesses do: Bench/Verify run
+    * `Harness.settle` (unpersist every persistent RDD + clearCache)
+    * after every rep/entry, so nothing outlives one measurement. A
+    * long-lived embedding session owns the same contract (settle, or
+    * use [[materializeManaged]] and release); iterative kernels whose
+    * round-k−1 state dies mid-plan must use [[materializeManaged]].
     */
   def materialize(df: DataFrame, name: String): DataFrame =
     df.sparkSession.conf.getOption("graft.scratch.dir") match {

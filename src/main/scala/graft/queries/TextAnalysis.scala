@@ -1947,8 +1947,13 @@ object TextAnalysis extends QueryModule {
   //
   // 100 TB shape: pure scan-stage per-row regex work — no shuffle at
   // all before the demo ORDER BY (PlanAuditSpec pins ≤1 exchange).
+  // explicit [A-Za-z…] classes, NOT (?i): Java's (?i) without
+  // UNICODE_CASE folds ASCII only while DuckDB's RE2 (?i) Unicode-folds
+  // (e.g. the Kelvin sign K ≡ k), a cross-engine count/mask divergence
+  // the fuzz gate (which compares Spark against java.util.regex) cannot
+  // see — spelling the case classes out makes both engines ASCII-exact
   private[graft] final val PiiEmailRe =
-    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] final val PiiIpRe =
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private[graft] final val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
@@ -1972,7 +1977,10 @@ object TextAnalysis extends QueryModule {
       when(docId % 13 === 5, lit(" sn 9555-123-4567")).otherwise(lit("")),
       when(docId % 17 === 2, concat(lit(" from 10."),
         (docId % 256).cast("string"), lit("."),
-        expr("doc_id div 256 % 256").cast("string"), lit("."),
+        // parameter-derived (r11 advice: an expr() here hardcoded the
+        // "doc_id" name, silently ignoring a renamed/derived id col);
+        // shiftright(·,8) IS div-256 for the non-negative id domain
+        (shiftright(docId.cast("long"), 8) % 256).cast("string"), lit("."),
         (docId % 250 + 1).cast("string"))).otherwise(lit("")))
   }
 
@@ -2113,27 +2121,38 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), col("doc_id"), col("l.line_idx").as("line_idx"),
         md5(col("l.line")).as("lmd5"))
 
-  private[graft] def paragraphDedup(docs: DataFrame): DataFrame = {
-    val pd = pageDocs(docs)
-    val li = lineIdxDigests(pd)
+  /** The keep-first ELECTION over a `(source, doc_id, line_idx, lmd5)`
+    * digest spine — winners by `min(struct(doc_id, line_idx))` per
+    * digest, losers aggregated into per-doc drop-index sets. ONE
+    * spelling shared by q118 and q122 (whose election differs only in
+    * the chrome anti-join upstream), UN-materialized — exposed so
+    * PlanAuditSpec can audit the election's exchanges directly (the
+    * r11 advice: the builders' materialize cut truncates lineage, so
+    * auditing their output plans never saw these exchanges at all).
+    */
+  private[graft] def keepFirstDrops(li: DataFrame): DataFrame = {
     val winners = li.groupBy(col("lmd5"))
       .agg(min(struct(col("doc_id"), col("line_idx"))).as("w"))
+    li.join(winners, "lmd5")
+      .where(col("doc_id") =!= col("w.doc_id") ||
+        col("line_idx") =!= col("w.line_idx"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("line_idx")).as("didx"))
+  }
+
+  private[graft] def paragraphDedup(docs: DataFrame): DataFrame = {
+    val pd = pageDocs(docs)
     // MATERIALIZED: the digest pipeline (explode → groupBy → self-join
     // → per-doc agg) is the expensive 80% of the plan and feeds a
     // relation bounded by DUPLICATE occurrences (≪ corpus). Without
     // the cut, Catalyst re-executes the whole pipeline for the final
-    // ORDER BY's range-sampling pass (and cannot reuse li between the
-    // winner and loser subtrees — their exchanges differ), measured
-    // 1.7-2× at 30× with heavy-tailed variance; with it, the pipeline
-    // runs exactly once and the sampling pass re-reads only the
-    // bounded drop index + the scan-stage rewrite.
+    // ORDER BY's range-sampling pass (and cannot reuse the digest
+    // spine between the winner and loser subtrees — their exchanges
+    // differ), measured 1.7-2× at 30× with heavy-tailed variance; with
+    // it, the pipeline runs exactly once and the sampling pass
+    // re-reads only the bounded drop index + the scan-stage rewrite.
     val drops = Scratch.materialize(
-      li.join(winners, "lmd5")
-        .where(col("doc_id") =!= col("w.doc_id") ||
-          col("line_idx") =!= col("w.line_idx"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("line_idx")).as("didx")),
-      "q118_drops")
+      keepFirstDrops(lineIdxDigests(pd)), "q118_drops")
       // fresh attribute ids: the checkpointed frame keeps pd's
       // doc_id exprId, and joining it back against pd would be a
       // conflicting-reference self-join
@@ -2219,15 +2238,7 @@ object TextAnalysis extends QueryModule {
       boiler.select(col("source"), explode(col("bset")).as("lmd5")))
     val li = lineIdxDigests(pd)
       .join(chromePairs, Seq("source", "lmd5"), "left_anti")
-    val winners = li.groupBy(col("lmd5"))
-      .agg(min(struct(col("doc_id"), col("line_idx"))).as("w"))
-    val drops = Scratch.materialize(
-      li.join(winners, "lmd5")
-        .where(col("doc_id") =!= col("w.doc_id") ||
-          col("line_idx") =!= col("w.line_idx"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("line_idx")).as("didx")),
-      "q122_drops")
+    val drops = Scratch.materialize(keepFirstDrops(li), "q122_drops")
       .toDF("doc_id", "didx") // fresh ids (the q118 self-join lesson)
     val cleaned = pd.join(drops, Seq("doc_id"), "left")
       .join(broadcast(boiler), Seq("source"), "left")
@@ -2349,6 +2360,27 @@ object TextAnalysis extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val ev = docs.filter(col("doc_id") % 10 === 3)
     val tr = docs.filter(col("doc_id") % 10 =!= 3)
+    // Eval-side size GUARD (r11 verdict): everything derived from `ev`
+    // below (per-query term flags, the leaked-pair set, the eval gram
+    // broadcast feeding it) is driver/broadcast-resident, and the pair
+    // scorer is a DELIBERATE broadcast nested loop — |corpus|×|eval| by
+    // definition. That is the right plan for a real benchmark shard
+    // (fixed, megabytes), but THIS fixture's shard is doc_id%10==3,
+    // i.e. corpus-proportional — so above a bound the premise is false
+    // and the correct behavior is a loud refusal naming the fallback
+    // (q80's Bloom-summarize + exact-confirm for the leak set; a
+    // shuffled scorer for the flags), not a driver OOM mid-broadcast.
+    // The count is one narrow pushed-down scan of the id column.
+    val maxEvalDocs = docs.sparkSession.conf
+      .getOption("graft.hn.maxEvalDocs").map(_.toLong).getOrElse(2000000L)
+    val nEval = ev.count()
+    require(nEval <= maxEvalDocs,
+      s"hard-negative mining premises a benchmark-sized eval shard " +
+        s"($nEval docs > graft.hn.maxEvalDocs=$maxEvalDocs): the " +
+        "eval-side term flags and leak-pair set broadcast, and the " +
+        "scorer is a broadcast nested loop. For an eval side this " +
+        "large, summarize the leak grams with the q80 Bloom pattern " +
+        "and shuffle the scorer instead of raising the bound.")
     val words = tr.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
         lit(0))).as("w"))
@@ -2532,7 +2564,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q108_chunk_retrieval", q108, Some(q108Sql)),
     CatalogEntry("q53_repetition_signals", q53, Some(q53Sql)),
     CatalogEntry("q114_boilerplate_strip", q114, Some(q114Sql)),
-    CatalogEntry("q114_boiler_census", q114c, Some(q114cSql)),
+    CatalogEntry("q123_boiler_census", q114c, Some(q114cSql)),
     CatalogEntry("q115_boiler_index_merge", q115, Some(q115Sql)),
     CatalogEntry("q116_boiler_index_retract", q116, Some(q116Sql)),
     CatalogEntry("q56_sketch_profile", q56, None),

@@ -75,7 +75,7 @@ object ScaleSlope {
     // and its lifecycle twins (delta census + SUM collapse); the census
     // companion doubles as q114's PHASE PROBE — its slope isolates the
     // census exchange from the scan-stage rewrite
-    "q114_boilerplate_strip", "q114_boiler_census",
+    "q114_boilerplate_strip", "q123_boiler_census",
     "q115_boiler_index_merge", "q116_boiler_index_retract",
     // r11 (session 3): the PII scrub (pure scan-stage — should be
     // near-flat), keep-first paragraph dedup (digest census + the one

@@ -270,4 +270,43 @@ class CurationSpec extends SparkSpec {
     // default, the report is flips-only
     assert(curM(1L) == ((1L, "train")) && curM(2L) == ((1L, "train")), curM)
   }
+
+  test("q124: the manifest-read gate equals the recompute gate, stores only the narrow triple, and prunes by split") {
+    val sp = spark
+    import sp.implicits._
+    // the q111 merge world again — but release N−1's assignment goes
+    // through the STORE (split-partitioned parquet, durable scratch
+    // mode) and is read back, the production form: prev text CANNOT
+    // reach the flip report because it was never written
+    val wsA = (0 until 40).map(i => s"apple18x$i")
+    val wsB = (0 until 40).map(i => s"berry18x$i")
+    val base = Seq((1L, wsB.mkString(" ")), (2L, wsB.mkString(" ")),
+      (10L, wsA.mkString(" ")), (11L, wsA.mkString(" ")))
+    val bridge = (1000L, (wsB ++ wsA).mkString(" "))
+    val prev = graft.queries.Dedup.splitAssign(
+      base.toDF("doc_id", "text"), "t124p")
+    val key = "graft.scratch.dir"
+    sp.conf.set(key, tmpDir("q124-manifest"))
+    val stored =
+      try graft.queries.Scratch.materializePartitioned(
+        prev, "t124_prev_assign", "split")
+      finally sp.conf.unset(key)
+    // the manifest IS the narrow triple — in written column order
+    assert(stored.columns.toSeq == Seq("doc_id", "cluster_id", "split"),
+      stored.columns.mkString(","))
+    // a release's per-split read ("give me N−1's test docs") is
+    // partition PRUNING over the store, never a corpus scan
+    val plan = stored.where(col("split") === "test")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      s"split filter did not reach the scan as pruning:\n$plan")
+    val cur = graft.queries.Dedup.splitAssign(
+      (base :+ bridge).toDF("doc_id", "text"), "t124c")
+    val viaStore = graft.queries.Dedup.flipReport(stored, cur)
+      .as[(Long, Long, Long, String, String, Long)].collect().toSet
+    val recompute = graft.queries.Dedup.flipReport(prev, cur)
+      .as[(Long, Long, Long, String, String, Long)].collect().toSet
+    assert(viaStore == recompute && viaStore.map(_._1) == Set(10L, 11L),
+      s"store round-trip changed the report: $viaStore vs $recompute")
+  }
 }

@@ -78,4 +78,22 @@ class HardNegativeSpec extends SparkSpec {
     val out = mine(rows)
     assert(out.count(_._1 == 3L) === TextAnalysis.HnK)
   }
+
+  test("eval-shard size guard refuses loudly above the bound (the broadcast-premise contract)") {
+    // the miner's eval-side relations broadcast and its scorer is a
+    // broadcast nested loop — the design premise is a benchmark-SIZED
+    // eval shard, and above the bound the correct behavior is a
+    // refusal naming the Bloom fallback, never a driver OOM
+    // two term-free train docs keep the integer idf (N − df) positive
+    val rows = Seq(3L -> evalText, 13L -> evalText, 1L -> "hash join",
+      2L -> "plain filler words", 4L -> "more filler here")
+    val sp = spark
+    sp.conf.set("graft.hn.maxEvalDocs", "1")
+    val e = try intercept[IllegalArgumentException](mine(rows))
+    finally sp.conf.unset("graft.hn.maxEvalDocs")
+    assert(e.getMessage.contains("maxEvalDocs") &&
+      e.getMessage.contains("Bloom"), e.getMessage)
+    // at the default bound the same input mines normally
+    assert(mine(rows).nonEmpty)
+  }
 }

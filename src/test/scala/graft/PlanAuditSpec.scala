@@ -838,6 +838,26 @@ class PlanAuditSpec extends SparkSpec {
       s"more than one corpus-text exchange:\n$s")
   }
 
+  test("q118/q122: the keep-first ELECTION subtree itself is digest-only — no wide column in any of its exchanges") {
+    // the builders materialize the drop index (the manifest cut), so
+    // the election's winner-groupBy / digest-join / per-doc-agg
+    // exchanges are invisible to the tests above (r11 advice: their
+    // assertions were vacuous for this subtree) — audit it directly,
+    // un-materialized, via the shared keepFirstDrops spelling
+    import graft.queries.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val p = planOfDf(TextAnalysis.keepFirstDrops(
+      TextAnalysis.lineIdxDigests(TextAnalysis.pageDocs(docs))))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
+    val wide = Set("text", "ws", "line", "l", "la", "kept", "page")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, s)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(a => wide(a.name)),
+      s"election shuffles corpus text: ${e.child.output.map(_.name)}\n$s"))
+  }
+
   test("q122: composed cleaning keeps its parents' shapes — census broadcast, ≤1 corpus-text exchange, no cartesian") {
     // audit the manifest plan itself — the entry materializes it
     // before the demo sort, which hides the pipeline from the
