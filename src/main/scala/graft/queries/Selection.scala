@@ -704,8 +704,10 @@ object Selection extends QueryModule {
     * filter — zero wide exchanges; the output sort is the harness
     * comparability cost.
     */
-  private def q112(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** The q112 acceptance plan, un-materialized and unsorted — exposed
+    * so PlanAuditSpec can pin the broadcast/scan-stage shape the
+    * entry's manifest cut hides from its executed plan. */
+  private[graft] def balancedSample(docs: DataFrame): DataFrame = {
     // balance over LANGUAGE — the mT5 axis, and the fixture's one
     // genuinely skewed stratum (en ≈ 3× the rest; `source` is uniform
     // by construction, which would make the policy vacuously r = 1)
@@ -721,6 +723,15 @@ object Selection extends QueryModule {
           md5(concat(lit("bal|"), col("doc_id").cast("string")))).as("h"))
       .filter(col("h").cast("double") / lit(281474976710656.0) < col("r"))
       .select(col("doc_id"), col("lang"), col("n_lang"), col("rate4"))
+  }
+
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val kept = balancedSample(Tables.documents(s, d))
+    // narrow-manifest cut before the demo sort (the q122 lesson): the
+    // accepted rows are 4 small columns; without the cut the range
+    // sampler re-runs the corpus scan + acceptance filter a second time
+    Scratch.materialize(kept, "q112_kept")
+      .toDF(kept.columns: _*)
       .orderBy(col("doc_id"))
   }
 
@@ -1060,9 +1071,18 @@ object Selection extends QueryModule {
     * no shuffle at all until the output sort; at 100 TB this is the
     * map side of whatever consumes the chunks.
     */
-  private def q105(s: SparkSession, d: String): DataFrame =
-    chunkDocs(Tables.documents(s, d))
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    // manifest cut before the demo sort (the q122 lesson): the chunker
+    // is a per-row flatMap whose regex tokenization dominates — without
+    // the cut the range sampler tokenizes the whole corpus a second
+    // time. The pinned relation is the OUTPUT itself (chunk text), the
+    // one text-bearing cut in the family: re-execution costs more than
+    // the one-copy residency, and Harness.settle reclaims it per rep.
+    val chunks = chunkDocs(Tables.documents(s, d))
+    Scratch.materialize(chunks, "q105_chunks")
+      .toDF(chunks.columns: _*)
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
 
   /** The chunker itself, sort-free — the spec feeds it synthetic edge
     * shapes (empty / one-token / exactly-W / W+1 documents) the corpus

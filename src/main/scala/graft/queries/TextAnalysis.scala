@@ -1524,6 +1524,55 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Per-SOURCE sketch certificate (q125) — q84's envelope check at the
+    * granularity the sketch profile is actually consumed at (r11
+    * verdict #7: q84 pins per-language bounds over 5 wide groups; a
+    * per-source regression — 20 narrower groups, smaller cardinalities
+    * where HLL++ relative error is worst — could hide inside a green
+    * q84). Same contract: exact per-source distinct-doc and vocabulary
+    * counts hash against DuckDB bit-for-bit, and every HLL++ estimate
+    * must land inside its documented 3σ envelope (rsd 0.02 → 6%) as an
+    * oracle-pinned boolean. A Spark sketch drift now breaks at BOTH
+    * granularities. (Exact distincts are correctness-harness cost, not
+    * the 100 TB path — q56 remains the production shape.)
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = docs.select(col("source"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("exact_vocab"),
+        approx_count_distinct(col("w"), 0.02).as("av"))
+    val perDoc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("exact_distinct_docs"),
+        approx_count_distinct(md5(col("text")), 0.02).as("ad"))
+    vocab.join(perDoc, "source")
+      .select(col("source"), col("n_docs"), col("exact_vocab"),
+        col("exact_distinct_docs"),
+        (abs(col("av") - col("exact_vocab")) <=
+          col("exact_vocab").cast("double") * 0.06).as("vocab_in_bounds"),
+        (abs(col("ad") - col("exact_distinct_docs")) <=
+          col("exact_distinct_docs").cast("double") * 0.06)
+          .as("docs_in_bounds"))
+      .orderBy(col("source"))
+  }
+
+  private val q125Sql =
+    """WITH w AS (
+      |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |v AS (
+      |  SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_vocab
+      |  FROM w GROUP BY source),
+      |d AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct_docs
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, exact_vocab, exact_distinct_docs,
+      |  TRUE AS vocab_in_bounds, TRUE AS docs_in_bounds
+      |FROM v JOIN d USING (source) ORDER BY source""".stripMargin
+
   private val q86Sql = {
     val ok = qualityOkSql("text")
     s"""SELECT ($ok) AS label,
@@ -2574,6 +2623,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q71_bpe_encode", q71, Some(q71Sql)),
     CatalogEntry("q73_quality_classifier", q73, None),
     CatalogEntry("q84_sketch_certificate", q84, Some(q84Sql)),
+    CatalogEntry("q125_sketch_source_certificate", q125, Some(q125Sql)),
     CatalogEntry("q86_classifier_certificate", q86, Some(q86Sql)),
     CatalogEntry("q117_pii_redact", q117, Some(q117Sql)),
     CatalogEntry("q118_paragraph_dedup", q118, Some(q118Sql)),

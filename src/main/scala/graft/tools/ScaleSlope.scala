@@ -67,6 +67,9 @@ object ScaleSlope {
     // r11: the release-gate split-stability report (two q107 plans
     // joined on the id spine — must inherit q107's CC scale posture ×2)
     "q111_split_stability",
+    // r12: the manifest-read production form (ONE q107 plan + a narrow
+    // stored-manifest scan — should track ~half of q111)
+    "q124_split_stability_manifest",
     // r11: the rebalance sampler (q48-class scan filter — should be
     // near-flat) and the quality-keeper (q55's CC plan + one agg)
     "q112_balanced_sample", "q113_quality_keeper",

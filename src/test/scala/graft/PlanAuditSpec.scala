@@ -524,8 +524,13 @@ class PlanAuditSpec extends SparkSpec {
     // q54's broadcast discipline fused with q72's rewrite shape: the
     // only gram comparison is map-side against the broadcast eval set,
     // so no exchange may carry a gram column, and text appears only in
-    // the rewrite join and the ordered output
-    val p = planOf("q104_decont_cut")
+    // the rewrite join and the ordered output. Audit the un-materialized
+    // builder — the entry's cut-table manifest cut hides the gram
+    // pipeline from its executed plan.
+    val docs104 = Tables.documents(spark, sf)
+    val p = planOfDf(graft.queries.Dedup.cutRewrite(
+      docs104.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 3),
+      graft.queries.Dedup.decontCuts(docs104)))
     val s = p.toString
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"), s)
@@ -563,22 +568,32 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q105: chunking is one stateless map — the only exchange is the output sort") {
     // the chunker must stay the map side of whatever consumes it: no
-    // join, no aggregation, and the sole exchange is the ORDER BY's
-    // range partitioning of the finished chunk rows
+    // join, no aggregation, no exchange AT ALL in the chunk subtree
+    // (audited un-materialized — the entry's manifest cut hides it);
+    // the entry plan keeps only the ORDER BY's range partitioning of
+    // the checkpointed chunk rows
+    val chunker = planOfDf(graft.queries.Selection.chunkDocs(
+      Tables.documents(spark, sf)))
+    assert(chunker.collect { case e: Exchange => e }.isEmpty,
+      s"chunking must not shuffle:\n$chunker")
+    assert(!chunker.toString.contains("Join"),
+      s"chunking must not join:\n$chunker")
     val p = planOf("q105_chunk_windows")
     val exchanges = p.collect { case e: Exchange => e }
-    assert(exchanges.size == 1, s"chunking must not shuffle before the sort:\n$p")
+    assert(exchanges.size == 1, s"entry must keep only the sort:\n$p")
     assert(exchanges.head.outputPartitioning.getClass.getSimpleName
       .contains("RangePartitioning"), s"sole exchange must be the sort:\n$p")
-    assert(!p.toString.contains("Join"), s"chunking must not join:\n$p")
   }
 
   test("q106: eval grams ride a broadcast into the corpus scan; text never shuffles") {
     // the leak report is q54's discipline viewed from the eval side:
     // the corpus-wide work is the gram flatMap + a map-side broadcast
     // join; every exchange after it carries surviving (gram, doc)
-    // pairs — LEAK-sized — and document text crosses no wire at all
-    val p = planOf("q106_eval_leak_report")
+    // pairs — LEAK-sized — and document text crosses no wire at all.
+    // Audit the un-materialized builder — the entry's manifest cut
+    // hides the gram pipelines from its executed plan.
+    val p = planOfDf(graft.queries.Dedup.leakReport(
+      Tables.documents(spark, sf)))
     val s = p.toString
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"), s)
@@ -741,7 +756,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q112: rebalance is a scan-stage hash filter — rates broadcast, no text or window in any exchange") {
-    val p = planOf("q112_balanced_sample")
+    // audit the un-materialized builder — the entry's manifest cut
+    // hides the acceptance plan from its executed plan
+    val p = planOfDf(graft.queries.Selection.balancedSample(
+      Tables.documents(spark, sf)))
     val s = p.toString
     assert(!s.contains("Window"), s)
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
