@@ -2079,6 +2079,166 @@ object Dedup extends QueryModule {
        |  WHERE ${pred("d.doc_id")})""".stripMargin
   }
 
+  // ---- q127: document CONTAINMENT / engulfment detection — the dedup
+  // gap every Jaccard-based stage shares (Broder's containment vs
+  // resemblance distinction): a small document living INSIDE a larger
+  // one (a quoted article, a mirrored excerpt, a scraped snippet) has
+  // LOW Jaccard with its container — |A∩B|/|A∪B| shrinks as B grows —
+  // so MinHash bands (q32) rarely collide it and the near-dup family
+  // never sees it. Containment |A∩B|/|A| is the right measure, and its
+  // scalable candidate generator is different from LSH: a contained
+  // document shares ALL its grams with the container, so probing the
+  // inverted gram index with each document's RAREST grams (smallest
+  // df — the cheapest buckets) finds every true engulfment by
+  // construction (recall = 1 for containment = 1.0; for τ < 1 the
+  // stated contract is that a miss requires all `ContainProbes` rarest
+  // grams to fall in the missing fraction). Exact confirm then runs
+  // only on candidate pairs.
+  //
+  // 100 TB shape: text reduces to (doc_id, 32-char gram digest) in the
+  // scan stage (the q118 lmd5 convention); df and sizes are partial
+  // aggregations; the probe join's fan-out per probe is df(g) — rarest-
+  // first keeps it minimal, and `graft.contain.dfCap` is the loud scale
+  // guard (a probe gram hotter than the cap is skipped; a document
+  // whose ContainProbes rarest grams are ALL hotter is unprobeable —
+  // the documented recall trade, never an all-pairs fallback). The
+  // corpus is word soup with no natural engulfment, so — the q114/q117
+  // construction discipline — snippet documents (the first 40% of
+  // words, id + 1e6) are constructed for doc_id ≡ 2 (mod 9), giving
+  // the operator true engulfments to find in both engines.
+  private[graft] final val ContainTau = 0.9
+  private[graft] final val ContainProbes = 3
+  private[graft] final val SnipOff = 1000000L
+
+  /** docs ∪ constructed snippet docs (the observable-engulfment layer,
+    * deterministic in both engines). */
+  private[graft] def withSnippets(docs: DataFrame): DataFrame = {
+    val snip = docs
+      .withColumn("wsa",
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      .where(col("doc_id") % 9 === 2 && size(col("wsa")) >= 30)
+      .select((col("doc_id") + SnipOff).as("doc_id"),
+        array_join(slice(col("wsa"), lit(1),
+          floor(size(col("wsa")) * 0.4).cast("int")), " ").as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(snip)
+  }
+
+  /** The containment kernel over any `(doc_id, text)` corpus — exposed
+    * for ContainmentSpec's constructed fixtures (exact engulfment,
+    * below-τ rejection, the df-cap recall trade). */
+  private[graft] def containmentReport(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfCap = corpus.sparkSession.conf
+      .getOption("graft.contain.dfCap").map(_.toLong).getOrElse(10000L)
+    // per-doc DISTINCT gram ids — the q64/q72 48-bit convention
+    // (hex12ToLong(md5)): 8 bytes per gram instead of a 32-char hex
+    // string across the operator's two full-gram-table shuffles (df
+    // and the per-doc rarest window) and the five-consumer checkpoint.
+    // Collision posture as at q64/q72: a 48-bit collision can only ADD
+    // a shared gram (never remove one), inflating one containment
+    // fraction by 1/|G_d|; the sf0.01 oracle gate runs where collision
+    // odds are ~2⁻¹¹ per corpus. Materialized — five legs below
+    // (sizes, df, probes, both confirm sides) consume it. ContainProf
+    // attribution at 100×: this scan+checkpoint is the dominant,
+    // irreducible corpus-linear term (~80 s of 159 s) — the q64 gram-
+    // scan class.
+    val g = Scratch.materialize(
+      ngramEntries(corpus, DecontN)
+        .select(col("doc_id"), hex12ToLong(md5(col("s"))).as("gid")),
+      "q127_grams").toDF("doc_id", "gid")
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val dfs = g.groupBy(col("gid")).agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("gid"))
+    val probes = g.join(dfs, "gid")
+      .withColumn("rk", row_number().over(win))
+      .where(col("rk") <= ContainProbes && col("df") <= dfCap)
+      .select(col("doc_id").as("d"), col("gid"))
+    val cand = probes
+      .join(g.select(col("gid"), col("doc_id").as("c")), "gid")
+      .where(col("d") =!= col("c"))
+      .select(col("d"), col("c")).distinct()
+      .join(sizes.select(col("doc_id").as("d"), col("ng").as("nd")), "d")
+      // strictly smaller inside strictly larger: equal gram sets are
+      // q30/q61's exact-dup territory, not engulfment
+      .join(sizes.select(col("doc_id").as("c"), col("ng").as("nc")), "c")
+      .where(col("nc") > col("nd"))
+      .select(col("d"), col("c"), col("nd"))
+    // Exact confirm on CANDIDATE-BOUNDED gram relations (r12 ContainProf
+    // attribution: joining the full gram table twice — by d, then by
+    // (c, gid) — re-shuffled all 24M rows both times and was 98 of the
+    // entry's 213 s at 100×; with the id filters it shuffles only the
+    // candidates' grams). The id sets are candidate-bounded 8-byte
+    // keys — probe fan-out already dfCap-guarded — and BROADCAST into
+    // the gram scan, so the full table crosses no further exchange.
+    val candM = Scratch.materialize(cand, "q127_cand").toDF("d", "c", "nd")
+    val dIds = broadcast(candM.select(col("d").as("doc_id")).distinct())
+    val cIds = broadcast(candM.select(col("c").as("doc_id")).distinct())
+    val gd = g.join(dIds, Seq("doc_id"), "left_semi")
+    val gc = g.join(cIds, Seq("doc_id"), "left_semi")
+    candM
+      .join(gd.select(col("doc_id").as("d"), col("gid")), "d")
+      .join(gc.select(col("doc_id").as("c"), col("gid")),
+        Seq("c", "gid"), "left_semi")
+      .groupBy(col("d"), col("c"), col("nd"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared").cast("double") / col("nd") >= ContainTau)
+      .select(col("d").as("doc_id"), col("c").as("container_id"),
+        col("nd").as("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("nd"), 4)
+          .as("containment"))
+      .orderBy(col("doc_id"), col("container_id"))
+  }
+
+  private def q127(s: SparkSession, d: String): DataFrame =
+    containmentReport(withSnippets(Tables.documents(s, d)))
+
+  private val q127Sql =
+    s"""WITH snip AS (
+       |  SELECT doc_id + $SnipOff AS doc_id,
+       |    array_to_string(ws[1:CAST(floor(len(ws) * 0.4) AS INT)], ' ')
+       |      AS text
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |        FROM documents)
+       |  WHERE doc_id % 9 = 2 AND len(ws) >= 30),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM snip),
+       |gx AS (SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |             FROM corpus)),
+       |g AS (SELECT doc_id, ${hex12ToLongSql("md5(unnest(sh))")} AS gid
+       |       FROM gx),
+       |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1),
+       |dfx AS (SELECT gid, COUNT(*) AS df FROM g GROUP BY 1),
+       |probes AS (
+       |  SELECT doc_id AS d, gid FROM (
+       |    SELECT g.doc_id, g.gid, dfx.df,
+       |      ROW_NUMBER() OVER (PARTITION BY g.doc_id
+       |        ORDER BY dfx.df, g.gid) AS rk
+       |    FROM g JOIN dfx USING (gid))
+       |  WHERE rk <= $ContainProbes AND df <= 10000),
+       |cand AS (
+       |  SELECT cd.d, cd.c, sd.ng AS nd
+       |  FROM (SELECT DISTINCT p.d, i.doc_id AS c
+       |        FROM probes p JOIN g i USING (gid)
+       |        WHERE i.doc_id <> p.d) cd
+       |  JOIN sizes sd ON sd.doc_id = cd.d
+       |  JOIN sizes sc ON sc.doc_id = cd.c
+       |  WHERE sc.ng > sd.ng),
+       |sh AS (
+       |  SELECT cs.d, cs.c, cs.nd, COUNT(*) AS n_shared
+       |  FROM cand cs
+       |  JOIN g gd ON gd.doc_id = cs.d
+       |  JOIN g gc ON gc.doc_id = cs.c AND gc.gid = gd.gid
+       |  GROUP BY 1, 2, 3)
+       |SELECT d AS doc_id, c AS container_id,
+       |  CAST(nd AS BIGINT) AS n_grams,
+       |  CAST(n_shared AS BIGINT) AS n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / nd, 4) AS containment
+       |FROM sh WHERE CAST(n_shared AS DOUBLE) / nd >= $ContainTau
+       |ORDER BY doc_id, container_id""".stripMargin
+
   private val q107Sql =
     s"""WITH RECURSIVE ${splitSqlCtes("", _ => "TRUE")}
        |SELECT doc_id, cluster_id, split
@@ -2338,6 +2498,7 @@ object Dedup extends QueryModule {
     // identically to the recompute-both form (same splitAssign, same
     // snapshots; only the prev side's PROVENANCE differs)
     CatalogEntry("q124_split_stability_manifest", q124, Some(q111Sql)),
+    CatalogEntry("q127_containment", q127, Some(q127Sql)),
     CatalogEntry("q113_quality_keeper", q113, Some(q113Sql)),
   )
 }

@@ -2599,6 +2599,89 @@ object TextAnalysis extends QueryModule {
        |  round(CAST(sum_chars AS DOUBLE) / n_bpe_toks, 4) AS chars_per_tok
        |FROM chars JOIN toks USING (lang) ORDER BY lang""".stripMargin
 
+  // ---- q126: the C4/FineWeb RULE-FILTER battery (Raffel et al. 2020
+  // §2.2; the doc-level heuristics every web-crawl pipeline runs before
+  // any model-based scoring): terminal punctuation, no code/template
+  // residue ('{', "javascript"), no placeholder text ("lorem ipsum"),
+  // no policy boilerplate ("cookie policy"), a minimum length. The
+  // corpus is punctuation-free word soup, so — the q114/q117
+  // construction discipline — the observable artifacts are CONSTRUCTED
+  // deterministically in both engines at coprime doc_id moduli: a
+  // terminal '.' (%2), a "javascript" token (%13==6), " lorem ipsum "
+  // (%23==4), a '{' (%11==7), " cookie policy" (%19==3); the length
+  // rule reads the natural 8–100-word variance. Every rule's flag is
+  // emitted alongside the composed verdict (the q79 reasons
+  // discipline: a pipeline owner needs WHY, not just keep/drop).
+  //
+  // 100 TB shape: pure scan-stage column expressions — contains() byte
+  // scans and one endswith, no regex, no shuffle before the demo sort.
+  private[graft] final val C4MinWords = 50
+
+  /** The constructed page: text + deterministic rule triggers. */
+  private[graft] def c4Page(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 13 === 6, lit(" javascript required"))
+        .otherwise(lit("")),
+      when(docId % 23 === 4, lit(" lorem ipsum dolor")).otherwise(lit("")),
+      when(docId % 11 === 7, lit(" template { block }")).otherwise(lit("")),
+      when(docId % 19 === 3, lit(" see our cookie policy"))
+        .otherwise(lit("")),
+      when(docId % 2 === 0, lit(".")).otherwise(lit("")))
+
+  /** The battery over a page column — ONE spelling for the entry and
+    * C4FilterSpec's constructed fixtures. */
+  private[graft] def c4Flags(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("page", coalesce(col("page"), lit("")))
+      .withColumn("r_terminal", col("page").endsWith("."))
+      .withColumn("r_words",
+        size(regexp_extract_all(col("page"), lit("\\S+"), lit(0)))
+          >= C4MinWords)
+      .withColumn("r_js", !col("page").contains("javascript"))
+      .withColumn("r_lorem", !col("page").contains("lorem ipsum"))
+      .withColumn("r_brace", !col("page").contains("{"))
+      .withColumn("r_policy", !col("page").contains("cookie policy"))
+      .withColumn("keep",
+        col("r_terminal") && col("r_words") && col("r_js") &&
+          col("r_lorem") && col("r_brace") && col("r_policy"))
+
+  private def q126(s: SparkSession, d: String): DataFrame =
+    c4Flags(Tables.documents(s, d)
+      .select(col("doc_id"),
+        c4Page(col("doc_id"), col("text")).as("page")))
+      .select(col("doc_id"), col("r_terminal"), col("r_words"),
+        col("r_js"), col("r_lorem"), col("r_brace"), col("r_policy"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+
+  private val q126Sql =
+    s"""WITH p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 13 = 6 THEN ' javascript required'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 23 = 4 THEN ' lorem ipsum dolor'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 7 THEN ' template { block }'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 19 = 3 THEN ' see our cookie policy'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS page
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ends_with(page, '.') AS r_terminal,
+       |  len(regexp_extract_all(page, '\\S+')) >= $C4MinWords AS r_words,
+       |  NOT contains(page, 'javascript') AS r_js,
+       |  NOT contains(page, 'lorem ipsum') AS r_lorem,
+       |  NOT contains(page, '{') AS r_brace,
+       |  NOT contains(page, 'cookie policy') AS r_policy,
+       |  ends_with(page, '.')
+       |    AND len(regexp_extract_all(page, '\\S+')) >= $C4MinWords
+       |    AND NOT contains(page, 'javascript')
+       |    AND NOT contains(page, 'lorem ipsum')
+       |    AND NOT contains(page, '{')
+       |    AND NOT contains(page, 'cookie policy') AS keep
+       |FROM p ORDER BY doc_id""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -2624,6 +2707,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q73_quality_classifier", q73, None),
     CatalogEntry("q84_sketch_certificate", q84, Some(q84Sql)),
     CatalogEntry("q125_sketch_source_certificate", q125, Some(q125Sql)),
+    CatalogEntry("q126_c4_filters", q126, Some(q126Sql)),
     CatalogEntry("q86_classifier_certificate", q86, Some(q86Sql)),
     CatalogEntry("q117_pii_redact", q117, Some(q117Sql)),
     CatalogEntry("q118_paragraph_dedup", q118, Some(q118Sql)),

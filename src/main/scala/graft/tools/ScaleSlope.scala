@@ -70,6 +70,11 @@ object ScaleSlope {
     // r12: the manifest-read production form (ONE q107 plan + a narrow
     // stored-manifest scan — should track ~half of q111)
     "q124_split_stability_manifest",
+    // r12: the C4 rule battery (scan-stage contains()/endswith — the
+    // q117 cost class) and containment/engulfment detection (digest
+    // gram table + rarest-probe inverted join — a new join shape to
+    // hold at scale)
+    "q126_c4_filters", "q127_containment",
     // r11: the rebalance sampler (q48-class scan filter — should be
     // near-flat) and the quality-keeper (q55's CC plan + one agg)
     "q112_balanced_sample", "q113_quality_keeper",

@@ -755,6 +755,31 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus payload crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  test("q126: the C4 battery is one scan-stage pass — the sole exchange is the output sort") {
+    val p = planOf("q126_c4_filters")
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.size == 1, s"rule battery grew a shuffle:\n$p")
+    assert(exchanges.head.outputPartitioning.getClass.getSimpleName
+      .contains("RangePartitioning"), s"sole exchange must be the sort:\n$p")
+    assert(!p.toString.contains("Join"), s"rule battery must not join:\n$p")
+  }
+
+  test("q127: containment shuffles digests and ids only — no text, no raw gram strings, no cartesian") {
+    // text reduces to (doc_id, md5(gram)) inside the scan-stage
+    // mapPartitions; df/sizes/probes/confirm all ride 32-char digests
+    // + longs. The probe join is the rarest-gram inverted index —
+    // never an all-pairs product.
+    val p = planOf("q127_containment")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    val exchanges = p.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(
+      !e.child.output.exists(a => a.name == "text" || a.name == "s"),
+      s"corpus text or raw grams cross the wire: ${e.child.output.map(_.name)}"))
+  }
+
   test("q112: rebalance is a scan-stage hash filter — rates broadcast, no text or window in any exchange") {
     // audit the un-materialized builder — the entry's manifest cut
     // hides the acceptance plan from its executed plan
