@@ -2123,45 +2123,70 @@ object Dedup extends QueryModule {
     docs.select(col("doc_id"), col("text")).unionByName(snip)
   }
 
-  /** The containment kernel over any `(doc_id, text)` corpus — exposed
-    * for ContainmentSpec's constructed fixtures (exact engulfment,
-    * below-τ rejection, the df-cap recall trade). */
-  private[graft] def containmentReport(corpus: DataFrame): DataFrame = {
+  /** (doc_id, gid) — per-doc DISTINCT gram ids in the q64/q72 48-bit
+    * convention (hex12ToLong(md5)): 8 bytes per gram across the
+    * operator's full-gram-table shuffles and the multi-consumer
+    * checkpoint. Collision posture as at q64/q72: a 48-bit collision
+    * can only ADD a shared gram (never remove one), inflating one
+    * containment fraction by 1/|G_d|; the sf0.01 oracle gate runs
+    * where collision odds are ~2⁻¹¹ per corpus. ONE spelling shared by
+    * the index build and the streaming probe's delta side. */
+  private[graft] def gramIds(docs: DataFrame): DataFrame =
+    ngramEntries(docs, DecontN)
+      .select(col("doc_id"), hex12ToLong(md5(col("s"))).as("gid"))
+
+  /** The frozen containment INDEX: gram postings, per-doc gram-set
+    * sizes, per-gram document frequencies — everything a probe needs,
+    * precomputed once at freeze/publish time (in production: three
+    * stored parquet relations, the q69/q99 frozen-index discipline).
+    */
+  private[graft] final case class ContainIndex(
+      g: DataFrame, sizes: DataFrame, dfs: DataFrame)
+
+  private[graft] def buildContainIndex(corpus: DataFrame): ContainIndex = {
+    // materialized — sizes/dfs here plus the probe's three legs consume
+    // it. ContainProf attribution at 100×: this scan+checkpoint is the
+    // dominant, irreducible corpus-linear term (~80 s of 159 s) — the
+    // q64 gram-scan class.
+    val g = Scratch.materialize(gramIds(corpus), "q127_grams")
+      .toDF("doc_id", "gid")
+    ContainIndex(g,
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")),
+      g.groupBy(col("gid")).agg(count(lit(1)).as("df")))
+  }
+
+  /** Probe `delta` documents (as their [[gramIds]] relation + per-doc
+    * sizes) for engulfment in the index's documents — the ONE kernel
+    * behind batch q127 (where delta IS the index corpus) and the
+    * streaming twin (where delta is a micro-batch against a frozen
+    * index). Probe grams are each delta doc's `ContainProbes` rarest
+    * BY INDEX df — a gram absent from the index never probes (it
+    * proves the doc is not fully contained in any index doc, and for
+    * τ < 1 the probe-miss contract applies as stated on q127).
+    */
+  private[graft] def probeContain(idx: ContainIndex, deltaG: DataFrame,
+      deltaSizes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfCap = corpus.sparkSession.conf
+    val dfCap = deltaG.sparkSession.conf
       .getOption("graft.contain.dfCap").map(_.toLong).getOrElse(10000L)
-    // per-doc DISTINCT gram ids — the q64/q72 48-bit convention
-    // (hex12ToLong(md5)): 8 bytes per gram instead of a 32-char hex
-    // string across the operator's two full-gram-table shuffles (df
-    // and the per-doc rarest window) and the five-consumer checkpoint.
-    // Collision posture as at q64/q72: a 48-bit collision can only ADD
-    // a shared gram (never remove one), inflating one containment
-    // fraction by 1/|G_d|; the sf0.01 oracle gate runs where collision
-    // odds are ~2⁻¹¹ per corpus. Materialized — five legs below
-    // (sizes, df, probes, both confirm sides) consume it. ContainProf
-    // attribution at 100×: this scan+checkpoint is the dominant,
-    // irreducible corpus-linear term (~80 s of 159 s) — the q64 gram-
-    // scan class.
-    val g = Scratch.materialize(
-      ngramEntries(corpus, DecontN)
-        .select(col("doc_id"), hex12ToLong(md5(col("s"))).as("gid")),
-      "q127_grams").toDF("doc_id", "gid")
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
-    val dfs = g.groupBy(col("gid")).agg(count(lit(1)).as("df"))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gid"))
-    val probes = g.join(dfs, "gid")
+    val probes = deltaG.join(idx.dfs, "gid")
       .withColumn("rk", row_number().over(win))
       .where(col("rk") <= ContainProbes && col("df") <= dfCap)
       .select(col("doc_id").as("d"), col("gid"))
     val cand = probes
-      .join(g.select(col("gid"), col("doc_id").as("c")), "gid")
+      .join(idx.g.select(col("gid"), col("doc_id").as("c")), "gid")
+      // self-pair guard (the StreamingProbe lesson): under redelivery
+      // (or batch, where delta IS the index) a doc meets itself
       .where(col("d") =!= col("c"))
       .select(col("d"), col("c")).distinct()
-      .join(sizes.select(col("doc_id").as("d"), col("ng").as("nd")), "d")
+      .join(deltaSizes.select(col("doc_id").as("d"), col("ng").as("nd")),
+        "d")
       // strictly smaller inside strictly larger: equal gram sets are
       // q30/q61's exact-dup territory, not engulfment
-      .join(sizes.select(col("doc_id").as("c"), col("ng").as("nc")), "c")
+      .join(idx.sizes.select(col("doc_id").as("c"), col("ng").as("nc")),
+        "c")
       .where(col("nc") > col("nd"))
       .select(col("d"), col("c"), col("nd"))
     // Exact confirm on CANDIDATE-BOUNDED gram relations (r12 ContainProf
@@ -2174,8 +2199,8 @@ object Dedup extends QueryModule {
     val candM = Scratch.materialize(cand, "q127_cand").toDF("d", "c", "nd")
     val dIds = broadcast(candM.select(col("d").as("doc_id")).distinct())
     val cIds = broadcast(candM.select(col("c").as("doc_id")).distinct())
-    val gd = g.join(dIds, Seq("doc_id"), "left_semi")
-    val gc = g.join(cIds, Seq("doc_id"), "left_semi")
+    val gd = deltaG.join(dIds, Seq("doc_id"), "left_semi")
+    val gc = idx.g.join(cIds, Seq("doc_id"), "left_semi")
     candM
       .join(gd.select(col("doc_id").as("d"), col("gid")), "d")
       .join(gc.select(col("doc_id").as("c"), col("gid")),
@@ -2188,6 +2213,15 @@ object Dedup extends QueryModule {
         round(col("n_shared").cast("double") / col("nd"), 4)
           .as("containment"))
       .orderBy(col("doc_id"), col("container_id"))
+  }
+
+  /** The containment kernel over any `(doc_id, text)` corpus — exposed
+    * for ContainmentSpec's constructed fixtures (exact engulfment,
+    * below-τ rejection, the df-cap recall trade). Batch = the probe
+    * kernel with delta ≡ the index corpus. */
+  private[graft] def containmentReport(corpus: DataFrame): DataFrame = {
+    val idx = buildContainIndex(corpus)
+    probeContain(idx, idx.g, idx.sizes)
   }
 
   private def q127(s: SparkSession, d: String): DataFrame =
