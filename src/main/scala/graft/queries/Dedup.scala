@@ -2110,18 +2110,23 @@ object Dedup extends QueryModule {
   private[graft] final val ContainProbes = 3
   private[graft] final val SnipOff = 1000000L
 
-  /** docs ∪ constructed snippet docs (the observable-engulfment layer,
-    * deterministic in both engines). */
-  private[graft] def withSnippets(docs: DataFrame): DataFrame = {
-    val snip = docs
+  /** The constructed snippet docs alone (first 40% of words, id +
+    * SnipOff, for doc_id ≡ 2 mod 9 with ≥30 words) — the observable-
+    * engulfment layer, deterministic in both engines. Exposed
+    * separately so the lifecycle entries (q128/q129) can probe with
+    * snippets of the INDEX population. */
+  private[graft] def snipOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("wsa",
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
       .where(col("doc_id") % 9 === 2 && size(col("wsa")) >= 30)
       .select((col("doc_id") + SnipOff).as("doc_id"),
         array_join(slice(col("wsa"), lit(1),
           floor(size(col("wsa")) * 0.4).cast("int")), " ").as("text"))
-    docs.select(col("doc_id"), col("text")).unionByName(snip)
-  }
+
+  /** docs ∪ constructed snippet docs. */
+  private[graft] def withSnippets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(snipOf(docs))
 
   /** (doc_id, gid) — per-doc DISTINCT gram ids in the q64/q72 48-bit
     * convention (hex12ToLong(md5)): 8 bytes per gram across the
@@ -2143,12 +2148,14 @@ object Dedup extends QueryModule {
   private[graft] final case class ContainIndex(
       g: DataFrame, sizes: DataFrame, dfs: DataFrame)
 
-  private[graft] def buildContainIndex(corpus: DataFrame): ContainIndex = {
+  private[graft] def buildContainIndex(corpus: DataFrame,
+      tag: String = "q127"): ContainIndex = {
     // materialized — sizes/dfs here plus the probe's three legs consume
     // it. ContainProf attribution at 100×: this scan+checkpoint is the
     // dominant, irreducible corpus-linear term (~80 s of 159 s) — the
-    // q64 gram-scan class.
-    val g = Scratch.materialize(gramIds(corpus), "q127_grams")
+    // q64 gram-scan class. Scratch names are tag-keyed (the dekOf
+    // discipline): several containment surfaces coexist in one session.
+    val g = Scratch.materialize(gramIds(corpus), s"${tag}_grams")
       .toDF("doc_id", "gid")
     ContainIndex(g,
       g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")),
@@ -2165,7 +2172,7 @@ object Dedup extends QueryModule {
     * τ < 1 the probe-miss contract applies as stated on q127).
     */
   private[graft] def probeContain(idx: ContainIndex, deltaG: DataFrame,
-      deltaSizes: DataFrame): DataFrame = {
+      deltaSizes: DataFrame, tag: String = "q127"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfCap = deltaG.sparkSession.conf
       .getOption("graft.contain.dfCap").map(_.toLong).getOrElse(10000L)
@@ -2196,7 +2203,8 @@ object Dedup extends QueryModule {
     // candidates' grams). The id sets are candidate-bounded 8-byte
     // keys — probe fan-out already dfCap-guarded — and BROADCAST into
     // the gram scan, so the full table crosses no further exchange.
-    val candM = Scratch.materialize(cand, "q127_cand").toDF("d", "c", "nd")
+    val candM = Scratch.materialize(cand, s"${tag}_cand")
+      .toDF("d", "c", "nd")
     val dIds = broadcast(candM.select(col("d").as("doc_id")).distinct())
     val cIds = broadcast(candM.select(col("c").as("doc_id")).distinct())
     val gd = deltaG.join(dIds, Seq("doc_id"), "left_semi")
@@ -2223,6 +2231,191 @@ object Dedup extends QueryModule {
     val idx = buildContainIndex(corpus)
     probeContain(idx, idx.g, idx.sizes)
   }
+
+  // ---- q128/q129: the INCREMENTAL lifecycle of the containment index
+  // (the q100/q102 frozen-index discipline on a FOURTH state algebra):
+  // the lex index merges by per-key MIN, the semantic index by
+  // per-cluster append, the census by SUM — the containment index is
+  // APPEND-pure: gram postings and per-doc sizes are per-DOCUMENT rows,
+  // so a delta batch's partial index simply unions in (delta-only
+  // work), and the per-gram df collapses at probe time as one COUNT
+  // over the surviving postings. Exactly-once promotion is the same
+  // contract as the census (a doc in two batches would double its
+  // postings and inflate df); retraction is the exact inverse of its
+  // promote — drop the batch's partition rows, and the collapsed index
+  // over the survivors IS the index over the surviving documents.
+  // Cost shape at 100 TB: promote = the delta's gram scan + APPEND;
+  // retract = partition pruning over the batch_id-partitioned store.
+
+  /** Provenance-tagged containment-index partials. */
+  private[graft] final case class ContainIndexP(g: DataFrame,
+      sizes: DataFrame)
+
+  private[graft] def buildContainIndexP(docs: DataFrame, batchId: Long)
+      : ContainIndexP = {
+    val g = gramIds(docs)
+    ContainIndexP(
+      g.withColumn("batch_id", lit(batchId)),
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+        .withColumn("batch_id", lit(batchId)))
+  }
+
+  /** Promote a delta batch: append its partials — no re-aggregation. */
+  private[graft] def mergeContainIndexP(idx: ContainIndexP,
+      deltaDocs: DataFrame, batchId: Long): ContainIndexP = {
+    val d = buildContainIndexP(deltaDocs, batchId)
+    ContainIndexP(idx.g.union(d.g), idx.sizes.union(d.sizes))
+  }
+
+  /** Retract (demote) one promoted batch — drops exactly the rows its
+    * promote appended; over a batch_id-partitioned store this filter is
+    * partition pruning (ContainmentSpec pins it). */
+  private[graft] def retractContainIndexP(idx: ContainIndexP,
+      batchId: Long): ContainIndexP =
+    ContainIndexP(idx.g.filter(col("batch_id") =!= batchId),
+      idx.sizes.filter(col("batch_id") =!= batchId))
+
+  /** Collapse the surviving partials to the probe-ready index: df is
+    * ONE count over the stored postings (the census SUM-at-probe-time
+    * discipline — promote stays delta-only). */
+  private[graft] def collapseContain(p: ContainIndexP): ContainIndex = {
+    val g = p.g.drop("batch_id")
+    ContainIndex(g, p.sizes.drop("batch_id"),
+      g.groupBy(col("gid")).agg(count(lit(1)).as("df")))
+  }
+
+  /** Containment-index MERGE equivalence (q128): bootstrap the index
+    * over the frozen batch (doc_id ≡ 0,1,2 mod 7), STORE it, promote
+    * the delta (≡ 3,4) by appending its partials, then probe snippets
+    * of the INDEX population (guaranteed engulfments) plus the unseen
+    * docs (≡ 5,6). Oracle = the probe against the index REBUILT over
+    * frozen∪delta — merged ≡ rebuilt, the delta-only-work proof (the
+    * q115 census pattern on the append algebra). Batch moduli 7/9 are
+    * coprime to the generator's 20-source round-robin.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = col("doc_id") % 7
+    val b0 = buildContainIndexP(docs.filter(m < 3), 0L)
+    // materialized = the stored index: the merge consumes INDEX STATE
+    // from disk, provably not the frozen batch's text
+    val stored = ContainIndexP(
+      Scratch.materialize(b0.g, "q128_g"),
+      Scratch.materialize(b0.sizes, "q128_sz"))
+    val merged = mergeContainIndexP(stored, docs.filter(m >= 3 && m < 5), 1L)
+    // the promote LANDS in the store before any probe (StreamingPromote's
+    // contract — at 100 TB the delta partial appends as its own
+    // batch_id partition; locally the checkpoint re-lands both): without
+    // this the un-stored delta legs re-execute once per probe consumer
+    // (dfs, the inverted join, the confirm side — measured 154 s vs
+    // 49 s at 30×)
+    val live = ContainIndexP(
+      Scratch.materialize(merged.g, "q128_mg"),
+      Scratch.materialize(merged.sizes, "q128_msz"))
+    probeLifecycle(collapseContain(live),
+      docs.filter(m < 5), docs.filter(m >= 5), "q128")
+  }
+
+  /** Containment-index RETRACTION equivalence (q129): promote batches
+    * 0/1/2 (doc_id ≡ 0,1 / 2,3 / 4 mod 7), store partitioned by
+    * batch_id, retract batch 2 (the re-crawled source recalled after
+    * promote), and probe snippets of the FULL promoted population —
+    * snippets of batch-2 parents lose their container, so the
+    * retraction is observable in the report, and the oracle is the
+    * probe against the index REBUILT over batches 0∪1 only: demoted ≡
+    * rebuilt-without.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = col("doc_id") % 7
+    val p2 = mergeContainIndexP(
+      mergeContainIndexP(
+        buildContainIndexP(docs.filter(m < 2), 0L),
+        docs.filter(m >= 2 && m < 4), 1L),
+      docs.filter(m === 4), 2L)
+    val stored = ContainIndexP(
+      Scratch.materializePartitioned(p2.g, "q129_g", "batch_id"),
+      Scratch.materializePartitioned(p2.sizes, "q129_sz", "batch_id"))
+    val demoted = retractContainIndexP(stored, 2L)
+    probeLifecycle(collapseContain(demoted),
+      docs.filter(m < 5), docs.filter(m >= 5), "q129")
+  }
+
+  /** The lifecycle entries' shared probe: snippets of `snipBase` ∪ the
+    * unseen `rest` docs, materialized (three probe legs), against the
+    * collapsed index. */
+  private def probeLifecycle(idx: ContainIndex, snipBase: DataFrame,
+      rest: DataFrame, tag: String): DataFrame = {
+    val probeDocs = snipOf(snipBase)
+      .unionByName(rest.select(col("doc_id"), col("text")))
+    val gp = Scratch.materialize(gramIds(probeDocs), s"${tag}_pg")
+      .toDF("doc_id", "gid")
+    probeContain(idx, gp,
+      gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), tag)
+  }
+
+  /** The two-population probe oracle (index population `idxPred`,
+    * probe = snippets of `snipPred` parents ∪ `probePred` docs) — the
+    * SQL twin of [[probeLifecycle]] over [[collapseContain]]-shaped
+    * state, shared by q128 and q129. */
+  private def containSqlFor(idxPred: String, snipPred: String,
+      probePred: String): String =
+    s"""WITH idxd AS (
+       |  SELECT doc_id, text FROM documents WHERE $idxPred),
+       |probed AS (
+       |  SELECT doc_id, text FROM documents WHERE $probePred
+       |  UNION ALL
+       |  SELECT doc_id + $SnipOff,
+       |    array_to_string(ws[1:CAST(floor(len(ws) * 0.4) AS INT)], ' ')
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |        FROM documents WHERE $snipPred)
+       |  WHERE doc_id % 9 = 2 AND len(ws) >= 30),
+       |gxi AS (SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |              FROM idxd)),
+       |gi AS (SELECT doc_id, ${hex12ToLongSql("md5(unnest(sh))")} AS gid
+       |       FROM gxi),
+       |gxp AS (SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |              FROM probed)),
+       |gp AS (SELECT doc_id, ${hex12ToLongSql("md5(unnest(sh))")} AS gid
+       |       FROM gxp),
+       |szi AS (SELECT doc_id, COUNT(*) AS ng FROM gi GROUP BY 1),
+       |szp AS (SELECT doc_id, COUNT(*) AS ng FROM gp GROUP BY 1),
+       |dfx AS (SELECT gid, COUNT(*) AS df FROM gi GROUP BY 1),
+       |probes AS (
+       |  SELECT doc_id AS d, gid FROM (
+       |    SELECT gp.doc_id, gp.gid, dfx.df,
+       |      ROW_NUMBER() OVER (PARTITION BY gp.doc_id
+       |        ORDER BY dfx.df, gp.gid) AS rk
+       |    FROM gp JOIN dfx USING (gid))
+       |  WHERE rk <= $ContainProbes AND df <= 10000),
+       |cand AS (
+       |  SELECT cd.d, cd.c, sd.ng AS nd
+       |  FROM (SELECT DISTINCT p.d, i.doc_id AS c
+       |        FROM probes p JOIN gi i USING (gid)
+       |        WHERE i.doc_id <> p.d) cd
+       |  JOIN szp sd ON sd.doc_id = cd.d
+       |  JOIN szi sc ON sc.doc_id = cd.c
+       |  WHERE sc.ng > sd.ng),
+       |sh AS (
+       |  SELECT cs.d, cs.c, cs.nd, COUNT(*) AS n_shared
+       |  FROM cand cs
+       |  JOIN gp gd ON gd.doc_id = cs.d
+       |  JOIN gi gc ON gc.doc_id = cs.c AND gc.gid = gd.gid
+       |  GROUP BY 1, 2, 3)
+       |SELECT d AS doc_id, c AS container_id,
+       |  CAST(nd AS BIGINT) AS n_grams,
+       |  CAST(n_shared AS BIGINT) AS n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / nd, 4) AS containment
+       |FROM sh WHERE CAST(n_shared AS DOUBLE) / nd >= $ContainTau
+       |ORDER BY doc_id, container_id""".stripMargin
+
+  private val q128Sql = containSqlFor(
+    "doc_id % 7 < 5", "doc_id % 7 < 5", "doc_id % 7 >= 5")
+
+  private val q129Sql = containSqlFor(
+    "doc_id % 7 < 4", "doc_id % 7 < 5", "doc_id % 7 >= 5")
 
   private def q127(s: SparkSession, d: String): DataFrame =
     containmentReport(withSnippets(Tables.documents(s, d)))
@@ -2533,6 +2726,8 @@ object Dedup extends QueryModule {
     // snapshots; only the prev side's PROVENANCE differs)
     CatalogEntry("q124_split_stability_manifest", q124, Some(q111Sql)),
     CatalogEntry("q127_containment", q127, Some(q127Sql)),
+    CatalogEntry("q128_contain_index_merge", q128, Some(q128Sql)),
+    CatalogEntry("q129_contain_index_retract", q129, Some(q129Sql)),
     CatalogEntry("q113_quality_keeper", q113, Some(q113Sql)),
   )
 }

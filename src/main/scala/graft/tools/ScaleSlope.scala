@@ -75,6 +75,9 @@ object ScaleSlope {
     // gram table + rarest-probe inverted join — a new join shape to
     // hold at scale)
     "q126_c4_filters", "q127_containment",
+    // r12: the containment-index lifecycle (append algebra, df collapse
+    // at probe time) — promote must stay delta-only at corpus scale
+    "q128_contain_index_merge", "q129_contain_index_retract",
     // r11: the rebalance sampler (q48-class scan filter — should be
     // near-flat) and the quality-keeper (q55's CC plan + one agg)
     "q112_balanced_sample", "q113_quality_keeper",

@@ -64,6 +64,68 @@ class ContainmentSpec extends SparkSpec {
     assert(report(rows).nonEmpty) // default cap: found again
   }
 
+  test("q128 algebra: the merge is observable — a delta parent's snippet is found only after promote") {
+    val sp = spark
+    import sp.implicits._
+    val frozen = Seq(1L -> words("a", 40))
+    val deltaParent = Seq(2L -> words("b", 40))
+    val b0 = Dedup.buildContainIndexP(docsDf(frozen), 0L)
+    val merged = Dedup.mergeContainIndexP(b0, docsDf(deltaParent), 1L)
+    val probe = docsDf(Seq(102L -> words("b", 12)))
+    def rows(p: Dedup.ContainIndexP) = {
+      val gp = Dedup.gramIds(probe)
+      Dedup.probeContain(Dedup.collapseContain(p), gp,
+        gp.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("ng")), "t128")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    }
+    assert(rows(b0).isEmpty, "frozen index must not know the delta parent")
+    assert(rows(merged) == Set((102L, 2L, 5L, 5L, 1.0)),
+      s"merge must surface the delta container: ${rows(merged)}")
+  }
+
+  test("q129 algebra: retract equals rebuilt-without, is observable, and prunes partitions on the stored postings") {
+    val sp = spark
+    import sp.implicits._
+    val b01 = Dedup.mergeContainIndexP(
+      Dedup.buildContainIndexP(docsDf(Seq(1L -> words("a", 40))), 0L),
+      docsDf(Seq(2L -> words("b", 40))), 1L)
+    val p2 = Dedup.mergeContainIndexP(
+      b01, docsDf(Seq(3L -> words("c", 40))), 2L)
+    val key = "graft.scratch.dir"
+    sp.conf.set(key, tmpDir("contain-part"))
+    val stored =
+      try Dedup.ContainIndexP(
+        graft.queries.Scratch.materializePartitioned(
+          p2.g, "t129_g", "batch_id"),
+        graft.queries.Scratch.materializePartitioned(
+          p2.sizes, "t129_sz", "batch_id"))
+      finally sp.conf.unset(key)
+    val demoted = Dedup.retractContainIndexP(stored, 2L)
+    val plan = demoted.g.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+      s"retraction did not reach the scan as partition pruning:\n$plan")
+    // probe with snippets of ALL three parents
+    val probe = docsDf(Seq(101L -> words("a", 12), 102L -> words("b", 12),
+      103L -> words("c", 12)))
+    def rows(p: Dedup.ContainIndexP, tag: String) = {
+      val gp = Dedup.gramIds(probe)
+      Dedup.probeContain(Dedup.collapseContain(p), gp,
+        gp.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("ng")), tag)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    }
+    val got = rows(demoted, "t129d")
+    val want = rows(b01, "t129r")
+    assert(got == want, "demoted index diverged from rebuilt-without")
+    // OBSERVABLE: batch-2's parent vanishes from the verdicts
+    val before = rows(stored, "t129b")
+    assert(before.exists(_._2 == 3L) && !got.exists(_._2 == 3L),
+      s"retraction must remove the recalled container: $before vs $got")
+  }
+
   test("every constructed corpus snippet is reported inside its parent at containment 1.0") {
     val sp = spark
     import sp.implicits._
