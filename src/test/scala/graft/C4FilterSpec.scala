@@ -51,6 +51,38 @@ class C4FilterSpec extends SparkSpec {
     assert(f(8L)._3 && f(8L)._4 && f(8L)._5 && f(8L)._6, f(8L))
   }
 
+  test("the battery is its own streaming twin: pure column expressions converge exactly under chunked delivery") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val docs = Tables.documents(sp, "/root/testdata/sf0.001")
+    val all = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = TextAnalysis.c4Flags(
+        mem.toDF().toDF("doc_id", "text")
+          .select(col("doc_id"),
+            TextAnalysis.c4Page(col("doc_id"), col("text")).as("page")))
+      .select(col("doc_id"), col("keep"))
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 1) / 2).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = sp.table("c4_stream")
+        .as[(Long, Boolean)].collect().toSet
+      val batch = SparkEntry.queries("q126_c4_filters")(
+          sp, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("keep"))
+        .as[(Long, Boolean)].collect().toSet
+      assert(streamed == batch, "streamed verdicts diverged from batch")
+      assert(batch.exists(_._2) && batch.exists(!_._2))
+    } finally q.stop()
+  }
+
   test("the corpus battery is non-degenerate: every rule observes both outcomes") {
     val out = SparkEntry.queries("q126_c4_filters")(
       spark, "/root/testdata/sf0.01")
