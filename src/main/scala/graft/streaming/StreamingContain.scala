@@ -39,8 +39,10 @@ object StreamingContain {
 
   private def probeGrams(gd: DataFrame,
       idx: Dedup.ContainIndex): DataFrame =
+    // own scratch tag: the kernel's candidate materialization must not
+    // collide with batch q127's name when both run in one session
     Dedup.probeContain(idx, gd,
-      gd.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")))
+      gd.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), "scontain")
 
   /** The streaming wiring: every micro-batch of `(doc_id, text)`
     * documents probes the frozen index and appends its verdicts as

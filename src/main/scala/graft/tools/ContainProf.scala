@@ -35,12 +35,13 @@ object ContainProf {
       r
     }
 
+    // NOTE: this is the PHASE-SPLIT spelling of Dedup.probeContain /
+    // buildContainIndex (the gram projection is the shared gramIds) —
+    // a change to the kernel must be mirrored here or the attribution
+    // stops describing the entry (the r10 DecontProf lesson).
     val corpus = Dedup.withSnippets(Tables.documents(spark, out))
     val g = timed("grams-materialize")(Scratch.materialize(
-      Dedup.ngramEntries(corpus, Dedup.DecontN)
-        .select(col("doc_id"),
-          Dedup.hex12ToLong(md5(col("s"))).as("gid")),
-      "cprof_grams").toDF("doc_id", "gid"))
+      Dedup.gramIds(corpus), "cprof_grams").toDF("doc_id", "gid"))
     System.err.println(s"[cprof] |g| = ${timed("g-count")(g.count())}")
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
     val dfs = g.groupBy(col("gid")).agg(count(lit(1)).as("df"))
