@@ -64,6 +64,60 @@ class ContainmentSpec extends SparkSpec {
     assert(report(rows).nonEmpty) // default cap: found again
   }
 
+  test("fuzz: against a brute-force reference, every report row is exact and every true engulfment is found (40 seeded corpora)") {
+    // the PiiSpec fuzz discipline: seeded random corpora, a pure-JVM
+    // O(n²) reference over exact gram sets. Two one-way gates matching
+    // the stated contract: (precision) every reported row's pair and
+    // containment equal the reference's; (recall) every reference pair
+    // with containment == 1.0 is reported — τ ≤ c < 1 pairs MAY be
+    // probe-missed, which is the documented trade, so they are not
+    // required (but if reported they must be exact).
+    val rnd = new scala.util.Random(127127L)
+    val vocab = (0 until 25).map(i => s"v$i")
+    for (trial <- 1 to 40) {
+      val nDocs = 3 + rnd.nextInt(5)
+      val docs = (1L to nDocs).map { id =>
+        val n = 8 + rnd.nextInt(30)
+        // bias towards shared material: half the docs copy a prefix of
+        // an earlier doc, else fresh soup
+        id -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val withCopies = docs.map { case (id, t) =>
+        if (id > 1 && rnd.nextBoolean()) {
+          val (_, src) = docs((rnd.nextInt(id.toInt - 1)))
+          val ws = src.split(" ")
+          val take = math.max(8, rnd.nextInt(ws.length + 1))
+          id -> ws.take(take).mkString(" ")
+        } else id -> t
+      }
+      def gramsOfDoc(t: String): Set[String] =
+        Dedup.gramsOf(t, Dedup.DecontN).toSet
+      val gsets = withCopies.map { case (id, t) => id -> gramsOfDoc(t) }
+      val ref = (for {
+        (d, gd) <- gsets if gd.nonEmpty
+        (c, gc) <- gsets if c != d && gc.size > gd.size
+        shared = gd.count(gc.contains)
+        if shared.toDouble / gd.size >= Dedup.ContainTau
+      } yield (d, c) -> (gd.size.toLong, shared.toLong,
+        BigDecimal(shared.toDouble / gd.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+      val got = report(withCopies)
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      got.foreach { case (pair, vals) =>
+        assert(ref.get(pair).contains(vals),
+          s"trial $trial: reported $pair -> $vals, reference says " +
+            s"${ref.get(pair)}\ncorpus: $withCopies")
+      }
+      ref.foreach { case (pair, vals) =>
+        if (vals._3 == 1.0)
+          assert(got.contains(pair),
+            s"trial $trial: true engulfment $pair missed\n" +
+              s"corpus: $withCopies")
+      }
+    }
+  }
+
   test("q128 algebra: the merge is observable — a delta parent's snippet is found only after promote") {
     val sp = spark
     import sp.implicits._
