@@ -2108,21 +2108,50 @@ object Dedup extends QueryModule {
   // the operator true engulfments to find in both engines.
   private[graft] final val ContainTau = 0.9
   private[graft] final val ContainProbes = 3
+  /** Probe-gram df cap default — ONE spelling (r12 advice): the Scala
+    * probe's `getOrElse` AND the three containment SQL twins interpolate
+    * this constant, so the default cannot drift between the engines.
+    * Setting the `graft.contain.dfCap` session knob therefore DIVERGES
+    * the entry from its oracle (the SQL always runs the default) — it
+    * exists for scale experiments, never for a verify run. */
+  private[graft] final val ContainDfCapDefault = 10000L
   private[graft] final val SnipOff = 1000000L
+  // The snippet-construction spelling — parent predicate (doc_id ≡
+  // SnipRes mod SnipMod, ≥ SnipMinWords words) and the quoted fraction —
+  // is consumed FOUR times: snipOf (Scala) and the q127/q128/q129 SQL
+  // twins. One set of constants (r12 verdict #3): a drift in any one
+  // spelling would silently weaken the constructed-engulfment layer,
+  // and the fuzz gate (own corpora) could not catch it.
+  private[graft] final val SnipMod = 9
+  private[graft] final val SnipRes = 2
+  private[graft] final val SnipMinWords = 30
+  private[graft] final val SnipFrac = 0.4
 
-  /** The constructed snippet docs alone (first 40% of words, id +
-    * SnipOff, for doc_id ≡ 2 mod 9 with ≥30 words) — the observable-
-    * engulfment layer, deterministic in both engines. Exposed
-    * separately so the lifecycle entries (q128/q129) can probe with
-    * snippets of the INDEX population. */
+  /** The constructed snippet docs alone (first [[SnipFrac]] of words,
+    * id + SnipOff, for doc_id ≡ SnipRes mod SnipMod with ≥ SnipMinWords
+    * words) — the observable-engulfment layer, deterministic in both
+    * engines. Exposed separately so the lifecycle entries (q128/q129)
+    * can probe with snippets of the INDEX population. The id offset is
+    * GUARDED (r12 advice, the q119 loud-refusal discipline): a corpus
+    * id outside [0, SnipOff) would alias a snippet onto a real document
+    * with the SQL twin aliasing identically — green gate, wrong report
+    * — so the scan-stage shift refuses instead. */
   private[graft] def snipOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("wsa",
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-      .where(col("doc_id") % 9 === 2 && size(col("wsa")) >= 30)
-      .select((col("doc_id") + SnipOff).as("doc_id"),
+      .where(col("doc_id") % SnipMod === SnipRes &&
+        size(col("wsa")) >= SnipMinWords)
+      .select(
+        when(col("doc_id") >= 0 && col("doc_id") < SnipOff,
+          col("doc_id") + SnipOff)
+          .otherwise(raise_error(concat(
+            lit(s"snipOf: doc_id outside [0, $SnipOff) would alias " +
+              "snippet ids onto real documents: "),
+            col("doc_id").cast("string"))))
+          .as("doc_id"),
         array_join(slice(col("wsa"), lit(1),
-          floor(size(col("wsa")) * 0.4).cast("int")), " ").as("text"))
+          floor(size(col("wsa")) * SnipFrac).cast("int")), " ").as("text"))
 
   /** docs ∪ constructed snippet docs. */
   private[graft] def withSnippets(docs: DataFrame): DataFrame =
@@ -2172,10 +2201,24 @@ object Dedup extends QueryModule {
     * τ < 1 the probe-miss contract applies as stated on q127).
     */
   private[graft] def probeContain(idx: ContainIndex, deltaG: DataFrame,
-      deltaSizes: DataFrame, tag: String = "q127"): DataFrame = {
+      deltaSizes: DataFrame, tag: String = "q127"): DataFrame =
+    probeContainManaged(idx, deltaG, deltaSizes, tag)._1
+
+  /** [[probeContain]] with the candidate cut's RELEASE handle (r12
+    * advice): the exact-confirm's candidate materialization pins a
+    * localCheckpoint per invocation, which the batch entries amortize
+    * (Harness.settle sweeps after every rep/entry) but an unbounded
+    * stream cannot — `Harness.settle` mid-stream would also drop the
+    * frozen index's own checkpoint, which cannot recompute. The
+    * streaming twin calls this form and releases after each
+    * micro-batch's verdict write lands. */
+  private[graft] def probeContainManaged(idx: ContainIndex,
+      deltaG: DataFrame, deltaSizes: DataFrame, tag: String = "q127")
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val dfCap = deltaG.sparkSession.conf
-      .getOption("graft.contain.dfCap").map(_.toLong).getOrElse(10000L)
+      .getOption("graft.contain.dfCap").map(_.toLong)
+      .getOrElse(ContainDfCapDefault)
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gid"))
     val probes = deltaG.join(idx.dfs, "gid")
@@ -2203,13 +2246,14 @@ object Dedup extends QueryModule {
     // candidates' grams). The id sets are candidate-bounded 8-byte
     // keys — probe fan-out already dfCap-guarded — and BROADCAST into
     // the gram scan, so the full table crosses no further exchange.
-    val candM = Scratch.materialize(cand, s"${tag}_cand")
-      .toDF("d", "c", "nd")
+    val (candRaw, release) =
+      Scratch.materializeManaged(cand, s"${tag}_cand")
+    val candM = candRaw.toDF("d", "c", "nd")
     val dIds = broadcast(candM.select(col("d").as("doc_id")).distinct())
     val cIds = broadcast(candM.select(col("c").as("doc_id")).distinct())
     val gd = deltaG.join(dIds, Seq("doc_id"), "left_semi")
     val gc = idx.g.join(cIds, Seq("doc_id"), "left_semi")
-    candM
+    val report = candM
       .join(gd.select(col("doc_id").as("d"), col("gid")), "d")
       .join(gc.select(col("doc_id").as("c"), col("gid")),
         Seq("c", "gid"), "left_semi")
@@ -2221,6 +2265,7 @@ object Dedup extends QueryModule {
         round(col("n_shared").cast("double") / col("nd"), 4)
           .as("containment"))
       .orderBy(col("doc_id"), col("container_id"))
+    (report, release)
   }
 
   /** The containment kernel over any `(doc_id, text)` corpus — exposed
@@ -2366,10 +2411,11 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, text FROM documents WHERE $probePred
        |  UNION ALL
        |  SELECT doc_id + $SnipOff,
-       |    array_to_string(ws[1:CAST(floor(len(ws) * 0.4) AS INT)], ' ')
+       |    array_to_string(ws[1:CAST(floor(len(ws) * $SnipFrac) AS INT)],
+       |      ' ')
        |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
        |        FROM documents WHERE $snipPred)
-       |  WHERE doc_id % 9 = 2 AND len(ws) >= 30),
+       |  WHERE doc_id % $SnipMod = $SnipRes AND len(ws) >= $SnipMinWords),
        |gxi AS (SELECT doc_id, ${ngramsSql(DecontN)} AS sh
        |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
        |              FROM idxd)),
@@ -2389,7 +2435,7 @@ object Dedup extends QueryModule {
        |      ROW_NUMBER() OVER (PARTITION BY gp.doc_id
        |        ORDER BY dfx.df, gp.gid) AS rk
        |    FROM gp JOIN dfx USING (gid))
-       |  WHERE rk <= $ContainProbes AND df <= 10000),
+       |  WHERE rk <= $ContainProbes AND df <= $ContainDfCapDefault),
        |cand AS (
        |  SELECT cd.d, cd.c, sd.ng AS nd
        |  FROM (SELECT DISTINCT p.d, i.doc_id AS c
@@ -2423,11 +2469,11 @@ object Dedup extends QueryModule {
   private val q127Sql =
     s"""WITH snip AS (
        |  SELECT doc_id + $SnipOff AS doc_id,
-       |    array_to_string(ws[1:CAST(floor(len(ws) * 0.4) AS INT)], ' ')
-       |      AS text
+       |    array_to_string(ws[1:CAST(floor(len(ws) * $SnipFrac) AS INT)],
+       |      ' ') AS text
        |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
        |        FROM documents)
-       |  WHERE doc_id % 9 = 2 AND len(ws) >= 30),
+       |  WHERE doc_id % $SnipMod = $SnipRes AND len(ws) >= $SnipMinWords),
        |corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id, text FROM snip),
@@ -2444,7 +2490,7 @@ object Dedup extends QueryModule {
        |      ROW_NUMBER() OVER (PARTITION BY g.doc_id
        |        ORDER BY dfx.df, g.gid) AS rk
        |    FROM g JOIN dfx USING (gid))
-       |  WHERE rk <= $ContainProbes AND df <= 10000),
+       |  WHERE rk <= $ContainProbes AND df <= $ContainDfCapDefault),
        |cand AS (
        |  SELECT cd.d, cd.c, sd.ng AS nd
        |  FROM (SELECT DISTINCT p.d, i.doc_id AS c

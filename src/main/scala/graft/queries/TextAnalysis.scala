@@ -2656,7 +2656,7 @@ object TextAnalysis extends QueryModule {
 
   private val q126Sql =
     s"""WITH p AS (
-       |  SELECT doc_id, text
+       |  SELECT doc_id, coalesce(text, '')
        |    || CASE WHEN doc_id % 13 = 6 THEN ' javascript required'
        |            ELSE '' END
        |    || CASE WHEN doc_id % 23 = 4 THEN ' lorem ipsum dolor'

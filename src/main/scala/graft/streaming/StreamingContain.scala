@@ -32,17 +32,26 @@ object StreamingContain {
   /** One micro-batch's verdicts — batch q127's probe kernel verbatim.
     * Exposed for the convergence spec and for `foreachBatch` callers.
     */
-  def probeBatch(batch: DataFrame, idx: Dedup.ContainIndex): DataFrame = {
-    val gd = Dedup.gramIds(batch)
-    probeGrams(gd, idx)
-  }
+  def probeBatch(batch: DataFrame, idx: Dedup.ContainIndex): DataFrame =
+    probeBatchManaged(batch, idx)._1
 
-  private def probeGrams(gd: DataFrame,
-      idx: Dedup.ContainIndex): DataFrame =
+  /** [[probeBatch]] with the candidate cut's release handle — the
+    * streaming path's form (r12 advice): each micro-batch's probe pins
+    * one candidate localCheckpoint, and on an unbounded stream those
+    * accumulate without bound — `Harness.settle` cannot sweep
+    * mid-stream because it would also drop the frozen index's own
+    * checkpoint, which cannot recompute. The caller releases after the
+    * batch's verdict write lands (a released checkpoint must never be
+    * scanned again — the Scratch.materializeManaged contract).
+    */
+  def probeBatchManaged(batch: DataFrame,
+      idx: Dedup.ContainIndex): (DataFrame, () => Unit) = {
+    val gd = Dedup.gramIds(batch)
     // own scratch tag: the kernel's candidate materialization must not
     // collide with batch q127's name when both run in one session
-    Dedup.probeContain(idx, gd,
+    Dedup.probeContainManaged(idx, gd,
       gd.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), "scontain")
+  }
 
   /** The streaming wiring: every micro-batch of `(doc_id, text)`
     * documents probes the frozen index and appends its verdicts as
@@ -55,7 +64,12 @@ object StreamingContain {
       outDir: String): StreamingQuery =
     deltaDocs.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        probeBatch(df, idx).write.mode("append").parquet(outDir)
+        // release the batch's candidate checkpoint once its verdicts
+        // are durably written — per-batch storage stays bounded no
+        // matter how long the stream runs (r12 advice)
+        val (verdicts, release) = probeBatchManaged(df, idx)
+        try verdicts.write.mode("append").parquet(outDir)
+        finally release()
       }
       .start()
 }

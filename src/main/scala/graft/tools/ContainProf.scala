@@ -50,7 +50,11 @@ object ContainProf {
     val probes = Scratch.materialize(
       g.join(dfs, "gid")
         .withColumn("rk", row_number().over(win))
-        .where(col("rk") <= Dedup.ContainProbes)
+        // the entry's df cap too (r12 advice): without it the profiler
+        // measures a larger probe set / candidate fan-out than q127
+        // executes — the kernel-drift failure the NOTE above warns about
+        .where(col("rk") <= Dedup.ContainProbes &&
+          col("df") <= Dedup.ContainDfCapDefault)
         .select(col("doc_id").as("d"), col("gid")),
       "cprof_probes").toDF("d", "gid")
     System.err.println(s"[cprof] |probes| = ${timed("probes")(probes.count())}")
