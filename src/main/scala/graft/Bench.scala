@@ -88,11 +88,11 @@ object Bench {
         val dt = Harness.median(times)
         System.err.println(f"[bench] $name median $dt%.2fs of " +
           times.map(t => f"$t%.2f").mkString("[", ",", "]"))
-        (name, dt, times)
+        (name, dt, times, System.currentTimeMillis())
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         settle()
-        (name, -1.0, Seq.empty[Double])
+        (name, -1.0, Seq.empty[Double], System.currentTimeMillis())
       }
       if ((i + 1) % probeEvery == 0 && i + 1 < names.size)
         calibProbe(s"q${i + 1}")
@@ -112,7 +112,7 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     val shortKeys = {
       val seen = scala.collection.mutable.Map.empty[String, Int]
-      results.map { case (k, _, _) =>
+      results.map { case (k, _, _, _) =>
         val base = short(k)
         val n = seen.getOrElse(base, 0)
         seen(base) = n + 1
@@ -120,13 +120,31 @@ object Bench {
       }
     }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = shortKeys.zip(results).map { case (sk, (_, v, _)) =>
+    // PROBE-NORMALIZED per-query figure (r12 verdict #1): raw medians
+    // have been host-noise-dominated two rounds running — the judge had
+    // to reconstruct host-vs-plan attribution by hand from the probe
+    // timeline both times. calib_adj = raw median ÷ the NEAREST-IN-TIME
+    // interleaved probe (units: "calib tasks" — a probe-1.0s reference
+    // host reads it as seconds), so a cross-round diff of calib_adj
+    // self-annotates: a plan regression moves it, a slow host does not.
+    // Raw medians stay untouched alongside.
+    def nearestProbe(ts: Long): Double =
+      calibTimeline.minBy(p => math.abs(p._3 - ts))._2
+    val adj = results.map { case (_, v, _, ts) =>
+      if (v < 0) -1.0 else v / nearestProbe(ts)
+    }
+    val qs = shortKeys.zip(results).map { case (sk, (_, v, _, _)) =>
       "\"" + sk + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    val detail = results.map { case (k, v, ts) =>
-      s""""$k":{"median":$v,"reps":${ts.mkString("[", ",", "]")}}"""
+    val qsAdj = shortKeys.zip(adj).map { case (sk, a) =>
+      "\"" + sk + "\":" + r3(a)
+    }.mkString("{", ",", "}")
+    val detail = results.zip(adj).map { case ((k, v, ts, at), a) =>
+      s""""$k":{"median":$v,"reps":${ts.mkString("[", ",", "]")},""" +
+        s""""calib_adj":${r3(a)},"probe":${r3(nearestProbe(at))}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalAdj = adj.filter(_ >= 0).sum
     val timelineJson = calibTimeline.map { case (at, t, ts) =>
       s"""{"at":"$at","t":${r3(t)},"ts":$ts}"""
     }.mkString("[", ",", "]")
@@ -139,16 +157,23 @@ object Bench {
     // intra-run drift without opening the detail file
     val probesJson =
       calibTimeline.map(p => r3(p._2)).mkString("[", ",", "]")
+    // stdout carries value_adj (the probe-normalized TOTAL) but not the
+    // per-query adj map: the driver tail-parses the LAST 2000 chars and
+    // the raw queries map already fills ~1.8KB — a second 129-key map
+    // would overflow it. The full queries_adj map rides the file copy
+    // (below) and per-query calib_adj/probe ride BENCH_DETAIL.json.
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"calib_probes":$probesJson,"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
-    // File-based contract (survives ANY stdout mangling): the same
-    // one-line summary lands in BENCH_SUMMARY.json in the repo root.
+      s"""{"metric":"total","value":${r3(total)},"value_adj":${r3(totalAdj)},"unit":"sec","calib":${r3(calib)},"calib_probes":$probesJson,"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    // File-based contract (survives ANY stdout mangling): the summary
+    // lands in BENCH_SUMMARY.json in the repo root, extended with the
+    // per-query probe-normalized map (no size limit on the file copy).
     // sbt's "[success] Total time" epilogue has beaten the stdout line
     // in seven straight rounds; build.sbt now sets showSuccess := false
     // so the println below is genuinely last, and this file is the
     // belt-and-suspenders copy either way.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      summary.dropRight(1) + s""","queries_adj":$qsAdj}""")
     // stop FIRST, print LAST: anything Spark logs during shutdown must
     // land before the one JSON line the driver tail-parses, never after
     spark.stop()
