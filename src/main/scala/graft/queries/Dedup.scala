@@ -2466,25 +2466,14 @@ object Dedup extends QueryModule {
   private def q127(s: SparkSession, d: String): DataFrame =
     containmentReport(withSnippets(Tables.documents(s, d)))
 
-  private val q127Sql =
-    s"""WITH snip AS (
-       |  SELECT doc_id + $SnipOff AS doc_id,
-       |    array_to_string(ws[1:CAST(floor(len(ws) * $SnipFrac) AS INT)],
-       |      ' ') AS text
-       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
-       |        FROM documents)
-       |  WHERE doc_id % $SnipMod = $SnipRes AND len(ws) >= $SnipMinWords),
-       |corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id, text FROM snip),
-       |gx AS (SELECT doc_id, ${ngramsSql(DecontN)} AS sh
-       |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
-       |             FROM corpus)),
-       |g AS (SELECT doc_id, ${hex12ToLongSql("md5(unnest(sh))")} AS gid
-       |       FROM gx),
-       |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1),
-       |dfx AS (SELECT gid, COUNT(*) AS df FROM g GROUP BY 1),
-       |probes AS (
+  /** The SELF-probe SQL tail (probes → cand → sh → report) over CTEs
+    * named `g(doc_id, gid)`, `sizes(doc_id, ng)`, `dfx(gid, df)` — the
+    * ONE SQL spelling of [[probeContain]]'s delta ≡ index form, shared
+    * by q127 (word-gram grain) and q130 (line grain, which only renames
+    * the size column). The two-population lifecycle twins (q128/q129)
+    * keep their own [[containSqlFor]] spelling. */
+  private[graft] def containSelfProbeSqlTail(sizeCol: String): String =
+    s"""probes AS (
        |  SELECT doc_id AS d, gid FROM (
        |    SELECT g.doc_id, g.gid, dfx.df,
        |      ROW_NUMBER() OVER (PARTITION BY g.doc_id
@@ -2506,11 +2495,31 @@ object Dedup extends QueryModule {
        |  JOIN g gc ON gc.doc_id = cs.c AND gc.gid = gd.gid
        |  GROUP BY 1, 2, 3)
        |SELECT d AS doc_id, c AS container_id,
-       |  CAST(nd AS BIGINT) AS n_grams,
+       |  CAST(nd AS BIGINT) AS $sizeCol,
        |  CAST(n_shared AS BIGINT) AS n_shared,
        |  round(CAST(n_shared AS DOUBLE) / nd, 4) AS containment
        |FROM sh WHERE CAST(n_shared AS DOUBLE) / nd >= $ContainTau
        |ORDER BY doc_id, container_id""".stripMargin
+
+  private val q127Sql =
+    s"""WITH snip AS (
+       |  SELECT doc_id + $SnipOff AS doc_id,
+       |    array_to_string(ws[1:CAST(floor(len(ws) * $SnipFrac) AS INT)],
+       |      ' ') AS text
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |        FROM documents)
+       |  WHERE doc_id % $SnipMod = $SnipRes AND len(ws) >= $SnipMinWords),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM snip),
+       |gx AS (SELECT doc_id, ${ngramsSql(DecontN)} AS sh
+       |       FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |             FROM corpus)),
+       |g AS (SELECT doc_id, ${hex12ToLongSql("md5(unnest(sh))")} AS gid
+       |       FROM gx),
+       |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1),
+       |dfx AS (SELECT gid, COUNT(*) AS df FROM g GROUP BY 1),
+       |${containSelfProbeSqlTail("n_grams")}""".stripMargin
 
   private val q107Sql =
     s"""WITH RECURSIVE ${splitSqlCtes("", _ => "TRUE")}

@@ -1902,12 +1902,16 @@ object TextAnalysis extends QueryModule {
 
   /** The constructed page-line CTEs alone (d + lines) — the SQL twin of
     * [[pageDocs]]+[[pageLines]], shared by the census stack (q114/q115/
-    * q116 via [[q114LinesFor]]) and the keep-first paragraph dedup
-    * (q118), so every page-model consumer reads ONE line set. */
-  private def pageLinesSql: String =
+    * q116 via [[q114LinesFor]]), the keep-first paragraph dedup (q118),
+    * and — via the `rel` parameter — the line-containment corpus with
+    * its constructed quote docs (q130), so every page-model consumer
+    * reads ONE line set. */
+  private def pageLinesSql: String = pageLinesSqlFor("documents")
+
+  private def pageLinesSqlFor(rel: String): String =
     s"""d AS (
        |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws
-       |  FROM documents),
+       |  FROM $rel),
        |lines AS (
        |  SELECT doc_id, source, CAST(0 AS BIGINT) AS line_idx,
        |    'nav ' || source || ' menu home about contact' AS line FROM d
@@ -2682,6 +2686,143 @@ object TextAnalysis extends QueryModule {
        |    AND NOT contains(page, 'cookie policy') AS keep
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---- q130: PARAGRAPH-grain containment — the production complement
+  // of q127 (r12 verdict #4): whole-doc engulfment probes word grams,
+  // but a FineWeb-style pipeline also dedups QUOTED PARAGRAPHS living
+  // inside otherwise-novel pages — a page that block-quotes most of
+  // another page has low word-gram containment noise yet near-total
+  // LINE-set containment. Same Broder containment measure, composed
+  // from this module's page disciplines: the page model (q114's
+  // [[pageLines]]), the chrome-strip census FIRST (a real pipeline
+  // never counts shared nav/footer chrome as "quoted content" — and
+  // the strip is also what bounds line df before the index), q118's
+  // line digests, and then Dedup's rarest-probe kernel over the
+  // surviving line sets: containment(d,c) = |L_d ∩ L_c| / |L_d| ≥ τ,
+  // candidates from each doc's `ContainProbes` rarest surviving lines
+  // (df ≤ the shared cap — never all-pairs).
+  //
+  // 100 TB shape: everything before the probe is scan-stage digests —
+  // (doc_id, 8-byte line gid) is the widest shuffled row; the census
+  // broadcast is q114's (per-source, corpus-size-independent); probe
+  // fan-out is df-bounded exactly as q127, and chrome — the one
+  // natural df hotspot at line grain — is REMOVED by the strip before
+  // the index exists.
+  //
+  // The corpus is word soup with no natural cross-page quoting, so —
+  // the q127 construction discipline — quote docs are constructed for
+  // parents ≡ QuoteRes mod SnipMod: the parent's first
+  // floor(floor(n/8)·SnipFrac) FULL body windows (whole lines, so the
+  // quote's body lines are verbatim parent lines), id + QuoteOff.
+  private[graft] final val QuoteRes = 5 // parents: doc_id % SnipMod
+  /** Quote-id offset ≡ 0 mod both 17 and 3, so a quote's promo/footer
+    * chrome presence MIRRORS its parent's ([[pageLines]] keys them on
+    * doc_id % 17 / % 3): the un-stripped promo line, when a quote has
+    * one, is then always shared with the parent and every constructed
+    * quote sits at containment exactly 1.0. Guarded like
+    * [[Dedup.SnipOff]]: parent ids outside [0, QuoteOff) refuse. */
+  private[graft] final val QuoteOff = 1020000L
+
+  /** The constructed quote docs: for each eligible parent, its first
+    * floor(floor(n/8)·SnipFrac) FULL `BoilerW`-token body windows,
+    * re-joined as text — so the quote's own page body lines are
+    * verbatim parent body lines. Eligible = ≥ 1 quoted window
+    * (3+ full windows, i.e. ≥ 24 words). Keeps the parent's `source`
+    * so the quote's chrome digests match the parent's census. */
+  private[graft] def quoteOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("wsa",
+        regexp_extract_all(coalesce(col("text"), lit("")), lit("\\S+"),
+          lit(0)))
+      .withColumn("nq",
+        floor(floor(size(col("wsa")) / lit(BoilerW.toDouble)) *
+          Dedup.SnipFrac).cast("int"))
+      .where(col("doc_id") % Dedup.SnipMod === QuoteRes && col("nq") >= 1)
+      .select(
+        when(col("doc_id") >= 0 && col("doc_id") < QuoteOff,
+          col("doc_id") + QuoteOff)
+          .otherwise(raise_error(concat(
+            lit(s"quoteOf: doc_id outside [0, $QuoteOff) would alias " +
+              "quote ids onto real documents: "),
+            col("doc_id").cast("string"))))
+          .as("doc_id"),
+        col("source"),
+        array_join(slice(col("wsa"), lit(1), col("nq") * BoilerW), " ")
+          .as("text"))
+
+  /** Line-grain containment over any `(doc_id, source, text)` corpus —
+    * exposed for LineContainmentSpec's constructed fixtures and fuzz
+    * gate. Strip-then-index: the census chrome never reaches the line
+    * index, so containment measures QUOTED CONTENT only. */
+  private[graft] def lineContainmentReport(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), col("text"))
+    val corpus = base.unionByName(quoteOf(base))
+    val pd = pageDocs(corpus)
+    // materialized: the census feeds the broadcast chrome set; tiny
+    // (q114's per-source bound), one spelling with q122's cut
+    val boiler = Scratch.materialize(
+      boilerCensus(pd)
+        .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
+      "q130_boiler").toDF("source", "bset")
+    val chromePairs = broadcast(
+      boiler.select(col("source"), explode(col("bset")).as("lmd5")))
+    // the line INDEX: per-doc DISTINCT surviving-line gids in the q64
+    // 48-bit convention (8-byte keys across every probe shuffle) —
+    // materialized, it feeds sizes/dfs plus the probe's three legs
+    val g = Scratch.materialize(
+      lineIdxDigests(pd)
+        .join(chromePairs, Seq("source", "lmd5"), "left_anti")
+        .select(col("doc_id"), Dedup.hex12ToLong(col("lmd5")).as("gid"))
+        .distinct(),
+      "q130_lines").toDF("doc_id", "gid")
+    val idx = Dedup.ContainIndex(g,
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")),
+      g.groupBy(col("gid")).agg(count(lit(1)).as("df")))
+    Dedup.probeContain(idx, g, idx.sizes, "q130")
+      .withColumnRenamed("n_grams", "n_lines")
+  }
+
+  private def q130(s: SparkSession, d: String): DataFrame =
+    lineContainmentReport(Tables.documents(s, d))
+
+  // lazy: cross-module (Dedup constants + the shared probe SQL tail) —
+  // the q75Sql init-cycle lesson
+  private lazy val q130Sql =
+    s"""WITH qsrc AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(coalesce(text, ''), '\\S+') AS ws
+       |  FROM documents
+       |  WHERE doc_id % ${Dedup.SnipMod} = $QuoteRes),
+       |quotes AS (
+       |  SELECT doc_id + $QuoteOff AS doc_id, source,
+       |    array_to_string(ws[1 : CAST(floor(floor(len(ws) / 8.0)
+       |      * ${Dedup.SnipFrac}) AS INT) * $BoilerW], ' ') AS text
+       |  FROM qsrc
+       |  WHERE CAST(floor(floor(len(ws) / 8.0) * ${Dedup.SnipFrac})
+       |    AS INT) >= 1),
+       |corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL SELECT doc_id, source, text FROM quotes),
+       |${pageLinesSqlFor("corpus")},
+       |srcn AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+       |census AS (
+       |  SELECT source, md5(line) AS lmd5, COUNT(DISTINCT doc_id) AS cnt
+       |  FROM lines GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT c.source, c.lmd5
+       |  FROM census c JOIN srcn s USING (source)
+       |  WHERE 2 * c.cnt >= s.n_docs AND s.n_docs >= $BoilerMinDocs),
+       |surv AS (
+       |  SELECT l.doc_id, md5(l.line) AS lmd5
+       |  FROM lines l LEFT JOIN boiler b
+       |    ON l.source = b.source AND md5(l.line) = b.lmd5
+       |  WHERE b.lmd5 IS NULL),
+       |g AS (SELECT DISTINCT doc_id, ${Dedup.hex12ToLongSql("lmd5")} AS gid
+       |      FROM surv),
+       |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1),
+       |dfx AS (SELECT gid, COUNT(*) AS df FROM g GROUP BY 1),
+       |${Dedup.containSelfProbeSqlTail("n_lines")}""".stripMargin
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -2711,6 +2852,7 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q86_classifier_certificate", q86, Some(q86Sql)),
     CatalogEntry("q117_pii_redact", q117, Some(q117Sql)),
     CatalogEntry("q118_paragraph_dedup", q118, Some(q118Sql)),
+    CatalogEntry("q130_line_containment", q130, Some(q130Sql)),
     CatalogEntry("q119_hard_negatives", q119, Some(q119Sql)),
     CatalogEntry("q120_tokenizer_fertility", q120, Some(q120Sql)),
     CatalogEntry("q122_clean_pipeline", q122, Some(q122Sql)),

@@ -78,6 +78,9 @@ object ScaleSlope {
     // r12: the containment-index lifecycle (append algebra, df collapse
     // at probe time) — promote must stay delta-only at corpus scale
     "q128_contain_index_merge", "q129_contain_index_retract",
+    // r13: line-grain containment (census strip → line-digest index →
+    // rarest-probe kernel — the composed strip+probe shape must hold)
+    "q130_line_containment",
     // r11: the rebalance sampler (q48-class scan filter — should be
     // near-flat) and the quality-keeper (q55's CC plan + one agg)
     "q112_balanced_sample", "q113_quality_keeper",

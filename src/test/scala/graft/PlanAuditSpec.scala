@@ -606,6 +606,48 @@ class PlanAuditSpec extends SparkSpec {
       s"document text crosses the wire: ${e.child.output.map(_.name)}"))
   }
 
+  // ---- pre-sort boundary classifier (the r12 q104/q106 lesson made
+  // mechanical — r12 verdict #6): a global ORDER BY's range partitioner
+  // SAMPLES its child, executing it once before the real pass — but the
+  // sampling pass REUSES any shuffle map outputs below it, so only a
+  // chain that runs scan-stage all the way up to the sort pays its work
+  // twice. Decision rule for "should this entry get a pre-sort manifest
+  // cut":
+  //   shuffle-terminated → the cut is a NO-OP — don't add one (q104 and
+  //     q106 were measured as exactly this in r12 and kept plain);
+  //   scan-stage → the sampler re-runs the whole chain — cut iff the
+  //     chain is expensive (q105/q112: real ~2×, cut in r12; q126's
+  //     single cheap scan absorbs the second pass and stays plain).
+
+  /** Classify what the demo sort's range sampler would re-execute:
+    * "shuffle-terminated" (an Exchange below the sort bounds the
+    * re-run), "scan-stage" (the sampler re-runs from the scan), or
+    * "no-sort" (no range exchange — e.g. TakeOrdered entries). */
+  private def preSortBoundary(p: SparkPlan): String = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    p.collectFirst {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    } match {
+      case None => "no-sort"
+      case Some(e) =>
+        if (e.child.collectFirst { case x: Exchange => x }.nonEmpty)
+          "shuffle-terminated"
+        else "scan-stage"
+    }
+  }
+
+  test("pre-sort boundary: q104's demo sort is shuffle-terminated (cut would be a no-op); q126's is scan-stage (absorbed: one cheap scan)") {
+    assert(preSortBoundary(planOf("q104_decont_cut")) == "shuffle-terminated",
+      planString("q104_decont_cut"))
+    assert(preSortBoundary(planOf("q126_c4_filters")) == "scan-stage",
+      planString("q126_c4_filters"))
+    // and the classifier knows a TakeOrdered entry has no range sort
+    assert(preSortBoundary(planOf("q03_join_topk_revenue")) == "no-sort",
+      planString("q03_join_topk_revenue"))
+  }
+
   // ---- frozen-index lifecycle (q100–q103): the STRUCTURAL claims the
   // FrozenIndexSpec equivalences assume, machine-checked (r09 verdict #4)
 

@@ -198,4 +198,88 @@ class StreamingPromoteSpec extends SparkSpec {
     assert(censusRows(after) == without,
       "demoted census diverged from never-promoted")
   }
+
+  // ---- containment lifecycle (the q128/q129 twin — the FOURTH state
+  // algebra's streaming side): append-pure postings with df collapsed
+  // at probe time, so like the census the doc gate is the correctness
+  // requirement — a document promoted under two batch ids doubles its
+  // postings, inflating df and n_shared.
+
+  private def containRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq
+
+  test("containment: streamed gated promote on RocksDB state converges with batch q128 under chunked delivery; cross-batch redelivery absorbed; demote ≡ rebuilt-without") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // the 100 TB configuration's state provider, engaged for the dedup
+    // gate's keyed state (the RocksDbStateSpec discipline)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      // batch q128's split, spelled once: frozen ≡ 0,1,2 (mod 7),
+      // delta ≡ 3,4; probe = snippets of the index population ∪ the
+      // unseen docs (≡ 5,6) — q128's own probe population
+      val docs = Tables.documents(sp, sf).select(col("doc_id"), col("text"))
+      val m = col("doc_id") % 7
+      val frozen = docs.filter(m < 3)
+      val delta = docs.filter(m >= 3 && m < 5)
+      val probeDocs = graft.queries.Dedup.snipOf(docs.filter(m < 5))
+        .unionByName(docs.filter(m >= 5))
+      val gDir = tmpDir("spromote-cg"); val szDir = tmpDir("spromote-csz")
+      StreamingPromote.promoteContainBatch(frozen, -1L, gDir, szDir)
+      val deltaRows = delta.as[(Long, String)].collect().sortBy(_._1)
+      val chunks = deltaRows.grouped(
+        math.max(1, (deltaRows.length + 2) / 3)).toSeq
+      assert(chunks.length == 3 && chunks(0).length >= 4)
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingPromote.promoteContainGated(
+        mem.toDF().toDF("doc_id", "text"), gDir, szDir)
+      try {
+        mem.addData(chunks(0).toIndexedSeq)
+        q.processAllAvailable()
+        // micro-batch 1 REDELIVERS half of micro-batch 0's documents
+        // under a fresh batch id — the append algebra would double
+        // their postings without the gate
+        mem.addData((chunks(1) ++ chunks(0).take(chunks(0).length / 2))
+          .toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(chunks(2).toIndexedSeq)
+        q.processAllAvailable()
+        val metrics = Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption)
+          .map(_.customMetrics.keySet())
+          .getOrElse(java.util.Collections.emptySet[String]())
+        assert(metrics.stream().anyMatch(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics in $metrics")
+      } finally q.stop()
+      val streamed = containRows(
+        StreamingPromote.probeContainLive(sp, gDir, szDir, probeDocs))
+      val batch = containRows(
+        SparkEntry.queries("q128_contain_index_merge")(sp, sf))
+      assert(batch.nonEmpty, "q128 returned no probe rows — spec is vacuous")
+      assert(streamed == batch,
+        "streamed containment promote diverged from batch q128")
+      // demote micro-batch 1 (the gate kept the redelivered docs OUT of
+      // its partition, so the drop removes exactly chunks(1) — a leaked
+      // duplicate would make this demote partial and fail the gate)
+      StreamingPromote.demoteContainBatch(gDir, szDir, 1L)
+      val surviving = frozen
+        .union(chunks(0).toSeq.toDF("doc_id", "text"))
+        .union(chunks(2).toSeq.toDF("doc_id", "text"))
+      val p = graft.queries.Dedup.buildContainIndexP(surviving, 0L)
+      val gp = graft.queries.Dedup.gramIds(probeDocs)
+      val want = containRows(graft.queries.Dedup.probeContain(
+        graft.queries.Dedup.collapseContain(p), gp,
+        gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), "tpromw"))
+      assert(containRows(StreamingPromote.probeContainLive(
+        sp, gDir, szDir, probeDocs)) == want,
+        "demoted containment state diverged from rebuilt-without")
+    } finally {
+      saved.fold(sp.conf.unset(key))(v => sp.conf.set(key, v))
+    }
+  }
 }
