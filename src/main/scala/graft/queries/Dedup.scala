@@ -2116,6 +2116,16 @@ object Dedup extends QueryModule {
     * exists for scale experiments, never for a verify run. */
   private[graft] final val ContainDfCapDefault = 10000L
   private[graft] final val SnipOff = 1000000L
+  /** The replica id-block convention the constructed-id guards check
+    * against: corpus ids must sit in the LOW [0, SnipOff) region of
+    * each IdBlock-sized id block. True of the driver corpora (ids
+    * < 10⁶) and of the ScaleSlope/ContainProf replicas (base ids
+    * shifted by multiples of IdBlock — ScaleSlope.Off IS this
+    * constant). When every real id passes, constructed snippet/quote
+    * ids land in a block's [SnipOff, ~2·SnipOff) region — provably
+    * disjoint from every real id — so the scan-stage per-row check is
+    * a sound alias guard with no corpus-wide action. */
+  private[graft] final val IdBlock = 10000000L
   // The snippet-construction spelling — parent predicate (doc_id ≡
   // SnipRes mod SnipMod, ≥ SnipMinWords words) and the quoted fraction —
   // is consumed FOUR times: snipOf (Scala) and the q127/q128/q129 SQL
@@ -2132,10 +2142,11 @@ object Dedup extends QueryModule {
     * words) — the observable-engulfment layer, deterministic in both
     * engines. Exposed separately so the lifecycle entries (q128/q129)
     * can probe with snippets of the INDEX population. The id offset is
-    * GUARDED (r12 advice, the q119 loud-refusal discipline): a corpus
-    * id outside [0, SnipOff) would alias a snippet onto a real document
-    * with the SQL twin aliasing identically — green gate, wrong report
-    * — so the scan-stage shift refuses instead. */
+    * GUARDED (r12 advice, the q119 loud-refusal discipline): an id
+    * outside the [[IdBlock]] low-region convention could alias a
+    * snippet onto a real document with the SQL twin aliasing
+    * identically — green gate, wrong report — so the scan-stage shift
+    * refuses instead. */
   private[graft] def snipOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("wsa",
@@ -2143,11 +2154,12 @@ object Dedup extends QueryModule {
       .where(col("doc_id") % SnipMod === SnipRes &&
         size(col("wsa")) >= SnipMinWords)
       .select(
-        when(col("doc_id") >= 0 && col("doc_id") < SnipOff,
+        when(pmod(col("doc_id"), lit(IdBlock)) < SnipOff,
           col("doc_id") + SnipOff)
           .otherwise(raise_error(concat(
-            lit(s"snipOf: doc_id outside [0, $SnipOff) would alias " +
-              "snippet ids onto real documents: "),
+            lit(s"snipOf: doc_id outside the low [0, $SnipOff) region " +
+              s"of its $IdBlock id block would alias snippet ids onto " +
+              "real documents: "),
             col("doc_id").cast("string"))))
           .as("doc_id"),
         array_join(slice(col("wsa"), lit(1),

@@ -2738,10 +2738,14 @@ object TextAnalysis extends QueryModule {
           Dedup.SnipFrac).cast("int"))
       .where(col("doc_id") % Dedup.SnipMod === QuoteRes && col("nq") >= 1)
       .select(
-        when(col("doc_id") >= 0 && col("doc_id") < QuoteOff,
+        // the Dedup.IdBlock low-region convention (see Dedup.snipOf):
+        // passing rows put quote ids in a block's upper region,
+        // provably disjoint from every real id
+        when(pmod(col("doc_id"), lit(Dedup.IdBlock)) < Dedup.SnipOff,
           col("doc_id") + QuoteOff)
           .otherwise(raise_error(concat(
-            lit(s"quoteOf: doc_id outside [0, $QuoteOff) would alias " +
+            lit(s"quoteOf: doc_id outside the low [0, ${Dedup.SnipOff}) " +
+              s"region of its ${Dedup.IdBlock} id block would alias " +
               "quote ids onto real documents: "),
             col("doc_id").cast("string"))))
           .as("doc_id"),
@@ -2749,32 +2753,49 @@ object TextAnalysis extends QueryModule {
         array_join(slice(col("wsa"), lit(1), col("nq") * BoilerW), " ")
           .as("text"))
 
+  /** docs ∪ constructed quote docs — the q130 corpus, exposed so the
+    * streaming twin can freeze over the identical population. */
+  private[graft] def withQuotes(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), col("text"))
+    base.unionByName(quoteOf(base))
+  }
+
+  /** The frozen chrome set as (source, lmd5) pairs — q130's census
+    * broadcast, ONE spelling with the batch report and the streaming
+    * twin's freeze (q122's cut shape). Materialized: tiny (q114's
+    * per-source bound). */
+  private[graft] def chromePairsOf(pd: DataFrame, tag: String): DataFrame = {
+    val boiler = Scratch.materialize(
+      boilerCensus(pd)
+        .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
+      s"${tag}_boiler").toDF("source", "bset")
+    broadcast(boiler.select(col("source"), explode(col("bset")).as("lmd5")))
+  }
+
+  /** Per-doc DISTINCT surviving-line gids (q64 48-bit convention —
+    * 8-byte keys across every probe shuffle): page lines, anti-joined
+    * against the chrome pairs, digested. ONE spelling shared by the
+    * batch index build and the streaming twin's delta side, so the two
+    * surfaces cannot fork on what a document's line set is. */
+  private[graft] def lineGramIds(pd: DataFrame,
+      chromePairs: DataFrame): DataFrame =
+    lineIdxDigests(pd)
+      .join(chromePairs, Seq("source", "lmd5"), "left_anti")
+      .select(col("doc_id"), Dedup.hex12ToLong(col("lmd5")).as("gid"))
+      .distinct()
+
   /** Line-grain containment over any `(doc_id, source, text)` corpus —
     * exposed for LineContainmentSpec's constructed fixtures and fuzz
     * gate. Strip-then-index: the census chrome never reaches the line
     * index, so containment measures QUOTED CONTENT only. */
   private[graft] def lineContainmentReport(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-      col("source"), col("text"))
-    val corpus = base.unionByName(quoteOf(base))
-    val pd = pageDocs(corpus)
-    // materialized: the census feeds the broadcast chrome set; tiny
-    // (q114's per-source bound), one spelling with q122's cut
-    val boiler = Scratch.materialize(
-      boilerCensus(pd)
-        .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
-      "q130_boiler").toDF("source", "bset")
-    val chromePairs = broadcast(
-      boiler.select(col("source"), explode(col("bset")).as("lmd5")))
-    // the line INDEX: per-doc DISTINCT surviving-line gids in the q64
-    // 48-bit convention (8-byte keys across every probe shuffle) —
-    // materialized, it feeds sizes/dfs plus the probe's three legs
-    val g = Scratch.materialize(
-      lineIdxDigests(pd)
-        .join(chromePairs, Seq("source", "lmd5"), "left_anti")
-        .select(col("doc_id"), Dedup.hex12ToLong(col("lmd5")).as("gid"))
-        .distinct(),
-      "q130_lines").toDF("doc_id", "gid")
+    val pd = pageDocs(withQuotes(docs))
+    val chromePairs = chromePairsOf(pd, "q130")
+    // the line INDEX — materialized, it feeds sizes/dfs plus the
+    // probe's three legs
+    val g = Scratch.materialize(lineGramIds(pd, chromePairs), "q130_lines")
+      .toDF("doc_id", "gid")
     val idx = Dedup.ContainIndex(g,
       g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")),
       g.groupBy(col("gid")).agg(count(lit(1)).as("df")))

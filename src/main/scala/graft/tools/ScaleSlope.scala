@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSlope {
 
-  private val Off = 10000000L // id shift per copy
+  // id shift per copy — ONE spelling with the constructed-id guards'
+  // block convention (Dedup.IdBlock): replica ids stay in each block's
+  // low region, so snipOf/quoteOf accept replicated corpora and their
+  // constructed ids remain provably alias-free
+  private val Off = graft.queries.Dedup.IdBlock
 
   // the r06 top-expensive set + the verdict's watch list (q82 suffix
   // shuffle, q93 iteration rounds, q73 probe loop) + the round-7
