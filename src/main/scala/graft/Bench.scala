@@ -133,9 +133,11 @@ object Bench {
     val adj = results.map { case (_, v, _, ts) =>
       if (v < 0) -1.0 else v / nearestProbe(ts)
     }
-    val qs = shortKeys.zip(results).map { case (sk, (_, v, _, _)) =>
-      "\"" + sk + "\":" + r3(v)
-    }.mkString("{", ",", "}")
+    def qsAt(prec: Double => String): String =
+      shortKeys.zip(results).map { case (sk, (_, v, _, _)) =>
+        "\"" + sk + "\":" + prec(v)
+      }.mkString("{", ",", "}")
+    val qs = qsAt(r3)
     val qsAdj = shortKeys.zip(adj).map { case (sk, a) =>
       "\"" + sk + "\":" + r3(a)
     }.mkString("{", ",", "}")
@@ -162,8 +164,18 @@ object Bench {
     // the raw queries map already fills ~1.8KB — a second 129-key map
     // would overflow it. The full queries_adj map rides the file copy
     // (below) and per-query calib_adj/probe ride BENCH_DETAIL.json.
-    val summary =
-      s"""{"metric":"total","value":${r3(total)},"value_adj":${r3(totalAdj)},"unit":"sec","calib":${r3(calib)},"calib_probes":$probesJson,"queries":$qs,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    def summaryWith(qmap: String): String =
+      s"""{"metric":"total","value":${r3(total)},"value_adj":${r3(totalAdj)},"unit":"sec","calib":${r3(calib)},"calib_probes":$probesJson,"queries":$qmap,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+    // adaptive precision (margin guard): at 130 entries the 3-decimal
+    // line measures 1,801 chars — ~15 more entries would push it past
+    // the 2000-char tail and record "parsed": null. If the line nears
+    // the cliff, the STDOUT copy drops to 2 decimals (saving one char
+    // per entry); the file copy below always keeps 3 (no size limit),
+    // so full precision is never lost.
+    val summary = {
+      val s3 = summaryWith(qs)
+      if (s3.length <= 1900) s3 else summaryWith(qsAt(v => f"$v%.2f"))
+    }
     // File-based contract (survives ANY stdout mangling): the summary
     // lands in BENCH_SUMMARY.json in the repo root, extended with the
     // per-query probe-normalized map (no size limit on the file copy).
@@ -173,7 +185,7 @@ object Bench {
     // belt-and-suspenders copy either way.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      summary.dropRight(1) + s""","queries_adj":$qsAdj}""")
+      summaryWith(qs).dropRight(1) + s""","queries_adj":$qsAdj}""")
     // stop FIRST, print LAST: anything Spark logs during shutdown must
     // land before the one JSON line the driver tail-parses, never after
     spark.stop()
