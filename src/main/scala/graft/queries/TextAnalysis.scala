@@ -2761,29 +2761,58 @@ object TextAnalysis extends QueryModule {
     base.unionByName(quoteOf(base))
   }
 
-  /** The frozen chrome set as (source, lmd5) pairs — q130's census
-    * broadcast, ONE spelling with the batch report and the streaming
-    * twin's freeze (q122's cut shape). Materialized: tiny (q114's
-    * per-source bound). */
-  private[graft] def chromePairsOf(pd: DataFrame, tag: String): DataFrame = {
+  /** The census over an explicit `(source, doc_id, lmd5)` LINE relation
+    * — the materialized-scan form (q130/its streaming freeze): n_docs =
+    * distinct doc ids in the relation, which equals [[boilerCensus]]'s
+    * pd-side doc count because every page emits its header line. Same
+    * threshold spelling ([[boilerThreshold]]); value-identical to
+    * boilerCensus over the pd the relation came from (the q130 oracle's
+    * hash gate pins it). */
+  private[graft] def boilerCensusOfLines(li: DataFrame): DataFrame = {
+    val srcN = li.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    li.groupBy(col("source"), col("lmd5"))
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+      .join(broadcast(srcN), "source")
+      .where(boilerThreshold)
+  }
+
+  /** ONE corpus page-line scan serving BOTH line-containment consumers
+    * (LineContainProf attribution at 100×: the census and the index
+    * each re-ran the exploded [[pageLines]] HOF chain — 39 s + 48 s of
+    * the entry's ~108 s — because they consumed separate [[lineDigests]]
+    * plans): materialize `(source, doc_id, lmd5)` once, derive the
+    * chrome census AND the surviving-line index from the stored
+    * relation. Returns (line relation, broadcast chrome pairs). */
+  private[graft] def lineRelAndChrome(pd: DataFrame,
+      tag: String): (DataFrame, DataFrame) = {
+    val li = Scratch.materialize(lineDigests(pd), s"${tag}_li")
+      .toDF("source", "doc_id", "lmd5")
     val boiler = Scratch.materialize(
-      boilerCensus(pd)
+      boilerCensusOfLines(li)
         .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
       s"${tag}_boiler").toDF("source", "bset")
-    broadcast(boiler.select(col("source"), explode(col("bset")).as("lmd5")))
+    (li,
+      broadcast(boiler.select(col("source"), explode(col("bset")).as("lmd5"))))
   }
 
   /** Per-doc DISTINCT surviving-line gids (q64 48-bit convention —
-    * 8-byte keys across every probe shuffle): page lines, anti-joined
-    * against the chrome pairs, digested. ONE spelling shared by the
-    * batch index build and the streaming twin's delta side, so the two
-    * surfaces cannot fork on what a document's line set is. */
-  private[graft] def lineGramIds(pd: DataFrame,
+    * 8-byte keys across every probe shuffle) over a `(source, doc_id,
+    * lmd5)` line relation, anti-joined against the chrome pairs. ONE
+    * spelling shared by the batch index build (materialized relation)
+    * and the streaming twin's delta side (via [[lineGramIds]]), so the
+    * two surfaces cannot fork on what a document's line set is. */
+  private[graft] def lineGramIdsOfRel(li: DataFrame,
       chromePairs: DataFrame): DataFrame =
-    lineIdxDigests(pd)
-      .join(chromePairs, Seq("source", "lmd5"), "left_anti")
+    li.join(chromePairs, Seq("source", "lmd5"), "left_anti")
       .select(col("doc_id"), Dedup.hex12ToLong(col("lmd5")).as("gid"))
       .distinct()
+
+  /** [[lineGramIdsOfRel]] straight off a page relation — the streaming
+    * delta side (micro-batch-sized; no materialize needed). */
+  private[graft] def lineGramIds(pd: DataFrame,
+      chromePairs: DataFrame): DataFrame =
+    lineGramIdsOfRel(lineDigests(pd), chromePairs)
 
   /** Line-grain containment over any `(doc_id, source, text)` corpus —
     * exposed for LineContainmentSpec's constructed fixtures and fuzz
@@ -2791,11 +2820,11 @@ object TextAnalysis extends QueryModule {
     * index, so containment measures QUOTED CONTENT only. */
   private[graft] def lineContainmentReport(docs: DataFrame): DataFrame = {
     val pd = pageDocs(withQuotes(docs))
-    val chromePairs = chromePairsOf(pd, "q130")
+    val (li, chromePairs) = lineRelAndChrome(pd, "q130")
     // the line INDEX — materialized, it feeds sizes/dfs plus the
     // probe's three legs
-    val g = Scratch.materialize(lineGramIds(pd, chromePairs), "q130_lines")
-      .toDF("doc_id", "gid")
+    val g = Scratch.materialize(lineGramIdsOfRel(li, chromePairs),
+      "q130_lines").toDF("doc_id", "gid")
     val idx = Dedup.ContainIndex(g,
       g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")),
       g.groupBy(col("gid")).agg(count(lit(1)).as("df")))

@@ -35,9 +35,11 @@ object StreamingLineContain {
     * the stored publish-time state. */
   def freeze(corpus: DataFrame): FrozenLineIndex = {
     val pd = TextAnalysis.pageDocs(corpus)
-    val chrome = TextAnalysis.chromePairsOf(pd, "slinec")
+    // one materialized page-line scan feeds the census AND the index —
+    // the LineContainProf-attributed shape batch q130 uses
+    val (li, chrome) = TextAnalysis.lineRelAndChrome(pd, "slinec")
     val g = Scratch.materialize(
-      TextAnalysis.lineGramIds(pd, chrome), "slinec_lines")
+      TextAnalysis.lineGramIdsOfRel(li, chrome), "slinec_lines")
       .toDF("doc_id", "gid")
     FrozenLineIndex(chrome, Dedup.ContainIndex(g,
       g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")),
