@@ -2276,11 +2276,21 @@ object TextAnalysis extends QueryModule {
     * materialization cut hides it from the entry's executed plan). */
   private[graft] def cleanManifest(docs: DataFrame): DataFrame = {
     val pd = pageDocs(docs)
+    // ONE materialized digest scan feeds the census AND the election
+    // (the q130 LineContainProf lesson applied to the composition:
+    // both are digest-only consumers of the exploded page, and each
+    // previously re-ran the corpus-scale pageLines HOF chain from its
+    // own lineDigests/lineIdxDigests plan; the rewrite leg below still
+    // needs the page ARRAYS and keeps its own scan — three corpus
+    // scans become two)
+    val lid = Scratch.materialize(lineIdxDigests(pd), "q122_lid")
+      .toDF("source", "doc_id", "line_idx", "lmd5")
     // materialized: the chrome set is semantically tiny (q114's bound)
     // and feeds BOTH the election and the rewrite scan — without the
     // cut the census would compute twice
     val boiler = Scratch.materialize(
-      boilerCensus(pd)
+      boilerCensusOfLines(
+        lid.select(col("source"), col("doc_id"), col("lmd5")))
         .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
       "q122_boiler").toDF("source", "bset")
     // keep-first election over surviving lines only — via DIGESTS and
@@ -2289,8 +2299,7 @@ object TextAnalysis extends QueryModule {
     // would run the HOF rewrite chain twice over the corpus)
     val chromePairs = broadcast(
       boiler.select(col("source"), explode(col("bset")).as("lmd5")))
-    val li = lineIdxDigests(pd)
-      .join(chromePairs, Seq("source", "lmd5"), "left_anti")
+    val li = lid.join(chromePairs, Seq("source", "lmd5"), "left_anti")
     val drops = Scratch.materialize(keepFirstDrops(li), "q122_drops")
       .toDF("doc_id", "didx") // fresh ids (the q118 self-join lesson)
     val cleaned = pd.join(drops, Seq("doc_id"), "left")
