@@ -2308,14 +2308,29 @@ object Dedup extends QueryModule {
   private[graft] final case class ContainIndexP(g: DataFrame,
       sizes: DataFrame)
 
-  private[graft] def buildContainIndexP(docs: DataFrame, batchId: Long)
-      : ContainIndexP = {
-    val g = gramIds(docs)
-    ContainIndexP(
+  /** Build one batch's partials with the gram scan MATERIALIZED once
+    * (r13 attribution: the lazy `gramIds` plan was consumed by BOTH the
+    * postings and the sizes leg, so every store/write of a partial ran
+    * the batch's full gram expansion TWICE — q129's three-batch build
+    * re-expanded the whole corpus a second time for the sizes
+    * materialize alone). The release handle is for the streaming
+    * promote path (bounded per-batch scratch, the StreamingContain
+    * discipline); batch entries use [[buildContainIndexP]] and let the
+    * harness settle sweep. */
+  private[graft] def buildContainIndexPManaged(docs: DataFrame,
+      batchId: Long): (ContainIndexP, () => Unit) = {
+    val (gRaw, release) =
+      Scratch.materializeManaged(gramIds(docs), s"cip${batchId}_g")
+    val g = gRaw.toDF("doc_id", "gid")
+    (ContainIndexP(
       g.withColumn("batch_id", lit(batchId)),
       g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
-        .withColumn("batch_id", lit(batchId)))
+        .withColumn("batch_id", lit(batchId))), release)
   }
+
+  private[graft] def buildContainIndexP(docs: DataFrame, batchId: Long)
+      : ContainIndexP =
+    buildContainIndexPManaged(docs, batchId)._1
 
   /** Promote a delta batch: append its partials — no re-aggregation. */
   private[graft] def mergeContainIndexP(idx: ContainIndexP,

@@ -241,9 +241,15 @@ object StreamingPromote {
     */
   def promoteContainBatch(batch: DataFrame, batchId: Long,
       gDir: String, szDir: String): Unit = {
-    val p = Dedup.buildContainIndexP(batch, batchId)
-    writePart(p.g, gDir, batchId)
-    writePart(p.sizes, szDir, batchId)
+    // managed: the build materializes the batch's gram scan once (both
+    // partition writes read the stored scan instead of re-expanding);
+    // release after the writes land so per-batch scratch stays bounded
+    // on an unbounded stream (the StreamingContain discipline)
+    val (p, release) = Dedup.buildContainIndexPManaged(batch, batchId)
+    try {
+      writePart(p.g, gDir, batchId)
+      writePart(p.sizes, szDir, batchId)
+    } finally release()
   }
 
   /** The streaming containment promote behind the exactly-once document

@@ -118,6 +118,25 @@ class ContainmentSpec extends SparkSpec {
     }
   }
 
+  test("partial build materializes its gram scan ONCE — both legs read the stored scan, never re-expanding the corpus") {
+    // r13 attribution: the lazy gramIds plan used to be consumed by
+    // BOTH the postings and the sizes leg, so every store of a partial
+    // ran the batch's full gram expansion twice (q129's three-batch
+    // build re-expanded the corpus a second time for the sizes
+    // materialize alone). Structural gate, host-independent: the
+    // partial's legs must scan the checkpointed relation (ExistingRDD),
+    // with the gram HOF chain (regexp + md5) absent from their plans.
+    val p = Dedup.buildContainIndexP(
+      docsDf(Seq(1L -> words("a", 40), 2L -> words("b", 40))), 0L)
+    Seq("g" -> p.g, "sizes" -> p.sizes).foreach { case (leg, df) =>
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$leg leg must read the stored gram scan:\n$s")
+      assert(!s.contains("regexp_extract_all") && !s.contains("md5"),
+        s"$leg leg re-expands the corpus gram scan:\n$s")
+    }
+  }
+
   test("q128 algebra: the merge is observable — a delta parent's snippet is found only after promote") {
     val sp = spark
     import sp.implicits._
