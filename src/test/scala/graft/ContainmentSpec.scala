@@ -64,6 +64,29 @@ class ContainmentSpec extends SparkSpec {
     assert(report(rows).nonEmpty) // default cap: found again
   }
 
+  test("snippet id guard refuses loudly on ids outside the block convention — never a silent alias") {
+    // an id in a block's UPPER region could collide with another id +
+    // SnipOff while the SQL twin aliases identically (green gate,
+    // wrong report) — the scan-stage guard must raise, not proceed.
+    // 1100000 ≡ 2 (mod 9) so it passes the parent predicate and
+    // reaches the guard; its block residue 1.1e6 ≥ SnipOff refuses.
+    val bad = docsDf(Seq(1100000L -> words("w", 40)))
+    val e = intercept[Exception] {
+      Dedup.snipOf(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("snipOf")),
+      s"guard must name itself: ${msgs(e).mkString(" | ")}")
+    // and a replica-convention id (block base + small residue) PASSES:
+    // ScaleSlope/ContainProf shift copies by IdBlock (3·10⁷ + 8 ≡ 2
+    // mod 9, block residue 8 < SnipOff)
+    val ok = docsDf(Seq((Dedup.IdBlock * 3 + 8) -> words("w", 40)))
+    val out = Dedup.snipOf(ok).collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == Dedup.IdBlock * 3 + 8 + Dedup.SnipOff)
+  }
+
   test("fuzz: against a brute-force reference, every report row is exact and every true engulfment is found (40 seeded corpora)") {
     // the PiiSpec fuzz discipline: seeded random corpora, a pure-JVM
     // O(n²) reference over exact gram sets. Two one-way gates matching

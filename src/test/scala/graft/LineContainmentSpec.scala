@@ -117,6 +117,26 @@ class LineContainmentSpec extends SparkSpec {
       s"partial overlap must stay below τ: ${out.mkString(";")}")
   }
 
+  test("quote id guard refuses loudly outside the block convention; replica-convention ids pass") {
+    // 1100003 ≡ 5 (mod 9): passes the parent predicate, reaches the
+    // guard; block residue 1.1e6 ≥ SnipOff refuses (the snipOf
+    // discipline at line grain). 3·10⁷ + 2 ≡ 5 (mod 9), residue 2:
+    // the ScaleSlope/ContainProf copy-shift convention passes.
+    val bad = docsDf(Seq((1100003L, "s0", words("w", 48))))
+    val e = intercept[Exception] {
+      TextAnalysis.quoteOf(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("quoteOf")),
+      s"guard must name itself: ${msgs(e).mkString(" | ")}")
+    val okId = graft.queries.Dedup.IdBlock * 3 + 2
+    val out = TextAnalysis.quoteOf(
+      docsDf(Seq((okId, "s0", words("w", 48))))).collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == okId + TextAnalysis.QuoteOff)
+  }
+
   test("fuzz: against a brute-force line-set reference, every report row is exact and every true engulfment is found (40 seeded corpora)") {
     // the ContainmentSpec fuzz discipline at line grain: seeded random
     // corpora (some docs block-quote full windows of earlier docs, some
