@@ -36,6 +36,20 @@ object Bench {
     // attributing block-manager-pinning GC tails vs filesystem cost
     sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
       .foreach(d => spark.conf.set("graft.scratch.dir", d))
+    // JOB counter (r13 verdict #2): a per-query job count is the other
+    // half of the scheduler-attribution model — an entry's scheduler
+    // floor is jobs × the sched probe's per-job latency. onJobStart is
+    // posted async on the listener bus; the count is snapshotted AFTER
+    // the warmup's settle() (whose blocking gc gives the bus ample
+    // drain time), so it reads the WARMUP execution's job count — the
+    // same plan the measured reps run, without touching timed regions.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -55,6 +69,8 @@ object Bench {
     val (calib, calibReps) = Harness.calibrate(spark)
     System.err.println(f"[bench] calib median $calib%.3fs of " +
       calibReps.map(t => f"$t%.2f").mkString("[", ",", "]"))
+    Harness.schedOnce(spark) // warmup the sched probe's plan shape too
+    Harness.settle(spark)
     // INTERLEAVED calib probes (r09 verdict #3): the r9 driver run's
     // start-of-run calib reps spread 0.81–1.87 within one run — a
     // single median cannot attribute intra-run host drift, which is
@@ -62,22 +78,41 @@ object Bench {
     // lands after every ~25 queries and one at the end; each records
     // (position, seconds, wall-clock) so any query's timing can be
     // normalized against its NEAREST probe, not a run-global constant.
+    // Each probe point records TWO flavors (r13 verdict #2): the
+    // CPU+shuffle task and the scheduler round-trip per-job latency —
+    // job-count-dominated entries (CC loops, iterative trainers) are
+    // explained by the second, not the first.
     val probeEvery = 25
     val calibTimeline =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Long)]
     def calibProbe(at: String): Unit = {
       val t = Harness.calibOnce(spark)
       Harness.settle(spark)
-      calibTimeline += ((at, t, System.currentTimeMillis()))
-      System.err.println(f"[bench] calib@$at $t%.3fs")
+      val s = Harness.schedOnce(spark)
+      Harness.settle(spark)
+      calibTimeline += ((at, t, s, System.currentTimeMillis()))
+      System.err.println(f"[bench] calib@$at $t%.3fs sched $s%.4fs/job")
     }
     calibProbe("start")
+    // adjacent probes for the heavy tail (r13 verdict "Next" #1): a
+    // minutes-stale probe is exactly the coarseness that left q98
+    // without a receipt — any entry whose WARMUP exceeds this gets a
+    // probe immediately before its measured reps, so its calib_adj
+    // never rides a probe from a different host-drift regime. Warmup
+    // time is the in-run predictor (same plan as the reps); ~4 s keeps
+    // the extra probes to the ~dozen entries that need them.
+    val heavyWarmupSec = 4.0
     val names = Harness.onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
     val results = names.zipWithIndex.map { case (name, i) =>
       System.err.println(s"[bench] $name ...")
       val r = try {
+        val j0 = jobCounter.get()
+        val w0 = System.nanoTime()
         exec(name) // warmup: codegen + JIT for this plan shape
+        val wdt = (System.nanoTime() - w0) / 1e9
         settle()
+        val jobs = jobCounter.get() - j0 // post-settle: bus has drained
+        if (wdt > heavyWarmupSec) calibProbe(s"pre-$name")
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           exec(name)
@@ -87,12 +122,13 @@ object Bench {
         }
         val dt = Harness.median(times)
         System.err.println(f"[bench] $name median $dt%.2fs of " +
-          times.map(t => f"$t%.2f").mkString("[", ",", "]"))
-        (name, dt, times, System.currentTimeMillis())
+          times.map(t => f"$t%.2f").mkString("[", ",", "]") +
+          s" jobs $jobs")
+        (name, dt, times, System.currentTimeMillis(), jobs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         settle()
-        (name, -1.0, Seq.empty[Double], System.currentTimeMillis())
+        (name, -1.0, Seq.empty[Double], System.currentTimeMillis(), 0L)
       }
       if ((i + 1) % probeEvery == 0 && i + 1 < names.size)
         calibProbe(s"q${i + 1}")
@@ -112,7 +148,7 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     val shortKeys = {
       val seen = scala.collection.mutable.Map.empty[String, Int]
-      results.map { case (k, _, _, _) =>
+      results.map { case (k, _, _, _, _) =>
         val base = short(k)
         val n = seen.getOrElse(base, 0)
         seen(base) = n + 1
@@ -128,27 +164,37 @@ object Bench {
     // host reads it as seconds), so a cross-round diff of calib_adj
     // self-annotates: a plan regression moves it, a slow host does not.
     // Raw medians stay untouched alongside.
-    def nearestProbe(ts: Long): Double =
-      calibTimeline.minBy(p => math.abs(p._3 - ts))._2
-    val adj = results.map { case (_, v, _, ts) =>
-      if (v < 0) -1.0 else v / nearestProbe(ts)
+    def nearestProbe(ts: Long): (Double, Double) = {
+      val p = calibTimeline.minBy(p => math.abs(p._4 - ts))
+      (p._2, p._3)
+    }
+    val adj = results.map { case (_, v, _, ts, _) =>
+      if (v < 0) -1.0 else v / nearestProbe(ts)._1
     }
     def qsAt(prec: Double => String): String =
-      shortKeys.zip(results).map { case (sk, (_, v, _, _)) =>
+      shortKeys.zip(results).map { case (sk, (_, v, _, _, _)) =>
         "\"" + sk + "\":" + prec(v)
       }.mkString("{", ",", "}")
     val qs = qsAt(r3)
     val qsAdj = shortKeys.zip(adj).map { case (sk, a) =>
       "\"" + sk + "\":" + r3(a)
     }.mkString("{", ",", "}")
-    val detail = results.zip(adj).map { case ((k, v, ts, at), a) =>
+    // per-query detail: raw reps, both probe flavors nearest in time,
+    // the warmup job count, and sched_est = jobs × per-job scheduler
+    // latency — the entry's scheduler FLOOR in this run's units, so a
+    // job-count-dominated entry's cross-session envelope is explained
+    // by a recorded number instead of prose (r13 verdict #2)
+    val detail = results.zip(adj).map { case ((k, v, ts, at, jobs), a) =>
+      val (pc, psc) = nearestProbe(at)
       s""""$k":{"median":$v,"reps":${ts.mkString("[", ",", "]")},""" +
-        s""""calib_adj":${r3(a)},"probe":${r3(nearestProbe(at))}}"""
+        s""""calib_adj":${r3(a)},"probe":${r3(pc)},""" +
+        s""""probe_sched":${f"$psc%.4f"},"jobs":$jobs,""" +
+        s""""sched_est":${r3(jobs * psc)}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalAdj = adj.filter(_ >= 0).sum
-    val timelineJson = calibTimeline.map { case (at, t, ts) =>
-      s"""{"at":"$at","t":${r3(t)},"ts":$ts}"""
+    val timelineJson = calibTimeline.map { case (at, t, s, ts) =>
+      s"""{"at":"$at","t":${r3(t)},"sched":${f"$s%.4f"},"ts":$ts}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -170,11 +216,24 @@ object Bench {
     // line measures 1,801 chars — ~15 more entries would push it past
     // the 2000-char tail and record "parsed": null. If the line nears
     // the cliff, the STDOUT copy drops to 2 decimals (saving one char
-    // per entry); the file copy below always keeps 3 (no size limit),
-    // so full precision is never lost.
+    // per entry); if even THAT overflows (r13 advice: the one-step
+    // fallback re-created the cliff it guarded), the stdout copy drops
+    // the queries map entirely — pointing at the file — and warns on
+    // stderr. The file copy below always keeps 3 decimals (no size
+    // limit), so full precision is never lost.
     val summary = {
       val s3 = summaryWith(qs)
-      if (s3.length <= 1900) s3 else summaryWith(qsAt(v => f"$v%.2f"))
+      if (s3.length <= 1900) s3
+      else {
+        val s2 = summaryWith(qsAt(v => f"$v%.2f"))
+        if (s2.length <= 1900) s2
+        else {
+          System.err.println(s"[bench] WARN stdout summary ${s2.length}" +
+            " chars even at 2 decimals; dropping queries map from stdout" +
+            " (full data in BENCH_SUMMARY.json)")
+          summaryWith("\"BENCH_SUMMARY.json\"")
+        }
+      }
     }
     // File-based contract (survives ANY stdout mangling): the summary
     // lands in BENCH_SUMMARY.json in the repo root, extended with the

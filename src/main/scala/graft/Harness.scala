@@ -73,6 +73,28 @@ object Harness {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Scheduler-latency probe (r13 verdict #2): the CPU+shuffle calib
+    * task cannot attribute JOB-LAUNCH overhead — iterative entries
+    * (connected-components loops, gradient-descent trainers) launch
+    * tens of near-empty jobs whose cost is scheduler round-trip, not
+    * compute, so they normalize badly against a CPU probe on a host
+    * whose scheduling (not arithmetic) degraded. This probe times
+    * `SchedProbeJobs` minimal 32-task jobs (the bench's partition
+    * count, so per-job shape matches an iteration's launch) and
+    * returns the PER-JOB seconds. An entry's scheduler floor is then
+    * `jobs × schedProbe` in the same run's units.
+    */
+  final val SchedProbeJobs = 16
+
+  def schedOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    (1 to SchedProbeJobs).foreach { _ =>
+      spark.range(0L, 32L, 1L, 32)
+        .write.format("noop").mode("overwrite").save()
+    }
+    (System.nanoTime() - t0) / 1e9 / SchedProbeJobs
+  }
+
   /** True median: averages the two middle elements for an even count
     * (r09 advice — `sorted(n/2)` alone is the UPPER middle, biased
     * high for even reps).

@@ -2667,9 +2667,13 @@ object TextAnalysis extends QueryModule {
         col("keep"))
       .orderBy(col("doc_id"))
 
+  // coalesce wraps the WHOLE composed page: Spark's concat(null,
+  // markers) is null (then c4Flags coalesces to ''), so a null-text
+  // row must lose its markers in the oracle too — coalescing text
+  // BEFORE the concat would keep them and diverge on exactly that row
   private val q126Sql =
     s"""WITH p AS (
-       |  SELECT doc_id, coalesce(text, '')
+       |  SELECT doc_id, coalesce(text
        |    || CASE WHEN doc_id % 13 = 6 THEN ' javascript required'
        |            ELSE '' END
        |    || CASE WHEN doc_id % 23 = 4 THEN ' lorem ipsum dolor'
@@ -2678,7 +2682,7 @@ object TextAnalysis extends QueryModule {
        |            ELSE '' END
        |    || CASE WHEN doc_id % 19 = 3 THEN ' see our cookie policy'
        |            ELSE '' END
-       |    || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS page
+       |    || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END, '') AS page
        |  FROM documents)
        |SELECT doc_id,
        |  ends_with(page, '.') AS r_terminal,
@@ -2854,11 +2858,12 @@ object TextAnalysis extends QueryModule {
        |  WHERE doc_id % ${Dedup.SnipMod} = $QuoteRes),
        |quotes AS (
        |  SELECT doc_id + $QuoteOff AS doc_id, source,
-       |    array_to_string(ws[1 : CAST(floor(floor(len(ws) / 8.0)
-       |      * ${Dedup.SnipFrac}) AS INT) * $BoilerW], ' ') AS text
+       |    array_to_string(ws[1 : CAST(floor(floor(len(ws)
+       |      / CAST($BoilerW AS DOUBLE)) * ${Dedup.SnipFrac}) AS INT)
+       |      * $BoilerW], ' ') AS text
        |  FROM qsrc
-       |  WHERE CAST(floor(floor(len(ws) / 8.0) * ${Dedup.SnipFrac})
-       |    AS INT) >= 1),
+       |  WHERE CAST(floor(floor(len(ws) / CAST($BoilerW AS DOUBLE))
+       |    * ${Dedup.SnipFrac}) AS INT) >= 1),
        |corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL SELECT doc_id, source, text FROM quotes),

@@ -35,11 +35,15 @@ class LineContainmentSpec extends SparkSpec {
   // construction — re-derived from the SQL twin's spellings
   // (pageLinesSqlFor / the census CTEs), NOT from the Scala engine, so
   // a drift in either engine spelling fails here.
+  // the window width: ONE spelling with the engine + SQL twins (the
+  // SnipMod/SnipFrac constants discipline) — a BoilerW change tracks here
+  private val W = TextAnalysis.BoilerW
+
   private def linesRef(id: Long, src: String, text: String): Seq[String] = {
     val ws = "\\S+".r.findAllIn(Option(text).getOrElse("")).toVector
-    val nBody = math.max((ws.size - 1) / 8, 0)
+    val nBody = math.max((ws.size - 1) / W, 0)
     val body = (0 to nBody).map(i =>
-      ws.slice(i * 8, math.min(i * 8 + 8, ws.size)).mkString(" "))
+      ws.slice(i * W, math.min(i * W + W, ws.size)).mkString(" "))
     Seq(s"nav $src menu home about contact") ++ body ++
       (if (id % 17 == 0) Seq(s"promo $src special offer today only")
        else Nil) ++
@@ -53,10 +57,11 @@ class LineContainmentSpec extends SparkSpec {
       if (id % Dedup.SnipMod != TextAnalysis.QuoteRes) Nil
       else {
         val ws = "\\S+".r.findAllIn(Option(t).getOrElse("")).toVector
-        val nq = math.floor(math.floor(ws.size / 8.0) * Dedup.SnipFrac).toInt
+        val nq =
+          math.floor(math.floor(ws.size.toDouble / W) * Dedup.SnipFrac).toInt
         if (nq < 1) Nil
         else Seq((id + TextAnalysis.QuoteOff, src,
-          ws.take(nq * 8).mkString(" ")))
+          ws.take(nq * W).mkString(" ")))
       }
     }
 
@@ -104,7 +109,7 @@ class LineContainmentSpec extends SparkSpec {
     // parent's windows (window-aligned) plus foreign soup — 1 shared
     // line of its 4 ≪ τ. Soup keeps the census honest as above.
     val parent = words("w", 48)
-    val oneWindow = parent.split(" ").take(8).mkString(" ")
+    val oneWindow = parent.split(" ").take(W).mkString(" ")
     // soup ids avoid ≡ 5 (mod 9) so no soup doc spawns its own quote
     val soup = Seq(1L, 2L, 3L, 4L, 6L).map(i => (i, "s0", words(s"a$i", 40)))
     val out = report(soup ++ Seq(
@@ -163,8 +168,8 @@ class LineContainmentSpec extends SparkSpec {
         if (id > 1 && rnd.nextBoolean()) {
           val (_, psrc, pt) = base(rnd.nextInt(id.toInt - 1))
           val pws = pt.split(" ").toVector
-          val take = 8 * (1 + rnd.nextInt(math.max(pws.size / 8, 1)))
-          val pad = if (rnd.nextBoolean()) "" else " " + words(s"f$id", 8)
+          val take = W * (1 + rnd.nextInt(math.max(pws.size / W, 1)))
+          val pad = if (rnd.nextBoolean()) "" else " " + words(s"f$id", W)
           (id, psrc, pws.take(math.min(take, pws.size)).mkString(" ") + pad)
         } else (id, src, t)
       }
