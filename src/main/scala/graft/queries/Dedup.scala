@@ -2453,7 +2453,17 @@ object Dedup extends QueryModule {
        |              FROM probed)),
        |gp AS (SELECT doc_id, ${hex12ToLongSql("md5(unnest(sh))")} AS gid
        |       FROM gxp),
-       |szi AS (SELECT doc_id, COUNT(*) AS ng FROM gi GROUP BY 1),
+       |${containTwoPopProbeSqlTail("n_grams")}""".stripMargin
+
+  /** The TWO-POPULATION probe SQL tail (szi/szp/dfx sizing + probes →
+    * cand → sh → report) over CTEs named `gi(doc_id, gid)` (index side)
+    * and `gp(doc_id, gid)` (probe side) — the ONE SQL spelling of
+    * [[probeContain]]'s frozen-index form, shared by the word-grain
+    * lifecycle twins (q128/q129 via [[containSqlFor]]) and the
+    * line-grain lifecycle twins (q131/q132 in TextAnalysis, which only
+    * rename the size column). */
+  private[graft] def containTwoPopProbeSqlTail(sizeCol: String): String =
+    s"""szi AS (SELECT doc_id, COUNT(*) AS ng FROM gi GROUP BY 1),
        |szp AS (SELECT doc_id, COUNT(*) AS ng FROM gp GROUP BY 1),
        |dfx AS (SELECT gid, COUNT(*) AS df FROM gi GROUP BY 1),
        |probes AS (
@@ -2478,7 +2488,7 @@ object Dedup extends QueryModule {
        |  JOIN gi gc ON gc.doc_id = cs.c AND gc.gid = gd.gid
        |  GROUP BY 1, 2, 3)
        |SELECT d AS doc_id, c AS container_id,
-       |  CAST(nd AS BIGINT) AS n_grams,
+       |  CAST(nd AS BIGINT) AS $sizeCol,
        |  CAST(n_shared AS BIGINT) AS n_shared,
        |  round(CAST(n_shared AS DOUBLE) / nd, 4) AS containment
        |FROM sh WHERE CAST(n_shared AS DOUBLE) / nd >= $ContainTau

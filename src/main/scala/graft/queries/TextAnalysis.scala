@@ -1909,27 +1909,35 @@ object TextAnalysis extends QueryModule {
   private def pageLinesSql: String = pageLinesSqlFor("documents")
 
   private def pageLinesSqlFor(rel: String): String =
-    s"""d AS (
+    pageLinesSqlNamed(rel, "d", "lines")
+
+  /** [[pageLinesSqlFor]] with caller-chosen CTE names — the line-grain
+    * lifecycle twins (q131/q132) instantiate the page model over THREE
+    * populations (frozen census, index corpus, probe corpus) in one
+    * statement, which the fixed d/lines names cannot express. */
+  private def pageLinesSqlNamed(rel: String, d: String,
+      lines: String): String =
+    s"""$d AS (
        |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws
        |  FROM $rel),
-       |lines AS (
+       |$lines AS (
        |  SELECT doc_id, source, CAST(0 AS BIGINT) AS line_idx,
-       |    'nav ' || source || ' menu home about contact' AS line FROM d
+       |    'nav ' || source || ' menu home about contact' AS line FROM $d
        |  UNION ALL
        |  SELECT doc_id, source, CAST(1 + start // $BoilerW AS BIGINT),
        |    array_to_string(ws[start + 1 : least(start + $BoilerW, len(ws))],
        |      ' ')
        |  FROM (SELECT doc_id, source, ws,
        |          unnest(range(0, greatest(len(ws), 1), $BoilerW)) AS start
-       |        FROM d)
+       |        FROM $d)
        |  UNION ALL
        |  SELECT doc_id, source, CAST(999999 AS BIGINT),
        |    'promo ' || source || ' special offer today only'
-       |  FROM d WHERE doc_id % 17 = 0
+       |  FROM $d WHERE doc_id % 17 = 0
        |  UNION ALL
        |  SELECT doc_id, source, CAST(1000000 AS BIGINT),
        |    'footer ' || source || ' copyright terms privacy'
-       |  FROM d WHERE doc_id % 3 <> 0)""".stripMargin
+       |  FROM $d WHERE doc_id % 3 <> 0)""".stripMargin
 
   /** Shared oracle CTEs, parameterized by the census (index) population
     * — `idxPred` over plain `doc_id` restricts srcn/census rows, the
@@ -2887,6 +2895,201 @@ object TextAnalysis extends QueryModule {
        |dfx AS (SELECT gid, COUNT(*) AS df FROM g GROUP BY 1),
        |${Dedup.containSelfProbeSqlTail("n_lines")}""".stripMargin
 
+  // ---- q131/q132: the INCREMENTAL lifecycle of the LINE-grain
+  // containment index (q128/q129's algebra at q130's grain). The
+  // postings algebra is the word grain's APPEND-pure one: per-doc
+  // surviving-line gids and sizes are per-DOCUMENT rows, so promote =
+  // the delta's page-line scan + APPEND and retract = partition
+  // pruning over the batch_id-partitioned store. The NEW wrinkle is
+  // the chrome census: it is a FROZEN INPUT, captured over the
+  // BOOTSTRAP batch at publish time and applied unchanged to every
+  // delta — exactly StreamingBoiler's census-drift horizon (chrome
+  // that emerges only after the freeze indexes un-stripped until a
+  // re-freeze). Both entries' oracles therefore spell the census over
+  // the bootstrap population ONLY: merged ≡ rebuilt and demoted ≡
+  // rebuilt-without are proven UNDER the frozen chrome — the contract
+  // a production promote actually runs, not a census rebuilt per
+  // delta (which would be corpus-linear work on every micro-batch).
+
+  /** One batch's line-grain partials under a FROZEN chrome set, the
+    * line scan materialized once (both partial legs read the stored
+    * scan — the buildContainIndexPManaged discipline); the release
+    * handle is for the streaming promote path's bounded per-batch
+    * scratch. */
+  private[graft] def buildLineContainIndexPManaged(docs: DataFrame,
+      chrome: DataFrame, batchId: Long, tag: String)
+      : (Dedup.ContainIndexP, () => Unit) = {
+    val (gRaw, release) = Scratch.materializeManaged(
+      lineGramIds(pageDocs(docs), chrome), s"${tag}_lcp${batchId}_g")
+    val g = gRaw.toDF("doc_id", "gid")
+    (Dedup.ContainIndexP(
+      g.withColumn("batch_id", lit(batchId)),
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+        .withColumn("batch_id", lit(batchId))), release)
+  }
+
+  private[graft] def buildLineContainIndexP(docs: DataFrame,
+      chrome: DataFrame, batchId: Long, tag: String): Dedup.ContainIndexP =
+    buildLineContainIndexPManaged(docs, chrome, batchId, tag)._1
+
+  /** Batch-0 partials off an already-materialized line relation — the
+    * bootstrap path, where ONE line scan feeds the frozen census AND
+    * the first partition (the q130 one-scan discipline). */
+  private def lineContainBootstrapP(li: DataFrame, chrome: DataFrame,
+      tag: String): Dedup.ContainIndexP = {
+    val g = Scratch.materialize(lineGramIdsOfRel(li, chrome),
+      s"${tag}_g0").toDF("doc_id", "gid")
+    Dedup.ContainIndexP(
+      g.withColumn("batch_id", lit(0L)),
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+        .withColumn("batch_id", lit(0L)))
+  }
+
+  /** The lifecycle entries' shared probe: constructed quotes of
+    * `quoteBase` parents ∪ the unseen `rest` docs, reduced to
+    * surviving line sets under the SAME frozen chrome, against the
+    * collapsed index. */
+  private def probeLineLifecycle(idx: Dedup.ContainIndex,
+      chrome: DataFrame, quoteBase: DataFrame, rest: DataFrame,
+      tag: String): DataFrame = {
+    val probeDocs = quoteOf(quoteBase)
+      .unionByName(rest.select(col("doc_id"), col("source"), col("text")))
+    val gp = Scratch.materialize(
+      lineGramIds(pageDocs(probeDocs), chrome), s"${tag}_pg")
+      .toDF("doc_id", "gid")
+    Dedup.probeContain(idx, gp,
+      gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), tag)
+      .withColumnRenamed("n_grams", "n_lines")
+  }
+
+  /** Line-containment MERGE equivalence (q131): freeze the chrome
+    * census over the bootstrap batch (doc_id ≡ 0,1,2 mod 7), build its
+    * partials off the SAME materialized line scan, STORE them, promote
+    * the delta (≡ 3,4) under the frozen chrome by appending its
+    * partials, then probe quotes of the INDEX population (guaranteed
+    * line-set engulfments) plus the unseen docs (≡ 5,6). Oracle = the
+    * probe against the index REBUILT over frozen∪delta with the census
+    * still spelled over the bootstrap only — merged ≡ rebuilt under
+    * frozen chrome. Batch modulus 7 is coprime to the generator's
+    * 20-source round-robin, so every source has bootstrap census
+    * evidence. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val m = col("doc_id") % 7
+    val (li0, chrome) = lineRelAndChrome(pageDocs(docs.filter(m < 3)),
+      "q131")
+    val b0 = lineContainBootstrapP(li0, chrome, "q131")
+    // materialized = the stored index: the merge consumes INDEX STATE,
+    // provably not the bootstrap batch's text
+    val stored = Dedup.ContainIndexP(
+      Scratch.materialize(b0.g, "q131_sg"),
+      Scratch.materialize(b0.sizes, "q131_ssz"))
+    val d1 = buildLineContainIndexP(docs.filter(m >= 3 && m < 5), chrome,
+      1L, "q131")
+    val merged = Dedup.ContainIndexP(stored.g.union(d1.g),
+      stored.sizes.union(d1.sizes))
+    // the promote LANDS in the store before any probe (q128's contract)
+    val live = Dedup.ContainIndexP(
+      Scratch.materialize(merged.g, "q131_mg"),
+      Scratch.materialize(merged.sizes, "q131_msz"))
+    probeLineLifecycle(Dedup.collapseContain(live), chrome,
+      docs.filter(m < 5), docs.filter(m >= 5), "q131")
+  }
+
+  /** Line-containment RETRACTION equivalence (q132): freeze the chrome
+    * census over batch 0 (doc_id ≡ 0,1 mod 7), promote batches 0/1/2
+    * (≡ 0,1 / 2,3 / 4) under it, store partitioned by batch_id,
+    * retract batch 2 (the re-crawled source recalled after promote),
+    * and probe quotes of the FULL promoted population — quotes of
+    * batch-2 parents lose their container, so the retraction is
+    * observable in the report. Oracle = the probe against the index
+    * REBUILT over batches 0∪1 only, census still over batch 0:
+    * demoted ≡ rebuilt-without under frozen chrome. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val m = col("doc_id") % 7
+    val (li0, chrome) = lineRelAndChrome(pageDocs(docs.filter(m < 2)),
+      "q132")
+    val b0 = lineContainBootstrapP(li0, chrome, "q132")
+    val b1 = buildLineContainIndexP(docs.filter(m >= 2 && m < 4), chrome,
+      1L, "q132")
+    val b2 = buildLineContainIndexP(docs.filter(m === 4), chrome,
+      2L, "q132")
+    val stored = Dedup.ContainIndexP(
+      Scratch.materializePartitioned(b0.g.union(b1.g).union(b2.g),
+        "q132_g", "batch_id"),
+      Scratch.materializePartitioned(
+        b0.sizes.union(b1.sizes).union(b2.sizes), "q132_sz", "batch_id"))
+    val demoted = Dedup.retractContainIndexP(stored, 2L)
+    probeLineLifecycle(Dedup.collapseContain(demoted), chrome,
+      docs.filter(m < 5), docs.filter(m >= 5), "q132")
+  }
+
+  /** The two-population line-grain probe oracle under a FROZEN chrome
+    * census (census over `censusPred` docs ONLY; index over `idxPred`;
+    * probe = quotes of `snipPred` parents ∪ `probePred` docs) — the
+    * SQL twin of the q131/q132 lifecycle over
+    * [[Dedup.collapseContain]]-shaped state, sharing the quote
+    * construction with q130 and the probe tail with q128/q129. */
+  private def lineContainSqlFor(censusPred: String, idxPred: String,
+      snipPred: String, probePred: String): String =
+    s"""WITH qsrc AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(coalesce(text, ''), '\\S+') AS ws
+       |  FROM documents
+       |  WHERE doc_id % ${Dedup.SnipMod} = $QuoteRes AND ($snipPred)),
+       |quotes AS (
+       |  SELECT doc_id + $QuoteOff AS doc_id, source,
+       |    array_to_string(ws[1 : CAST(floor(floor(len(ws)
+       |      / CAST($BoilerW AS DOUBLE)) * ${Dedup.SnipFrac}) AS INT)
+       |      * $BoilerW], ' ') AS text
+       |  FROM qsrc
+       |  WHERE CAST(floor(floor(len(ws) / CAST($BoilerW AS DOUBLE))
+       |    * ${Dedup.SnipFrac}) AS INT) >= 1),
+       |ccorp AS (SELECT doc_id, source, text FROM documents
+       |          WHERE $censusPred),
+       |icorp AS (SELECT doc_id, source, text FROM documents
+       |          WHERE $idxPred),
+       |pcorp AS (
+       |  SELECT doc_id, source, text FROM documents WHERE $probePred
+       |  UNION ALL SELECT doc_id, source, text FROM quotes),
+       |${pageLinesSqlNamed("ccorp", "cdd", "clines")},
+       |srcn AS (SELECT source, COUNT(*) AS n_docs FROM cdd
+       |         GROUP BY source),
+       |census AS (
+       |  SELECT source, md5(line) AS lmd5, COUNT(DISTINCT doc_id) AS cnt
+       |  FROM clines GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT c.source, c.lmd5
+       |  FROM census c JOIN srcn s USING (source)
+       |  WHERE 2 * c.cnt >= s.n_docs AND s.n_docs >= $BoilerMinDocs),
+       |${pageLinesSqlNamed("icorp", "idd", "ilines")},
+       |gi AS (
+       |  SELECT DISTINCT l.doc_id,
+       |    ${Dedup.hex12ToLongSql("md5(l.line)")} AS gid
+       |  FROM ilines l LEFT JOIN boiler b
+       |    ON l.source = b.source AND md5(l.line) = b.lmd5
+       |  WHERE b.lmd5 IS NULL),
+       |${pageLinesSqlNamed("pcorp", "pdd", "plines")},
+       |gp AS (
+       |  SELECT DISTINCT l.doc_id,
+       |    ${Dedup.hex12ToLongSql("md5(l.line)")} AS gid
+       |  FROM plines l LEFT JOIN boiler b
+       |    ON l.source = b.source AND md5(l.line) = b.lmd5
+       |  WHERE b.lmd5 IS NULL),
+       |${Dedup.containTwoPopProbeSqlTail("n_lines")}""".stripMargin
+
+  // lazy: cross-module constants (the q75Sql init-cycle lesson)
+  private lazy val q131Sql = lineContainSqlFor(
+    "doc_id % 7 < 3", "doc_id % 7 < 5", "doc_id % 7 < 5",
+    "doc_id % 7 >= 5")
+
+  private lazy val q132Sql = lineContainSqlFor(
+    "doc_id % 7 < 2", "doc_id % 7 < 4", "doc_id % 7 < 5",
+    "doc_id % 7 >= 5")
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -2917,6 +3120,8 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q117_pii_redact", q117, Some(q117Sql)),
     CatalogEntry("q118_paragraph_dedup", q118, Some(q118Sql)),
     CatalogEntry("q130_line_containment", q130, Some(q130Sql)),
+    CatalogEntry("q131_line_contain_merge", q131, Some(q131Sql)),
+    CatalogEntry("q132_line_contain_retract", q132, Some(q132Sql)),
     CatalogEntry("q119_hard_negatives", q119, Some(q119Sql)),
     CatalogEntry("q120_tokenizer_fertility", q120, Some(q120Sql)),
     CatalogEntry("q122_clean_pipeline", q122, Some(q122Sql)),

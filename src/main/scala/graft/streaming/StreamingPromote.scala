@@ -296,4 +296,66 @@ object StreamingPromote {
     graft.queries.Scratch.deleteTree(s"$gDir/batch_id=$batchId")
     graft.queries.Scratch.deleteTree(s"$szDir/batch_id=$batchId")
   }
+
+  // ---- the LINE-grain containment lifecycle (q131/q132's streaming
+  // side — the word-grain algebra above at q130's grain). Postings are
+  // APPEND-pure exactly as the word grain: per-doc surviving-LINE gids
+  // and sizes, one partition write per micro-batch, df collapsed at
+  // probe time. The extra frozen input is the CHROME census
+  // (`chrome` — per-source boilerplate line pairs, captured at index
+  // publish like StreamingLineContain's freeze): every delta batch is
+  // stripped against the PUBLISH-time census, so chrome that emerges
+  // only within the delta stream indexes un-stripped until the next
+  // re-freeze — the same horizon StreamingBoiler documents. Same
+  // at-least-once algebra note as the word grain: a document promoted
+  // under TWO batch ids doubles its line postings, so the GATED
+  // variant is the correctness requirement for at-least-once sources.
+
+  /** Promote one micro-batch of `(doc_id, source, text)` pages into the
+    * line-containment state rooted at `gDir`/`szDir`, stripped against
+    * the FROZEN `chrome` pairs. Also the bootstrap entry point for the
+    * frozen corpus (negative batch id). */
+  def promoteLineContainBatch(batch: DataFrame, batchId: Long,
+      chrome: DataFrame, gDir: String, szDir: String): Unit = {
+    val (p, release) = graft.queries.TextAnalysis
+      .buildLineContainIndexPManaged(batch, chrome, batchId, "splc")
+    try {
+      writePart(p.g, gDir, batchId)
+      writePart(p.sizes, szDir, batchId)
+    } finally release()
+  }
+
+  /** The streaming line-containment promote behind the exactly-once
+    * document gate (REQUIRED for at-least-once sources; keyed state on
+    * RocksDB in the 100 TB configuration, as with
+    * [[promoteLexGated]]). */
+  def promoteLineContainGated(deltaDocs: DataFrame, chrome: DataFrame,
+      gDir: String, szDir: String): StreamingQuery =
+    deltaDocs.dropDuplicates("doc_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        promoteLineContainBatch(df, id, chrome, gDir, szDir)
+      }
+      .start()
+
+  /** Probe the live line-containment state: batch q131's probe
+    * contract (rarest-line probes by the COLLAPSED df, candidate-
+    * bounded confirm) over whatever has been promoted so far, the
+    * probe side stripped against the SAME frozen chrome. */
+  def probeLineContainLive(spark: SparkSession, chrome: DataFrame,
+      gDir: String, szDir: String, probeDocs: DataFrame): DataFrame = {
+    val idx = Dedup.collapseContain(liveContainIndex(spark, gDir, szDir))
+    val gp = graft.queries.TextAnalysis.lineGramIds(
+      graft.queries.TextAnalysis.pageDocs(probeDocs), chrome)
+    Dedup.probeContain(idx, gp,
+      gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), "spromlc")
+      .withColumnRenamed("n_grams", "n_lines")
+  }
+
+  /** DEMOTE one promoted line-containment micro-batch — the identical
+    * two-directory layout, so the word grain's drop applies. */
+  def demoteLineContainBatch(gDir: String, szDir: String,
+      batchId: Long): Unit =
+    demoteContainBatch(gDir, szDir, batchId)
 }

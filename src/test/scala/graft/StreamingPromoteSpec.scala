@@ -282,4 +282,85 @@ class StreamingPromoteSpec extends SparkSpec {
       saved.fold(sp.conf.unset(key))(v => sp.conf.set(key, v))
     }
   }
+
+  test("line containment: streamed gated promote on RocksDB under frozen chrome converges with batch q131 under chunked delivery; cross-batch redelivery absorbed; demote ≡ rebuilt-without") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      // batch q131's split, spelled once: bootstrap ≡ 0,1,2 (mod 7) —
+      // which also FREEZES the chrome census — delta ≡ 3,4; probe =
+      // quotes of the index population ∪ the unseen docs (≡ 5,6)
+      val docs = Tables.documents(sp, sf).select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("text"))
+      val m = col("doc_id") % 7
+      val frozen = docs.filter(m < 3)
+      val delta = docs.filter(m >= 3 && m < 5)
+      val probeDocs = graft.queries.TextAnalysis.quoteOf(docs.filter(m < 5))
+        .unionByName(docs.filter(m >= 5)
+          .select(col("doc_id"), col("source"), col("text")))
+      // the publish-time freeze: census over the bootstrap ONLY — the
+      // same frozen input every delta batch is stripped against
+      val (_, chrome) = graft.queries.TextAnalysis.lineRelAndChrome(
+        graft.queries.TextAnalysis.pageDocs(frozen), "tlcfreeze")
+      val gDir = tmpDir("spromote-lcg"); val szDir = tmpDir("spromote-lcsz")
+      StreamingPromote.promoteLineContainBatch(frozen, -1L, chrome,
+        gDir, szDir)
+      val deltaRows = delta.as[(Long, String, String)].collect().sortBy(_._1)
+      val chunks = deltaRows.grouped(
+        math.max(1, (deltaRows.length + 2) / 3)).toSeq
+      assert(chunks.length == 3 && chunks(0).length >= 4)
+      val mem = MemoryStream[(Long, String, String)]
+      val q = StreamingPromote.promoteLineContainGated(
+        mem.toDF().toDF("doc_id", "source", "text"), chrome, gDir, szDir)
+      try {
+        mem.addData(chunks(0).toIndexedSeq)
+        q.processAllAvailable()
+        // micro-batch 1 REDELIVERS half of micro-batch 0's documents
+        // under a fresh batch id — without the gate the append algebra
+        // would double their line postings
+        mem.addData((chunks(1) ++ chunks(0).take(chunks(0).length / 2))
+          .toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(chunks(2).toIndexedSeq)
+        q.processAllAvailable()
+        val metrics = Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption)
+          .map(_.customMetrics.keySet())
+          .getOrElse(java.util.Collections.emptySet[String]())
+        assert(metrics.stream().anyMatch(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics in $metrics")
+      } finally q.stop()
+      val streamed = containRows(StreamingPromote.probeLineContainLive(
+        sp, chrome, gDir, szDir, probeDocs))
+      val batch = containRows(
+        SparkEntry.queries("q131_line_contain_merge")(sp, sf))
+      assert(batch.nonEmpty, "q131 returned no probe rows — spec is vacuous")
+      assert(streamed == batch,
+        "streamed line-containment promote diverged from batch q131")
+      // demote micro-batch 1; rebuilt-without is built under the SAME
+      // frozen chrome (the lifecycle contract — not a re-frozen census)
+      StreamingPromote.demoteLineContainBatch(gDir, szDir, 1L)
+      val surviving = frozen
+        .union(chunks(0).toSeq.toDF("doc_id", "source", "text"))
+        .union(chunks(2).toSeq.toDF("doc_id", "source", "text"))
+      val p = graft.queries.TextAnalysis.buildLineContainIndexP(
+        surviving, chrome, 0L, "tlcw")
+      val gp = graft.queries.TextAnalysis.lineGramIds(
+        graft.queries.TextAnalysis.pageDocs(probeDocs), chrome)
+      val want = containRows(graft.queries.Dedup.probeContain(
+        graft.queries.Dedup.collapseContain(p), gp,
+        gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), "tlcwp"))
+      assert(containRows(StreamingPromote.probeLineContainLive(
+        sp, chrome, gDir, szDir, probeDocs)) == want,
+        "demoted line-containment state diverged from rebuilt-without")
+    } finally {
+      saved.fold(sp.conf.unset(key))(v => sp.conf.set(key, v))
+    }
+  }
 }
