@@ -3090,6 +3090,199 @@ object TextAnalysis extends QueryModule {
     "doc_id % 7 < 2", "doc_id % 7 < 4", "doc_id % 7 < 5",
     "doc_id % 7 >= 5")
 
+  // ---- q133/q134: INCREMENTAL CHROME RE-FREEZE — the composition of
+  // the boiler-census lifecycle (q115/q116's SUM-mergeable census) with
+  // the frozen line-containment index (q130/q131/q132). The lifecycle
+  // entries freeze the chrome census at publish and document the drift
+  // horizon: chrome that only emerges across delta batches indexes
+  // un-stripped (q133's direction), and chrome established over a
+  // narrow bootstrap can turn out NOT to be chrome once the wider
+  // corpus arrives, leaving real content quarantined (q134's). The
+  // naive repair is a full line-index rebuild — a 100 TB text re-scan.
+  // The re-freeze instead recomputes ONLY the postings of lines whose
+  // chrome verdict FLIPPED: the store keeps the stripped complement
+  // (per-doc postings of lines that WERE chrome at their promote —
+  // bounded: chrome lines are few per source, so the quarantine store
+  // is O(n_docs × |chrome|), the same order as one stored column) and
+  // rows carry `source`, so a census flip moves rows between the two
+  // stores with broadcast-flip-set joins over the compact gid stores —
+  // scan-stage, zero shuffle, zero page-line re-parse (the structural
+  // pin in LineRefreezeSpec: the move plan contains no regexp scan and
+  // no shuffle exchange). `source` lives on STORED rows only; collapse
+  // projects (doc_id, gid) before the probe chain, so probe shuffles
+  // keep the 8-byte-gid width. Moved rows keep their origin batch_id,
+  // so retraction (partition prune) still composes after a re-freeze.
+
+  /** Line-containment store WITH the quarantined chrome complement —
+    * both sides `(source, doc_id, gid, batch_id)`, append-pure per
+    * promoted batch under the chrome frozen at that batch's promote. */
+  private[graft] final case class LineContainStateP(
+      surv: DataFrame, strip: DataFrame)
+
+  /** One batch's store rows off a `(source, doc_id, lmd5)` line
+    * relation: the anti-join side indexes, the semi-join side is
+    * quarantined — ONE split spelling so a line is on exactly one side
+    * of the store for its batch's frozen chrome. */
+  private[graft] def buildLineStateP(li: DataFrame, chromePairs: DataFrame,
+      batchId: Long): LineContainStateP = {
+    def side(joinType: String): DataFrame =
+      li.join(chromePairs, Seq("source", "lmd5"), joinType)
+        .select(col("source"), col("doc_id"),
+          Dedup.hex12ToLong(col("lmd5")).as("gid"))
+        .distinct()
+        .withColumn("batch_id", lit(batchId))
+    LineContainStateP(side("left_anti"), side("left_semi"))
+  }
+
+  /** One batch's census partials off the SAME line relation (the
+    * one-scan discipline: postings split and census read one stored
+    * scan) — [[BoilerIndexP]]-shaped, so the q115/q116 collapse
+    * applies. n_docs = distinct doc ids, the [[boilerCensusOfLines]]
+    * equivalence (every page emits its header line). */
+  private[graft] def lineCensusP(li: DataFrame, batchId: Long)
+      : BoilerIndexP = BoilerIndexP(
+    li.groupBy(col("source"), col("lmd5"))
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+      .withColumn("batch_id", lit(batchId)),
+    li.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("batch_id", lit(batchId)))
+
+  /** The re-freeze move: surv loses the ADDED chrome's postings to the
+    * quarantine, strip returns the REMOVED chrome's postings to the
+    * index — flip sets are per-source chrome deltas (tiny: lines that
+    * crossed the half-the-source verdict), broadcast into scan-stage
+    * joins over the stored gid rows. Algebra: surv' = lines ∉
+    * ((C_old ∪ added) ∖ removed) = lines ∉ C_new — exactly the index a
+    * full rebuild under C_new produces, without touching text. */
+  private[graft] def refreezeLineState(st: LineContainStateP,
+      oldChrome: DataFrame, newChrome: DataFrame): LineContainStateP = {
+    def gidPairs(pairs: DataFrame): DataFrame =
+      pairs.select(col("source"), Dedup.hex12ToLong(col("lmd5")).as("gid"))
+    val added = gidPairs(
+      newChrome.join(oldChrome, Seq("source", "lmd5"), "left_anti"))
+    val removed = gidPairs(
+      oldChrome.join(newChrome, Seq("source", "lmd5"), "left_anti"))
+    // USING-column joins move the keys to the front of the output
+    // schema — re-select the store shape explicitly, or a downstream
+    // positional rename silently swaps doc_id↔gid (both LONG)
+    def shaped(df: DataFrame): DataFrame = df.select(
+      col("source"), col("doc_id"), col("gid"), col("batch_id"))
+    LineContainStateP(
+      shaped(st.surv.join(broadcast(added), Seq("source", "gid"),
+          "left_anti"))
+        .union(shaped(st.strip.join(broadcast(removed),
+          Seq("source", "gid"), "left_semi"))),
+      shaped(st.strip.join(broadcast(removed), Seq("source", "gid"),
+          "left_anti"))
+        .union(shaped(st.surv.join(broadcast(added), Seq("source", "gid"),
+          "left_semi"))))
+  }
+
+  /** Collapse the store to the probe-ready index. Sizes DERIVE from the
+    * surviving postings here (unlike q131's stored sizes partials): a
+    * re-freeze changes per-doc counts, and deriving at publish keeps
+    * the move itself append/prune-pure. `source` is projected away
+    * FIRST — probe shuffles stay (doc_id, 8-byte gid). */
+  private[graft] def collapseLineState(st: LineContainStateP)
+      : Dedup.ContainIndex = {
+    val g = st.surv.select(col("doc_id"), col("gid"))
+    Dedup.ContainIndex(g,
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")),
+      g.groupBy(col("gid")).agg(count(lit(1)).as("df")))
+  }
+
+  /** The two entries' shared lifecycle: freeze chrome over `boot`'s
+    * census (ONE bootstrap line scan feeds chrome + batch-0 census
+    * partials + batch-0 postings split), promote `delta` under the
+    * FROZEN chrome, store both postings sides partitioned by batch_id,
+    * collapse census partials to C_new, re-freeze the STORED postings,
+    * and probe quotes of the promoted population ∪ `rest` under C_new.
+    * Oracle = [[lineContainSqlFor]] with the census over the FULL
+    * promoted population — refrozen ≡ rebuilt-under-C_new. */
+  private def lineRefreezeLifecycle(boot: DataFrame, delta: DataFrame,
+      rest: DataFrame, tag: String): DataFrame = {
+    val (li0, oldChrome) = lineRelAndChrome(pageDocs(boot), tag)
+    val c0 = lineCensusP(li0, 0L)
+    val st0 = buildLineStateP(li0, oldChrome, 0L)
+    val li1 = Scratch.materialize(lineDigests(pageDocs(delta)),
+      s"${tag}_li1").toDF("source", "doc_id", "lmd5")
+    val c1 = lineCensusP(li1, 1L)
+    val st1 = buildLineStateP(li1, oldChrome, 1L)
+    // the STORE: both sides land partitioned by batch_id before any
+    // re-freeze — the move provably consumes stored postings, not text
+    val stored = LineContainStateP(
+      Scratch.materializePartitioned(st0.surv.union(st1.surv),
+        s"${tag}_surv", "batch_id"),
+      Scratch.materializePartitioned(st0.strip.union(st1.strip),
+        s"${tag}_strip", "batch_id"))
+    val newChrome = collapsedCensus(BoilerIndexP(
+      c0.counts.union(c1.counts), c0.srcn.union(c1.srcn)))
+      .select(col("source"), col("lmd5"))
+    val refrozen = refreezeLineState(stored, oldChrome, newChrome)
+    // republish the surviving index (strip' stays lazy — the probe
+    // never consumes it; LineRefreezeSpec pins its correctness)
+    val rsurv = Scratch.materialize(refrozen.surv, s"${tag}_rsurv")
+    // name-preserving re-alias (fresh attribute ids for the probe's
+    // self-joins) — NOT a positional rename, see refreezeLineState
+    val live = LineContainStateP(rsurv.toDF(rsurv.columns: _*),
+      refrozen.strip)
+    probeLineLifecycle(collapseLineState(live),
+      broadcast(newChrome), boot.unionByName(delta), rest, tag)
+  }
+
+  /** Chrome re-freeze, EMERGED direction (q133): the bootstrap is the
+    * footerless crawl (doc_id ≡ 0 mod 3 — the page model attaches the
+    * footer line to ≡ 1,2 only), so the publish-time census knows
+    * header+nav but NOT the footer; the delta is all footer carriers,
+    * whose footer lines index as CONTENT under the frozen chrome.
+    * C_new over the full promoted population (footer in 2/3 of every
+    * source, margin ≥ 3 at every SF) flips the footer IN; the
+    * re-freeze quarantines exactly those postings. Moduli 7 (promote/
+    * probe split) and 3 (bootstrap split) are both coprime to the
+    * generator's 20-source round-robin. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val m = col("doc_id") % 7
+    val pop = docs.filter(m < 5)
+    lineRefreezeLifecycle(
+      pop.filter(col("doc_id") % 3 === 0),
+      pop.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(m >= 5), "q133")
+  }
+
+  /** Chrome re-freeze, RETIRED direction (q134): the bootstrap
+    * oversamples footer carriers (doc_id ≡ 2,5 mod 9 — both ≢ 0 mod
+    * 3), so the footer IS chrome at publish and every bootstrap doc's
+    * footer postings sit in the quarantine; the delta is footerless
+    * (≡ 0 mod 3). Under C_new the footer sits below half in 19/20
+    * sources (source 14's 2·cnt = n_docs boundary holds it chrome
+    * there — deterministic, and the ≥ spelling is shared with the SQL
+    * twin), so the re-freeze RETURNS the quarantined postings to the
+    * index — the direction that proves the stripped complement store
+    * is load-bearing: the resurrected lines never re-parse text. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val m = col("doc_id") % 7
+    val pop = docs.filter(m < 5)
+    lineRefreezeLifecycle(
+      pop.filter(col("doc_id") % 9 === 2 || col("doc_id") % 9 === 5),
+      pop.filter(col("doc_id") % 3 === 0),
+      docs.filter(m >= 5), "q134")
+  }
+
+  private lazy val q133Sql = lineContainSqlFor(
+    "doc_id % 7 < 5", "doc_id % 7 < 5", "doc_id % 7 < 5",
+    "doc_id % 7 >= 5")
+
+  private lazy val q134Sql = lineContainSqlFor(
+    "doc_id % 7 < 5 AND doc_id % 9 IN (0, 2, 3, 5, 6)",
+    "doc_id % 7 < 5 AND doc_id % 9 IN (0, 2, 3, 5, 6)",
+    "doc_id % 7 < 5 AND doc_id % 9 IN (0, 2, 3, 5, 6)",
+    "doc_id % 7 >= 5")
+
   override def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q25_scalar_hex_keys", q25, Some(q25Sql)),
     CatalogEntry("q20_token_counts", q20, Some(q20Sql)),
@@ -3122,6 +3315,8 @@ object TextAnalysis extends QueryModule {
     CatalogEntry("q130_line_containment", q130, Some(q130Sql)),
     CatalogEntry("q131_line_contain_merge", q131, Some(q131Sql)),
     CatalogEntry("q132_line_contain_retract", q132, Some(q132Sql)),
+    CatalogEntry("q133_chrome_refreeze_add", q133, Some(q133Sql)),
+    CatalogEntry("q134_chrome_refreeze_drop", q134, Some(q134Sql)),
     CatalogEntry("q119_hard_negatives", q119, Some(q119Sql)),
     CatalogEntry("q120_tokenizer_fertility", q120, Some(q120Sql)),
     CatalogEntry("q122_clean_pipeline", q122, Some(q122Sql)),
