@@ -394,6 +394,11 @@ object CborBlock {
     var i = 0
     while (if (n >= 0) i < n else !r.atBreak) {
       val k = r.readArrayHeader()
+      // a definite [tx_id, index] with k < 2 would let the two reads
+      // below consume SIBLING items and misparse the rest of the block
+      // into plausible garbage (skipItems(k-2) no-ops on negative) —
+      // fail to None instead, the null-and-skip contract
+      if (k >= 0 && k < 2) throw new IllegalArgumentException(s"input arity $k")
       val txId = hex(r.readBytes())
       val index = r.readUInt().toInt
       if (k >= 0) r.skipItems(k - 2) else { while (!r.atBreak) r.skipItem() }
@@ -436,6 +441,9 @@ object CborBlock {
         TxOutput(address, lovelace)
       case 4 => // legacy array [address, value, ?datum_hash]
         val n = r.readArrayHeader()
+        // same under-arity guard as decodeInputs: k < 2 would read
+        // sibling items as address/value
+        if (n >= 0 && n < 2) throw new IllegalArgumentException(s"output arity $n")
         val address = hex(r.readBytes())
         val lovelace = decodeValue(r)
         if (n >= 0) r.skipItems(n - 2) else { while (!r.atBreak) r.skipItem() }

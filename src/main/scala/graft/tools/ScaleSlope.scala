@@ -85,6 +85,12 @@ object ScaleSlope {
     // r13: line-grain containment (census strip → line-digest index →
     // rarest-probe kernel — the composed strip+probe shape must hold)
     "q130_line_containment",
+    // r14: the line-grain lifecycle (append/prune algebra at line
+    // grain) and the chrome re-freeze pair (flip-set postings moves
+    // over stored state — promote AND re-freeze must stay delta-/flip-
+    // bounded at corpus scale)
+    "q131_line_contain_merge", "q132_line_contain_retract",
+    "q133_chrome_refreeze_add", "q134_chrome_refreeze_drop",
     // r11: the rebalance sampler (q48-class scan filter — should be
     // near-flat) and the quality-keeper (q55's CC plan + one agg)
     "q112_balanced_sample", "q113_quality_keeper",

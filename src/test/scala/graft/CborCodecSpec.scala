@@ -81,6 +81,20 @@ class CborCodecSpec extends SparkSpec {
     val w = new graft.sources.CborWriter
     w.tag(42); w.bytes(Array[Byte](1, 2, 3))
     assert(CborBlock.decode(w.result()).isEmpty)
+    // under-arity input: a definite [tx_id] with no index must reject
+    // (r14 review pass 20: skipItems(k-2) no-ops on negative, so the
+    // reads would otherwise consume sibling items and misparse)
+    val ua = new graft.sources.CborWriter
+    ua.arrayHeader(2); ua.uint(4L)
+    ua.arrayHeader(2)
+    ua.arrayHeader(2) // header = [header_body, sig]
+    ua.arrayHeader(3); ua.uint(7L); ua.uint(9L); ua.bytes(new Array[Byte](32))
+    ua.bytes(new Array[Byte](64))
+    ua.arrayHeader(1) // one tx body
+    ua.mapHeader(1); ua.uint(0L)
+    ua.tag(258); ua.arrayHeader(1)
+    ua.arrayHeader(1); ua.bytes(new Array[Byte](32)) // [tx_id] — arity 1
+    assert(CborBlock.decode(ua.result()).isEmpty)
     // Byron era index: structurally different, rejected + counted
     val before = CborBlock.unsupportedEraCount.sum()
     val byron = new graft.sources.CborWriter
