@@ -2233,18 +2233,35 @@ object Dedup extends QueryModule {
       .getOrElse(ContainDfCapDefault)
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gid"))
+    // np = how many of the doc's grams the index knows AT ALL — the
+    // same window exchange computes it beside the rarest ranking
+    val winAll = Window.partitionBy(col("doc_id"))
     val probes = deltaG.join(idx.dfs, "gid")
       .withColumn("rk", row_number().over(win))
+      .withColumn("np", count(lit(1)).over(winAll))
       .where(col("rk") <= ContainProbes && col("df") <= dfCap)
-      .select(col("doc_id").as("d"), col("gid"))
+      .select(col("doc_id").as("d"), col("gid"), col("np"))
+      // REACHABILITY PRUNE (r14, q134 30× attribution): a probe doc
+      // can report only if n_shared ≥ τ·nd, and n_shared ≤ np, so
+      // np < τ·nd is hopeless BEFORE any candidate exists. Without
+      // this, a doc whose only index-present line is retired-chrome
+      // (df ~ n_docs of its source after a q134-direction re-freeze)
+      // fanned out into df candidates that τ always rejected — the
+      // stop-bucket argument applied at the probe, value-neutral by
+      // construction (no pair at or above τ is prunable). The filter
+      // sits BEFORE the idx.g expansion, so the doomed fan-out never
+      // shuffles. (The SQL twins keep the unpruned candidate set —
+      // identical report, the prune is plan-only.)
+      .join(deltaSizes.select(col("doc_id").as("d"), col("ng").as("nd")),
+        "d")
+      .where(col("np").cast("double") >= col("nd").cast("double") * ContainTau)
+      .select(col("d"), col("gid"), col("nd"))
     val cand = probes
       .join(idx.g.select(col("gid"), col("doc_id").as("c")), "gid")
       // self-pair guard (the StreamingProbe lesson): under redelivery
       // (or batch, where delta IS the index) a doc meets itself
       .where(col("d") =!= col("c"))
-      .select(col("d"), col("c")).distinct()
-      .join(deltaSizes.select(col("doc_id").as("d"), col("ng").as("nd")),
-        "d")
+      .select(col("d"), col("c"), col("nd")).distinct()
       // strictly smaller inside strictly larger: equal gram sets are
       // q30/q61's exact-dup territory, not engulfment
       .join(idx.sizes.select(col("doc_id").as("c"), col("ng").as("nc")),
