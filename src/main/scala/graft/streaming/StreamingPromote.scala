@@ -358,4 +358,179 @@ object StreamingPromote {
   def demoteLineContainBatch(gDir: String, szDir: String,
       batchId: Long): Unit =
     demoteContainBatch(gDir, szDir, batchId)
+
+  // ---- the RE-FREEZE-capable line store (q133/q134's streaming side):
+  // the promote above is the frozen-chrome contract with its drift
+  // horizon; this store removes the horizon. Four partitioned relations
+  // — surv + strip postings (BOTH sides of the chrome split, with
+  // `source` on stored rows), census count + srcn partials — plus the
+  // published chrome pairs as a small epoch-overwritten relation. Every
+  // promote strips against the CURRENTLY PUBLISHED chrome and appends
+  // its own census partial; `refreezeLineLive` is the maintenance
+  // operation a production pipeline runs when the collapsed census has
+  // drifted: re-publish the chrome and move ONLY the flipped lines'
+  // postings between the two sides (`TextAnalysis.refreezeLineState` —
+  // broadcast flip sets, scan-stage, no text re-parse). The store
+  // rewrite is postings-linear (compact gid rows, ~the cost of one
+  // stored column), never corpus-linear; batch ids survive the move, so
+  // demote stays a partition drop on all four relations.
+
+  /** Directory bundle for the re-freeze-capable line store. */
+  final case class LineRefreezeDirs(survDir: String, stripDir: String,
+      cntDir: String, srcnDir: String, chromeDir: String)
+
+  private val PostingsDdl =
+    "source STRING, doc_id BIGINT, gid BIGINT, batch_id BIGINT"
+  private val CntDdl = "source STRING, lmd5 STRING, cnt BIGINT, batch_id BIGINT"
+  private val SrcnDdl = "source STRING, n_docs BIGINT, batch_id BIGINT"
+
+  /** Read a batch_id-partitioned store, tolerating a store whose
+    * partitions are ALL empty (Spark writes no part files for 0-row
+    * partitions, so schema inference fails — the strip store is
+    * legitimately empty before the bootstrap freeze). */
+  private def readPartsOr(spark: SparkSession, dir: String,
+      ddl: String): DataFrame = {
+    val d = new java.io.File(dir)
+    val hasFiles = d.isDirectory && Option(d.listFiles).exists(
+      _.exists(sub => sub.isDirectory && Option(sub.listFiles).exists(
+        _.exists(_.getName.endsWith(".parquet")))))
+    if (hasFiles) readParts(spark, dir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  private def readParts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** The currently published chrome pairs `(source, lmd5)` — EMPTY
+    * before the first freeze, which makes the bootstrap publish a plain
+    * [[refreezeLineLive]] (re-freeze FROM the empty census: every
+    * verdict is a fresh ADD, so the move quarantines exactly the
+    * bootstrap chrome — the batch entries' publish-time split). */
+  def publishedChrome(spark: SparkSession, dirs: LineRefreezeDirs)
+      : DataFrame =
+    if (new java.io.File(dirs.chromeDir).exists())
+      spark.read.parquet(dirs.chromeDir)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("source", "lmd5")
+    }
+
+  /** Stage `df` beside `dir` (partitioned by `partCol` when given) —
+    * the write half of a write-aside swap: Spark refuses to overwrite a
+    * path it is also reading, and the re-freeze's strip side READS the
+    * surv store, so every staged write must land before ANY swap. */
+  private def stageNext(df: DataFrame, dir: String,
+      partCol: Option[String]): Unit = {
+    val next = dir + ".next"
+    graft.queries.Scratch.deleteTree(next)
+    val w = df.write.mode("overwrite")
+    partCol.fold(w)(w.partitionBy(_)).parquet(next)
+  }
+
+  private def commitNext(dir: String): Unit = {
+    graft.queries.Scratch.deleteTree(dir)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir + ".next"),
+      java.nio.file.Paths.get(dir))
+  }
+
+  /** Promote one micro-batch under the CURRENTLY PUBLISHED chrome
+    * (empty before the bootstrap freeze → everything lands in surv,
+    * exactly the pre-publish state the bootstrap re-freeze then
+    * splits): ONE digests scan feeds the census partials AND both
+    * postings sides. */
+  def promoteLineRefreezeBatch(batch: DataFrame, batchId: Long,
+      dirs: LineRefreezeDirs): Unit = {
+    val ta = graft.queries.TextAnalysis
+    val spark = batch.sparkSession
+    val (liRaw, release) = graft.queries.Scratch.materializeManaged(
+      ta.lineDigests(ta.pageDocs(batch)), s"sprf_li$batchId")
+    try {
+      val li = liRaw.toDF("source", "doc_id", "lmd5")
+      val chrome = broadcast(publishedChrome(spark, dirs))
+      val c = ta.lineCensusP(li, batchId)
+      val st = ta.buildLineStateP(li, chrome, batchId)
+      writePart(c.counts, dirs.cntDir, batchId)
+      writePart(c.srcn, dirs.srcnDir, batchId)
+      writePart(st.surv, dirs.survDir, batchId)
+      writePart(st.strip, dirs.stripDir, batchId)
+    } finally release()
+  }
+
+  /** The gated streaming promote over the re-freeze-capable store
+    * (exactly-once document gate, RocksDB-keyed at 100 TB). */
+  def promoteLineRefreezeGated(deltaDocs: DataFrame,
+      dirs: LineRefreezeDirs): StreamingQuery =
+    deltaDocs.dropDuplicates("doc_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        promoteLineRefreezeBatch(df, id, dirs)
+      }
+      .start()
+
+  /** The maintenance RE-FREEZE: collapse the census partials to C_new,
+    * move the flipped lines' postings between the stored sides, swap
+    * the stores, re-publish the chrome. Run between micro-batches (the
+    * promote stream must be stopped or idle — the store swap is not
+    * concurrent with a partition write). Also the BOOTSTRAP publish:
+    * with no chrome yet published, old = ∅ and the move quarantines
+    * the bootstrap census's chrome. */
+  def refreezeLineLive(spark: SparkSession, dirs: LineRefreezeDirs)
+      : Unit = {
+    val ta = graft.queries.TextAnalysis
+    // chrome relations are tiny by construction (per-source frequent
+    // lines) — pin them DRIVER-SIDE so the flip sets stay stable
+    // across the staged writes and the chrome swap (and the bootstrap's
+    // EMPTY old chrome never round-trips through a scratch write)
+    def pinned(df: DataFrame): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val oldC = pinned(publishedChrome(spark, dirs))
+    val newC = pinned(ta.collapsedCensus(ta.BoilerIndexP(
+      readPartsOr(spark, dirs.cntDir, CntDdl),
+      readPartsOr(spark, dirs.srcnDir, SrcnDdl)))
+      .select(col("source"), col("lmd5")))
+    val refrozen = ta.refreezeLineState(
+      ta.LineContainStateP(
+        readPartsOr(spark, dirs.survDir, PostingsDdl),
+        readPartsOr(spark, dirs.stripDir, PostingsDdl)),
+      oldC, newC)
+    // BOTH sides read BOTH old stores (the cross moves) — stage both
+    // .next dirs fully before the first swap, or the strip rewrite
+    // would read the already-swapped surv and lose the quarantine
+    stageNext(refrozen.surv, dirs.survDir, Some("batch_id"))
+    stageNext(refrozen.strip, dirs.stripDir, Some("batch_id"))
+    stageNext(newC, dirs.chromeDir, None)
+    commitNext(dirs.survDir)
+    commitNext(dirs.stripDir)
+    commitNext(dirs.chromeDir)
+  }
+
+  /** Probe the live store under the currently published chrome —
+    * sizes DERIVE from the surviving postings (the q133 collapse: a
+    * re-freeze changes per-doc counts, so none are stored). */
+  def probeLineRefreezeLive(spark: SparkSession, dirs: LineRefreezeDirs,
+      probeDocs: DataFrame): DataFrame = {
+    val ta = graft.queries.TextAnalysis
+    val idx = ta.collapseLineState(ta.LineContainStateP(
+      readPartsOr(spark, dirs.survDir, PostingsDdl),
+      readPartsOr(spark, dirs.stripDir, PostingsDdl)))
+    val chrome = broadcast(publishedChrome(spark, dirs))
+    val gp = ta.lineGramIds(ta.pageDocs(probeDocs), chrome)
+    Dedup.probeContain(idx, gp,
+      gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), "sprfp")
+      .withColumnRenamed("n_grams", "n_lines")
+  }
+
+  /** DEMOTE one promoted batch from all four relations — postings AND
+    * census partials, so the next re-freeze's census no longer counts
+    * the recalled documents. Batch ids survive re-freezes (moved rows
+    * keep their origin id), so this stays a partition drop. */
+  def demoteLineRefreezeBatch(dirs: LineRefreezeDirs,
+      batchId: Long): Unit =
+    Seq(dirs.survDir, dirs.stripDir, dirs.cntDir, dirs.srcnDir)
+      .foreach(d =>
+        graft.queries.Scratch.deleteTree(s"$d/batch_id=$batchId"))
 }
