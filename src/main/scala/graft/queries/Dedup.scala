@@ -294,7 +294,17 @@ object Dedup extends QueryModule {
     * relation — shared by q32 (full corpus) and q67 (the pipeline's
     * decontaminated survivors).
     */
-  private def minhashPairs(docs: DataFrame): DataFrame = {
+  private def minhashPairs(docs: DataFrame): DataFrame =
+    pairsFromBanded(bandedOf(docs))
+
+  /** The per-doc signature/band stage of [[minhashPairs]] — a PURE
+    * per-document function of `text` (no corpus-wide state), factored
+    * out (r14 optimization) so callers that cluster several corpus
+    * SNAPSHOTS of one fixture (q111/q124's two releases) can compute
+    * the band keys ONCE over the union and filter per snapshot, instead
+    * of re-running the shingle explode + 16-min aggregation per side.
+    */
+  private[graft] def bandedOf(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), wordsCol.as("ws"))
     val ex = base
       .repartition(Scratch.par(base)) // barrier: materialize ws
@@ -307,13 +317,17 @@ object Dedup extends QueryModule {
     val bandCols = (0 until Bands).map(b =>
       md5(concat(lit(s"$b|"),
         concat_ws(",", (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))))
-    // both join legs read `banded`. The STATIC plan shows two full
-    // signature subtrees (no ReusedExchange), but AQE reuses the
-    // identical shuffle stage at runtime — measured: an explicit
-    // localCheckpoint here is SLOWER (q32 1.22→1.43 s, q55 2.41→2.58 s
-    // at sf0.1), so the aliased legs stay un-materialized on purpose
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+  }
+
+  /** The band self-join over a `(doc_id, band_key)` relation. Both join
+    * legs read `banded`. The STATIC plan shows two full signature
+    * subtrees (no ReusedExchange), but AQE reuses the identical shuffle
+    * stage at runtime — measured: an explicit localCheckpoint here is
+    * SLOWER (q32 1.22→1.43 s, q55 2.41→2.58 s at sf0.1), so the
+    * aliased legs stay un-materialized on purpose.
+    */
+  private def pairsFromBanded(banded: DataFrame): DataFrame = {
     val l = banded.select(col("doc_id").as("doc_a"), col("band_key"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band_key"))
     l.join(r, "band_key")
@@ -2023,8 +2037,18 @@ object Dedup extends QueryModule {
     * snapshot. Returns `(doc_id, cluster_id, split)` for every doc in
     * `docs`; CC scratch names are `tag`-keyed (the dekOf discipline).
     */
-  private[graft] def splitAssign(docs: DataFrame, tag: String): DataFrame = {
-    val pairs = minhashPairs(docs)
+  private[graft] def splitAssign(docs: DataFrame, tag: String): DataFrame =
+    splitAssignFrom(docs, bandedOf(docs), tag)
+
+  /** [[splitAssign]] over a PRECOMPUTED `(doc_id, band_key)` relation
+    * for the same `docs` — the two-snapshot entries (q111/q124) pass
+    * per-snapshot filters of ONE materialized [[bandedOf]] run, since
+    * band keys are a pure per-document function (value-identical to
+    * running the signature stage on the filtered corpus).
+    */
+  private[graft] def splitAssignFrom(docs: DataFrame, banded: DataFrame,
+      tag: String): DataFrame = {
+    val pairs = pairsFromBanded(banded)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = connectedComponents(pairs, tag = tag)
       .withColumnRenamed("cluster_id", "label")
@@ -2035,6 +2059,23 @@ object Dedup extends QueryModule {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("split",
         when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test"))
+  }
+
+  /** Run two independent Spark-driving computations on driver threads
+    * (guide §2.6 "overlap independent jobs"): the scheduler happily
+    * interleaves both sides' jobs, so one side's stage tails back-fill
+    * the other's idle cores. Used where an entry composes two
+    * per-snapshot pipelines whose results only meet at the final join
+    * (q111/q124's release pair). Results are deterministic — each
+    * side's plan is unchanged; only job SUBMISSION overlaps.
+    */
+  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(fa)
+    val f2 = Future(fb)
+    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
   }
 
   private def q107(s: SparkSession, d: String): DataFrame =
@@ -2691,9 +2732,18 @@ object Dedup extends QueryModule {
 
   private def q111(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    flipReport(
-      splitAssign(docs.filter(col("doc_id") % 7 =!= 2), "q111p"),
-      splitAssign(docs.filter(col("doc_id") % 9 =!= 4), "q111c"))
+    // r14 optimization: band keys are per-doc, so ONE signature run
+    // over the fixture serves both releases (filter per snapshot), and
+    // the two snapshot pipelines (pair join + CC loop) are independent
+    // until the flip join — their jobs overlap on driver threads.
+    val banded = Scratch.materialize(bandedOf(docs), "q111_banded")
+      .toDF("doc_id", "band_key")
+    val predP = col("doc_id") % 7 =!= 2
+    val predC = col("doc_id") % 9 =!= 4
+    val (prev, cur) = inParallel(
+      splitAssignFrom(docs.filter(predP), banded.filter(predP), "q111p"),
+      splitAssignFrom(docs.filter(predC), banded.filter(predC), "q111c"))
+    flipReport(prev, cur)
   }
 
   private val q111Sql =
@@ -2728,11 +2778,19 @@ object Dedup extends QueryModule {
     */
   private def q124(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val prev = Scratch.materializePartitioned(
-      splitAssign(docs.filter(col("doc_id") % 7 =!= 2), "q124p"),
-      "q124_prev_assign", "split")
-    flipReport(prev,
-      splitAssign(docs.filter(col("doc_id") % 9 =!= 4), "q124c"))
+    // same r14 shared-banded + overlapped-sides shape as q111; the prev
+    // side's manifest WRITE (the entry's point) rides inside its thread
+    // so the store round-trip overlaps the current release's clustering
+    val banded = Scratch.materialize(bandedOf(docs), "q124_banded")
+      .toDF("doc_id", "band_key")
+    val predP = col("doc_id") % 7 =!= 2
+    val predC = col("doc_id") % 9 =!= 4
+    val (prev, cur) = inParallel(
+      Scratch.materializePartitioned(
+        splitAssignFrom(docs.filter(predP), banded.filter(predP), "q124p"),
+        "q124_prev_assign", "split"),
+      splitAssignFrom(docs.filter(predC), banded.filter(predC), "q124c"))
+    flipReport(prev, cur)
   }
 
   /** QUALITY-KEEPER selection per duplicate cluster (q113) — the

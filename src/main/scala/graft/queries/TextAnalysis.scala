@@ -2451,24 +2451,48 @@ object TextAnalysis extends QueryModule {
         "scorer is a broadcast nested loop. For an eval side this " +
         "large, summarize the leak grams with the q80 Bloom pattern " +
         "and shuffle the scorer instead of raising the bound.")
-    val words = tr.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
-        lit(0))).as("w"))
-    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val corpus = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("tot_tokens")))
-    val tf = words.filter(col("w").isin(HnTerms: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
-    val scored = tf.join(df, "w").join(dl, "doc_id").crossJoin(corpus)
-      .select(col("doc_id"), col("w"),
-        ((col("n_docs") - col("df")) * col("tf") * lit(2.2) /
-          (col("tf") + lit(0.3) + lit(0.9) *
-            ((col("dl") * col("n_docs")).cast("double") /
-              col("tot_tokens").cast("double")))).as("s"))
-    val perDoc = scored.groupBy(col("doc_id"))
-      .pivot("w", HnTerms).agg(first(col("s")))
-      .select(col("doc_id") +: HnTerms.map(t => col(t).as(s"s_$t")): _*)
+    // ONE corpus word scan (r14 optimization, guide §2.3/§2.4): the
+    // words explode previously fed FOUR un-shared consumers (dl twice —
+    // corpus agg + scored join — and tf twice — df agg + scored join),
+    // so the full train-side regexp explode executed 4× per run (the
+    // before-plan shows the duplicated regexp_extract_all subtrees).
+    // dl and the 8 per-term tfs are ONE conditional aggregation over
+    // one explode, materialized; n_docs/tot_tokens/df collapse to one
+    // broadcast scalar row derived from it. Values are bit-identical:
+    // tf_t = COUNT of term rows (as long, like the old count), df_t =
+    // docs with tf_t ≥ 1, docs with zero [a-z] tokens are absent from
+    // the aggregation exactly as they produced no explode rows before.
+    val wstats = Scratch.materialize(
+      tr.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+            lit(0))).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"),
+          HnTerms.map(t =>
+            sum(when(col("w") === t, lit(1L)).otherwise(lit(0L)))
+              .as(s"tf_$t")): _*),
+      "q119_ws")
+    val globAggs = sum(col("dl")).as("tot_tokens") +:
+      HnTerms.map(t =>
+        sum(when(col(s"tf_$t") > 0, lit(1L)).otherwise(lit(0L)))
+          .as(s"df_$t"))
+    val glob = broadcast(wstats.agg(
+      count(lit(1)).as("n_docs"), globAggs: _*))
+    // s_t spelled with the EXACT pre-rewrite expression tree (long
+    // subtraction/multiply, then ×2.2 into double; the dl·n_docs cast
+    // order) so every double rounds identically; tf_t = 0 ⇒ null, the
+    // pivot's missing-term semantics. The where() reproduces the old
+    // perDoc membership (docs with ≥ 1 query term) so the scorer's
+    // cross join sees the same row set.
+    val perDoc = wstats
+      .where(HnTerms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .crossJoin(glob)
+      .select(col("doc_id") +: HnTerms.map(t =>
+        when(col(s"tf_$t") > 0,
+          (col("n_docs") - col(s"df_$t")) * col(s"tf_$t") * lit(2.2) /
+            (col(s"tf_$t") + lit(0.3) + lit(0.9) *
+              ((col("dl") * col("n_docs")).cast("double") /
+                col("tot_tokens").cast("double")))).as(s"s_$t")): _*)
     val evFlags = ev.select(col("doc_id").as("eval_id"),
         explode(array_distinct(regexp_extract_all(lower(col("text")),
           lit("[a-z]+"), lit(0)))).as("w"))
