@@ -2969,22 +2969,28 @@ object TextAnalysis extends QueryModule {
         .withColumn("batch_id", lit(0L)))
   }
 
-  /** The lifecycle entries' shared probe: constructed quotes of
-    * `quoteBase` parents ∪ the unseen `rest` docs, reduced to
-    * surviving line sets under the SAME frozen chrome, against the
-    * collapsed index. */
-  private def probeLineLifecycle(idx: Dedup.ContainIndex,
-      chrome: DataFrame, quoteBase: DataFrame, rest: DataFrame,
-      tag: String): DataFrame = {
+  /** The lifecycle entries' shared probe-side line scan: constructed
+    * quotes of `quoteBase` parents ∪ the unseen `rest` docs, reduced to
+    * surviving line gids under the frozen `chrome`, materialized. Split
+    * from the probe itself (r14 optimization): this scan depends ONLY
+    * on the chrome census, so the lifecycle entries run it on a driver
+    * thread OVERLAPPED with the index build/store/re-freeze chain
+    * (guide §2.6) instead of serially after it. */
+  private def probeLineGrams(chrome: DataFrame, quoteBase: DataFrame,
+      rest: DataFrame, tag: String): DataFrame = {
     val probeDocs = quoteOf(quoteBase)
       .unionByName(rest.select(col("doc_id"), col("source"), col("text")))
-    val gp = Scratch.materialize(
+    Scratch.materialize(
       lineGramIds(pageDocs(probeDocs), chrome), s"${tag}_pg")
       .toDF("doc_id", "gid")
+  }
+
+  /** The probe over a materialized probe-gram relation. */
+  private def probeFromG(idx: Dedup.ContainIndex, gp: DataFrame,
+      tag: String): DataFrame =
     Dedup.probeContain(idx, gp,
       gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), tag)
       .withColumnRenamed("n_grams", "n_lines")
-  }
 
   /** Line-containment MERGE equivalence (q131): freeze the chrome
     * census over the bootstrap batch (doc_id ≡ 0,1,2 mod 7), build its
@@ -3003,22 +3009,27 @@ object TextAnalysis extends QueryModule {
     val m = col("doc_id") % 7
     val (li0, chrome) = lineRelAndChrome(pageDocs(docs.filter(m < 3)),
       "q131")
-    val b0 = lineContainBootstrapP(li0, chrome, "q131")
-    // materialized = the stored index: the merge consumes INDEX STATE,
-    // provably not the bootstrap batch's text
-    val stored = Dedup.ContainIndexP(
-      Scratch.materialize(b0.g, "q131_sg"),
-      Scratch.materialize(b0.sizes, "q131_ssz"))
-    val d1 = buildLineContainIndexP(docs.filter(m >= 3 && m < 5), chrome,
-      1L, "q131")
-    val merged = Dedup.ContainIndexP(stored.g.union(d1.g),
-      stored.sizes.union(d1.sizes))
-    // the promote LANDS in the store before any probe (q128's contract)
-    val live = Dedup.ContainIndexP(
-      Scratch.materialize(merged.g, "q131_mg"),
-      Scratch.materialize(merged.sizes, "q131_msz"))
-    probeLineLifecycle(Dedup.collapseContain(live), chrome,
-      docs.filter(m < 5), docs.filter(m >= 5), "q131")
+    // r14 optimization: the probe-side line scan needs only the frozen
+    // chrome, so it overlaps the whole build/store/merge chain on a
+    // driver thread; the bootstrap partials are already materialized by
+    // lineContainBootstrapP (q131_g0) — the former second checkpoint
+    // copy of the same rows (q131_sg/q131_ssz) added a redundant store
+    // round-trip, the merge still consumes INDEX STATE (the g0
+    // checkpoint), provably not the bootstrap batch's text.
+    val (live, gp) = Dedup.inParallel({
+      val b0 = lineContainBootstrapP(li0, chrome, "q131")
+      val d1 = buildLineContainIndexP(docs.filter(m >= 3 && m < 5),
+        chrome, 1L, "q131")
+      val merged = Dedup.ContainIndexP(b0.g.union(d1.g),
+        b0.sizes.union(d1.sizes))
+      // the promote LANDS in the store before any probe (q128's
+      // contract)
+      Dedup.ContainIndexP(
+        Scratch.materialize(merged.g, "q131_mg"),
+        Scratch.materialize(merged.sizes, "q131_msz"))
+    }, probeLineGrams(chrome, docs.filter(m < 5), docs.filter(m >= 5),
+      "q131"))
+    probeFromG(Dedup.collapseContain(live), gp, "q131")
   }
 
   /** Line-containment RETRACTION equivalence (q132): freeze the chrome
@@ -3036,19 +3047,26 @@ object TextAnalysis extends QueryModule {
     val m = col("doc_id") % 7
     val (li0, chrome) = lineRelAndChrome(pageDocs(docs.filter(m < 2)),
       "q132")
-    val b0 = lineContainBootstrapP(li0, chrome, "q132")
-    val b1 = buildLineContainIndexP(docs.filter(m >= 2 && m < 4), chrome,
-      1L, "q132")
-    val b2 = buildLineContainIndexP(docs.filter(m === 4), chrome,
-      2L, "q132")
-    val stored = Dedup.ContainIndexP(
-      Scratch.materializePartitioned(b0.g.union(b1.g).union(b2.g),
-        "q132_g", "batch_id"),
-      Scratch.materializePartitioned(
-        b0.sizes.union(b1.sizes).union(b2.sizes), "q132_sz", "batch_id"))
+    // r14 optimization: probe-side scan overlaps the three-batch build
+    // + partitioned store (it needs only the frozen chrome); the two
+    // partitioned store writes overlap each other as well.
+    val (stored, gp) = Dedup.inParallel({
+      val b0 = lineContainBootstrapP(li0, chrome, "q132")
+      val b1 = buildLineContainIndexP(docs.filter(m >= 2 && m < 4),
+        chrome, 1L, "q132")
+      val b2 = buildLineContainIndexP(docs.filter(m === 4), chrome,
+        2L, "q132")
+      val (sg, ssz) = Dedup.inParallel(
+        Scratch.materializePartitioned(b0.g.union(b1.g).union(b2.g),
+          "q132_g", "batch_id"),
+        Scratch.materializePartitioned(
+          b0.sizes.union(b1.sizes).union(b2.sizes), "q132_sz",
+          "batch_id"))
+      Dedup.ContainIndexP(sg, ssz)
+    }, probeLineGrams(chrome, docs.filter(m < 5), docs.filter(m >= 5),
+      "q132"))
     val demoted = Dedup.retractContainIndexP(stored, 2L)
-    probeLineLifecycle(Dedup.collapseContain(demoted), chrome,
-      docs.filter(m < 5), docs.filter(m >= 5), "q132")
+    probeFromG(Dedup.collapseContain(demoted), gp, "q132")
   }
 
   /** The two-population line-grain probe oracle under a FROZEN chrome
@@ -3226,33 +3244,58 @@ object TextAnalysis extends QueryModule {
     * promoted population — refrozen ≡ rebuilt-under-C_new. */
   private def lineRefreezeLifecycle(boot: DataFrame, delta: DataFrame,
       rest: DataFrame, tag: String): DataFrame = {
-    val (li0, oldChrome) = lineRelAndChrome(pageDocs(boot), tag)
+    // r14 optimization (guide §2.4 + §2.6). Three changes vs the build
+    // round's shape, values untouched:
+    //  1. The bootstrap and delta line scans are independent text
+    //     passes — they overlap on driver threads.
+    //  2. C_new was a LAZY census over both line relations consumed by
+    //     THREE plans (the added/removed flip-set broadcasts and the
+    //     probe's chrome), so the full two-batch census re-aggregated
+    //     once per consumer; it is now materialized once (tiny: the
+    //     per-source chrome pairs).
+    //  3. The two partitioned store writes overlap each other, and the
+    //     probe-side line scan (which depends only on C_new) overlaps
+    //     the re-freeze/republish chain.
+    val (li0, li1) = Dedup.inParallel(
+      Scratch.materialize(lineDigests(pageDocs(boot)), s"${tag}_li")
+        .toDF("source", "doc_id", "lmd5"),
+      Scratch.materialize(lineDigests(pageDocs(delta)), s"${tag}_li1")
+        .toDF("source", "doc_id", "lmd5"))
+    // C_old: the one boilerCensusOfLines spelling over the bootstrap
+    // relation, exactly as lineRelAndChrome freezes it
+    val oldChrome = broadcast(Scratch.materialize(
+      boilerCensusOfLines(li0)
+        .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
+      s"${tag}_boiler").toDF("source", "bset")
+      .select(col("source"), explode(col("bset")).as("lmd5")))
     val c0 = lineCensusP(li0, 0L)
     val st0 = buildLineStateP(li0, oldChrome, 0L)
-    val li1 = Scratch.materialize(lineDigests(pageDocs(delta)),
-      s"${tag}_li1").toDF("source", "doc_id", "lmd5")
     val c1 = lineCensusP(li1, 1L)
     val st1 = buildLineStateP(li1, oldChrome, 1L)
     // the STORE: both sides land partitioned by batch_id before any
     // re-freeze — the move provably consumes stored postings, not text
-    val stored = LineContainStateP(
+    val (storedSurv, storedStrip) = Dedup.inParallel(
       Scratch.materializePartitioned(st0.surv.union(st1.surv),
         s"${tag}_surv", "batch_id"),
       Scratch.materializePartitioned(st0.strip.union(st1.strip),
         s"${tag}_strip", "batch_id"))
-    val newChrome = collapsedCensus(BoilerIndexP(
-      c0.counts.union(c1.counts), c0.srcn.union(c1.srcn)))
-      .select(col("source"), col("lmd5"))
+    val stored = LineContainStateP(storedSurv, storedStrip)
+    val newChrome = broadcast(Scratch.materialize(
+      collapsedCensus(BoilerIndexP(
+        c0.counts.union(c1.counts), c0.srcn.union(c1.srcn)))
+        .select(col("source"), col("lmd5")), s"${tag}_nc")
+      .toDF("source", "lmd5"))
     val refrozen = refreezeLineState(stored, oldChrome, newChrome)
-    // republish the surviving index (strip' stays lazy — the probe
-    // never consumes it; LineRefreezeSpec pins its correctness)
-    val rsurv = Scratch.materialize(refrozen.surv, s"${tag}_rsurv")
+    val (rsurv, gp) = Dedup.inParallel(
+      // republish the surviving index (strip' stays lazy — the probe
+      // never consumes it; LineRefreezeSpec pins its correctness)
+      Scratch.materialize(refrozen.surv, s"${tag}_rsurv"),
+      probeLineGrams(newChrome, boot.unionByName(delta), rest, tag))
     // name-preserving re-alias (fresh attribute ids for the probe's
     // self-joins) — NOT a positional rename, see refreezeLineState
     val live = LineContainStateP(rsurv.toDF(rsurv.columns: _*),
       refrozen.strip)
-    probeLineLifecycle(collapseLineState(live),
-      broadcast(newChrome), boot.unionByName(delta), rest, tag)
+    probeFromG(collapseLineState(live), gp, tag)
   }
 
   /** Chrome re-freeze, EMERGED direction (q133): the bootstrap is the
