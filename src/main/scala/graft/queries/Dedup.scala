@@ -633,13 +633,30 @@ object Dedup extends QueryModule {
       // pointer jump: labels are always node ids, so label(label(v)) is
       // resolvable against this same round's propagation result
       val jump = prop.select(col("doc_id").as("jid"), col("mid").as("jl"))
+      // convergence rides the materialize job itself (r14 optimization):
+      // a `chg` column counts label changes into an accumulator WHILE
+      // the round materializes, replacing the former per-round isEmpty
+      // probe job. Task retries can only INFLATE the count (a retried
+      // task re-adds), never deflate — and convergence tests exactly
+      // zero, which retries cannot fabricate, so the loop's round
+      // trajectory (and therefore the labels) is untouched. The column
+      // must live in the materialized OUTPUT schema (localCheckpoint
+      // evaluates every output column; a dropped column would be pruned
+      // out of the plan and never counted) and is projected away after.
+      val chgAcc = labels.sparkSession.sparkContext.longAccumulator(
+        s"${tag}_chg_$iter")
+      val chgUdf = udf((o: Long, c: Long) => {
+        if (o != c) chgAcc.add(1L)
+        c
+      })
       val next = Scratch.materialize(
         prop.join(jump, prop("mid") === jump("jid"), "left")
-          .select(prop("doc_id"), col("old"),
-            least(col("mid"), coalesce(col("jl"), col("mid")))
+          .select(prop("doc_id"),
+            chgUdf(col("old"),
+              least(col("mid"), coalesce(col("jl"), col("mid"))))
               .as("cluster_id")),
         s"${tag}_labels${(iter + 1) % 2 + 1}") // ping-pong scratch names
-      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+      converged = chgAcc.value == 0L
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
