@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Harness {
 
+  /** Engine-level join-strategy tuning shared by Bench and Verify (ONE
+    * spelling, so correctness always gates exactly the plans the bench
+    * times) — the optimization guide's §3.1/§9 baseline: let the
+    * planner pick a shuffled-hash join when its size conditions are
+    * met (`preferSortMergeJoin=false`), and let AQE rewrite a planned
+    * sort-merge join to shuffled-hash at runtime when every
+    * post-shuffle partition's build side fits 64 MB — skipping both
+    * sort passes. Measured (QueryProf A/B at sf0.1, r14): ~5–10% on the
+    * SMJ-carrying entries (q79 2.40→2.09, q70 1.77→1.67, q94
+    * 1.24→1.00 median-of-reps), flat elsewhere. Production posture:
+    * 64 MB per-partition build side is safe at ≥ 2 GB executors and is
+    * the knob the guide recommends sizing to executor memory;
+    * `SPARK_GRAFT_SHJ=off` restores sort-merge-only planning for
+    * comparison runs on either harness.
+    */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder =
+    if (sys.env.get("SPARK_GRAFT_SHJ").contains("off")) b
+    else b
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
+
   /** Per-execution cleanup, run OUTSIDE timed regions: a rep must not
     * inherit the previous execution's localCheckpoint-pinned scratch
     * RDDs (old-gen pressure that surfaces as single-rep tails), nor
