@@ -1202,21 +1202,26 @@ object Dedup extends QueryModule {
       scratchName: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val qual = docs.filter(TextAnalysis.qualityOkOn(col("text")))
-    // eval grams come from the UNFILTERED eval shard (the benchmark is
-    // external — quality filtering does not apply to it)
-    val ev = ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
-      .select(col("s")).distinct()
-    // materialized: feeds the gram/hits leg AND the survivor join —
+    // trx materialized: feeds the gram/hits leg AND the survivor join —
     // without the barrier the three quality regexes re-run over the
     // full corpus once per leg (r08 review; the q31 multi-leg
     // discipline). Measured perf-neutral at sf0.1 (regex recompute ≈
     // survivor-text checkpoint cost locally); kept for the cluster
     // shape, where one columnar re-read beats a second full regex pass
-    // over corpus text
-    val trx = Scratch.materialize(
-      qual.filter(col("doc_id") % 10 =!= 3)
-        .select(col("doc_id"), col("text")),
-      scratchName + "_trx")
+    // over corpus text. The eval-shard gram scan (UNFILTERED eval —
+    // the benchmark is external, quality filtering does not apply) is
+    // an independent corpus pass — it overlaps the trx materialize on
+    // a driver thread (r14, guide §2.6) and broadcasts exactly as the
+    // lazy subtree did.
+    val (trx, ev) = inParallel(
+      Scratch.materialize(
+        qual.filter(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"), col("text")),
+        scratchName + "_trx"),
+      Scratch.materialize(
+        ngramEntries(docs.filter(col("doc_id") % 10 === 3), DecontN)
+          .select(col("s")).distinct(),
+        scratchName + "_ev").toDF("s"))
     val hits = ngramEntries(trx, DecontN)
       .join(broadcast(ev), "s")
       .groupBy(col("doc_id"), col("n_shingles"))
@@ -2443,24 +2448,28 @@ object Dedup extends QueryModule {
   private def q128(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val m = col("doc_id") % 7
-    val b0 = buildContainIndexP(docs.filter(m < 3), 0L)
-    // materialized = the stored index: the merge consumes INDEX STATE
-    // from disk, provably not the frozen batch's text
-    val stored = ContainIndexP(
-      Scratch.materialize(b0.g, "q128_g"),
-      Scratch.materialize(b0.sizes, "q128_sz"))
-    val merged = mergeContainIndexP(stored, docs.filter(m >= 3 && m < 5), 1L)
-    // the promote LANDS in the store before any probe (StreamingPromote's
-    // contract — at 100 TB the delta partial appends as its own
-    // batch_id partition; locally the checkpoint re-lands both): without
-    // this the un-stored delta legs re-execute once per probe consumer
-    // (dfs, the inverted join, the confirm side — measured 154 s vs
-    // 49 s at 30×)
-    val live = ContainIndexP(
-      Scratch.materialize(merged.g, "q128_mg"),
-      Scratch.materialize(merged.sizes, "q128_msz"))
-    probeLifecycle(collapseContain(live),
-      docs.filter(m < 5), docs.filter(m >= 5), "q128")
+    // r14 optimization: the probe-side gram scan is independent of the
+    // whole index chain — overlap it on a driver thread (guide §2.6)
+    val (live, gp) = inParallel({
+      val b0 = buildContainIndexP(docs.filter(m < 3), 0L)
+      // materialized = the stored index: the merge consumes INDEX STATE
+      // from disk, provably not the frozen batch's text
+      val stored = ContainIndexP(
+        Scratch.materialize(b0.g, "q128_g"),
+        Scratch.materialize(b0.sizes, "q128_sz"))
+      val merged = mergeContainIndexP(stored,
+        docs.filter(m >= 3 && m < 5), 1L)
+      // the promote LANDS in the store before any probe
+      // (StreamingPromote's contract — at 100 TB the delta partial
+      // appends as its own batch_id partition; locally the checkpoint
+      // re-lands both): without this the un-stored delta legs
+      // re-execute once per probe consumer (dfs, the inverted join, the
+      // confirm side — measured 154 s vs 49 s at 30×)
+      ContainIndexP(
+        Scratch.materialize(merged.g, "q128_mg"),
+        Scratch.materialize(merged.sizes, "q128_msz"))
+    }, probeGramsOf(docs.filter(m < 5), docs.filter(m >= 5), "q128"))
+    probeFromG(collapseContain(live), gp, "q128")
   }
 
   /** Containment-index RETRACTION equivalence (q129): promote batches
@@ -2475,31 +2484,42 @@ object Dedup extends QueryModule {
   private def q129(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val m = col("doc_id") % 7
-    val p2 = mergeContainIndexP(
-      mergeContainIndexP(
-        buildContainIndexP(docs.filter(m < 2), 0L),
-        docs.filter(m >= 2 && m < 4), 1L),
-      docs.filter(m === 4), 2L)
-    val stored = ContainIndexP(
-      Scratch.materializePartitioned(p2.g, "q129_g", "batch_id"),
-      Scratch.materializePartitioned(p2.sizes, "q129_sz", "batch_id"))
+    // same r14 overlap as q128: probe scan beside the three-batch
+    // build, and the two partitioned store writes beside each other
+    val (stored, gp) = inParallel({
+      val p2 = mergeContainIndexP(
+        mergeContainIndexP(
+          buildContainIndexP(docs.filter(m < 2), 0L),
+          docs.filter(m >= 2 && m < 4), 1L),
+        docs.filter(m === 4), 2L)
+      val (sg, ssz) = inParallel(
+        Scratch.materializePartitioned(p2.g, "q129_g", "batch_id"),
+        Scratch.materializePartitioned(p2.sizes, "q129_sz", "batch_id"))
+      ContainIndexP(sg, ssz)
+    }, probeGramsOf(docs.filter(m < 5), docs.filter(m >= 5), "q129"))
     val demoted = retractContainIndexP(stored, 2L)
-    probeLifecycle(collapseContain(demoted),
-      docs.filter(m < 5), docs.filter(m >= 5), "q129")
+    probeFromG(collapseContain(demoted), gp, "q129")
   }
 
-  /** The lifecycle entries' shared probe: snippets of `snipBase` ∪ the
-    * unseen `rest` docs, materialized (three probe legs), against the
-    * collapsed index. */
-  private def probeLifecycle(idx: ContainIndex, snipBase: DataFrame,
-      rest: DataFrame, tag: String): DataFrame = {
+  /** The lifecycle entries' shared probe-side gram scan: snippets of
+    * `snipBase` ∪ the unseen `rest` docs, materialized (three probe
+    * legs consume it). Split from the probe itself (r14 optimization):
+    * at word grain this scan depends on NOTHING the index chain
+    * produces, so q128/q129 run it on a driver thread overlapped with
+    * the build/store/merge chain (guide §2.6). */
+  private def probeGramsOf(snipBase: DataFrame, rest: DataFrame,
+      tag: String): DataFrame = {
     val probeDocs = snipOf(snipBase)
       .unionByName(rest.select(col("doc_id"), col("text")))
-    val gp = Scratch.materialize(gramIds(probeDocs), s"${tag}_pg")
+    Scratch.materialize(gramIds(probeDocs), s"${tag}_pg")
       .toDF("doc_id", "gid")
+  }
+
+  /** The probe over a materialized probe-gram relation. */
+  private def probeFromG(idx: ContainIndex, gp: DataFrame,
+      tag: String): DataFrame =
     probeContain(idx, gp,
       gp.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")), tag)
-  }
 
   /** The two-population probe oracle (index population `idxPred`,
     * probe = snippets of `snipPred` parents ∪ `probePred` docs) — the
