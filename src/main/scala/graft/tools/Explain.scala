@@ -13,10 +13,12 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/tmp/plans"
-    val spark = SparkSession.builder()
+    // Harness.tuned: dumped plans reflect the SAME session conf the
+    // bench/verify sessions plan under (r14 — the SHJ baseline)
+    val spark = graft.Harness.tuned(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
