@@ -2451,14 +2451,20 @@ object Dedup extends QueryModule {
     // r14 optimization: the probe-side gram scan is independent of the
     // whole index chain — overlap it on a driver thread (guide §2.6)
     val (live, gp) = inParallel({
-      val b0 = buildContainIndexP(docs.filter(m < 3), 0L)
-      // materialized = the stored index: the merge consumes INDEX STATE
-      // from disk, provably not the frozen batch's text
-      val stored = ContainIndexP(
-        Scratch.materialize(b0.g, "q128_g"),
-        Scratch.materialize(b0.sizes, "q128_sz"))
-      val merged = mergeContainIndexP(stored,
-        docs.filter(m >= 3 && m < 5), 1L)
+      // the frozen-batch build+store and the delta build are
+      // independent doc-slice scans — they overlap too (the delta
+      // build never consumes the store; only the UNION below is the
+      // promote landing)
+      val (stored, d1) = inParallel({
+        val b0 = buildContainIndexP(docs.filter(m < 3), 0L)
+        // materialized = the stored index: the merge consumes INDEX
+        // STATE from disk, provably not the frozen batch's text
+        ContainIndexP(
+          Scratch.materialize(b0.g, "q128_g"),
+          Scratch.materialize(b0.sizes, "q128_sz"))
+      }, buildContainIndexP(docs.filter(m >= 3 && m < 5), 1L))
+      val merged = ContainIndexP(stored.g.union(d1.g),
+        stored.sizes.union(d1.sizes))
       // the promote LANDS in the store before any probe
       // (StreamingPromote's contract — at 100 TB the delta partial
       // appends as its own batch_id partition; locally the checkpoint
@@ -2487,11 +2493,15 @@ object Dedup extends QueryModule {
     // same r14 overlap as q128: probe scan beside the three-batch
     // build, and the two partitioned store writes beside each other
     val (stored, gp) = inParallel({
-      val p2 = mergeContainIndexP(
-        mergeContainIndexP(
-          buildContainIndexP(docs.filter(m < 2), 0L),
-          docs.filter(m >= 2 && m < 4), 1L),
-        docs.filter(m === 4), 2L)
+      // the three batch builds are independent doc-slice scans —
+      // overlapped; the unions below are exactly the merge algebra
+      // (mergeContainIndexP is append-pure unions with batch ids)
+      val ((b0, b1), b2) = inParallel(inParallel(
+        buildContainIndexP(docs.filter(m < 2), 0L),
+        buildContainIndexP(docs.filter(m >= 2 && m < 4), 1L)),
+        buildContainIndexP(docs.filter(m === 4), 2L))
+      val p2 = ContainIndexP(b0.g.union(b1.g).union(b2.g),
+        b0.sizes.union(b1.sizes).union(b2.sizes))
       val (sg, ssz) = inParallel(
         Scratch.materializePartitioned(p2.g, "q129_g", "batch_id"),
         Scratch.materializePartitioned(p2.sizes, "q129_sz", "batch_id"))

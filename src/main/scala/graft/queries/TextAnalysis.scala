@@ -3017,9 +3017,12 @@ object TextAnalysis extends QueryModule {
     // round-trip, the merge still consumes INDEX STATE (the g0
     // checkpoint), provably not the bootstrap batch's text.
     val (live, gp) = Dedup.inParallel({
-      val b0 = lineContainBootstrapP(li0, chrome, "q131")
-      val d1 = buildLineContainIndexP(docs.filter(m >= 3 && m < 5),
-        chrome, 1L, "q131")
+      // bootstrap split (reads the materialized li0) and delta build
+      // (its own doc-slice scan) are independent — overlapped
+      val (b0, d1) = Dedup.inParallel(
+        lineContainBootstrapP(li0, chrome, "q131"),
+        buildLineContainIndexP(docs.filter(m >= 3 && m < 5),
+          chrome, 1L, "q131"))
       val merged = Dedup.ContainIndexP(b0.g.union(d1.g),
         b0.sizes.union(d1.sizes))
       // the promote LANDS in the store before any probe (q128's
@@ -3051,11 +3054,15 @@ object TextAnalysis extends QueryModule {
     // + partitioned store (it needs only the frozen chrome); the two
     // partitioned store writes overlap each other as well.
     val (stored, gp) = Dedup.inParallel({
-      val b0 = lineContainBootstrapP(li0, chrome, "q132")
-      val b1 = buildLineContainIndexP(docs.filter(m >= 2 && m < 4),
-        chrome, 1L, "q132")
-      val b2 = buildLineContainIndexP(docs.filter(m === 4), chrome,
-        2L, "q132")
+      // b1/b2 are independent delta-slice scans under the same frozen
+      // chrome — overlapped (b0 reads the already-materialized li0)
+      val (b0, (b1, b2)) = Dedup.inParallel(
+        lineContainBootstrapP(li0, chrome, "q132"),
+        Dedup.inParallel(
+          buildLineContainIndexP(docs.filter(m >= 2 && m < 4),
+            chrome, 1L, "q132"),
+          buildLineContainIndexP(docs.filter(m === 4), chrome,
+            2L, "q132")))
       val (sg, ssz) = Dedup.inParallel(
         Scratch.materializePartitioned(b0.g.union(b1.g).union(b2.g),
           "q132_g", "batch_id"),
