@@ -645,10 +645,14 @@ object Dedup extends QueryModule {
       // out of the plan and never counted) and is projected away after.
       val chgAcc = labels.sparkSession.sparkContext.longAccumulator(
         s"${tag}_chg_$iter")
+      // asNondeterministic (r14 advice): the udf has a side effect (the
+      // accumulator add), so pin the evaluate-once-per-output-row
+      // contract — a deterministic udf could legally be eliminated,
+      // duplicated, or reordered by a future Catalyst version
       val chgUdf = udf((o: Long, c: Long) => {
         if (o != c) chgAcc.add(1L)
         c
-      })
+      }).asNondeterministic()
       val next = Scratch.materialize(
         prop.join(jump, prop("mid") === jump("jid"), "left")
           .select(prop("doc_id"),
@@ -657,6 +661,18 @@ object Dedup extends QueryModule {
               .as("cluster_id")),
         s"${tag}_labels${(iter + 1) % 2 + 1}") // ping-pong scratch names
       converged = chgAcc.value == 0L
+      // contract guard (r14 advice): round-1 convergence is only
+      // legitimate for an EDGELESS input — any a<b edge lowers b's
+      // label on round 1, so chgAcc == 0 here with a non-empty edge set
+      // means Scratch.materialize did not eagerly evaluate the output
+      // projection (a lazy scratch mode would silently truncate CC at
+      // round 1 with wrong labels); fail loudly instead. The probe job
+      // only runs in the empty-edge or broken case, never per round.
+      if (converged && iter == 0)
+        require(edges.isEmpty,
+          "connectedComponents: convergence accumulator read 0 on " +
+            "round 1 of a non-empty edge set — Scratch.materialize " +
+            "must evaluate the materialized projection eagerly")
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
@@ -2090,14 +2106,39 @@ object Dedup extends QueryModule {
     * per-snapshot pipelines whose results only meet at the final join
     * (q111/q124's release pair). Results are deterministic — each
     * side's plan is unchanged; only job SUBMISSION overlaps.
+    *
+    * r14 advice hardening: (1) a dedicated unbounded cached pool, not
+    * the global ForkJoinPool — nested calls (q128/q129/q132 reach
+    * depth 2–3) block their submitting thread in Await, and on a fixed
+    * pool that is a starvation deadlock waiting to happen; daemon
+    * threads so the pool never blocks JVM exit. (2) BOTH futures are
+    * awaited even when the first fails, so a failing leg can never
+    * leave the other leg's Spark jobs running past the entry boundary
+    * (into Harness.settle or the next timed rep), and neither leg's
+    * failure is silently swallowed (the second rides as suppressed).
     */
+  private[graft] lazy val driverPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-driver-overlap")
+        t.setDaemon(true)
+        t
+      }))
+
   private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val f1 = Future(fa)
-    val f2 = Future(fb)
-    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+    val f1 = Future(fa)(driverPool)
+    val f2 = Future(fb)(driverPool)
+    val r1 = scala.util.Try(Await.result(f1, Duration.Inf))
+    val r2 = scala.util.Try(Await.result(f2, Duration.Inf))
+    (r1, r2) match {
+      case (scala.util.Success(a), scala.util.Success(b)) => (a, b)
+      case _ =>
+        val e = r1.failed.toOption.getOrElse(r2.failed.get)
+        r2.failed.toOption.filter(_ ne e).foreach(e.addSuppressed)
+        throw e
+    }
   }
 
   private def q107(s: SparkSession, d: String): DataFrame =
@@ -2449,31 +2490,29 @@ object Dedup extends QueryModule {
     val docs = Tables.documents(s, d)
     val m = col("doc_id") % 7
     // r14 optimization: the probe-side gram scan is independent of the
-    // whole index chain — overlap it on a driver thread (guide §2.6)
+    // whole index chain — overlap it on a driver thread (guide §2.6).
+    // r15 optimization (guide §6 — scans, not threads): the frozen
+    // batch (m<3 → batch 0) and the promoted delta (m∈{3,4} → batch 1)
+    // previously ran as TWO full corpus gram scans whose partials were
+    // materialized separately and re-materialized merged; batch_id is
+    // a per-row function of doc_id, so ONE scan tagged with batch_id
+    // produces the identical row set — landed directly in the
+    // batch_id-partitioned store (the StreamingPromote layout: the
+    // promote IS its own partition, merged ≡ the filter-free read of
+    // both partitions), with per-doc sizes derived from the stored
+    // postings rather than a second text pass.
     val (live, gp) = inParallel({
-      // the frozen-batch build+store and the delta build are
-      // independent doc-slice scans — they overlap too (the delta
-      // build never consumes the store; only the UNION below is the
-      // promote landing)
-      val (stored, d1) = inParallel({
-        val b0 = buildContainIndexP(docs.filter(m < 3), 0L)
-        // materialized = the stored index: the merge consumes INDEX
-        // STATE from disk, provably not the frozen batch's text
-        ContainIndexP(
-          Scratch.materialize(b0.g, "q128_g"),
-          Scratch.materialize(b0.sizes, "q128_sz"))
-      }, buildContainIndexP(docs.filter(m >= 3 && m < 5), 1L))
-      val merged = ContainIndexP(stored.g.union(d1.g),
-        stored.sizes.union(d1.sizes))
-      // the promote LANDS in the store before any probe
-      // (StreamingPromote's contract — at 100 TB the delta partial
-      // appends as its own batch_id partition; locally the checkpoint
-      // re-lands both): without this the un-stored delta legs
-      // re-execute once per probe consumer (dfs, the inverted join, the
-      // confirm side — measured 154 s vs 49 s at 30×)
-      ContainIndexP(
-        Scratch.materialize(merged.g, "q128_mg"),
-        Scratch.materialize(merged.sizes, "q128_msz"))
+      val g = Scratch.materializePartitioned(
+        gramIds(docs.filter(m < 5)).toDF("doc_id", "gid")
+          .withColumn("batch_id",
+            when(col("doc_id") % 7 < 3, lit(0L)).otherwise(lit(1L))),
+        "q128_g", "batch_id")
+      ContainIndexP(g,
+        Scratch.materializePartitioned(
+          g.groupBy(col("doc_id"), col("batch_id"))
+            .agg(count(lit(1)).as("ng"))
+            .select(col("doc_id"), col("ng"), col("batch_id")),
+          "q128_sz", "batch_id"))
     }, probeGramsOf(docs.filter(m < 5), docs.filter(m >= 5), "q128"))
     probeFromG(collapseContain(live), gp, "q128")
   }
@@ -2490,21 +2529,28 @@ object Dedup extends QueryModule {
   private def q129(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val m = col("doc_id") % 7
-    // same r14 overlap as q128: probe scan beside the three-batch
-    // build, and the two partitioned store writes beside each other
+    // same r14 overlap as q128: probe scan beside the build chain.
+    // r15 optimization (guide §6): the three batch builds previously
+    // ran as THREE full corpus gram scans (independent doc slices,
+    // overlapped on driver threads — overlap hides serial latency but
+    // not I/O); batch_id is a per-row function of doc_id, so ONE scan
+    // tagged with batch_id produces the identical row set, landed
+    // directly in the batch_id-partitioned store. The union algebra is
+    // untouched — the tagged single scan IS the union of the per-batch
+    // partials (disjoint, exhaustive slices of m < 5); sizes derive
+    // from the stored postings, not a second text pass.
     val (stored, gp) = inParallel({
-      // the three batch builds are independent doc-slice scans —
-      // overlapped; the unions below are exactly the merge algebra
-      // (mergeContainIndexP is append-pure unions with batch ids)
-      val ((b0, b1), b2) = inParallel(inParallel(
-        buildContainIndexP(docs.filter(m < 2), 0L),
-        buildContainIndexP(docs.filter(m >= 2 && m < 4), 1L)),
-        buildContainIndexP(docs.filter(m === 4), 2L))
-      val p2 = ContainIndexP(b0.g.union(b1.g).union(b2.g),
-        b0.sizes.union(b1.sizes).union(b2.sizes))
-      val (sg, ssz) = inParallel(
-        Scratch.materializePartitioned(p2.g, "q129_g", "batch_id"),
-        Scratch.materializePartitioned(p2.sizes, "q129_sz", "batch_id"))
+      val sg = Scratch.materializePartitioned(
+        gramIds(docs.filter(m < 5)).toDF("doc_id", "gid")
+          .withColumn("batch_id",
+            when(col("doc_id") % 7 < 2, lit(0L))
+              .when(col("doc_id") % 7 < 4, lit(1L)).otherwise(lit(2L))),
+        "q129_g", "batch_id")
+      val ssz = Scratch.materializePartitioned(
+        sg.groupBy(col("doc_id"), col("batch_id"))
+          .agg(count(lit(1)).as("ng"))
+          .select(col("doc_id"), col("ng"), col("batch_id")),
+        "q129_sz", "batch_id")
       ContainIndexP(sg, ssz)
     }, probeGramsOf(docs.filter(m < 5), docs.filter(m >= 5), "q129"))
     val demoted = retractContainIndexP(stored, 2L)

@@ -96,6 +96,14 @@ object Scratch {
     * use [[materializeManaged]] and release); iterative kernels whose
     * round-k−1 state dies mid-plan must use [[materializeManaged]].
     */
+  /** CONTRACT (r14 advice): materialize is EAGER in every mode — the
+    * parquet write executes the plan, and localCheckpoint defaults to
+    * eager=true — and evaluates EVERY output column (both modes write
+    * the full schema). Callers rely on this for side-effecting output
+    * columns (the CC convergence accumulator); a third mode must keep
+    * both halves of the contract or connectedComponents' round-1 guard
+    * fails loudly.
+    */
   def materialize(df: DataFrame, name: String): DataFrame =
     df.sparkSession.conf.getOption("graft.scratch.dir") match {
       case Some(_) =>

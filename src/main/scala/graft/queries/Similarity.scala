@@ -996,6 +996,26 @@ object Similarity extends QueryModule {
 
   private[graft] def kmeans(s: SparkSession, d: String,
       iters: Int = KmIters): (DataFrame, DataFrame, Seq[Double]) = {
+    // the training loop is ~10 jobs over MODEL-sized relations (the
+    // N×K argmin, a (cid, dim) aggregate of K·Dim rows, a scalar
+    // probe): at the catalog's corpus shuffle width each pays 32 tasks
+    // of scheduling for rows that fit one buffer — run the loop narrow
+    // and restore (the q73/GraphRunner discipline; r14 verdict #4,
+    // where the 8-core bench ran q59 2.6× FASTER than 32-core). Values
+    // checked unchanged at sf0.001/0.01/0.1 (assignment is a per-vector
+    // argmin — partitioning-independent by construction; the update
+    // means and the wcss probe are float sums whose partial order the
+    // narrower width changes only below the entry's 2-dp rounding and
+    // far below q85's descent margins — outputs diffed bit-equal).
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, s.conf.getOption("graft.q59.par").getOrElse("8"))
+    try kmeansNarrow(s, d, iters)
+    finally s.conf.set(key, saved)
+  }
+
+  private def kmeansNarrow(s: SparkSession, d: String,
+      iters: Int): (DataFrame, DataFrame, Seq[Double]) = {
     val (e0, cent0) = kmeansInputs(s, d)
     val e = Scratch.materialize(e0, "q59_e")
     var cent = cent0

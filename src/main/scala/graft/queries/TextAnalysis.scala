@@ -2841,6 +2841,43 @@ object TextAnalysis extends QueryModule {
       broadcast(boiler.select(col("source"), explode(col("bset")).as("lmd5"))))
   }
 
+  /** r15 one-scan lifecycle front half (guide §6 — scans, not
+    * threads): materialize the page-line relation ONCE over the full
+    * promoted population with `batch_id` derived per row (batch
+    * membership is a pure function of doc_id), and freeze the chrome
+    * census over the `censusPred` slice only. Value-identical to
+    * scanning each batch separately — [[lineDigests]] is a per-document
+    * function, so the tagged union of disjoint slices IS the tagged
+    * single scan — with one text pass instead of one per batch, and the
+    * census spelled over exactly the rows the per-slice scan produced
+    * ([[boilerCensusOfLines]], the one spelling). */
+  private def taggedLinesAndChrome(docs: DataFrame, batchCol: Column,
+      censusPred: Column, tag: String): (DataFrame, DataFrame) = {
+    val li = Scratch.materialize(
+      lineDigests(pageDocs(docs)).withColumn("batch_id", batchCol),
+      s"${tag}_li").toDF("source", "doc_id", "lmd5", "batch_id")
+    val boiler = Scratch.materialize(
+      boilerCensusOfLines(li.where(censusPred)
+          .select(col("source"), col("doc_id"), col("lmd5")))
+        .groupBy(col("source")).agg(collect_set(col("lmd5")).as("bset")),
+      s"${tag}_boiler").toDF("source", "bset")
+    (li, broadcast(
+      boiler.select(col("source"), explode(col("bset")).as("lmd5"))))
+  }
+
+  /** The tagged per-batch surviving-line partials over a stored tagged
+    * line relation — [[lineGramIdsOfRel]] per batch in ONE plan:
+    * batch_id re-derives from doc_id after the per-doc distinct
+    * (well-defined because a doc is in exactly one batch), so the
+    * result is the union of the per-batch partials without re-reading
+    * text. */
+  private def taggedLineGrams(li: DataFrame, chromePairs: DataFrame,
+      batchCol: Column): DataFrame =
+    li.join(chromePairs, Seq("source", "lmd5"), "left_anti")
+      .select(col("doc_id"), Dedup.hex12ToLong(col("lmd5")).as("gid"))
+      .distinct()
+      .withColumn("batch_id", batchCol)
+
   /** Per-doc DISTINCT surviving-line gids (q64 48-bit convention —
     * 8-byte keys across every probe shuffle) over a `(source, doc_id,
     * lmd5)` line relation, anti-joined against the chrome pairs. ONE
@@ -2956,19 +2993,6 @@ object TextAnalysis extends QueryModule {
       chrome: DataFrame, batchId: Long, tag: String): Dedup.ContainIndexP =
     buildLineContainIndexPManaged(docs, chrome, batchId, tag)._1
 
-  /** Batch-0 partials off an already-materialized line relation — the
-    * bootstrap path, where ONE line scan feeds the frozen census AND
-    * the first partition (the q130 one-scan discipline). */
-  private def lineContainBootstrapP(li: DataFrame, chrome: DataFrame,
-      tag: String): Dedup.ContainIndexP = {
-    val g = Scratch.materialize(lineGramIdsOfRel(li, chrome),
-      s"${tag}_g0").toDF("doc_id", "gid")
-    Dedup.ContainIndexP(
-      g.withColumn("batch_id", lit(0L)),
-      g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
-        .withColumn("batch_id", lit(0L)))
-  }
-
   /** The lifecycle entries' shared probe-side line scan: constructed
     * quotes of `quoteBase` parents ∪ the unseen `rest` docs, reduced to
     * surviving line gids under the frozen `chrome`, materialized. Split
@@ -3007,29 +3031,31 @@ object TextAnalysis extends QueryModule {
     val docs = Tables.documents(s, d).select(
       col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
     val m = col("doc_id") % 7
-    val (li0, chrome) = lineRelAndChrome(pageDocs(docs.filter(m < 3)),
-      "q131")
+    // r15 optimization (guide §6): the bootstrap (m<3 → batch 0) and
+    // delta (m∈{3,4} → batch 1) line scans previously ran as TWO full
+    // text passes (overlapped on driver threads in r14 — overlap hides
+    // serial latency but not I/O); batch membership is a per-row
+    // function of doc_id, so ONE tagged page-line scan produces the
+    // identical line relation, the chrome census still spelled over
+    // the BOOTSTRAP slice only (the frozen-chrome contract), and the
+    // per-batch partials derive from the STORED line relation in one
+    // plan — the store consumes index state, never a second text pass.
+    val batchCol = when(col("doc_id") % 7 < 3, lit(0L)).otherwise(lit(1L))
+    val (li, chrome) = taggedLinesAndChrome(docs.filter(m < 5), batchCol,
+      col("batch_id") === 0L, "q131")
     // r14 optimization: the probe-side line scan needs only the frozen
-    // chrome, so it overlaps the whole build/store/merge chain on a
-    // driver thread; the bootstrap partials are already materialized by
-    // lineContainBootstrapP (q131_g0) — the former second checkpoint
-    // copy of the same rows (q131_sg/q131_ssz) added a redundant store
-    // round-trip, the merge still consumes INDEX STATE (the g0
-    // checkpoint), provably not the bootstrap batch's text.
+    // chrome, so it overlaps the store/collapse chain on a driver thread
     val (live, gp) = Dedup.inParallel({
-      // bootstrap split (reads the materialized li0) and delta build
-      // (its own doc-slice scan) are independent — overlapped
-      val (b0, d1) = Dedup.inParallel(
-        lineContainBootstrapP(li0, chrome, "q131"),
-        buildLineContainIndexP(docs.filter(m >= 3 && m < 5),
-          chrome, 1L, "q131"))
-      val merged = Dedup.ContainIndexP(b0.g.union(d1.g),
-        b0.sizes.union(d1.sizes))
       // the promote LANDS in the store before any probe (q128's
-      // contract)
-      Dedup.ContainIndexP(
-        Scratch.materialize(merged.g, "q131_mg"),
-        Scratch.materialize(merged.sizes, "q131_msz"))
+      // contract); sizes derive from the stored postings
+      val sg = Scratch.materialize(
+        taggedLineGrams(li, chrome, batchCol), "q131_mg")
+      Dedup.ContainIndexP(sg,
+        Scratch.materialize(
+          sg.groupBy(col("doc_id"), col("batch_id"))
+            .agg(count(lit(1)).as("ng"))
+            .select(col("doc_id"), col("ng"), col("batch_id")),
+          "q131_msz"))
     }, probeLineGrams(chrome, docs.filter(m < 5), docs.filter(m >= 5),
       "q131"))
     probeFromG(Dedup.collapseContain(live), gp, "q131")
@@ -3048,27 +3074,27 @@ object TextAnalysis extends QueryModule {
     val docs = Tables.documents(s, d).select(
       col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
     val m = col("doc_id") % 7
-    val (li0, chrome) = lineRelAndChrome(pageDocs(docs.filter(m < 2)),
-      "q132")
-    // r14 optimization: probe-side scan overlaps the three-batch build
-    // + partitioned store (it needs only the frozen chrome); the two
-    // partitioned store writes overlap each other as well.
+    // r15 optimization (guide §6): the bootstrap (m<2 → batch 0) and
+    // the two delta slices (m∈{2,3} → 1, m=4 → 2) previously ran as
+    // THREE full text passes (overlapped in r14); ONE tagged page-line
+    // scan produces the identical line relation — chrome census over
+    // the bootstrap slice only (frozen-chrome contract), per-batch
+    // partials derived from the STORED relation in one plan, landed in
+    // the batch_id-partitioned store the retraction prunes.
+    val batchCol = when(col("doc_id") % 7 < 2, lit(0L))
+      .when(col("doc_id") % 7 < 4, lit(1L)).otherwise(lit(2L))
+    val (li, chrome) = taggedLinesAndChrome(docs.filter(m < 5), batchCol,
+      col("batch_id") === 0L, "q132")
+    // r14 optimization: probe-side scan overlaps the store chain (it
+    // needs only the frozen chrome)
     val (stored, gp) = Dedup.inParallel({
-      // b1/b2 are independent delta-slice scans under the same frozen
-      // chrome — overlapped (b0 reads the already-materialized li0)
-      val (b0, (b1, b2)) = Dedup.inParallel(
-        lineContainBootstrapP(li0, chrome, "q132"),
-        Dedup.inParallel(
-          buildLineContainIndexP(docs.filter(m >= 2 && m < 4),
-            chrome, 1L, "q132"),
-          buildLineContainIndexP(docs.filter(m === 4), chrome,
-            2L, "q132")))
-      val (sg, ssz) = Dedup.inParallel(
-        Scratch.materializePartitioned(b0.g.union(b1.g).union(b2.g),
-          "q132_g", "batch_id"),
-        Scratch.materializePartitioned(
-          b0.sizes.union(b1.sizes).union(b2.sizes), "q132_sz",
-          "batch_id"))
+      val sg = Scratch.materializePartitioned(
+        taggedLineGrams(li, chrome, batchCol), "q132_g", "batch_id")
+      val ssz = Scratch.materializePartitioned(
+        sg.groupBy(col("doc_id"), col("batch_id"))
+          .agg(count(lit(1)).as("ng"))
+          .select(col("doc_id"), col("ng"), col("batch_id")),
+        "q132_sz", "batch_id")
       Dedup.ContainIndexP(sg, ssz)
     }, probeLineGrams(chrome, docs.filter(m < 5), docs.filter(m >= 5),
       "q132"))
@@ -3241,33 +3267,33 @@ object TextAnalysis extends QueryModule {
       g.groupBy(col("gid")).agg(count(lit(1)).as("df")))
   }
 
-  /** The two entries' shared lifecycle: freeze chrome over `boot`'s
-    * census (ONE bootstrap line scan feeds chrome + batch-0 census
-    * partials + batch-0 postings split), promote `delta` under the
-    * FROZEN chrome, store both postings sides partitioned by batch_id,
-    * collapse census partials to C_new, re-freeze the STORED postings,
-    * and probe quotes of the promoted population ∪ `rest` under C_new.
-    * Oracle = [[lineContainSqlFor]] with the census over the FULL
-    * promoted population — refrozen ≡ rebuilt-under-C_new. */
-  private def lineRefreezeLifecycle(boot: DataFrame, delta: DataFrame,
+  /** The two entries' shared lifecycle over the promoted population
+    * `pop` split by `bootPred` (bootstrap = batch 0, delta = batch 1;
+    * both pure doc_id predicates): freeze chrome over the bootstrap
+    * slice's census, promote the delta under the FROZEN chrome, store
+    * both postings sides partitioned by batch_id, collapse census
+    * partials to C_new, re-freeze the STORED postings, and probe
+    * quotes of `pop` ∪ `rest` under C_new. Oracle =
+    * [[lineContainSqlFor]] with the census over the FULL promoted
+    * population — refrozen ≡ rebuilt-under-C_new. */
+  private def lineRefreezeLifecycle(pop: DataFrame, bootPred: Column,
       rest: DataFrame, tag: String): DataFrame = {
-    // r14 optimization (guide §2.4 + §2.6). Three changes vs the build
-    // round's shape, values untouched:
-    //  1. The bootstrap and delta line scans are independent text
-    //     passes — they overlap on driver threads.
-    //  2. C_new was a LAZY census over both line relations consumed by
-    //     THREE plans (the added/removed flip-set broadcasts and the
-    //     probe's chrome), so the full two-batch census re-aggregated
-    //     once per consumer; it is now materialized once (tiny: the
-    //     per-source chrome pairs).
-    //  3. The two partitioned store writes overlap each other, and the
-    //     probe-side line scan (which depends only on C_new) overlaps
-    //     the re-freeze/republish chain.
-    val (li0, li1) = Dedup.inParallel(
-      Scratch.materialize(lineDigests(pageDocs(boot)), s"${tag}_li")
-        .toDF("source", "doc_id", "lmd5"),
-      Scratch.materialize(lineDigests(pageDocs(delta)), s"${tag}_li1")
-        .toDF("source", "doc_id", "lmd5"))
+    // r14 optimization (guide §2.4 + §2.6): C_new materialized once
+    // (was a LAZY census re-aggregated once per consumer); partitioned
+    // store writes overlap; the probe-side line scan (which depends
+    // only on C_new) overlaps the re-freeze/republish chain.
+    // r15 optimization (guide §6): the bootstrap and delta line scans
+    // previously ran as TWO full text passes (overlapped in r14 —
+    // overlap hides serial latency but not I/O); batch membership is a
+    // per-row predicate of doc_id, so ONE tagged page-line scan
+    // produces both batches' identical line relations.
+    val li = Scratch.materialize(
+      lineDigests(pageDocs(pop)).withColumn("batch_id",
+        when(bootPred, lit(0L)).otherwise(lit(1L))),
+      s"${tag}_li").toDF("source", "doc_id", "lmd5", "batch_id")
+    def liOf(b: Long): DataFrame = li.where(col("batch_id") === b)
+      .select(col("source"), col("doc_id"), col("lmd5"))
+    val (li0, li1) = (liOf(0L), liOf(1L))
     // C_old: the one boilerCensusOfLines spelling over the bootstrap
     // relation, exactly as lineRelAndChrome freezes it
     val oldChrome = broadcast(Scratch.materialize(
@@ -3297,7 +3323,7 @@ object TextAnalysis extends QueryModule {
       // republish the surviving index (strip' stays lazy — the probe
       // never consumes it; LineRefreezeSpec pins its correctness)
       Scratch.materialize(refrozen.surv, s"${tag}_rsurv"),
-      probeLineGrams(newChrome, boot.unionByName(delta), rest, tag))
+      probeLineGrams(newChrome, pop, rest, tag))
     // name-preserving re-alias (fresh attribute ids for the probe's
     // self-joins) — NOT a positional rename, see refreezeLineState
     val live = LineContainStateP(rsurv.toDF(rsurv.columns: _*),
@@ -3320,9 +3346,7 @@ object TextAnalysis extends QueryModule {
       col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
     val m = col("doc_id") % 7
     val pop = docs.filter(m < 5)
-    lineRefreezeLifecycle(
-      pop.filter(col("doc_id") % 3 === 0),
-      pop.filter(col("doc_id") % 3 =!= 0),
+    lineRefreezeLifecycle(pop, col("doc_id") % 3 === 0,
       docs.filter(m >= 5), "q133")
   }
 
@@ -3340,10 +3364,14 @@ object TextAnalysis extends QueryModule {
     val docs = Tables.documents(s, d).select(
       col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
     val m = col("doc_id") % 7
-    val pop = docs.filter(m < 5)
-    lineRefreezeLifecycle(
-      pop.filter(col("doc_id") % 9 === 2 || col("doc_id") % 9 === 5),
-      pop.filter(col("doc_id") % 3 === 0),
+    // the lifecycle population is boot ∪ delta — a strict subset of
+    // m < 5 here (docs with %9 ∈ {1,4,7,8} and %3 ≠ 0 are in neither
+    // batch), spelled as one predicate for the tagged single scan
+    val pop = docs.filter(m < 5 &&
+      (col("doc_id") % 9 === 2 || col("doc_id") % 9 === 5 ||
+        col("doc_id") % 3 === 0))
+    lineRefreezeLifecycle(pop,
+      col("doc_id") % 9 === 2 || col("doc_id") % 9 === 5,
       docs.filter(m >= 5), "q134")
   }
 

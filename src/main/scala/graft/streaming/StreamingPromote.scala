@@ -53,8 +53,14 @@ object StreamingPromote {
   def promoteLexBatch(batch: DataFrame, batchId: Long,
       exactDir: String, bandsDir: String): Unit = {
     val p = Dedup.buildLexIndexP(batch, batchId)
-    writePart(p.exact, exactDir, batchId)
-    writePart(p.bands, bandsDir, batchId)
+    // the two partition writes are independent jobs — overlap them so
+    // one write's task tail back-fills the other's idle cores (guide
+    // §2.6; the r14 batch-entry discipline carried to the micro-batch
+    // path, which pays this latency once per batch)
+    Dedup.inParallel(
+      writePart(p.exact, exactDir, batchId),
+      writePart(p.bands, bandsDir, batchId))
+    ()
   }
 
   /** The streaming lexical promote: every micro-batch of the document
@@ -185,8 +191,11 @@ object StreamingPromote {
   def promoteCensusBatch(batch: DataFrame, batchId: Long,
       countsDir: String, srcnDir: String): Unit = {
     val p = graft.queries.TextAnalysis.buildBoilerIndexP(batch, batchId)
-    writePart(p.counts, countsDir, batchId)
-    writePart(p.srcn, srcnDir, batchId)
+    // independent writes — overlapped (see promoteLexBatch)
+    Dedup.inParallel(
+      writePart(p.counts, countsDir, batchId),
+      writePart(p.srcn, srcnDir, batchId))
+    ()
   }
 
   /** The streaming census promote behind the exactly-once document
@@ -247,8 +256,12 @@ object StreamingPromote {
     // on an unbounded stream (the StreamingContain discipline)
     val (p, release) = Dedup.buildContainIndexPManaged(batch, batchId)
     try {
-      writePart(p.g, gDir, batchId)
-      writePart(p.sizes, szDir, batchId)
+      // independent writes off the one stored scan — overlapped (see
+      // promoteLexBatch)
+      Dedup.inParallel(
+        writePart(p.g, gDir, batchId),
+        writePart(p.sizes, szDir, batchId))
+      ()
     } finally release()
   }
 
@@ -320,8 +333,12 @@ object StreamingPromote {
     val (p, release) = graft.queries.TextAnalysis
       .buildLineContainIndexPManaged(batch, chrome, batchId, "splc")
     try {
-      writePart(p.g, gDir, batchId)
-      writePart(p.sizes, szDir, batchId)
+      // independent writes off the one stored scan — overlapped (see
+      // promoteLexBatch)
+      Dedup.inParallel(
+        writePart(p.g, gDir, batchId),
+        writePart(p.sizes, szDir, batchId))
+      ()
     } finally release()
   }
 
@@ -452,10 +469,17 @@ object StreamingPromote {
       val chrome = broadcast(publishedChrome(spark, dirs))
       val c = ta.lineCensusP(li, batchId)
       val st = ta.buildLineStateP(li, chrome, batchId)
-      writePart(c.counts, dirs.cntDir, batchId)
-      writePart(c.srcn, dirs.srcnDir, batchId)
-      writePart(st.surv, dirs.survDir, batchId)
-      writePart(st.strip, dirs.stripDir, batchId)
+      // all four writes read only the stored li scan — independent
+      // jobs, overlapped (guide §2.6; one micro-batch previously paid
+      // four serial write latencies)
+      Dedup.inParallel(
+        Dedup.inParallel(
+          writePart(c.counts, dirs.cntDir, batchId),
+          writePart(c.srcn, dirs.srcnDir, batchId)),
+        Dedup.inParallel(
+          writePart(st.surv, dirs.survDir, batchId),
+          writePart(st.strip, dirs.stripDir, batchId)))
+      ()
     } finally release()
   }
 
@@ -499,10 +523,14 @@ object StreamingPromote {
       oldC, newC)
     // BOTH sides read BOTH old stores (the cross moves) — stage both
     // .next dirs fully before the first swap, or the strip rewrite
-    // would read the already-swapped surv and lose the quarantine
-    stageNext(refrozen.surv, dirs.survDir, Some("batch_id"))
-    stageNext(refrozen.strip, dirs.stripDir, Some("batch_id"))
-    stageNext(newC, dirs.chromeDir, None)
+    // would read the already-swapped surv and lose the quarantine.
+    // The three staged writes only READ old state — independent jobs,
+    // overlapped (guide §2.6)
+    Dedup.inParallel(
+      Dedup.inParallel(
+        stageNext(refrozen.surv, dirs.survDir, Some("batch_id")),
+        stageNext(refrozen.strip, dirs.stripDir, Some("batch_id"))),
+      stageNext(newC, dirs.chromeDir, None))
     commitNext(dirs.survDir)
     commitNext(dirs.stripDir)
     commitNext(dirs.chromeDir)

@@ -17,12 +17,14 @@ object QueryProf {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val spark = SparkSession.builder()
+    // Harness.tuned (r15): profile under the SAME session conf the
+    // bench times, or an A/B here attributes a conf diff to the code
+    val spark = Harness.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("graft.engine.timing", "true")
+      .config("graft.engine.timing", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_CONF="k=v,k=v": arbitrary runtime conf for experiments

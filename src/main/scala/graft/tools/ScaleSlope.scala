@@ -125,12 +125,18 @@ object ScaleSlope {
     // execution on BOTH dirs, so the slope measures data scaling
     val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val out = s"/tmp/graft_scale$factor"
-    val spark = SparkSession.builder()
+    // Harness.tuned (r15, verdict #1): the slope tool now measures the
+    // SAME session conf Bench/Verify/Explain plan under (the r14 SHJ
+    // baseline) — at-scale rows must validate the shipped posture, not
+    // a conf the bench no longer runs. Pre-r15 ledger rows were
+    // measured WITHOUT it; new rows land in a new ledger section, and
+    // SPARK_GRAFT_SHJ=off reproduces the historical conf on any tool.
+    val spark = Harness.tuned(SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
